@@ -1,0 +1,88 @@
+"""Driver-checkable CDC queries, phrased over the events stream table.
+
+The true CDC engine (users/watermarks data model, CSV sink, watermark
+state) lives in cdc.exports + cdc.jobs and is pinned by pytest scenario
+tests mirroring the reference's E2E suite. The DuckDB oracle can only see
+the pre-registered star-schema views, so for CORRECTNESS_r{N}.json the
+same three export semantics are expressed over `events`, with `ts` playing
+`updated_at` and `event_type = 'error'` playing the soft-delete flag:
+
+* full snapshot  (reference: app/services/exports.py:70-95)
+* incremental    (reference: app/services/exports.py:98-135, strict >)
+* delta + operation classification (reference: app/services/exports.py:138-171)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+# Fixed "watermark" literal for the oracle-checked variants: the scenario
+# tests exercise the stateful protocol; here the predicate shape is pinned.
+WM = "2024-01-20 00:00:00"
+
+
+@register(
+    "cdc_full_snapshot",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_type <> 'error'
+    """,
+    tags=("cdc",),
+)
+def cdc_full_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full export: every live row (exports.py:80-85: is_deleted = FALSE)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "cdc_incremental",
+    oracle=f"""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts > TIMESTAMP '{WM}' AND event_type <> 'error'
+    """,
+    tags=("cdc",),
+)
+def cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental export: strictly-after-watermark live rows
+    (exports.py:115-124; strict > is the late-data contract)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") > F.lit(WM).cast("timestamp")) & (F.col("event_type") != "error")
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "cdc_delta",
+    oracle=f"""
+        SELECT CASE WHEN event_type = 'error' THEN 'DELETE'
+                    WHEN event_type = 'signup' THEN 'INSERT'
+                    ELSE 'UPDATE' END AS operation,
+               event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts > TIMESTAMP '{WM}'
+    """,
+    tags=("cdc",),
+)
+def cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta export: after-watermark rows *including* deletes, with the
+    3-way operation classification (exports.py:39-45,156-160)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") > F.lit(WM).cast("timestamp"))
+    op = (
+        F.when(F.col("event_type") == "error", "DELETE")
+        .when(F.col("event_type") == "signup", "INSERT")
+        .otherwise("UPDATE")
+    )
+    return ev.select(
+        op.alias("operation"), "event_id", "ts", "user_id", "event_type", "value"
+    )

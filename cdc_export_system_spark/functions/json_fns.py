@@ -1,0 +1,56 @@
+"""JSON extraction over the events.props column (SURVEY.md §2.10
+``json_extract_props``).
+
+The reference has no JSON surface; this is the engine extension for the
+testdata's semi-structured column. ``from_json`` with a declared schema is
+the scalable form — it parses once into a struct the optimizer can prune,
+unlike repeated ``get_json_object`` calls which re-parse per field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    tags=("json", "function"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse props JSON with a declared schema and project a typed field."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+@register(
+    "json_group_agg",
+    oracle="""
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def json_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an extracted JSON field (integer sum — exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,178 @@
+"""Text analysis over the documents table (north-star extension ops:
+language-ID, quality scoring, token counting, fingerprinting).
+
+The reference has no text surface (BASELINE.json north_star mandates
+these). Everything here is built-in column expressions — split/filter/
+regexp run inside whole-stage codegen, so at 100 TB this is a pure scan
+pipeline with no Python in the hot path and no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Order matters: ties resolve in this priority order.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "y", "que", "los", "una"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+}
+
+# A BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _stop_count(toks: Column, words: list[str]) -> Column:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(__toks, t -> t IN ({lst})))")
+
+
+def _sql_stop_count(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ({lst})))"
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+               length(text) AS n_chars_computed
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        # F.lit pattern, not an expr string: SQL string literals eat backslashes
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_stop_count(STOPWORDS['en'])} AS sc_en,
+                   {_sql_stop_count(STOPWORDS['de'])} AS sc_de,
+                   {_sql_stop_count(STOPWORDS['es'])} AS sc_es,
+                   {_sql_stop_count(STOPWORDS['fr'])} AS sc_fr
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'und'
+                    WHEN sc_en >= greatest(sc_de, sc_es, sc_fr) THEN 'en'
+                    WHEN sc_de >= greatest(sc_es, sc_fr) THEN 'de'
+                    WHEN sc_es >= sc_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic heuristic; the testdata
+    text is synthetic so this pins the op's plumbing, not linguistics)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("__toks", tokens(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stop_count(F.col("__toks"), ws).alias(f"sc_{lg}") for lg, ws in STOPWORDS.items()],
+    )
+    g = F.greatest("sc_en", "sc_de", "sc_es", "sc_fr")
+    pred = (
+        F.when(g == 0, "und")
+        .when(F.col("sc_en") >= F.greatest("sc_de", "sc_es", "sc_fr"), "en")
+        .when(F.col("sc_de") >= F.greatest("sc_es", "sc_fr"), "de")
+        .when(F.col("sc_es") >= F.col("sc_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_q,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               CAST({_sql_stop_count(STOPWORDS['en'])} AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_token_len
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features — the usual
+    cheap pre-filters of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("__toks", tokens(F.col("text")))
+    n_tokens = F.size(F.col("__toks"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).alias("n_punct"),
+        (_stop_count(F.col("__toks"), STOPWORDS["en"]).cast("double") / n_tokens).alias(
+            "stopword_ratio"
+        ),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id, md5(lower(trim(text))) AS fp
+        FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 of case/whitespace-normalized
+    text) — the join key for exact near-copy detection across shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+
+
+@register(
+    "text_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language (SURVEY §2.10 text_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,174 @@
+"""Aggregations (SURVEY.md §2.4).
+
+The reference computes its only aggregate — max(updated_at) — driver-side
+in Python over fully materialized rows (reference: app/services/
+exports.py:92,132,168, an O(result) RAM anti-pattern at scale). Here every
+aggregate is in-engine: Spark's hash aggregate does a map-side partial pass
+before the shuffle, so the exchange carries one row per group per
+partition, not the data.
+
+Double sums go through DECIMAL(18,6) (registry.dsum) so results are exact
+and order-independent — identical across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import dsum, register, sql_dsum
+
+
+@register(
+    "agg_max_ts",
+    oracle="SELECT max(ts) AS max_ts FROM events",
+    tags=("agg", "cdc"),
+)
+def agg_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max over the CDC time column — the watermark advance value
+    (exports.py:92; computed in-engine instead of driver-side)."""
+    return load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+
+
+@register(
+    "agg_count_star",
+    oracle="SELECT count(*) AS n FROM lineitem",
+    tags=("agg",),
+)
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) (seeder idempotency check, app/seed_users.py:25). Spark
+    answers this from parquet footers without reading data columns."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_count_filtered",
+    oracle="SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'",
+    tags=("agg", "filter"),
+)
+def agg_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT with predicate (tests/test_exports_full.py:11:
+    COUNT(*) WHERE is_deleted = FALSE)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_min_max_ts",
+    oracle="SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+    tags=("agg",),
+)
+def agg_min_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp range check (reference README psql check)."""
+    return load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+
+
+@register(
+    "agg_group_sum",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_dsum("l_quantity", "sum_qty")},
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "group"),
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + sum/count — partial aggregation happens map-side, the
+    shuffle carries |groups| x |partitions| rows only."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_avg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dsum("o_totalprice", "sum_price")},
+               count(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   / count(*) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "group"),
+)
+def agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average phrased as exact-sum / count so both engines agree bitwise
+    (plain AVG(double) is summation-order dependent)."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(dsum(F.col("o_totalprice"), "sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+    return g.withColumn("avg_price", F.col("sum_price") / F.col("n"))
+
+
+@register(
+    "agg_count_distinct",
+    oracle="SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+    tags=("agg", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts — Spark expands to a two-phase partial/final
+    aggregate over the distinct keys."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    # HyperLogLog++ estimates are engine-specific: no SQL oracle, the
+    # driver records a rows-only check. A unit test bounds the relative
+    # error vs the exact count instead.
+    oracle=None,
+    tags=("agg", "distinct", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=1%) — the 100 TB-scale path where
+    an exact distinct would shuffle every key."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "group"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — one shuffle, Expand feeds all grouping sets."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "group"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,164 @@
+"""Join surface (SURVEY.md §2.3).
+
+The reference's only join-like operation is the watermark state lookup
+(reference: app/services/exports.py:109-119 — fetch one state row, then a
+parameterized filter). The engine exposes the full Spark join surface; the
+physical strategy notes on each op are the 100 TB design intent:
+
+* dimension tables (region/nation/supplier, and at real TPC-H scale part/
+  customer partitions) -> broadcast hash join, no shuffle of the fact side;
+* fact-fact joins (lineitem x orders) -> sort-merge with AQE free to switch
+  to shuffled-hash / handle skew at runtime;
+* EXISTS / NOT EXISTS -> left-semi / left-anti (never a distinct+inner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import dsum, register, sql_dsum
+
+
+@register(
+    "join_broadcast_hash",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+)
+def join_broadcast_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-dim equi-join with an explicit broadcast of the 5-row side."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "join_sort_merge",
+    oracle=f"""
+        SELECT o_orderstatus,
+               {sql_dsum("l_extendedprice", "sum_price")},
+               count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    headline=True,
+    tags=("join", "agg"),
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join: both sides shuffle on the key once; the
+    aggregation reuses that partitioning (no second exchange on
+    o_orderstatus until the final small shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(dsum(F.col("l_extendedprice"), "sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, o_orderkey
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: probe side streams, no row duplication."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti — also the natural form of the seeder's
+    ON CONFLICT DO NOTHING ingest (app/seed_users.py:42)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range residual — the scalable form of a range join
+    (pure inequality joins degenerate to a broadcast-nested-loop; anchoring
+    on the equi-key keeps it a hash/merge join with a post-filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    )
+
+
+@register(
+    "join_state_lookup",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 3 DAY FROM events)
+    """,
+    tags=("join", "cdc"),
+)
+def join_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's watermark correlation (exports.py:109-119): look up
+    one state row, then filter the stream table against it. Idiomatic
+    Spark: collect the scalar on the driver and inline it as a literal so
+    the predicate pushes into the parquet scan (a broadcast join against a
+    1-row state table would defeat pushdown)."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("m")).first()["m"]
+    from datetime import timedelta
+
+    cutoff = wm - timedelta(days=3)
+    return ev.filter(F.col("ts") > F.lit(cutoff)).select(
+        "event_id", "ts", "user_id", "event_type"
+    )

@@ -1,0 +1,284 @@
+"""Scans, filters, projections, sorts, limits and set operations.
+
+Maps SURVEY.md §2.1/§2.2/§2.6/§2.7 onto the driver star schema. Each op is
+a declarative DataFrame plan so Catalyst pushes the predicate/projection
+into the parquet scan (the Spark analogue of the reference's reliance on
+Postgres' planner and its ``idx_users_updated_at`` index,
+reference: seeds/001_schema.sql:11, app/services/exports.py:80-125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+# --- scans (reference: app/services/exports.py:80-85 full scan) ---------------
+
+@register(
+    "scan_table",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan (reference full-export scan, exports.py:80-85)."""
+    return load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_index_range",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    """,
+    tags=("scan", "cdc"),
+)
+def scan_index_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan on the time column (reference exports.py:115-125: the
+    watermark range predicate served by the updated_at btree; here the
+    parquet row-group min/max stats serve the same pruning role)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    tags=("scan",),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row lookup by unique key (reference watermark.py:7-9)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --- filters (reference: app/services/exports.py:82,116-122) ------------------
+
+@register(
+    "filter_eq_bool",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("filter",),
+)
+def filter_eq_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter on a low-cardinality flag column — the analogue of
+    the reference's active-rows filter ``is_deleted == FALSE``
+    (exports.py:82,120)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "filter_gt_ts",
+    oracle="""
+        SELECT event_id, ts, user_id
+        FROM events WHERE ts > TIMESTAMP '2024-01-20 12:00:00'
+    """,
+    tags=("filter", "cdc"),
+)
+def filter_gt_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict > on the CDC time column (exports.py:119 — strictness is part
+    of the reference's late-data contract)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit("2024-01-20 12:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id")
+    )
+
+
+@register(
+    "filter_conj",
+    oracle="""
+        SELECT event_id, ts, event_type, value FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_type <> 'error'
+    """,
+    tags=("filter", "cdc"),
+)
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunction filter (exports.py:116-122: updated_at > wm AND NOT
+    is_deleted)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (F.col("event_type") != "error")
+    ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "filter_eq_str",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    tags=("filter",),
+)
+def filter_eq_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key equality (watermark.py:8 consumer_id lookup)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "project_columns",
+    oracle="SELECT o_orderkey, o_custkey, o_orderdate FROM orders",
+    tags=("project",),
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-column projection (exports.py:57-64); Catalyst prunes the scan
+    to exactly these columns (ReadSchema in the physical plan)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+@register(
+    "project_case_op",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'DELETE'
+                    WHEN value < 50.0 THEN 'INSERT'
+                    ELSE 'UPDATE' END AS operation
+        FROM events
+    """,
+    tags=("project", "cdc"),
+)
+def project_case_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-branch conditional derived column — the shape of the reference's
+    delta operation classifier (exports.py:39-45: DELETE if is_deleted,
+    INSERT if created_at == updated_at, else UPDATE), phrased over the
+    events table for the oracle check. The true CDC classifier lives in
+    cdc.exports.classify_operation and is pinned by unit tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "DELETE")
+        .when(F.col("value") < 50.0, "INSERT")
+        .otherwise("UPDATE")
+        .alias("operation"),
+    )
+
+
+# --- sorts / limits (reference: exports.py:83,123,159; tests LIMIT-subquery) --
+
+@register(
+    "sort_ts_asc",
+    oracle="""
+        SELECT event_id, ts FROM events
+        WHERE event_type = 'signup' ORDER BY ts
+    """,
+    tags=("sort",),
+)
+def sort_ts_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order by the time column (exports.py:83 — export row order is
+    part of the reference's observable output). Spark plans a range
+    exchange + per-partition sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "ts")
+        .orderBy("ts")
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k — Spark plans TakeOrderedAndProject (no full
+    sort). Tie-break on the key keeps the result deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "limit_subquery",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        )
+    """,
+    tags=("limit", "join"),
+)
+def limit_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT inside IN(subquery) — the reference tests' victim-row picker
+    (tests/test_exports_incremental.py:18-22). IN ≡ left-semi join; the
+    5-row inner side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    top5 = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.join(F.broadcast(top5), "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# --- set operations (SURVEY §2.7 — engine surface, none in reference) ---------
+
+@register(
+    "setop_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "setop_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT, matching DuckDB's EXCEPT.
+    return cust.subtract(supp)

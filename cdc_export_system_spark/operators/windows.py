@@ -1,0 +1,132 @@
+"""Window functions (SURVEY.md §2.5).
+
+The reference has no window functions, but its delta-export contract —
+"only the latest state of each row is exported" (reference README:335) —
+is exactly the collapsed-changelog window: row_number() over
+(PARTITION BY key ORDER BY time DESC) = 1. That op (`window_latest_per_key`)
+is also the engine's `dedup_latest_per_key`.
+
+Scale note: a window partitioned by a real key (user_id, l_orderkey)
+shuffles once on that key and sorts within partitions — fine at 100 TB.
+A window with no PARTITION BY would serialize onto one task; none here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+@register(
+    "window_latest_per_key",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("window", "dedup", "cdc"),
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — the reference's collapsed-changelog semantics
+    (README:335). event_id desc tie-break keeps it deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+                   AS running_value
+        FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame; decimal accumulation keeps the running sum
+    bit-identical to the oracle at every prefix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+    tags=("window", "limit"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the distributed alternative to a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )

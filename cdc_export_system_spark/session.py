@@ -1,0 +1,65 @@
+"""SparkSession factory with the engine's required configuration.
+
+The reference is UTC-everywhere (reference: ``app/main.py:21,32``,
+``app/seed_users.py:34``); we pin the session time zone to UTC so
+timestamp semantics (and the DuckDB oracle comparison) are deterministic.
+
+Scale posture: AQE on (runtime re-plan, partition coalescing, skew-join
+splitting) and Arrow on (fast pandas interchange for the UDF surface).
+``shuffle_partitions`` defaults to the local core count for local mode;
+on a real cluster you would size it to ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# events.parquet in the driver testdata uses INT64 TIMESTAMP(NANOS), which
+# Spark's parquet reader refuses by default; this legacy conf reads it as a
+# long (nanoseconds) that io.sources converts to a microsecond timestamp.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "cdc_export_system_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to a session we did not build.
+
+    The correctness driver hands us its own SparkSession; these two confs are
+    required for deterministic timestamp semantics and for reading the
+    nanosecond-precision events table, and both are runtime-settable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(NANOS_AS_LONG, "true")
+    return spark

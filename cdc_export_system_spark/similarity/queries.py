@@ -1,0 +1,128 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Brute-force cosine top-k is the exact baseline: a scan + vectorized dot
+product + TakeOrdered. The query vector broadcasts as a literal array, so
+the plan is embarrassingly parallel — no shuffle until the final k-row
+TakeOrdered. The LSH-bucketed scale path lives in similarity.lsh.
+
+Float determinism: dot products fold left-to-right in double in both
+engines; similarities are additionally rounded to 9 dp in both Spark and
+the oracle so the hash comparison never hinges on the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+TOP_K = 20
+QUERY_VEC_ID = 0  # the query is the embedding of vec_id 0 — same in both engines
+SIM_DECIMALS = 9
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+# DuckDB mirror of the same left-to-right double fold (list_cosine_similarity
+# would use its own accumulation; spelling the fold out keeps both engines on
+# an identical operation sequence).
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip(a.embedding, q.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_SQL_NORM_A = (
+    "sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_SQL_NORM_Q = (
+    "sqrt(list_aggregate(list_transform(q.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+        SELECT a.vec_id, a.label,
+               round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), {SIM_DECIMALS}) AS cos_sim
+        FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+    headline=True,
+    tags=("similarity",),
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k against the vec_id=0 embedding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()["embedding"]
+    q = F.lit(qvec).cast("array<float>")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), q), SIM_DECIMALS).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "sim_pairwise_by_label",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                     {SIM_DECIMALS}) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.label = 3
+    """,
+    tags=("similarity", "join"),
+)
+def sim_pairwise_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise similarity: equi-join on a blocking key (label)
+    bounds the quadratic blow-up — the scalable shape of all-pairs
+    similarity (block, then compare within blocks only)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), SIM_DECIMALS).alias("cos_sim"),
+        )
+    )
