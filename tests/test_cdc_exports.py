@@ -1,0 +1,203 @@
+"""CDC export scenario tests — ports of the reference's E2E suite
+(tests/test_exports_full.py, test_exports_incremental.py,
+test_exports_delta.py, test_watermark_logic.py) onto the Spark engine,
+plus the watermark edge semantics SURVEY.md §7 says must not be 'fixed'.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_export_system_spark.cdc import exports as ex
+from cdc_export_system_spark.cdc.jobs import (
+    get_watermark_response,
+    make_output_filename,
+    start_export_job,
+)
+from cdc_export_system_spark.datagen import PINNED_NOW, generate_users
+from cdc_export_system_spark.state.watermark import WatermarkStore
+
+N_USERS = 1_000
+NOW = PINNED_NOW.replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    df = generate_users(spark, n_rows=N_USERS, seed=42)
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return WatermarkStore(spark, str(tmp_path / "state"))
+
+
+def read_csv(path):
+    with open(path) as f:
+        return list(csv.reader(f))
+
+
+# --- full export (test_exports_full.py:13-41) --------------------------------
+
+def test_full_export_contract(spark, users, store, tmp_path):
+    out = str(tmp_path / "out")
+    job = start_export_job(users, store, "full", "consumer a", output_dir=out)
+    path = os.path.join(out, job["outputFilename"])
+    assert os.path.exists(path)
+    rows = read_csv(path)
+    # exact header (exports.py:33; asserted test_exports_full.py:29)
+    assert rows[0] == ["id", "name", "email", "created_at", "updated_at", "is_deleted"]
+    # row count == COUNT(*) WHERE is_deleted = FALSE (test_exports_full.py:31-33)
+    live = users.filter(~F.col("is_deleted")).count()
+    assert len(rows) - 1 == live == job["rowsExported"]
+    # booleans serialized as False (all live rows), timestamps isoformat
+    assert all(r[5] == "False" for r in rows[1:])
+    assert "+00:00" in rows[1][3]
+    datetime.fromisoformat(rows[1][3])
+    # rows ordered by updated_at ascending (exports.py:83)
+    updated = [r[4] for r in rows[1:]]
+    assert updated == sorted(updated)
+    # watermark created == max(updated_at) over NON-DELETED rows only
+    wm = store.get("consumer a")
+    expected = users.filter(~F.col("is_deleted")).agg(F.max("updated_at")).first()[0]
+    assert wm == expected
+    # filename pattern with sanitized consumer id (app/main.py:31-34)
+    assert job["outputFilename"].startswith("full_consumer_a_")
+
+
+# --- incremental export (test_exports_incremental.py:8-47) -------------------
+
+def test_incremental_without_watermark_exports_nothing(users, store, tmp_path):
+    out = str(tmp_path / "out")
+    job = start_export_job(users, store, "incremental", "fresh", output_dir=out)
+    assert job["rowsExported"] == 0
+    assert not os.path.exists(os.path.join(out, job["outputFilename"]))
+    assert store.get("fresh") is None  # no advance on empty export
+
+
+def test_incremental_exports_exactly_mutated_rows(spark, users, store, tmp_path):
+    out = str(tmp_path / "out")
+    start_export_job(users, store, "full", "c1", output_dir=out)
+    # mutate exactly 5 live rows: updated_at = now (mirrors the raw SQL
+    # UPDATE ... LIMIT 5 in test_exports_incremental.py:17-22)
+    victims = [r["id"] for r in users.filter(~F.col("is_deleted")).limit(5).collect()]
+    bump = F.lit(NOW + timedelta(seconds=1)).cast("timestamp")
+    mutated = users.withColumn(
+        "updated_at", F.when(F.col("id").isin(victims), bump).otherwise(F.col("updated_at"))
+    )
+    job = start_export_job(mutated, store, "incremental", "c1", output_dir=out)
+    assert job["rowsExported"] == 5  # exactly 5 (test_exports_incremental.py:40)
+    rows = read_csv(os.path.join(out, job["outputFilename"]))
+    assert sorted(int(r[0]) for r in rows[1:]) == sorted(victims)
+    # watermark parses as ISO and advanced to the bump
+    resp = get_watermark_response(store, "c1")
+    assert datetime.fromisoformat(resp["lastExportedAt"]) == NOW + timedelta(seconds=1)
+
+
+def test_incremental_excludes_deleted_and_respects_strict_gt(spark, users, store, tmp_path):
+    out = str(tmp_path / "out")
+    start_export_job(users, store, "full", "c2", output_dir=out)
+    wm = store.get("c2")
+    # a row stamped exactly AT the watermark must NOT re-export (strict >)
+    victims = [r["id"] for r in users.filter(~F.col("is_deleted")).limit(2).collect()]
+    at_wm = users.withColumn(
+        "updated_at",
+        F.when(F.col("id") == victims[0], F.lit(wm)).otherwise(F.col("updated_at")),
+    )
+    job = start_export_job(at_wm, store, "incremental", "c2", output_dir=out)
+    assert job["rowsExported"] == 0
+    # a deleted row after the watermark is excluded from incremental
+    bump = F.lit(NOW + timedelta(seconds=5)).cast("timestamp")
+    deleted_after = users.withColumn(
+        "updated_at", F.when(F.col("id") == victims[1], bump).otherwise(F.col("updated_at"))
+    ).withColumn(
+        "is_deleted", F.when(F.col("id") == victims[1], F.lit(True)).otherwise(F.col("is_deleted"))
+    )
+    job2 = start_export_job(deleted_after, store, "incremental", "c2", output_dir=out)
+    assert job2["rowsExported"] == 0
+
+
+# --- delta export (test_exports_delta.py:7-51) --------------------------------
+
+def test_delta_classifies_all_three_operations(spark, users, store, tmp_path):
+    out = str(tmp_path / "out")
+    start_export_job(users, store, "full", "c3", output_dir=out)
+    t = F.lit(NOW + timedelta(seconds=10)).cast("timestamp")
+    live_ids = [r["id"] for r in users.filter(~F.col("is_deleted")).limit(2).collect()]
+    upd_id, del_id = live_ids
+    new_id = N_USERS + 1
+    # INSERT: new row with created_at == updated_at (test_exports_delta.py:16-20)
+    new_row = users.sparkSession.createDataFrame(
+        [(new_id, f"User {new_id}", f"user{new_id}@example.com")],
+        "id long, name string, email string",
+    ).select(
+        "id", "name", "email",
+        t.alias("created_at"), t.alias("updated_at"), F.lit(False).alias("is_deleted"),
+    )
+    mutated = (
+        users
+        # UPDATE: name change + updated_at bump (test_exports_delta.py:22-25)
+        .withColumn("updated_at", F.when(F.col("id") == upd_id, t).otherwise(F.col("updated_at")))
+        # DELETE: soft-delete + bump (test_exports_delta.py:27-30)
+        .withColumn("updated_at", F.when(F.col("id") == del_id, t).otherwise(F.col("updated_at")))
+        .withColumn(
+            "is_deleted",
+            F.when(F.col("id") == del_id, F.lit(True)).otherwise(F.col("is_deleted")),
+        )
+        .unionByName(new_row)
+    )
+    job = start_export_job(mutated, store, "delta", "c3", output_dir=out)
+    rows = read_csv(os.path.join(out, job["outputFilename"]))
+    # delta header includes operation first (exports.py:31; delta test :46)
+    assert rows[0] == ["operation", "id", "name", "email", "created_at", "updated_at", "is_deleted"]
+    ops = {r[0] for r in rows[1:]}
+    assert ops == {"INSERT", "UPDATE", "DELETE"}  # all three present (:48-51)
+    by_id = {int(r[1]): r[0] for r in rows[1:]}
+    assert by_id[new_id] == "INSERT"
+    assert by_id[upd_id] == "UPDATE"
+    assert by_id[del_id] == "DELETE"
+    # deleted row serialized with True
+    del_row = next(r for r in rows[1:] if int(r[1]) == del_id)
+    assert del_row[6] == "True"
+
+
+# --- watermark logic (test_watermark_logic.py:5-24) ---------------------------
+
+def test_watermark_upsert_inserts_then_updates(store):
+    t1 = datetime(2026, 1, 1, 0, 0, 0)
+    t2 = datetime(2026, 2, 1, 0, 0, 0)
+    assert store.get("w") is None
+    store.upsert("w", t1)
+    assert store.get("w") == t1
+    store.upsert("w", t2)
+    assert store.get("w") == t2
+    assert store.snapshot().filter(F.col("consumer_id") == "w").count() == 1
+
+
+def test_watermark_multiple_consumers_isolated(store):
+    t1 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+    store.upsert("a", t1[0])
+    store.upsert("b", t1[1])
+    assert store.get("a") == t1[0]
+    assert store.get("b") == t1[1]
+
+
+def test_failed_job_leaves_no_state(spark, users, store, tmp_path):
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError):
+        start_export_job(users, store, "bogus", "c4", output_dir=out)
+    assert store.get("c4") is None
+    with pytest.raises(ValueError):
+        start_export_job(users, store, "full", "", output_dir=out)
+
+
+def test_make_output_filename_pattern():
+    name = make_output_filename("delta", "my consumer", datetime(2026, 3, 1, 12, 0, 0))
+    assert name == "delta_my_consumer_20260301T120000Z.csv"
