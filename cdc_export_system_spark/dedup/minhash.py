@@ -1,0 +1,218 @@
+"""MinHash + LSH near-duplicate detection (north-star extension).
+
+Pipeline (the standard shingle -> minhash -> band -> bucket-join design;
+cf. PAPERS.md MMDS-style LSH):
+
+1. shingle: 3-gram token shingles of the lower-cased text
+2. minhash: NUM_PERM permutations min((a_i * h + b_i) mod P) over 32-bit
+   shingle hashes — one explode + one groupBy (single shuffle keyed on
+   doc_id; the exchange carries (doc_id, hash) longs, never text)
+3. LSH banding: NUM_BANDS bands of ROWS_PER_BAND signature rows, band
+   digest = md5 of the joined rows; candidate pairs share a band digest
+4. verify: exact shingle-set Jaccard on candidates only (the quadratic
+   step runs on |candidates|, not |corpus|^2)
+
+Everything is deterministic and engine-agnostic: token hashes come from
+md5 prefixes, permutation coefficients are fixed literals, so the DuckDB
+oracle runs the *same* algorithm and must produce identical rows.
+
+Scale: at 100 TB the corpus self-join never materializes — only bucket
+groups co-locate (groupBy band digest), and bucket skew is bounded because
+a digest collision beyond true near-dups is ~2^-64. The signature matrix
+is NUM_PERM longs/doc (~256 B/doc), 40 GB per 100 B docs — fine to shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+P = (1 << 31) - 1  # Mersenne prime 2^31-1
+NUM_PERM = 32
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+JACCARD_THRESHOLD = 0.5
+
+# Fixed permutation coefficients: a_i odd in [1, 2^31), b_i in [0, 2^31).
+# Generated once from a seeded LCG and frozen here so both engines agree.
+
+
+def _lcg_coeffs(n: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x | 1  # odd, nonzero
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x
+        out.append((a, b))
+    return out
+
+
+COEFFS = _lcg_coeffs(NUM_PERM)
+
+# --- shared expression builders (Spark SQL + DuckDB mirrors) -----------------
+
+_SPARK_TOKS = r"split(lower(trim(text)), '\\s+')"
+_SPARK_SHINGLES = (
+    f"array_distinct(transform(sequence(1, greatest(size({_SPARK_TOKS}) - 2, 1)),"
+    f" i -> concat_ws(' ', slice({_SPARK_TOKS}, i, 3))))"
+)
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_DUCK_TOKS}) - 2, 1) + 1),"
+    f" i -> array_to_string({_DUCK_TOKS}[i:i+2], ' ')))"
+)
+# 32-bit shingle hash from an md5 prefix — identical bytes in both engines.
+_SPARK_H32 = "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "CAST(CAST('0x' || substr(md5(sh), 1, 8) AS UBIGINT) AS BIGINT)"
+
+
+def shingles_df(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-gram shingle set (array<string>)."""
+    return docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """doc_id + m0..m{NUM_PERM-1} minhash signature columns."""
+    exploded = shingles_df(docs).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _band_digest(band: int) -> Column:
+    cols = [F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band digest."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_digest(b).alias("digest"))
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band", "bd.digest")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "digest")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "digest")
+    return (
+        a.join(b, ["band", "digest"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _sql_signature_cte() -> str:
+    """DuckDB CTEs mirroring minhash_signature()."""
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(COEFFS)
+    )
+    return f"""
+        tok AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents),
+        ex AS (SELECT doc_id, {_DUCK_H32} AS h
+               FROM (SELECT doc_id, unnest(shingles) AS sh FROM tok)),
+        sig AS (SELECT doc_id,
+               {mins}
+               FROM ex GROUP BY doc_id)
+    """
+
+
+def _sql_band_exprs() -> str:
+    rows = []
+    for band in range(NUM_BANDS):
+        cols = ", ".join(
+            f"CAST(m{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        rows.append(f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS digest FROM sig")
+    return " UNION ALL ".join(rows)
+
+
+_SIG_SAMPLE_COLS = ["m0", "m1", "m7", "m15", "m31"]
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+        WITH {_sql_signature_cte()}
+        SELECT doc_id, {", ".join(_SIG_SAMPLE_COLS)} FROM sig
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (sampled columns keep the checked result narrow;
+    all NUM_PERM values feed the LSH query below)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature(docs).select("doc_id", *_SIG_SAMPLE_COLS)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_sql_signature_cte()},
+        bands AS ({_sql_band_exprs()})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+    """,
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one signature band."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidates(minhash_signature(docs))
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+        WITH {_sql_signature_cte()},
+        bands AS ({_sql_band_exprs()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+        jac AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                     / (len(ta.shingles) + len(tb.shingles)
+                        - len(list_intersect(ta.shingles, tb.shingles))) AS jaccard
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, floor(jaccard * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard >= 0.5 — the
+    full dedup pipeline's output (pairs to collapse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    cand = lsh_candidates(minhash_signature(docs))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

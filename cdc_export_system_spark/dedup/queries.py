@@ -58,6 +58,46 @@ def dedup_upsert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                         / (sqrt(list_aggregate(list_transform(a.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                            * sqrt(list_aggregate(list_transform(b.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                         * 1000000 + 0.5) / 1000000 AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label so the pairwise
+    comparison runs within blocks only (the embedding analogue of LSH
+    bucketing; swap the label for an LSH bucket id for unlabeled data —
+    similarity.lsh provides exactly that bucketer)."""
+    from cdc_export_system_spark.similarity.queries import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    sim = F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@register(
     "dedup_latest_per_key",
     oracle="""
         SELECT user_id, event_id, ts FROM events

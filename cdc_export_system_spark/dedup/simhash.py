@@ -1,0 +1,131 @@
+"""SimHash fingerprinting (north-star extension).
+
+32-bit SimHash over whitespace tokens: each token hashes to 32 bits (md5
+prefix); per document, bit j of the fingerprint is 1 iff the sum of
+(+1/-1) votes from all token hashes at position j is positive. Near-dups
+have small Hamming distance between fingerprints.
+
+Plan shape: explode tokens -> groupBy(doc_id) with 32 conditional-sum
+aggregates -> fingerprint assembled from the signs. One shuffle carrying
+(doc_id, 32-bit hash) pairs. Matching is a fingerprint equi-join (Hamming
+distance 0) or a banded join on fingerprint bytes for distance <= k —
+both plain hash joins, no pairwise scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+BITS = 32
+_SPARK_H32 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+_DUCK_H32 = "CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT)"
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """doc_id + 32-bit simhash fingerprint."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(BITS)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fp = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(BITS),
+        F.lit(0).cast("long"),
+    )
+    return voted.select("doc_id", fp.alias("fingerprint"))
+
+
+def _sql_simhash_cte() -> str:
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(BITS))
+    return f"""
+        tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+                FROM documents),
+        hashed AS (SELECT doc_id, {_DUCK_H32} AS h FROM tok),
+        voted AS (SELECT doc_id,
+               {votes}
+               FROM hashed GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint FROM voted)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_sql_simhash_cte()}
+        SELECT doc_id, fingerprint FROM fp
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash fingerprints."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_banded_pairs",
+    oracle=f"""
+        WITH {_sql_simhash_cte()},
+        bands AS (
+            SELECT doc_id, fingerprint, b.i AS band,
+                   (fingerprint // CAST(pow(2, b.i * 8) AS BIGINT)) % 256 AS byte
+            FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) b)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(CAST(xor(a.fingerprint, b.fingerprint) AS BIT)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.fingerprint, b.fingerprint) AS BIT)) <= 6
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near pairs via byte-banding: fingerprints within distance k
+    share at least one of their 4 bytes when k <= 6 is rare-ish; banding
+    turns the pairwise scan into 4 hash joins (same LSH trick as MinHash
+    banding, specialized to Hamming space)."""
+    fp = simhash(load_table(spark, sf_dir, "documents"))
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("fingerprint"), i * 8).bitwiseAND(F.lit(255)).alias(
+                        "byte"
+                    ),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "fingerprint", "bb.band", "bb.byte")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fp_a"), "band", "byte"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"), "band", "byte"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )

@@ -50,6 +50,9 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.functions.json_fns",
     "cdc_export_system_spark.cdc.event_queries",
     "cdc_export_system_spark.dedup.queries",
+    "cdc_export_system_spark.dedup.minhash",
+    "cdc_export_system_spark.dedup.simhash",
+    "cdc_export_system_spark.dedup.jaccard",
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.streaming.queries",
