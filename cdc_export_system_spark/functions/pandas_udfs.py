@@ -1,0 +1,122 @@
+"""Vectorized Python UDF/UDAF surface (SURVEY.md §2.10).
+
+The reference has no UDF surface; this is the engine's escape hatch for
+logic the built-ins can't express. Everything is Arrow-batched:
+
+* scalar pandas UDF — columnar in/out, ~10-100x over row-at-a-time
+* grouped-map applyInPandas — per-group pandas DataFrame in/out (UDAF)
+* mapInPandas — per-partition batch iterator (custom operators; the
+  multimodal module builds on it)
+
+The oracle-checked examples do arithmetic that is bit-identical in
+pandas/numpy and SQL (IEEE doubles, same op order; integer sums), so
+the driver can hash-match even the Python path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+@F.pandas_udf(T.DoubleType())
+def net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """net = price * (1-discount) * (1+tax), vectorized over Arrow batches."""
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net
+        FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("udf",),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF; numpy evaluates the same IEEE expression the
+    SQL engine does, so results are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount", "l_tax").alias("net"),
+    )
+
+
+_PROFILE_SCHEMA = (
+    "l_returnflag string, n bigint, qty_total bigint, qty_min double, qty_max double"
+)
+
+
+def _group_profile(pdf: pd.DataFrame) -> pd.DataFrame:
+    q = pdf["l_quantity"]
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(pdf)],
+            # integer accumulation: order-independent, engine-identical
+            "qty_total": [int(q.astype("int64").sum())],
+            "qty_min": [q.min()],
+            "qty_max": [q.max()],
+        }
+    )
+
+
+@register(
+    "udaf_grouped_pandas",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS qty_total,
+               min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "agg"),
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF: one shuffle on the group key, then a pandas
+    aggregate per group. Scale note: a group must fit in one task's
+    memory — fine for low-cardinality profile groups; high-cardinality
+    keyed aggs should use built-in hash aggregation instead."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(_group_profile, _PROFILE_SCHEMA)
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, value FROM events
+                   WHERE event_type = 'purchase'),
+        m AS (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                     / count(*) AS mean FROM p)
+        SELECT event_id, user_id, value, value - m.mean AS value_centered FROM p, m
+    """,
+    tags=("udf",),
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas as a two-pass whole-column operator: broadcast a
+    precomputed scalar (the global mean) into a per-partition vectorized
+    transform — the canonical shape for normalization at scale (never
+    collect the column; reduce, then map)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = ev.select("event_id", "user_id", "value")
+    # exact mean: decimal sum (order-independent) / count, like the oracle's
+    # avg() which DuckDB computes exactly for this data size
+    stats = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    mean = float(stats["s"]) / stats["n"]  # decimal->double, then IEEE divide
+
+    def _center(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["value_centered"] = pdf["value"] - mean
+            yield pdf
+
+    return ev.mapInPandas(
+        _center, "event_id long, user_id long, value double, value_centered double"
+    )

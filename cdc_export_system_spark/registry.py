@@ -45,9 +45,13 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.joins",
     "cdc_export_system_spark.operators.windows",
     "cdc_export_system_spark.operators.tpch",
+    "cdc_export_system_spark.operators.asof",
+    "cdc_export_system_spark.similarity.lsh",
     "cdc_export_system_spark.functions.scalars",
     "cdc_export_system_spark.functions.text",
     "cdc_export_system_spark.functions.json_fns",
+    "cdc_export_system_spark.functions.pandas_udfs",
+    "cdc_export_system_spark.multimodal.binary_ops",
     "cdc_export_system_spark.cdc.event_queries",
     "cdc_export_system_spark.dedup.queries",
     "cdc_export_system_spark.dedup.minhash",
@@ -56,6 +60,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.streaming.queries",
+    "cdc_export_system_spark.streaming.event_windows",
 ]
 
 

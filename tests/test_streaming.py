@@ -1,0 +1,148 @@
+"""Streaming surface tests: CDC micro-batch exports, watermarked windows,
+the stateful profile operator, and the query listener contract."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_export_system_spark.datagen import generate_users
+from cdc_export_system_spark.state.watermark import WatermarkStore
+from cdc_export_system_spark.streaming.cdc_stream import (
+    attach_job_listener,
+    run_delta_export_stream,
+    run_incremental_export_stream,
+)
+from cdc_export_system_spark.streaming.event_windows import windowed_counts_stream
+from cdc_export_system_spark.streaming.queries import stream_tumbling_window
+from cdc_export_system_spark.streaming.stateful import user_profile_stream
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def changes_dir(spark, tmp_path):
+    """Two change batches written as separate parquet files."""
+    d = str(tmp_path / "changes")
+    users = generate_users(spark, n_rows=200, seed=1)
+    users.filter(F.col("id") <= 100).coalesce(1).write.mode("append").parquet(d)
+    return d, users
+
+
+def test_incremental_stream_drains_batches(spark, tmp_path, changes_dir):
+    d, users = changes_dir
+    store = WatermarkStore(spark, str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    res = run_incremental_export_stream(spark, d, store, "sc", out, ckpt)
+    assert sum(r["rowsExported"] for r in res) == users.filter(
+        (F.col("id") <= 100) & ~F.col("is_deleted")
+    ).count()
+    assert store.get("sc") is not None
+    # second batch of changes arrives; only the new files are processed
+    users.filter(F.col("id") > 100).coalesce(1).write.mode("append").parquet(d)
+    res2 = run_incremental_export_stream(spark, d, store, "sc", out, ckpt)
+    assert sum(r["rowsExported"] for r in res2) == users.filter(
+        (F.col("id") > 100) & ~F.col("is_deleted")
+    ).count()
+    # re-draining with nothing new exports nothing (checkpoint = offset log)
+    res3 = run_incremental_export_stream(spark, d, store, "sc", out, ckpt)
+    assert sum(r["rowsExported"] for r in res3) == 0
+
+
+def test_delta_stream_classifies_operations(spark, tmp_path, changes_dir):
+    d, users = changes_dir
+    store = WatermarkStore(spark, str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    res = run_delta_export_stream(spark, d, store, "dc", out, str(tmp_path / "ckpt"))
+    files = [r["file"] for r in res if r["rowsExported"]]
+    assert files
+    with open(files[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "operation"
+    assert {r[0] for r in rows[1:]} <= {"INSERT", "UPDATE", "DELETE"}
+    # deleted rows ARE included in delta (exports.py:156-160)
+    deleted_in_batch = users.filter((F.col("id") <= 100) & F.col("is_deleted")).count()
+    assert sum(1 for r in rows[1:] if r[0] == "DELETE") == deleted_in_batch
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    stream_df = windowed_counts_stream(spark, SF_DIR, watermark="10000 days")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in stream_tumbling_window(spark, SF_DIR).drop("sum_value").collect()
+    }
+    assert got == want
+
+
+def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
+    from cdc_export_system_spark.io.sources import load_table
+
+    d = str(tmp_path / "ev")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    ev.filter(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted state per user == batch aggregate over all events
+    final = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) AS n_events,
+                  max_by(sum_value, n_events) AS sum_value
+           FROM profiles GROUP BY user_id"""
+    ).collect()
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for r in final:
+        n, s = want[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["sum_value"] - s) < 1e-6
+
+
+def test_listener_emits_lifecycle_events(spark, tmp_path, changes_dir):
+    d, _ = changes_dir
+    events: list[tuple[str, dict]] = []
+    listener = attach_job_listener(spark, lambda name, payload: events.append((name, payload)))
+    try:
+        store = WatermarkStore(spark, str(tmp_path / "state"))
+        run_incremental_export_stream(
+            spark, d, store, "lc", str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        spark.streams.resetTerminated()
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(n == "export_completed" for n, _ in events):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    names = {n for n, _ in events}
+    assert "export_started" in names
+    assert "export_completed" in names
