@@ -1,0 +1,91 @@
+"""String function surface — engine extension beyond the reference's two
+string ops (sanitize/replace at app/main.py:33, isoformat serialization).
+All JVM-codegen'd column expressions; each picked for identical
+cross-engine semantics so the oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS segment_lower,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               concat(c_name, '#', c_mktsegment) AS name_seg,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+               reverse(c_name) AS name_rev,
+               strpos(c_name, 'Customer') AS pos_customer,
+               trim(concat('  ', c_name, '  ')) AS name_trimmed
+        FROM customer
+    """,
+    tags=("function", "string"),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr(F.col("c_name"), "Customer").alias("pos_customer"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+    )
+
+
+@register(
+    "fn_like_regexp",
+    oracle="""
+        SELECT p_partkey, p_name, p_type,
+               (p_type LIKE 'PROMO%') AS is_promo,
+               regexp_matches(p_name, '[0-9]$') AS ends_digit,
+               regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        FROM part
+    """,
+    tags=("function", "string", "filter"),
+)
+def fn_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regexp family. Note the DuckDB 'g' flag: Spark's
+    regexp_replace is global by default, DuckDB's replaces first-only."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.col("p_name").rlike("[0-9]$").alias("ends_digit"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "fn_hash_suite",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256
+        FROM documents WHERE doc_id < 100
+    """,
+    tags=("function", "hash"),
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

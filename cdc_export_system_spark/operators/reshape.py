@@ -1,0 +1,164 @@
+"""Pivot / unpivot and SQL-API queries (scalar subqueries, CTEs).
+
+The pivot/unpivot pair is the reshape surface; the SQL-API entries show
+the same Catalyst plans are reachable through spark.sql() over registered
+views — parser/analyzer coverage, not just the DataFrame builder path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table, register_views
+from cdc_export_system_spark.registry import register
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS O,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("reshape", "agg"),
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit values keep the plan a
+    single pass; an unlisted pivot needs a distinct-scan first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+        SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+        FROM orders WHERE o_orderkey < 200
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+        FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("reshape",),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measures -> (measure, value) rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("o_custkey")
+    ).unpivot(
+        "o_orderkey",
+        [F.col("o_totalprice").alias("totalprice"), F.col("o_custkey").alias("custkey")],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+        WITH m AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                              AS DOUBLE) / count(*) AS mean_price FROM orders)
+        SELECT o_orderkey, o_totalprice
+        FROM orders, m WHERE o_totalprice > 1.5 * m.mean_price
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL API (spark.sql over temp views) —
+    Catalyst plans the subquery once and broadcasts the scalar."""
+    register_views(spark, sf_dir, ["orders"])
+    # true scalar-subquery form: Catalyst executes the subquery once and
+    # folds the scalar into the filter (no nested-loop join of a 1-row CTE)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                                              AS DOUBLE) / count(*) FROM orders)
+        """
+    )
+
+
+@register(
+    "sql_cte_join",
+    oracle="""
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000)
+        SELECT c_mktsegment, count(*) AS n
+        FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("sql", "join", "agg"),
+)
+def sql_cte_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join + agg through the SQL API."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000)
+        SELECT c_mktsegment, count(*) AS n
+        FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation
+    over the sorted group). approx path: agg_approx_quantile below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle=None,  # sketch-based: engine-specific estimates, rows-only check
+    tags=("agg", "percentile", "approx"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the 100 TB path: mergeable
+    sketches, one pass, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    )
+
+
+@register(
+    "fn_nondeterministic",
+    oracle=None,  # uuid/rand/now are nondeterministic by design: rows-only
+    tags=("function",),
+)
+def fn_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nondeterministic scalar surface (fn_uuid
+    app/main.py:43, fn_now_utc app/main.py:21, fn_rand seeder
+    app/seed_users.py:47-61) — exposed in-engine; checked rows-only."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.expr("uuid()").alias("job_id"),
+        F.current_timestamp().alias("now_utc"),
+        F.rand(42).alias("draw"),
+        (F.rand(43) < 0.03).alias("soft_delete_flag"),
+    )

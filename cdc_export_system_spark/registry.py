@@ -48,6 +48,10 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.asof",
     "cdc_export_system_spark.similarity.lsh",
     "cdc_export_system_spark.functions.scalars",
+    "cdc_export_system_spark.functions.strings",
+    "cdc_export_system_spark.functions.dates",
+    "cdc_export_system_spark.functions.collections",
+    "cdc_export_system_spark.operators.reshape",
     "cdc_export_system_spark.functions.text",
     "cdc_export_system_spark.functions.json_fns",
     "cdc_export_system_spark.functions.pandas_udfs",

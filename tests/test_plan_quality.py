@@ -1,0 +1,70 @@
+"""Physical-plan pins: the 100 TB design intent, asserted on the plans
+Catalyst actually produces. These fail if a refactor silently loses
+predicate pushdown, column pruning, partial aggregation, or broadcast
+strategy — or introduces a cartesian product anywhere in the registry."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cdc_export_system_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_parquet(spark):
+    p = plan_of(spark, "tpch_q6")
+    assert "PushedFilters:" in p
+    pushed = [line for line in p.splitlines() if "PushedFilters" in line][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_scan_prunes_columns(spark):
+    p = plan_of(spark, "project_columns")
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    # exactly the 3 projected columns reach the scan
+    assert "o_orderkey" in read and "o_custkey" in read and "o_orderdate" in read
+    assert "o_totalprice" not in read and "o_orderstatus" not in read
+
+
+def test_group_agg_is_partial_then_final(spark):
+    p = plan_of(spark, "tpch_q1")
+    # map-side partial + final after the exchange: >=2 HashAggregate nodes
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_dim_join_broadcasts(spark):
+    p = plan_of(spark, "join_broadcast_hash")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_anti_join_strategies(spark):
+    for name in ("join_semi", "join_anti"):
+        p = plan_of(spark, name)
+        assert "LeftSemi" in p or "LeftAnti" in p, name
+
+
+def test_topk_uses_take_ordered(spark):
+    p = plan_of(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_products_anywhere(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
