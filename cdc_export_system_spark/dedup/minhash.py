@@ -71,8 +71,37 @@ _DUCK_H32 = "CAST(CAST('0x' || substr(md5(sh), 1, 8) AS UBIGINT) AS BIGINT)"
 
 
 def shingles_df(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-gram shingle set (array<string>)."""
-    return docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    """doc_id + distinct 3-gram shingle set (array<string>).
+
+    Tokens materialize once into a column before the shingle transform —
+    the single-expression form would re-evaluate split() three times per
+    row (sequence bound + slice + size), which dominated the profile.
+    """
+    # O(n) construction: zip the token array against its 1- and 2-shifted
+    # selves. The naive transform(sequence, i -> slice(toks, i, 3)) form
+    # copies a sub-array per position — O(n^2) per document with string
+    # allocation, and it dominated the whole LSH pipeline's profile.
+    # (The DuckDB oracle keeps the naive form: same result, different cost.)
+    return (
+        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                CASE WHEN size(__toks) < 3
+                     THEN array(concat_ws(' ', __toks))
+                     ELSE array_distinct(filter(
+                          zip_with(
+                              zip_with(__toks, slice(__toks, 2, size(__toks) - 1),
+                                       (x, y) -> concat(x, ' ', y)),
+                              slice(__toks, 3, size(__toks) - 2),
+                              (x, y) -> concat(x, ' ', y)),
+                          s -> s IS NOT NULL))
+                END
+                """
+            ).alias("shingles"),
+        )
+    )
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:

@@ -110,6 +110,61 @@ def sql_cte_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("sql", "agg", "group"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL API —
+    one scan, Expand feeds all three grouping sets before one shuffle."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'P') AS status_or_null,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+               (nullif(o_orderstatus, 'P') IS NULL) AS was_pending,
+               CASE WHEN o_totalprice > 300000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS bucket
+        FROM orders WHERE o_orderkey < 400
+    """,
+    tags=("function", "null"),
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/IS NULL/searched CASE."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return orders.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
+        status_or_null.isNull().alias("was_pending"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
         SELECT l_returnflag,
