@@ -9,8 +9,9 @@ Prints exactly one JSON line:
  "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
 
 Each query executes to completion via the noop sink (full plan runs,
-nothing is collected to the driver). One warm-up of a tiny query absorbs
-JVM/codegen start-up so numbers reflect steady-state execution.
+nothing is collected to the driver). One full unmeasured warm-up pass
+(JMH-style) absorbs JVM start-up, codegen/JIT, and parquet footer reads,
+so the measured pass reflects steady-state execution.
 """
 
 from __future__ import annotations
@@ -39,8 +40,9 @@ def main() -> None:
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline}
 
-    # warm-up: JVM, parquet footer reads, codegen
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warm-up pass: JVM, parquet footer reads, codegen/JIT — unmeasured
+    for name in sorted(headline):
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(headline):

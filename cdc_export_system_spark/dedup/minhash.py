@@ -5,10 +5,13 @@ cf. PAPERS.md MMDS-style LSH):
 
 1. shingle: 3-gram token shingles of the lower-cased text
 2. minhash: NUM_PERM permutations min((a_i * h + b_i) mod P) over 32-bit
-   shingle hashes — one explode + one groupBy (single shuffle keyed on
-   doc_id; the exchange carries (doc_id, hash) longs, never text)
+   shingle hashes — computed ROW-LOCALLY with aggregate() over the shingle
+   array (no explode, no shuffle; the signature stage is a pure map)
 3. LSH banding: NUM_BANDS bands of ROWS_PER_BAND signature rows, band
-   digest = md5 of the joined rows; candidate pairs share a band digest
+   digest = md5 of the joined rows; candidate pairs are generated INSIDE
+   each (band, digest) bucket after a single groupBy — the corpus is never
+   self-joined, so the only exchanges in the whole pipeline are the bucket
+   groupBy (16 digests/doc) and the final pair distinct
 4. verify: exact shingle-set Jaccard on candidates only (the quadratic
    step runs on |candidates|, not |corpus|^2)
 
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table_fanned as load_table
 from cdc_export_system_spark.registry import register
 
 P = (1 << 31) - 1  # Mersenne prime 2^31-1
@@ -105,15 +108,25 @@ def shingles_df(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
-    """doc_id + m0..m{NUM_PERM-1} minhash signature columns."""
-    exploded = shingles_df(docs).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.expr(_SPARK_H32).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"m{i}")
+    """doc_id + m0..m{NUM_PERM-1} minhash signature columns.
+
+    Each permutation min is an aggregate() fold over the hashed shingle
+    array — the signature stage is a shuffle-free map (the earlier
+    explode + groupBy formulation paid a full (doc_id, hash) exchange and,
+    worse, re-ran under every self-join consumer). The DuckDB oracle keeps
+    the unnest + GROUP BY form: same values, independent evaluation path.
+    """
+    hashed = shingles_df(docs).select(
+        "doc_id",
+        F.expr(f"transform(shingles, sh -> {_SPARK_H32})").alias("hs"),
+    )
+    mins = [
+        F.expr(
+            f"aggregate(hs, cast({P} as bigint), (acc, h) -> least(acc, ({a} * h + {b}) % {P}))"
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(COEFFS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *mins)
 
 
 def _band_digest(band: int) -> Column:
@@ -122,7 +135,16 @@ def _band_digest(band: int) -> Column:
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band digest."""
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band digest.
+
+    Pairs are generated inside each (band, digest) bucket — groupBy +
+    collect_set + in-array combination — instead of self-joining the band
+    table, which would execute the entire upstream signature pipeline
+    twice and shuffle it both times. Bucket fan-out is bounded: beyond
+    true near-dups, digest collisions are ~2^-64, so collect_set stays
+    tiny; a pathological poison bucket (identical boilerplate docs) is the
+    dedup signal itself, not skew to engineer around.
+    """
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -132,12 +154,24 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("doc_id", "bd.band", "bd.digest")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "digest")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "digest")
+    buckets = (
+        bands.groupBy("band", "digest")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["band", "digest"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ids, (x, i) ->
+                        transform(slice(ids, i + 2, size(ids) - i - 1),
+                                  y -> struct(x AS doc_a, y AS doc_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -34,6 +34,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+FAN_OUT_MAX_BYTES = 64 << 20  # only fan out scans smaller than this
+
+
+def fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a *small* single-file scan to cluster
+    parallelism before a CPU-heavy map stage (hashing, shingling, vector
+    math).
+
+    Parquet splits align to row groups, so a small table written as one
+    row group scans as ONE partition — on local[32] a hash-heavy pipeline
+    would run on a single core. The gate makes this scale-safe: inputs
+    over FAN_OUT_MAX_BYTES (i.e. anything that already scans as multiple
+    splits on a real cluster) pass through untouched, so at warehouse
+    scale this is a no-op and the scan's own parallelism is used; below
+    it, the exchange moves at most 64 MB — trivially cheaper than the
+    single-core map it prevents.
+    """
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if size <= FAN_OUT_MAX_BYTES and par > 1:
+        return df.repartition(par)
+    return df
+
+
+def load_table_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + fan_out — for operators whose per-row CPU cost
+    dominates the scan (dedup hashing, shingling, embedding math)."""
+    return fan_out(spark, load_table(spark, sf_dir, name), os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register the star schema as temp views for the SQL surface."""
     for name in tables or STAR_TABLES:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
-from cdc_export_system_spark.registry import DEC, dsum, register, sql_dsum
+from cdc_export_system_spark.registry import DEC, dmulsum, dsum, register, sql_dsum
 
 
 @register(
@@ -40,17 +40,17 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: one scan, map-side partial agg, 6-group
     result. The shipdate predicate pushes to parquet row-group stats."""
     li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = (F.lit(1) - F.col("l_discount")).cast(DEC)
-    tax = (F.lit(1) + F.col("l_tax")).cast(DEC)
+    price = F.col("l_extendedprice")
+    disc = F.lit(1) - F.col("l_discount")
+    tax = F.lit(1) + F.col("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),
             dsum(F.col("l_extendedprice"), "sum_base_price"),
-            F.sum(price * disc).cast("double").alias("sum_disc_price"),
-            F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+            dmulsum("sum_disc_price", price, disc),
+            dmulsum("sum_charge", price, disc, tax),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -88,13 +88,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = (F.lit(1) - F.col("l_discount")).cast(DEC)
+    price = F.col("l_extendedprice")
+    disc = F.lit(1) - F.col("l_discount")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .agg(dmulsum("revenue", price, disc))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
@@ -131,8 +131,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = (F.lit(1) - F.col("l_discount")).cast(DEC)
+    price = F.col("l_extendedprice")
+    disc = F.lit(1) - F.col("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
@@ -144,7 +144,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .agg(dmulsum("revenue", price, disc))
     )
 
 
@@ -175,11 +175,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(dmulsum("revenue", F.col("l_extendedprice"), F.col("l_discount")))
     )
 
 
@@ -210,14 +206,14 @@ def tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = (F.lit(1) - F.col("l_discount")).cast(DEC)
+    price = F.col("l_extendedprice")
+    disc = F.lit(1) - F.col("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .agg(dmulsum("revenue", price, disc))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

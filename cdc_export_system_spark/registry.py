@@ -95,11 +95,50 @@ def load_all() -> dict[str, QuerySpec]:
 DEC = "decimal(18,6)"
 
 
-def dsum(col, alias: str):
-    """Exact, order-independent sum of a double column (see module doc)."""
+def _cents(col):
+    """Exact scaled integer of a 2dp monetary double: floor(x*100 + 0.5).
+
+    Pure double arithmetic + long result, so it stays inside whole-stage
+    codegen; F.round() on a double routes through BigDecimal per row.
+    Half-up-for-positives is unambiguous here: the inputs are monetary
+    values with exactly 2 decimal digits (representation error ~1e-9 of a
+    cent, never at a tie).
+    """
     from pyspark.sql import functions as F
 
-    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+    return F.floor(col * F.lit(100) + F.lit(0.5))
+
+
+def dsum(col, alias: str):
+    """Exact, order-independent sum of a 2dp monetary double column.
+
+    Sums exact cents as BIGINT (map-side combinable, codegen-resident)
+    and widens to decimal only on the post-aggregation row — value-
+    identical to the oracle's SUM(CAST(x AS DECIMAL(18,6))) because the
+    inputs carry exactly 2 decimal digits. The all-decimal form this
+    replaces was ~5x slower: a sum above precision 18 leaves Spark's
+    long-backed Decimal for the BigDecimal slow path on every row.
+    """
+    from pyspark.sql import functions as F
+
+    return (F.sum(_cents(col)).cast("decimal(38,6)") / F.lit(100)).cast("double").alias(alias)
+
+
+def dmulsum(alias: str, *factors):
+    """Exact sum(product of 2dp factors) — the TPC-H revenue shape
+    sum(price * (1-disc) [* (1+tax)]). Same scaled-integer design as
+    dsum: the product of k exact cent-values is an exact integer at
+    scale 100^k, summed as BIGINT, unscaled once post-agg."""
+    from pyspark.sql import functions as F
+
+    prod = _cents(factors[0])
+    for f in factors[1:]:
+        prod = prod * _cents(f)
+    return (
+        (F.sum(prod).cast("decimal(38,6)") / F.lit(100 ** len(factors)))
+        .cast("double")
+        .alias(alias)
+    )
 
 
 def sql_dsum(expr: str, alias: str) -> str:
