@@ -1,0 +1,594 @@
+"""Extended TPC-H-style query surface over the driver star schema.
+
+The reference delegates all query execution to Postgres and issues only
+point scans/filters (SURVEY.md §2.3, §3: no joins, no group-bys beyond
+COUNT), so this module is engine-surface extension, not parity: it widens
+the analytical coverage started in ``operators/tpch.py`` to the classic
+TPC-H shapes expressible with the driver testdata's column subset
+(TESTDATA.md — no partsupp table, no l_commitdate/l_receiptdate/
+l_shipmode, so Q2/Q11/Q20/Q21 are out and Q4/Q12 use shipdate-based
+variants).
+
+Every query follows the registry's exactness conventions (registry.py
+docstring): monetary sums via scaled-integer cents (``dsum``/``dmulsum``),
+ratios computed as exact-decimal numerator/denominator cast to double and
+then combined with the identical IEEE expression tree on both engines,
+conditional counts via COUNT(CASE ...) so DuckDB returns BIGINT (its
+SUM(int) would come back as HUGEINT and decay to float64 in pandas).
+
+Scale notes (100 TB posture) per query are in the docstrings: the shared
+physique is "filter early → broadcast every dim → shuffle only the fact
+table on its join key → partial agg before exchange", which is exactly
+what Catalyst+AQE produce from these declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import _cents, dmulsum, dsum, register, sql_dsum
+
+# Exact 2dp-product revenue expression as DuckDB SQL (the oracle twin of
+# dmulsum(price, 1-disc)); VARCHAR hop per sql_dcast rationale.
+SQL_REVENUE = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * CAST(1 - l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _sql_cond_revenue(cond: str) -> str:
+    """Exact conditional revenue sum -> correctly-rounded double."""
+    return (
+        "CAST(CAST(SUM(CASE WHEN "
+        + cond
+        + " THEN CAST(l_extendedprice AS DECIMAL(18,6))"
+        " * CAST(1 - l_discount AS DECIMAL(18,6))"
+        " ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def _cond_revenue(cond, alias: str):
+    """Spark twin of _sql_cond_revenue: exact cents-product summed as
+    BIGINT under a condition, widened to decimal once post-agg."""
+    prod = _cents(F.col("l_extendedprice")) * _cents(F.lit(1) - F.col("l_discount"))
+    return (
+        (F.sum(F.when(cond, prod).otherwise(F.lit(0))).cast("decimal(38,6)") / F.lit(10_000))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def _revenue(alias: str):
+    return dmulsum(alias, F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
+
+
+@register(
+    "tpch_q4_like",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "agg"),
+)
+def tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (Q4, shipdate variant: testdata has no
+    l_commitdate/l_receiptdate, so EXISTS tests late shipment instead).
+    Physical shape: date-pruned orders scan LEFT SEMI joined to lineitem
+    on the shuffle key; the EXISTS never materializes lineitem columns,
+    so the shuffled payload is just (l_orderkey, l_shipdate)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q7_like",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l_shipdate) AS l_year,
+               {SQL_REVENUE} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12')
+            OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (Q7). The nation filter is
+    applied to the *aliased dims before the join*, so supplier and
+    customer shrink to two nations' worth of rows and broadcast; the
+    disjunctive pair predicate then runs on two tiny joined columns.
+    Only lineitem x orders shuffles."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    both = ("NATION_3", "NATION_12")
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .filter(F.col("supp_nation").isin(*both))
+        .select("s_suppkey", "supp_nation")
+    )
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("cust_nation").isin(*both))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == both[0]) & (F.col("cust_nation") == both[1]))
+            | ((F.col("supp_nation") == both[1]) & (F.col("cust_nation") == both[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_like",
+    oracle=f"""
+        SELECT YEAR(o_orderdate) AS o_year,
+               (100.0 * {_sql_cond_revenue("n1.n_name = 'NATION_3'")})
+                   / {SQL_REVENUE} AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8): NATION_3 suppliers' slice of PROMO-part
+    revenue sold into ASIA, per order year. Numerator and denominator are
+    both exact decimal sums; the final percent is the identical
+    (100*num)/den IEEE expression on both engines, so the ratio is
+    bit-stable despite double division. 7-way star join: every dim
+    broadcasts, the fact shuffles once on l_orderkey."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    num = _cond_revenue(F.col("supp_nation") == "NATION_3", "num")
+    den = _revenue("den")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(num, den)
+        .select(
+            "o_year",
+            ((F.lit(100.0) * F.col("num")) / F.col("den")).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_like",
+    oracle=f"""
+        SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+               {SQL_REVENUE} AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, YEAR(o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 minus ps_supplycost — no partsupp table in
+    the testdata, so profit reduces to discounted revenue). The LIKE
+    filter shrinks part before broadcast; grouping is by supplier nation
+    x order year across the whole date range."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_revenue("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12_like",
+    oracle="""
+        SELECT l_linestatus,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority line counts (Q12 keyed by l_linestatus — the
+    testdata has no l_shipmode). Conditional counts stay COUNT(CASE), not
+    SUM(CASE): Spark's count(when) is a plain long and DuckDB's COUNT is
+    BIGINT, keeping the two engines' dtypes aligned."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "agg"),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13, no comment-filter — the
+    testdata has no o_comment). Left outer join preserves order-less
+    customers as c_count=0; two-level aggregation. At scale the second
+    groupBy is on a tiny domain (distinct counts), so AQE coalesces its
+    shuffle to a handful of partitions."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+        SELECT (100.0 * {_sql_cond_revenue("p_type = 'PROMO'")})
+                   / {SQL_REVENUE} AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (Q14): PROMO-typed parts' share of one month's
+    revenue. p_type here is a flat category so the classic LIKE 'PROMO%'
+    is plain equality. Same exact-ratio recipe as q8."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _cond_revenue(F.col("p_type") == "PROMO", "num"),
+            _revenue("den"),
+        )
+        .select(((F.lit(100.0) * F.col("num")) / F.col("den")).alias("promo_revenue"))
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {SQL_REVENUE} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): quarter revenue per supplier, keep the max.
+    The revenue aggregate is computed once and reused for both the rows
+    and the scalar max (Spark caches nothing here, but the agg output is
+    ~|suppliers| rows, so the 1-row max side broadcasts for free).
+    Revenue equality across engines is safe because both sides are the
+    same exact-decimal value cast to double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(_revenue("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_like",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "join", "distinct-agg"),
+)
+def tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (Q16 over lineitem instead of the
+    absent partsupp). COUNT(DISTINCT) expands to a two-phase plan
+    (dedup-shuffle then count) automatically; the negated part filters
+    push into the broadcast side."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "join", "correlated-subquery"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17). The correlated AVG decorrelates
+    to a per-part aggregate joined back — written that way directly here
+    (what Catalyst's decorrelation would produce). The per-part limits
+    are |brand parts| rows, so the back-join broadcasts. AVG is exact:
+    l_quantity is integer-valued, its double sum is exact, and both
+    engines divide the same two numbers."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    limits = branded.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    total = (
+        branded.join(F.broadcast(limits), F.col("l_partkey") == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(dsum(F.col("l_extendedprice"), "total_price"))
+    )
+    return total.select((F.col("total_price") / F.lit(7.0)).alias("avg_yearly"))
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey AS big_orderkey,
+                   {sql_dsum("l_quantity", "total_qty")}
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = big_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE total_qty > 150
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "having", "topk"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (Q18, threshold 150 sized to this datagen's
+    ~4 lines/order so the HAVING keeps a few hundred orders at sf0.001).
+    The heavy groupBy runs first and shrinks the fact table to qualifying
+    orderkeys; orders joins that small set, customer broadcasts, and the
+    top-20 is TakeOrderedAndProject with a unique o_orderkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_like",
+    oracle=f"""
+        SELECT {SQL_REVENUE} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("tpch", "join", "disjunctive-filter"),
+)
+def tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19 minus shipmode/shipinstruct columns).
+    The disjunction spans both tables, so it must run post-join — but
+    Catalyst derives the single-table implications (brand IN, size/qty
+    range unions) and pushes those to each scan, shrinking the broadcast
+    and probe sides before the residual OR filter."""
+
+    def band(brand, lo_s, hi_s, lo_q, hi_q):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo_s, hi_s)
+            & F.col("l_quantity").between(lo_q, hi_q)
+        )
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            band("Brand#1", 1, 15, 1, 21)
+            | band("Brand#2", 10, 30, 10, 30)
+            | band("Brand#3", 20, 50, 20, 40)
+        )
+        .agg(_revenue("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_like",
+    oracle=f"""
+        WITH avgbal AS (
+            SELECT SUM(FLOOR(c_acctbal * 100 + 0.5)) / (COUNT(*) * 100.0) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               {sql_dsum("c_acctbal", "totacctbal")}
+        FROM customer, avgbal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery", "agg"),
+)
+def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (Q22): above-average-balance customers
+    with no *recent* orders, by nation (this datagen gives every customer
+    historical orders, so the classic no-orders-ever predicate is scoped
+    to 2000+; country code = c_nationkey, no phone column). The scalar
+    average broadcasts as a 1-row cross join; the NOT EXISTS is a
+    left-anti join against the date-pruned orders scan. The average is
+    order-independent: exact cent sum / exact count."""
+    customer = load_table(spark, sf_dir, "customer")
+    avgbal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_cents(F.col("c_acctbal"))) / (F.count(F.lit(1)) * F.lit(100.0))).alias(
+            "avg_bal"
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
