@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.dedup.simhash",
     "cdc_export_system_spark.dedup.jaccard",
     "cdc_export_system_spark.similarity.queries",
+    "cdc_export_system_spark.similarity.ivf",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.event_windows",

@@ -49,3 +49,49 @@ def test_lsh_buckets_spread(spark):
     total = sum(r["n"] for r in rows)
     assert n_buckets >= 16  # 256 possible; corpus should hit a good fraction
     assert biggest < 0.5 * total  # no degenerate hot bucket
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_clusters degenerates IVF to exact brute-force top-k:
+    result must equal the sim_search_topk surface row-for-row."""
+    from cdc_export_system_spark.registry import load_all
+    from cdc_export_system_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in load_all()["sim_search_topk"].fn(spark, SF_DIR).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(emb, n_clusters=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_finds_planted_close_neighbor(spark):
+    """A near-duplicate of the query vector lands in the query's own
+    inverted list, so even a 4/16 probe must surface it first."""
+    from cdc_export_system_spark.similarity.ivf import ivf_topk
+
+    emb = _with_planted_neighbor(spark)
+    top = ivf_topk(emb, query_vec_id=0, k=5).collect()
+    assert top, "IVF probe returned no candidates"
+    assert top[0]["vec_id"] == PLANTED_ID
+    assert top[0]["cos_sim"] > 0.9
+
+
+def test_ivf_probe_scans_fraction(spark):
+    """The probed candidate pool must be a strict subset of the corpus —
+    the whole point of the inverted file is scanning nprobe/n_clusters
+    of the data."""
+    from cdc_export_system_spark.similarity.ivf import ivf_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, centroids = ivf_assign(emb)
+    total = assigned.count()
+    sizes = {r["cluster_id"]: r["n"] for r in
+             assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()}
+    assert len(centroids) == 16
+    probed = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert probed < total  # even the 4 largest lists are a proper subset
