@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, register_views
 from cdc_export_system_spark.registry import _cents, dmulsum, dsum, register, sql_dsum
 
 # Exact 2dp-product revenue expression as DuckDB SQL (the oracle twin of
@@ -567,28 +567,25 @@ def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity (Q22): above-average-balance customers
     with no *recent* orders, by nation (this datagen gives every customer
     historical orders, so the classic no-orders-ever predicate is scoped
-    to 2000+; country code = c_nationkey, no phone column). The scalar
-    average broadcasts as a 1-row cross join; the NOT EXISTS is a
-    left-anti join against the date-pruned orders scan. The average is
-    order-independent: exact cent sum / exact count."""
-    customer = load_table(spark, sf_dir, "customer")
-    avgbal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(_cents(F.col("c_acctbal"))) / (F.count(F.lit(1)) * F.lit(100.0))).alias(
-            "avg_bal"
-        )
-    )
-    recent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
-        .select("o_custkey")
-    )
-    return (
-        customer.crossJoin(F.broadcast(avgbal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum(F.col("c_acctbal"), "totacctbal"),
-        )
+    to 2000+; country code = c_nationkey, no phone column). The average
+    goes through a true SQL scalar subquery — Catalyst executes it once
+    and folds the scalar into the filter, instead of the nested-loop join
+    a 1-row cross join would plan. The NOT EXISTS is a left-anti join
+    against the date-pruned orders scan. The average is order-independent:
+    exact cent sum / exact count."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(FLOOR(c_acctbal * 100 + 0.5)) AS DECIMAL(38,6)) / 100 AS tot_dec
+        FROM customer
+        WHERE c_acctbal > (SELECT SUM(FLOOR(c_acctbal * 100 + 0.5)) / (COUNT(*) * 100.0)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        """
+    ).select(
+        "cntrycode", "numcust", F.col("tot_dec").cast("double").alias("totacctbal")
     )
