@@ -172,3 +172,62 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SQL_CENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "agg_stats_exact",
+    oracle=f"""
+        WITH g AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   SUM({_SQL_CENTS}) AS s_cents,
+                   SUM(CAST({_SQL_CENTS} AS HUGEINT) * {_SQL_CENTS}) AS sq_cents
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               n AS n_rows,
+               CAST(CAST(s_cents AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * 100.0) AS mean_price,
+               (CAST(n AS DOUBLE) * CAST(CAST(sq_cents AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(s_cents AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s_cents AS VARCHAR) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 10000.0) AS var_price,
+               sqrt((CAST(n AS DOUBLE) * CAST(CAST(sq_cents AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(s_cents AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(s_cents AS VARCHAR) AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0 AS std_price
+        FROM g
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed second moments: mean / sample variance / stddev
+    from exact integer sums (cents and cents^2), finalized in double on
+    the 4-row post-aggregation result. Spark's stddev_samp streams doubles
+    through Welford-style merges whose result depends on partition order —
+    unusable under an order-insensitive hash check and irreproducible
+    across reshards; summing exact scaled integers is both reproducible
+    and cheaper (codegen'd bigint/decimal adds, map-side combinable)."""
+    from cdc_export_system_spark.registry import _cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = _cents(F.col("l_extendedprice"))
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s_cents"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("sq_cents"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s_cents").cast("double")
+    sq_d = F.col("sq_cents").cast("double")
+    var = (n_d * sq_d - s_d * s_d) / (n_d * (n_d - F.lit(1)) * F.lit(10000.0))
+    std = F.sqrt((n_d * sq_d - s_d * s_d) / (n_d * (n_d - F.lit(1)))) / F.lit(100.0)
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (s_d / (n_d * F.lit(100.0))).alias("mean_price"),
+        var.alias("var_price"),
+        std.alias("std_price"),
+    )

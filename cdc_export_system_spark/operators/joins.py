@@ -140,6 +140,46 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+        SELECT c_nationkey,
+               count(*) AS n_orders,
+               {sql_dsum("o_totalprice", "sum_price")}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the fact side gets a deterministic salt
+    (uncorrelated with the join key), the dimension side is replicated
+    SALT_BUCKETS times, and the join key becomes (key, salt) — a hot
+    customer's rows now spread across SALT_BUCKETS reducers instead of
+    melting one. Result is provably identical to the unsalted join (the
+    oracle IS the unsalted join). AQE's skewedJoin handles moderate skew
+    automatically; explicit salting is the tool for pathological keys
+    known in advance (the null-key firehose, the one-giant-tenant
+    table). The post-join aggregate still map-side-combines per
+    (nationkey) before its final 25-group exchange."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(SALT_BUCKETS))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])))
+    )
+    return (
+        orders.join(cust, (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
 @register(
     "join_state_lookup",
     oracle="""

@@ -60,6 +60,9 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.cdc.event_queries",
     "cdc_export_system_spark.dedup.queries",
     "cdc_export_system_spark.dedup.minhash",
+    "cdc_export_system_spark.dedup.cluster",
+    "cdc_export_system_spark.operators.sampling",
+    "cdc_export_system_spark.functions.packing",
     "cdc_export_system_spark.dedup.simhash",
     "cdc_export_system_spark.dedup.jaccard",
     "cdc_export_system_spark.similarity.queries",

@@ -1,0 +1,79 @@
+"""Algorithmic pins for the training-pipeline operators added beyond the
+oracle surface: connected components on adversarial graph shapes, packing
+conservation invariants, hash-sampling composability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_export_system_spark.dedup.cluster import connected_components
+from cdc_export_system_spark.functions.packing import (
+    CHUNK_BUDGET,
+    global_token_positions,
+)
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.operators.sampling import KNUTH
+from tests.conftest import SF_DIR
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    rows = connected_components(df).collect()
+    return {r["node"]: r["label"] for r in rows}
+
+
+def test_cc_path_graph(spark):
+    # a 16-node path is the worst case for plain min-propagation
+    # (diameter 15); pointer jumping must still converge inside max_iter
+    labels = _cc(spark, [(i, i + 1) for i in range(15)])
+    assert labels == {i: 0 for i in range(16)}
+
+
+def test_cc_two_components_and_star(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    labels = _cc(spark, edges)
+    assert {k: v for k, v in labels.items() if k < 10} == {1: 1, 2: 1, 3: 1}
+    assert {k: v for k, v in labels.items() if k >= 10} == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_packing_conserves_tokens_and_order(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pos = global_token_positions(docs).orderBy("doc_id").collect()
+    # exclusive prefix sum: each doc starts where the previous ended
+    expect = 0
+    for r in pos:
+        assert r["pos_start"] == expect
+        expect += r["n_tokens"]
+    # chunk axis covers every token exactly once
+    total_tokens = sum(r["n_tokens"] for r in pos)
+    from cdc_export_system_spark.functions.packing import text_pack_chunks
+
+    chunks = text_pack_chunks(spark, SF_DIR).collect()
+    assert sum(c["chunk_tokens"] for c in chunks) == total_tokens
+    # every chunk's doc range is disjoint and ordered
+    spans = sorted((c["chunk_id"], c["first_doc"], c["last_doc"]) for c in chunks)
+    for (_, _, last), (_, first, _) in zip(spans, spans[1:]):
+        assert first > last
+
+
+def test_hash_sample_is_partition_invariant(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    pred = (F.col("o_orderkey") * F.lit(KNUTH)) % 1000 < 50
+    base = {r["o_orderkey"] for r in orders.filter(pred).select("o_orderkey").collect()}
+    resharded = {
+        r["o_orderkey"]
+        for r in orders.repartition(17).filter(pred).select("o_orderkey").collect()
+    }
+    assert base == resharded and len(base) > 0
+
+
+def test_chunk_budget_respected_for_multi_doc_chunks(spark):
+    # any chunk holding >1 doc must have started those docs inside the
+    # budget window: first doc's start is within [k*B, (k+1)*B)
+    docs = load_table(spark, SF_DIR, "documents")
+    pos = global_token_positions(docs)
+    bad = pos.filter(
+        F.floor(F.col("pos_start") / CHUNK_BUDGET)
+        != (F.col("pos_start") - F.pmod(F.col("pos_start"), CHUNK_BUDGET)) / CHUNK_BUDGET
+    ).count()
+    assert bad == 0
