@@ -203,6 +203,86 @@ def _sql_band_exprs() -> str:
 
 _SIG_SAMPLE_COLS = ["m0", "m1", "m7", "m15", "m31"]
 
+# --- Spark-SQL single-statement forms ----------------------------------------
+# The registered queries below go through ONE spark.sql() call instead of
+# the Column-builder functions above: building the ~50-expression pipeline
+# through the DataFrame API costs ~0.5 s of py4j round-trips and
+# per-F.expr parses on every invocation, while a single SQL parse is
+# O(10 ms). The Column builders stay — tests and composite operators
+# (cluster.py) reuse them — and both forms produce the identical plan.
+
+_SPARK_SHINGLE_CASE = """
+    CASE WHEN size(toks) < 3
+         THEN array(concat_ws(' ', toks))
+         ELSE array_distinct(filter(
+              zip_with(
+                  zip_with(toks, slice(toks, 2, size(toks) - 1),
+                           (x, y) -> concat(x, ' ', y)),
+                  slice(toks, 3, size(toks) - 2),
+                  (x, y) -> concat(x, ' ', y)),
+              s -> s IS NOT NULL))
+    END
+"""
+
+
+def _spark_sig_cte(src: str) -> str:
+    """Spark-dialect CTE chain mirroring minhash_signature() exactly."""
+    mins = ",\n               ".join(
+        f"aggregate(hs, cast({P} as bigint), (acc, h) -> least(acc, ({a} * h + {b}) % {P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(COEFFS)
+    )
+    return f"""
+        tok AS (SELECT doc_id, {_SPARK_TOKS} AS toks FROM {src}),
+        shg AS (SELECT doc_id, {_SPARK_SHINGLE_CASE} AS shingles FROM tok),
+        hsx AS (SELECT doc_id, transform(shingles, sh -> {_SPARK_H32}) AS hs FROM shg),
+        sig AS (SELECT doc_id,
+               {mins}
+               FROM hsx)
+    """
+
+
+def _spark_bands_cte() -> str:
+    structs = ", ".join(
+        "named_struct('band', {b}, 'digest', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(m{b * ROWS_PER_BAND + r} as string)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+        bands AS (
+            SELECT doc_id, bd.band AS band, bd.digest AS digest
+            FROM sig LATERAL VIEW explode(array({structs})) t AS bd),
+        cand AS (
+            SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
+            FROM (SELECT ids FROM (
+                      SELECT array_sort(collect_set(doc_id)) AS ids
+                      FROM bands GROUP BY band, digest)
+                  WHERE size(ids) >= 2) b
+            LATERAL VIEW explode(flatten(transform(ids, (x, i) ->
+                transform(slice(ids, i + 2, size(ids) - i - 1),
+                          y -> named_struct('doc_a', x, 'doc_b', y))))) t AS p)
+    """
+
+
+_FANNED_VIEWS: set[tuple[int, str]] = set()
+
+
+def _fanned_docs_view(spark: SparkSession, sf_dir: str) -> str:
+    """Register (once per session+sf_dir) a fanned documents temp view;
+    the view name encodes the sf_dir so concurrent scales never collide."""
+    from cdc_export_system_spark.io.sources import load_table_fanned as _ltf
+
+    name = "__minhash_documents_" + "".join(c if c.isalnum() else "_" for c in sf_dir)
+    key = (id(spark), name)
+    if key not in _FANNED_VIEWS:
+        _ltf(spark, sf_dir, "documents").createOrReplaceTempView(name)
+        _FANNED_VIEWS.add(key)
+    return name
+
 
 @register(
     "dedup_minhash_signature",
@@ -215,8 +295,10 @@ _SIG_SAMPLE_COLS = ["m0", "m1", "m7", "m15", "m31"]
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (sampled columns keep the checked result narrow;
     all NUM_PERM values feed the LSH query below)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_signature(docs).select("doc_id", *_SIG_SAMPLE_COLS)
+    src = _fanned_docs_view(spark, sf_dir)
+    return spark.sql(
+        f"WITH {_spark_sig_cte(src)} SELECT doc_id, {', '.join(_SIG_SAMPLE_COLS)} FROM sig"
+    )
 
 
 @register(
@@ -233,8 +315,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band."""
-    docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidates(minhash_signature(docs))
+    src = _fanned_docs_view(spark, sf_dir)
+    return spark.sql(
+        f"WITH {_spark_sig_cte(src)}, {_spark_bands_cte()} SELECT doc_a, doc_b FROM cand"
+    )
 
 
 @register(
@@ -262,20 +346,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard >= 0.5 — the
     full dedup pipeline's output (pairs to collapse)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
-    cand = lsh_candidates(minhash_signature(docs))
-    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(jac * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    src = _fanned_docs_view(spark, sf_dir)
+    inter = "size(array_intersect(ta.shingles, tb.shingles))"
+    return spark.sql(
+        f"""
+        WITH {_spark_sig_cte(src)}, {_spark_bands_cte()}
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   floor(cast({inter} as double)
+                         / (size(ta.shingles) + size(tb.shingles) - {inter})
+                         * 1000000 + 0.5) / 1000000 AS jaccard
+            FROM cand c
+            JOIN shg ta ON ta.doc_id = c.doc_a
+            JOIN shg tb ON tb.doc_id = c.doc_b)
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        """
     )
