@@ -74,6 +74,33 @@ def load_table_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return fan_out(spark, load_table(spark, sf_dir, name), os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Memoized per-session temp views for the single-statement SQL query forms.
+# Building a multi-join plan through the DataFrame API costs a py4j round
+# trip per Column/method call (~0.3-0.5 s for a 6-table TPC-H plan); one
+# spark.sql() parse is O(10 ms). The view name encodes the sf_dir so
+# concurrent scales never collide; the cache maps view -> owning session
+# (holding the session ref makes the identity check safe against id reuse)
+# so a fresh session — e.g. the driver's vanilla one — re-registers.
+_VIEW_CACHE: dict[str, SparkSession] = {}
+
+
+def star_view(spark: SparkSession, sf_dir: str, name: str, fanned: bool = False) -> str:
+    """Register (once per session+sf_dir) a temp view of one star table and
+    return its name, for use inside single-statement spark.sql() queries."""
+    view = (
+        "__star_"
+        + ("f_" if fanned else "")
+        + name
+        + "_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir)
+    )
+    if _VIEW_CACHE.get(view) is not spark:
+        df = load_table_fanned(spark, sf_dir, name) if fanned else load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(view)
+        _VIEW_CACHE[view] = spark
+    return view
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register the star schema as temp views for the SQL surface."""
     for name in tables or STAR_TABLES:

@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
-from cdc_export_system_spark.registry import dsum, register, sql_dsum
+from cdc_export_system_spark.io.sources import load_table, star_view
+from cdc_export_system_spark.registry import dsum, register, spark_dsum, sql_dsum
 
 
 @register(
@@ -53,13 +53,15 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi-join: both sides shuffle on the key once; the
     aggregation reuses that partitioning (no second exchange on
     o_orderstatus until the final small shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderstatus")
-        .agg(dsum(F.col("l_extendedprice"), "sum_price"), F.count(F.lit(1)).alias("n"))
-    )
+    li = star_view(spark, sf_dir, "lineitem")
+    orders = star_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               {spark_dsum("l_extendedprice", "sum_price")},
+               COUNT(*) AS n
+        FROM {li} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderstatus
+    """)
 
 
 @register(

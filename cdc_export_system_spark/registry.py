@@ -146,6 +146,25 @@ def dmulsum(alias: str, *factors):
     )
 
 
+def spark_dsum(expr: str, alias: str) -> str:
+    """Spark-SQL text form of dsum() — identical expression tree, so the
+    single-statement SQL queries below produce the same plan (and hash)
+    as the Column-builder form."""
+    return (
+        f"CAST(CAST(SUM(FLOOR({expr} * 100 + 0.5)) AS DECIMAL(38,6)) / 100 AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def spark_dmulsum(alias: str, *exprs: str) -> str:
+    """Spark-SQL text form of dmulsum()."""
+    prod = " * ".join(f"FLOOR({e} * 100 + 0.5)" for e in exprs)
+    return (
+        f"CAST(CAST(SUM({prod}) AS DECIMAL(38,6)) / {100 ** len(exprs)} AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     # The VARCHAR hop matters: DuckDB's decimal->double cast is not
     # correctly rounded (off by ulps on ~17-digit sums), its string->double

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, star_view
 from cdc_export_system_spark.registry import register
 
 TOP_K = 20
@@ -74,20 +74,36 @@ _SQL_NORM_Q = (
     tags=("similarity",),
 )
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k against the vec_id=0 embedding."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()["embedding"]
-    q = F.lit(qvec).cast("array<float>")
-    return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), q), SIM_DECIMALS).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(TOP_K)
+    """Exact brute-force cosine top-k against the vec_id=0 embedding.
+
+    The query vector arrives via a broadcast single-row cross join (no
+    driver-side .first() round trip): at any scale the 1-row side
+    broadcasts and the plan stays embarrassingly parallel — scan +
+    per-row fold + TakeOrdered."""
+    emb = star_view(spark, sf_dir, "embeddings")
+    spark_dot = (
+        "aggregate(zip_with(embedding, qe, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
+    spark_norm_a = (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    # qnorm is its own scalar subquery: evaluated once, not per scanned row.
+    return spark.sql(f"""
+        SELECT vec_id, label,
+               round({spark_dot} / ({spark_norm_a} * qnorm), {SIM_DECIMALS}) AS cos_sim
+        FROM (SELECT vec_id, label, embedding,
+                     (SELECT embedding FROM {emb} WHERE vec_id = {QUERY_VEC_ID}) AS qe,
+                     (SELECT sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+                          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                      FROM {emb} WHERE vec_id = {QUERY_VEC_ID}) AS qnorm
+              FROM {emb}
+              WHERE vec_id <> {QUERY_VEC_ID})
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {TOP_K}
+    """)
 
 
 @register(
