@@ -89,3 +89,36 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS edit_dist
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("function", "string", "dedup"),
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance over same-region nation pairs — the fuzzy-
+    match primitive for record-linkage dedup. The equi component
+    (region) keeps the pair generation a hash join; at scale that IS the
+    pattern: block on a cheap key, run the quadratic metric only within
+    blocks."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_name").alias("name_a"),
+        F.col("n_regionkey").alias("rk_a"),
+        F.col("n_nationkey").alias("key_a"),
+    )
+    b = nation.select(
+        F.col("n_name").alias("name_b"),
+        F.col("n_regionkey").alias("rk_b"),
+        F.col("n_nationkey").alias("key_b"),
+    )
+    return (
+        a.join(b, (F.col("rk_a") == F.col("rk_b")) & (F.col("key_a") < F.col("key_b")))
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("edit_dist"))
+    )

@@ -231,3 +231,67 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_price"),
         std.alias("std_price"),
     )
+
+
+_XC = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_YC = _SQL_CENTS  # l_extendedprice cents
+_VH = "CAST(CAST({m} AS VARCHAR) AS DOUBLE)"  # DuckDB correctly-rounded int->double
+
+
+@register(
+    "agg_corr_exact",
+    oracle=f"""
+        WITH g AS (
+            SELECT l_returnflag, count(*) AS n,
+                   SUM({_XC}) AS sx, SUM({_YC}) AS sy,
+                   SUM(CAST({_XC} AS HUGEINT) * {_XC}) AS sxx,
+                   SUM(CAST({_YC} AS HUGEINT) * {_YC}) AS syy,
+                   SUM(CAST({_XC} AS HUGEINT) * {_YC}) AS sxy
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n AS n_rows,
+               (CAST(n AS DOUBLE) * {_VH.format(m="sxy")}
+                  - {_VH.format(m="sx")} * {_VH.format(m="sy")})
+                 / sqrt((CAST(n AS DOUBLE) * {_VH.format(m="sxx")}
+                           - {_VH.format(m="sx")} * {_VH.format(m="sx")})
+                        * (CAST(n AS DOUBLE) * {_VH.format(m="syy")}
+                           - {_VH.format(m="sy")} * {_VH.format(m="sy")}))
+                   AS corr_qty_price,
+               (CAST(n AS DOUBLE) * {_VH.format(m="sxy")}
+                  - {_VH.format(m="sx")} * {_VH.format(m="sy")})
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * 10000.0)
+                   AS covar_qty_price
+        FROM g
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed cross-moments: Pearson correlation and sample
+    covariance from exact integer sums (same design as agg_stats_exact —
+    Spark's corr()/covar_samp() stream doubles through merge-order-
+    dependent accumulators; exact cents moments are reshard-reproducible
+    and map-side combinable). The cents scale cancels in corr; covar
+    unscales by 100^2."""
+    from cdc_export_system_spark.registry import _cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = _cents(F.col("l_quantity"))
+    yc = _cents(F.col("l_extendedprice"))
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc.cast("decimal(38,0)") * xc).alias("sxx"),
+        F.sum(yc.cast("decimal(38,0)") * yc).alias("syy"),
+        F.sum(xc.cast("decimal(38,0)") * yc).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, syy_d, sxy_d = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    cov_num = n_d * sxy_d - sx_d * sy_d
+    corr = cov_num / F.sqrt((n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d))
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+        (cov_num / (n_d * (n_d - F.lit(1)) * F.lit(10000.0))).alias("covar_qty_price"),
+    )

@@ -130,3 +130,31 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile buckets + percent_rank + cume_dist.
+    The ORDER BY carries the o_orderkey tie-break because ntile is
+    row-position-dependent — without a total order its buckets are
+    nondeterministic across engines (and across Spark reshards)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
