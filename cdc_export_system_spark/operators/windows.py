@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, star_view
 from cdc_export_system_spark.registry import register
 
 
@@ -158,3 +158,34 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w7 AS cnt_7d,
+               CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w7
+                    AS DECIMAL(38,6)) / 100 AS DOUBLE) AS sum_value_7d
+        FROM events
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "streaming"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-user trailing-7-day count and exact
+    sum. RANGE frames bound by an INTERVAL are the batch dual of a
+    sliding stream window — one shuffle on the partition key, an ordered
+    in-partition scan, no self-join. The frame is peer-inclusive on ts
+    in both engines, so ties need no extra tie-break column."""
+    ev = star_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_id, user_id, ts,
+               count(*) OVER w7 AS cnt_7d,
+               CAST(CAST(SUM(FLOOR(value * 100 + 0.5)) OVER w7
+                    AS DECIMAL(38,6)) / 100 AS DOUBLE) AS sum_value_7d
+        FROM {ev}
+        WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """)
