@@ -1,0 +1,115 @@
+"""Changelog consumption patterns: SCD type-2 history and MERGE-apply.
+
+The reference emits a changelog (delta export with operation column,
+reference ``app/services/exports.py:138-171``) but never consumes one.
+These two operators are the canonical downstream consumers every CDC
+pipeline needs:
+
+* ``cdc_scd2_history`` — turn the change stream into a slowly-changing-
+  dimension type-2 table: one validity interval per change, closed by the
+  next change of the same key, open (``is_current``) for the latest.
+* ``cdc_merge_apply`` — MERGE a changelog into a prior snapshot (the
+  batch equivalent of ``MERGE INTO`` / Delta upsert): latest state wins,
+  deletes drop the key. This is exactly what a consumer of the
+  reference's delta CSVs must do to reconstruct the table.
+
+Scale notes: both are a single hash-partition on the key. SCD2 is one
+window (shuffle on user_id, in-partition sort). MERGE-apply collapses
+each side to latest-per-key first (partial row_number after the same
+shuffle), then a full outer sort-merge join on user_id — the collapsed
+sides are |keys|-sized, not |changes|-sized, so the join input is the
+minimum possible; AQE handles key skew. The ``ts > WM`` side prunes to
+the recent row groups via parquet min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_export_system_spark.cdc.event_queries import WM
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+        SELECT user_id, event_id, event_type, value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   AS is_current
+        FROM events
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2: each change opens a validity interval that the next
+    change of the same key closes. (event_id breaks ts ties so intervals
+    are deterministic.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+        WITH base AS (
+            SELECT * FROM (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '{WM}') WHERE rn = 1),
+        chg AS (
+            SELECT * FROM (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts > TIMESTAMP '{WM}') WHERE rn = 1)
+        SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+               CASE WHEN c.user_id IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+               CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                    ELSE b.event_type END AS event_type,
+               CASE WHEN c.user_id IS NOT NULL THEN c.value ELSE b.value END AS value
+        FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        WHERE CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                   ELSE b.event_type END <> 'error'
+    """,
+    tags=("cdc", "join"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a changelog (ts > WM) into the prior snapshot (ts <= WM):
+    whole-row last-writer-wins per key, keys whose final state is a
+    delete ('error') are dropped. Reconstructs exactly the table a
+    consumer of the reference's delta exports would hold."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _latest_per_key(ev.filter(F.col("ts") <= F.lit(WM).cast("timestamp"))).alias("b")
+    chg = _latest_per_key(ev.filter(F.col("ts") > F.lit(WM).cast("timestamp"))).alias("c")
+    has_chg = F.col("c.user_id").isNotNull()
+    pick = lambda name: F.when(has_chg, F.col(f"c.{name}")).otherwise(F.col(f"b.{name}"))
+    merged = base.join(chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer").select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        pick("ts").alias("ts"),
+        pick("event_type").alias("event_type"),
+        pick("value").alias("value"),
+    )
+    return merged.filter(F.col("event_type") != "error")

@@ -295,3 +295,36 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("corr_qty_price"),
         (cov_num / (n_d * (n_d - F.lit(1)) * F.lit(10000.0))).alias("covar_qty_price"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE) / 100 AS sum_value
+        FROM events
+        GROUP BY CAST(floor(value / 50) AS BIGINT)
+    """,
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bucket = floor(value/50)) with per-bucket
+    exact sums — the distribution-profiling primitive for data-quality
+    dashboards. One hash aggregate: map-side partials collapse each task
+    to its local bucket set, so the shuffle is O(buckets), independent of
+    row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("bigint")
+    from cdc_export_system_spark.registry import _cents
+
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(_cents(F.col("value"))).cast("decimal(38,6)") / 100)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -54,10 +54,12 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.functions.collections",
     "cdc_export_system_spark.operators.reshape",
     "cdc_export_system_spark.functions.text",
+    "cdc_export_system_spark.functions.cleaning",
     "cdc_export_system_spark.functions.json_fns",
     "cdc_export_system_spark.functions.pandas_udfs",
     "cdc_export_system_spark.multimodal.binary_ops",
     "cdc_export_system_spark.cdc.event_queries",
+    "cdc_export_system_spark.cdc.scd",
     "cdc_export_system_spark.dedup.queries",
     "cdc_export_system_spark.dedup.minhash",
     "cdc_export_system_spark.dedup.cluster",
