@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.tpch",
     "cdc_export_system_spark.operators.tpch_extended",
     "cdc_export_system_spark.operators.asof",
+    "cdc_export_system_spark.operators.analytics",
     "cdc_export_system_spark.similarity.lsh",
     "cdc_export_system_spark.functions.scalars",
     "cdc_export_system_spark.functions.strings",

@@ -63,6 +63,38 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def nodes(p: str, node: str) -> int:
+    """Count physical-plan nodes of a type in `formatted` output (each
+    node appears once as a numbered detail header `(n) Node`)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}[ \n]", p))
+
+
+def test_sessionize_single_event_shuffle(spark):
+    # lag + running session counter + per-session rollup all hang off ONE
+    # exchange on user_id; the rollup is partial-aggregated map-side.
+    p = plan_of(spark, "sessionize_batch")
+    assert nodes(p, "Exchange") == 1, p
+    assert nodes(p, "Window") == 2, p
+
+
+def test_funnel_fold_has_no_joins(spark):
+    # the funnel is a per-user fold, not the oracle's 4-join chain: one
+    # user_id exchange + the single-row final agg, zero join operators.
+    p = plan_of(spark, "funnel_conversion")
+    assert "Join" not in p, p
+    assert nodes(p, "Exchange") == 2, p
+
+
+def test_cohort_retention_two_exchanges(spark):
+    # map-side collect_set dedup -> user_id exchange -> grid-size rollup;
+    # no window, no join back to events.
+    p = plan_of(spark, "cohort_retention")
+    assert "Join" not in p and nodes(p, "Window") == 0, p
+    assert nodes(p, "Exchange") == 2, p
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_products_anywhere(spark, name):
     p = plan_of(spark, name)
