@@ -115,3 +115,29 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY md5(lower(trim(text)))
+            ORDER BY n_chars DESC, doc_id) = 1
+    """,
+    tags=("dedup", "window"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection: group exact duplicates by content
+    fingerprint (md5 of normalized text) and keep the highest-quality
+    member (longest, doc_id tie-break). The partition key is the 128-bit
+    digest, so the shuffle distributes uniformly even when one document
+    dominates the corpus; payload text rides the exchange once."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = W.partitionBy(fp).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )

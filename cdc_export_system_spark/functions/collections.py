@@ -98,3 +98,38 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
         "doc_id", "tok", "pos"
     )
+
+
+@register(
+    "fn_map_suite",
+    oracle="""
+        SELECT event_id,
+               'e,u' AS keys_sorted,
+               user_id AS u_val,
+               CAST(CAST(user_id > 500 AS INT) + CAST(event_id > 500 AS INT)
+                    AS INT) AS n_big,
+               user_id + event_id AS sum_vals,
+               user_id * 2 AS doubled_u
+        FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map / map_keys / element_at / map_filter /
+    transform_values / map_values + fold — all JVM higher-order
+    functions. The oracle states each result positionally (DuckDB MAPs
+    differ enough dialect-wise that the *values* are the contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("u"), F.col("user_id"), F.lit("e"), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "u").alias("u_val"),
+        F.size(F.map_filter(m, lambda k, v: v > 500)).alias("n_big"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("sum_vals"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "u").alias("doubled_u"),
+    )

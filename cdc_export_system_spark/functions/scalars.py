@@ -150,3 +150,47 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 30000.0).alias("dist_from_30k"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
     )
+
+
+@register(
+    "fn_bitwise_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 4096 AS bor,
+               xor(o_orderkey, o_custkey) AS bxor,
+               (o_orderkey & 15) << 3 AS shl,
+               o_orderkey >> 4 AS shr,
+               CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+                    ELSE 'other' END AS status_class,
+               nullif(o_orderstatus, 'O') AS status_or_null,
+               coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_coalesced,
+               greatest(o_totalprice, 100000.0) AS hi,
+               least(o_totalprice, 100000.0) AS lo
+        FROM orders
+    """,
+    tags=("function", "scalar"),
+)
+def fn_bitwise_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (&,|,^,shifts) and conditional (CASE/nullif/coalesce/
+    greatest/least) scalar surface — all codegen-resident expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(c).alias("bxor"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 3).alias("shl"),
+        F.shiftright(k, 4).alias("shr"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "filled")
+        .otherwise("other")
+        .alias("status_class"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("none")).alias(
+            "status_coalesced"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
+    )

@@ -328,3 +328,26 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n_customers,
+               string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/string_agg per group. collect_list's partial
+    aggregation gathers per-task fragments; the deterministic order the
+    SQL-standard `WITHIN GROUP (ORDER BY)` promises comes from one
+    array_sort on the merged list — no global sort, and the shuffle
+    carries |group| lists, not rows. Group cardinality bounds the string
+    (names-per-nation); for unbounded groups cap with slice() first."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+    )

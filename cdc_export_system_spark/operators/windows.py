@@ -189,3 +189,36 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w7 AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
     """)
+
+
+@register(
+    "window_first_last",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER w AS last_key,
+               nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value under an explicit full-partition
+    frame (the default RANGE..CURRENT ROW frame makes last_value a
+    footgun — pinned here with the frame both engines agree on). One
+    shuffle + sort on o_custkey serves all three expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
