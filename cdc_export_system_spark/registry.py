@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.similarity.ivf",
     "cdc_export_system_spark.multimodal.queries",
+    "cdc_export_system_spark.io.format_roundtrip",
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.event_windows",
 ]
