@@ -74,6 +74,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.io.format_roundtrip",
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.event_windows",
+    "cdc_export_system_spark.streaming.joins",
 ]
 
 

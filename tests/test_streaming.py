@@ -146,3 +146,64 @@ def test_listener_emits_lifecycle_events(spark, tmp_path, changes_dir):
     names = {n for n, _ in events}
     assert "export_started" in names
     assert "export_completed" in names
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.streaming.joins import (
+        click_purchase_attribution,
+        stream_join_attribution,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "event_type")
+    cd, pd_ = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").write.parquet(cd)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(pd_)
+    clicks = spark.readStream.schema(ev.schema).parquet(cd)
+    purchases = spark.readStream.schema(ev.schema).parquet(pd_)
+    q = (
+        click_purchase_attribution(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT click_id, purchase_id FROM attrib").collect()}
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_join_attribution(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered events are emitted once
+    even when the duplicate arrives in a later micro-batch."""
+    from cdc_export_system_spark.io.sources import load_table
+
+    d = str(tmp_path / "dup")
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("event_id") < 1000)
+    )
+    # batch 1: all rows; batch 2: the same first 500 redelivered
+    ev.coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") < 500).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    deduped = stream.withWatermark("ts", "10000 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == ev.count()
