@@ -176,3 +176,39 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "text_ngram_freq",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        grams AS (
+            SELECT t[i] || ' ' || t[i + 1] AS bigram
+            FROM toks, unnest(range(1, len(t))) AS r(i))
+        SELECT bigram, count(*) AS cnt
+        FROM grams GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+    tags=("text", "agg"),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigram frequency. The bigram list is built with a
+    zip of the token array against its own tail (transform over indices)
+    — all JVM higher-order functions; explode feeds a map-side-combined
+    hash aggregate, so the shuffle carries |bigram vocabulary| not
+    |token pairs|; TakeOrderedAndProject picks the head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )

@@ -351,3 +351,66 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
     )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+        SELECT event_type,
+               max_by(event_id, value) AS top_event,
+               max(value) AS top_value,
+               min_by(event_id, value) AS bottom_event,
+               any_value(user_id ORDER BY event_id) AS first_user
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregation (max_by/min_by): the 'row that won'
+    pattern, one hash aggregate instead of the self-join-on-max it
+    replaces. Safe here because `value` is unique within each group at
+    every SF (2dp uniform over a wide range) — max_by ties are
+    engine-nondeterministic, so don't pin ties in an oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("top_event"),
+        F.max("value").alias("top_value"),
+        F.min_by("event_id", "value").alias("bottom_event"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+        SELECT event_type,
+               count(*) FILTER (WHERE value > 50) AS n_big,
+               count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+               bool_or(value > 99) AS any_gt99,
+               bool_and(value >= 0) AS all_nonneg,
+               CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE value > 50) AS VARCHAR) AS DOUBLE) / 100
+                   AS sum_big
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / FILTER-style sums / bool_or /
+    bool_and — one pass, one hash aggregate, where the naive form runs
+    one filtered sub-query per condition."""
+    ev = load_table(spark, sf_dir, "events")
+    from cdc_export_system_spark.registry import _cents
+
+    big = F.col("value") > 50
+    return ev.groupBy("event_type").agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+        F.bool_or(F.col("value") > 99).alias("any_gt99"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        (
+            F.sum(F.when(big, _cents(F.col("value")))).cast("decimal(38,6)") / 100
+        )
+        .cast("double")
+        .alias("sum_big"),
+    )
