@@ -1,0 +1,122 @@
+"""Property-based pins (hypothesis) for the CDC invariants that are the
+reference's *spec* (SURVEY.md §5): operation classification is total and
+exclusive, the watermark filter is strictly `>`, and empty batches never
+advance state or produce files — for arbitrary row populations, not just
+the seeded fixtures."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cdc_export_system_spark.cdc.exports import (
+    classify_operation,
+    run_incremental_export,
+)
+from cdc_export_system_spark.schemas import USERS_SCHEMA
+from cdc_export_system_spark.state.watermark import WatermarkStore
+
+BASE = datetime(2024, 1, 1)
+
+# (created_offset_s, update_lag_s, is_deleted)
+row_st = st.tuples(
+    st.integers(0, 900), st.integers(0, 900), st.booleans()
+)
+rows_st = st.lists(row_st, min_size=0, max_size=12)
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def make_users(spark, rows):
+    data = [
+        (
+            i,
+            f"user {i}",
+            f"u{i}@example.com",
+            BASE + timedelta(seconds=c),
+            BASE + timedelta(seconds=c + lag),
+            bool(d),
+        )
+        for i, (c, lag, d) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, USERS_SCHEMA)
+
+
+@PROP_SETTINGS
+@given(rows=rows_st)
+def test_operation_classification_total_and_exclusive(spark, rows):
+    got = (
+        make_users(spark, rows)
+        .withColumn("operation", classify_operation())
+        .select("id", "operation", "is_deleted", "created_at", "updated_at")
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        # exactly one class, and exactly the reference's priority order
+        # (exports.py:39-45): deleted wins, then created==updated.
+        if r["is_deleted"]:
+            assert r["operation"] == "DELETE"
+        elif r["created_at"] == r["updated_at"]:
+            assert r["operation"] == "INSERT"
+        else:
+            assert r["operation"] == "UPDATE"
+
+
+@PROP_SETTINGS
+@given(rows=rows_st, wm_off=st.integers(0, 1800))
+def test_incremental_is_strictly_greater_and_live_only(spark, tmp_path, rows, wm_off):
+    users = make_users(spark, rows)
+    store = WatermarkStore(spark, str(tmp_path / f"s{wm_off}_{len(rows)}"))
+    wm = BASE + timedelta(seconds=wm_off)
+    store.upsert("c", wm)
+    out = str(tmp_path / f"o{wm_off}_{len(rows)}.csv")
+    n, new_wm = run_incremental_export(users, store, "c", out)
+    want = [
+        (i, c, lag)
+        for i, (c, lag, d) in enumerate(rows)
+        if not d and BASE + timedelta(seconds=c + lag) > wm
+    ]
+    assert n == len(want)
+    if want:
+        # watermark candidate == max updated_at of exported rows, never
+        # the watermark itself (strict >)
+        assert new_wm == max(BASE + timedelta(seconds=c + lag) for _, c, lag in want)
+        assert new_wm > wm
+        assert os.path.exists(out)
+    else:
+        # empty batch: no file, no candidate watermark
+        assert new_wm is None
+        assert not os.path.exists(out)
+
+
+@PROP_SETTINGS
+@given(rows=rows_st)
+def test_no_watermark_exports_nothing(spark, tmp_path, rows):
+    users = make_users(spark, rows)
+    store = WatermarkStore(spark, str(tmp_path / f"empty{len(rows)}"))
+    out = str(tmp_path / "never.csv")
+    n, new_wm = run_incremental_export(users, store, "missing-consumer", out)
+    assert (n, new_wm) == (0, None)
+    assert not os.path.exists(out)
+
+
+@PROP_SETTINGS
+@given(rows=rows_st)
+def test_delta_partitions_into_classes(spark, rows):
+    """Delta classes partition the after-watermark rows: |DELETE| +
+    |INSERT| + |UPDATE| == |batch| for any population."""
+    users = make_users(spark, rows).withColumn("operation", classify_operation())
+    counts = {
+        r["operation"]: r["n"]
+        for r in users.groupBy("operation").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(counts.values()) == len(rows)
+    assert set(counts) <= {"DELETE", "INSERT", "UPDATE"}
