@@ -414,3 +414,72 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_big"),
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                   AS null_priority,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order,
+               CAST(CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE) / 100 AS min_price,
+               CAST(CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS VARCHAR) AS DOUBLE) / 100 AS max_price
+        FROM orders
+    """,
+    tags=("agg", "profile"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (row count, cardinalities, null counts,
+    ranges) — the data-quality summary every ingest job runs. One
+    aggregate node; the two exact count-distincts expand per distinct
+    key map-side, so at 100 TB swap them for approx_count_distinct
+    (same call shape, `agg_approx_distinct` is the registered sketch
+    variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "null_priority"
+        ),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        (F.min(_cents_col()).cast("decimal(38,6)") / 100).cast("double").alias("min_price"),
+        (F.max(_cents_col()).cast("decimal(38,6)") / 100).cast("double").alias("max_price"),
+    )
+
+
+def _cents_col():
+    from cdc_export_system_spark.registry import _cents
+
+    return _cents(F.col("o_totalprice"))
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # sketch bytes are implementation-specific: rows-only
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    re-aggregatable form approx_count_distinct's HLL++ doesn't expose):
+    per-type user sketches, merged with hll_union_agg into a global
+    estimate — the pattern that lets daily partial sketches roll up to
+    any window without rescanning. Estimates are engine-specific, so the
+    driver records rows-only; the exactness bound is pinned in pytest
+    against countDistinct."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return per_type.agg(
+        F.sum(F.hll_sketch_estimate("sketch")).alias("sum_of_type_estimates"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate"),
+    )

@@ -77,3 +77,17 @@ def test_chunk_budget_respected_for_multi_doc_chunks(spark):
         != (F.col("pos_start") - F.pmod(F.col("pos_start"), CHUNK_BUDGET)) / CHUNK_BUDGET
     ).count()
     assert bad == 0
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """The merged HLL union estimate must sit within 5% of the exact
+    distinct count (sparse-mode sketches are exact at fixture scale)."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    row = load_all()["agg_hll_sketch"].fn(spark, SF_DIR).first()
+    exact = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert abs(row["merged_estimate"] - exact) <= max(1, 0.05 * exact)
+    # union estimate <= sum of per-type estimates (distinct users overlap)
+    assert row["merged_estimate"] <= row["sum_of_type_estimates"]
