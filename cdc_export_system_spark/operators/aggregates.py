@@ -483,3 +483,51 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.hll_sketch_estimate("sketch")).alias("sum_of_type_estimates"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate"),
     )
+
+
+@register(
+    "feat_standardize",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 100 / count(*) AS mu,
+                   sqrt(
+                     (CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 10000
+                      - CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / 100
+                        * CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / 100 / count(*))
+                     / count(*)) AS sigma
+            FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               floor((e.value - s.mu) / s.sigma * 1000000 + 0.5) / 1000000 AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    tags=("agg", "ml"),
+)
+def feat_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the ML feature-scaling pass.
+    Group stats come from exact integer moments (order-independent, so
+    the result is reshard-reproducible; see agg_stats_exact) and join
+    back as a BROADCAST of |groups| rows — never a window over the
+    value column, which would serialize each group onto one task.
+    z is pinned to 1e-6 to absorb the one-ulp division differences."""
+    ev = load_table(spark, sf_dir, "events")
+    from cdc_export_system_spark.registry import _cents
+
+    c = _cents(F.col("value"))
+    n = F.count(F.lit(1))
+    s1 = F.sum(c).cast("double") / 100
+    s2 = F.sum(c * c).cast("double") / 10000
+    stats = ev.groupBy("event_type").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / n).alias("sigma"),
+    )
+    z = F.floor((F.col("value") - F.col("mu")) / F.col("sigma") * 1_000_000 + 0.5) / 1_000_000
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+    )

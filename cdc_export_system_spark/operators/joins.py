@@ -204,3 +204,26 @@ def join_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("ts") > F.lit(cutoff)).select(
         "event_id", "ts", "user_id", "event_type"
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM nation n JOIN region r
+          ON nullif(n.n_regionkey, 2) IS NOT DISTINCT FROM nullif(r.r_regionkey, 2)
+    """,
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics MERGE keys
+    and SCD dimensions need. nullif() manufactures NULLs from the
+    testdata so the NULL=NULL path is actually exercised. Spark still
+    plans this as a hash join (the null-safe comparator is part of the
+    key), not a nested loop."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nk = F.nullif(F.col("n_regionkey"), F.lit(2))
+    rk = F.nullif(F.col("r_regionkey"), F.lit(2))
+    return n.join(r, nk.eqNullSafe(rk)).select("n_nationkey", "n_name", "r_name")

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table, register_views
+from cdc_export_system_spark.io.sources import load_table, register_views, star_view
 from cdc_export_system_spark.registry import register
 
 
@@ -217,3 +217,31 @@ def fn_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rand(42).alias("draw"),
         (F.rand(43) < 0.03).alias("soft_delete_flag"),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+        SELECT n.n_name, s.c_name, s.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) s
+    """,
+    tags=("sql", "join"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) — the
+    SQL-standard spelling of per-group top-k. Catalyst decorrelates it
+    into the same shuffle-on-group + in-partition sort that
+    window_topk_per_group plans, so the lateral form costs nothing
+    extra; no per-group re-scan of customer happens."""
+    n = star_view(spark, sf_dir, "nation")
+    c = star_view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT n.n_name, s.c_name, s.c_acctbal
+        FROM {n} n, LATERAL (
+            SELECT c_name, c_acctbal FROM {c} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) s
+    """)
