@@ -13,7 +13,7 @@ and order-independent — identical across partitionings and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import dsum, register, sql_dsum
@@ -530,4 +530,73 @@ def feat_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", z.alias("z"))
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                   FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+              FROM c)
+        WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent o_orderpriority per status,
+    ties to the lexicographically smallest). Counts first — the shuffle
+    carries |status x priority| partial counts, map-side combined — then
+    a window over that tiny grid picks the mode; the window never sees
+    the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), "cnt"
+        )
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS sum_qty,
+               round(
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                              * CAST(l_quantity AS DECIMAL(10,4))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
+                 6) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag. Numerator and
+    denominator are exact scaled-integer sums (registry.dmulsum/dsum), so
+    both engines divide bit-identical doubles — the quotient is then
+    deterministic and the round(6) is cosmetic, not load-bearing."""
+    from cdc_export_system_spark.registry import dmulsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dmulsum("wsum", F.col("l_extendedprice"), F.col("l_quantity")),
+    )
+    return agg.select(
+        "l_returnflag",
+        "sum_qty",
+        F.round(F.col("wsum") / F.col("sum_qty"), 6).alias("wavg_price"),
     )

@@ -227,3 +227,53 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = F.nullif(F.col("n_regionkey"), F.lit(2))
     rk = F.nullif(F.col("r_regionkey"), F.lit(2))
     return n.join(r, nk.eqNullSafe(rk)).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH fulfill AS (
+            SELECT o.o_orderkey, o.o_orderdate AS iv_start, e.last_ship AS iv_end
+            FROM orders o
+            JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                  FROM lineitem GROUP BY l_orderkey) e
+              ON o.o_orderkey = e.l_orderkey),
+        q AS (SELECT DISTINCT date_trunc('quarter', o_orderdate) AS qs FROM orders)
+        SELECT CAST(year(qs) * 10 + quarter(qs) AS INT) AS quarter_id,
+               count(*) AS n_open_orders
+        FROM fulfill JOIN q
+          ON fulfill.iv_start < qs + INTERVAL 3 MONTH AND fulfill.iv_end >= qs
+        GROUP BY qs
+    """,
+    tags=("join", "range"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: order fulfillment windows
+    [o_orderdate, max(l_shipdate)] vs calendar quarters -> open orders
+    per quarter. The quarter side is a tiny derived dim, so Spark plans a
+    broadcast nested-loop on the overlap predicate — each fact row tests
+    |quarters| intervals, no shuffle of the fact side. At 100 TB with a
+    *large* interval side, the scalable form replicates each interval to
+    its coarse time-bins and equi-joins on the bin (same bin-replicate
+    trick as dedup LSH banding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ends = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("iv_end"))
+    fulfill = orders.join(ends, orders.o_orderkey == ends.l_orderkey).select(
+        "o_orderkey", F.col("o_orderdate").alias("iv_start"), "iv_end"
+    )
+    quarters = orders.select(
+        F.date_trunc("quarter", "o_orderdate").alias("qs")
+    ).distinct()
+    cond = (F.col("iv_start") < F.col("qs") + F.expr("INTERVAL 3 MONTH")) & (
+        F.col("iv_end") >= F.col("qs")
+    )
+    return (
+        fulfill.join(F.broadcast(quarters), cond)
+        .groupBy("qs")
+        .agg(F.count(F.lit(1)).alias("n_open_orders"))
+        .select(
+            (F.year("qs") * 10 + F.quarter("qs")).cast("int").alias("quarter_id"),
+            "n_open_orders",
+        )
+    )

@@ -222,3 +222,49 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS day_num
+            FROM events),
+        isl AS (
+            SELECT user_id, day_num,
+                   day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+                       AS grp
+            FROM days)
+        SELECT user_id,
+               CAST(min(day_num) AS INT) AS start_day,
+               CAST(max(day_num) AS INT) AS end_day,
+               CAST(count(*) AS INT) AS n_days
+        FROM isl GROUP BY user_id, grp
+    """,
+    tags=("window", "analytics"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user, via the classic day_num - row_number() island key. Day numbers
+    are ints from a fixed epoch so both engines do pure integer
+    arithmetic. One shuffle on user_id shared by the dedup, the window,
+    and the rollup (all same key)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "day_num"
+        ),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_num")
+    return (
+        days.withColumn("grp", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("day_num").cast("int").alias("start_day"),
+            F.max("day_num").cast("int").alias("end_day"),
+            F.count(F.lit(1)).cast("int").alias("n_days"),
+        )
+        .drop("grp")
+    )

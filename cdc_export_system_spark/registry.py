@@ -75,6 +75,9 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.event_windows",
     "cdc_export_system_spark.streaming.joins",
+    "cdc_export_system_spark.cdc.diff",
+    "cdc_export_system_spark.operators.recursive",
+    "cdc_export_system_spark.io.zorder",
 ]
 
 

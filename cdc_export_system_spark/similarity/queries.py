@@ -142,3 +142,65 @@ def sim_pairwise_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ea"), F.col("eb")), SIM_DECIMALS).alias("cos_sim"),
         )
     )
+
+
+KNN_K = 3
+KNN_QUERY_PRED = "vec_id % 50 = 0"  # 1-in-50 of the corpus are query points
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_vec_id, embedding AS qe
+                   FROM embeddings WHERE {KNN_QUERY_PRED}),
+        sims AS (
+            SELECT q.q_vec_id, a.vec_id,
+                   round(
+                     list_aggregate(list_transform(list_zip(a.embedding, q.qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                     {SIM_DECIMALS}) AS cos_sim
+            FROM embeddings a JOIN q ON a.vec_id <> q.q_vec_id)
+        SELECT q_vec_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM sims)
+        WHERE rn <= {KNN_K}
+    """,
+    tags=("similarity", "join"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: exact top-k cosine neighbors for every query point in
+    one pass. The query side broadcasts (it is the small side by
+    construction — a sampled probe set); the corpus never shuffles until
+    the per-query top-k, whose window runs over |queries| x |corpus|
+    *similarity rows*, partitioned by query. At 100 TB the corpus side
+    stays partition-local and the broadcast is the only data movement
+    besides the top-k shuffle; beyond broadcastable query counts, the
+    IVF/LSH paths (similarity.ivf / similarity.lsh) bound the pair
+    generation instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(KNN_QUERY_PRED)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
+    )
+    sims = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("q_vec_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rank"))
+    )
