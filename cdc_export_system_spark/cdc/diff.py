@@ -90,3 +90,88 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_total",
         "new_total",
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle=f"""
+        -- the oracle recomputes the aggregate directly on the NEW snapshot;
+        -- the Spark side maintains it incrementally: base agg + changelog deltas
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(CAST(CAST(SUM(CAST(FLOOR(
+                   (CASE WHEN {_MUTATE_PRED} THEN o_totalprice * 1.1
+                         ELSE o_totalprice END) * 1000 + 0.5) AS BIGINT))
+                   AS DECIMAL(38,6)) / 1000 AS VARCHAR) AS DOUBLE) AS sum_total
+        FROM orders WHERE {_NEW_PRED}
+        GROUP BY o_orderstatus
+    """,
+    tags=("cdc", "agg"),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: keep a grouped aggregate current by
+    applying the changelog's per-group deltas to the previous result —
+    never rescanning the base snapshot.
+
+    INSERT contributes (+new, +1), DELETE (-old, -1), UPDATE
+    (+new-old, 0). Sums ride as exact integer milli-units (the mutated
+    value carries 3 decimal digits), so base + delta is exactly the
+    direct aggregate of the new snapshot (what the oracle computes).
+    Scale: the delta agg touches |changelog| rows and the merge touches
+    |groups| rows — at 100 TB with a daily 0.1% churn this is a 1000x IO
+    reduction over recompute, and it is the batch dual of Structured
+    Streaming's update-mode stateful aggregation.
+    """
+
+    def mcents(col):  # exact milli-units of a <=3dp monetary value
+        return F.floor(col * F.lit(1000) + F.lit(0.5))
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_total = F.col("o_totalprice")
+    new_total = F.when(F.expr(_MUTATE_PRED), F.col("o_totalprice") * 1.1).otherwise(
+        F.col("o_totalprice")
+    )
+
+    # yesterday's materialized aggregate (exact cents)
+    base = (
+        orders.filter(F.expr(_OLD_PRED))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum(mcents(old_total)).alias("dcents"),
+        )
+    )
+
+    in_old = F.expr(_OLD_PRED)
+    in_new = F.expr(_NEW_PRED)
+    # per-row changelog contribution (rows in neither/unchanged contribute 0,0
+    # and are filtered before the shuffle)
+    dn = (
+        F.when(~in_old & in_new, F.lit(1))  # INSERT
+        .when(in_old & ~in_new, F.lit(-1))  # DELETE
+        .otherwise(F.lit(0))  # UPDATE / no-op
+    )
+    dcents = (
+        F.when(~in_old & in_new, mcents(new_total))
+        .when(in_old & ~in_new, -mcents(old_total))
+        .when(in_old & in_new & F.expr(_MUTATE_PRED), mcents(new_total) - mcents(old_total))
+        .otherwise(F.lit(0))
+    )
+    delta = (
+        orders.select("o_orderstatus", dn.alias("dn"), dcents.alias("dcents"))
+        .filter((F.col("dn") != 0) | (F.col("dcents") != 0))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
+    )
+
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dcents").alias("cents"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.col("cents").cast("decimal(38,6)") / 1000).cast("double").alias("sum_total"),
+    )

@@ -212,3 +212,66 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(50)
     )
+
+
+TFIDF_TOP_PER_SOURCE = 10
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        tf AS (SELECT source, token, count(*) AS tf FROM tok
+               WHERE token <> '' GROUP BY source, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+               WHERE token <> '' GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.source, tf.token, tf.tf, df.df,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+        SELECT source, token, tf, df, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY tfidf DESC, token) AS rn
+              FROM scored)
+        WHERE rn <= {TFIDF_TOP_PER_SOURCE}
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinguishing terms per source: corpus-wide document
+    frequency joined to per-source term frequency, top-k per source.
+
+    Shuffle budget: one explode (map-side, no shuffle), one |source x
+    token| tf agg, one |token| df agg (both map-side combined), then the
+    df side — O(vocab) rows — joins the tf side; N is a broadcast scalar.
+    The final window runs over the |source x token| grid, never the token
+    stream. idf uses the smoothed ln((N+1)/(df+1)); tf and df are exact
+    ints in both engines, so the double product matches bit-for-bit and
+    the 6 dp rounding is cosmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver scalar, broadcast into the expression
+    scored = tf.join(df, "token").select(
+        "source",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_PER_SOURCE)
+        .drop("rn")
+    )

@@ -245,3 +245,52 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c.c_nationkey = n.n_nationkey
             ORDER BY c_acctbal DESC, c_name LIMIT 2) s
     """)
+
+
+@register(
+    "reshape_date_spine",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                   CAST(max(o_orderdate) AS DATE) AS hi
+            FROM orders),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+            FROM orders GROUP BY 1)
+        SELECT CAST(datediff('day', DATE '1992-01-01', spine.d) AS INT) AS day_num,
+               COALESCE(daily.n, 0) AS n_orders
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("reshape", "join"),
+)
+def reshape_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense date spine with zero-filled gaps: sequence() the [min, max]
+    date range, explode, left-join the daily counts. The spine derives
+    from a 1-row global agg (broadcast), so the only real shuffle is the
+    daily count's map-side-combined agg; the left join broadcasts the
+    spine (|days|, tiny at any data scale — time doesn't grow with TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 DAY)")).alias("d")
+    )
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+            .cast("int")
+            .alias("day_num"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_orders"),
+        )
+    )

@@ -78,6 +78,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.cdc.diff",
     "cdc_export_system_spark.operators.recursive",
     "cdc_export_system_spark.io.zorder",
+    "cdc_export_system_spark.similarity.kmeans",
 ]
 
 
