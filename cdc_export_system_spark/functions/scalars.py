@@ -194,3 +194,36 @@ def fn_bitwise_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
         F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
     )
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / NULLIF(l_quantity - 25, 0) AS price_per_extra,
+               TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS line_roundtrip,
+               CAST(NULL AS BIGINT) AS overflow_sum
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("function", "scalar"),
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling surface: try_divide / try_cast / try_add
+    return NULL instead of failing — the semantics a 100 TB pipeline
+    needs (one malformed row must not kill a 10-hour job). The oracle
+    spells the same semantics with NULLIF / TRY_CAST / a known-overflow
+    NULL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "price_per_extra"
+        ),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("line_roundtrip"),
+        F.expr("try_add(CAST(9223372036854775807 AS BIGINT), l_orderkey + 1)").alias(
+            "overflow_sum"
+        ),
+    )

@@ -79,6 +79,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.recursive",
     "cdc_export_system_spark.io.zorder",
     "cdc_export_system_spark.similarity.kmeans",
+    "cdc_export_system_spark.operators.bloom_join",
 ]
 
 

@@ -100,3 +100,33 @@ def test_no_cartesian_products_anywhere(spark, name):
     p = plan_of(spark, name)
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
     assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The hand-built bloom runtime filter must drop most non-urgent fact
+    rows before the join (exactness is the oracle's job; this pins the
+    *point* of the op — shuffle reduction)."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.bloom_join import (
+        _DIM_PRED, bloom_build, bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    dim = orders.filter(F.expr(_DIM_PRED)).select("o_orderkey")
+    bitmap = bloom_build(dim, "o_orderkey")
+    total = li.count()
+    kept = li.filter(bloom_might_contain(bitmap, "l_orderkey")).count()
+    true_frac = orders.filter(F.expr(_DIM_PRED)).count() / orders.count()
+    # keep-rate must be close to the true selectivity (plus bounded FP rate)
+    assert kept / total < true_frac + 0.15
+    # and the filter must never drop a true match (no false negatives)
+    true_keys = {r.o_orderkey for r in dim.collect()}
+    matched = li.filter(F.col("l_orderkey").isin(list(true_keys)[:50])).count()
+    after = (
+        li.filter(bloom_might_contain(bitmap, "l_orderkey"))
+        .filter(F.col("l_orderkey").isin(list(true_keys)[:50]))
+        .count()
+    )
+    assert matched == after
