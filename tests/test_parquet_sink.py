@@ -46,3 +46,30 @@ def test_partitioned_write_layout_roundtrip_and_pruning(spark, tmp_path):
         .count()
     )
     assert df.count() == expected
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key + a filtered broadcast dim
+    must plan a dynamic-partition-pruning subquery on the fact scan: at
+    100 TB this is the difference between scanning every date partition
+    and only the dim-selected ones."""
+    from cdc_export_system_spark.io.sources import load_table
+
+    fact_path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_path)
+
+    dim_path = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("O", "keep"), ("F", "drop"), ("P", "drop")], ["status", "category"]
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    # a *selective equality* predicate on the dim side is what the DPP rule
+    # looks for (a bare boolean-attribute filter does not qualify)
+    dim = spark.read.parquet(dim_path).filter("category = 'keep'")
+    joined = fact.join(dim, fact.o_orderstatus == dim.status)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result is the expected partition only
+    assert joined.select("o_orderstatus").distinct().collect()[0][0] == "O"

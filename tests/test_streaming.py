@@ -207,3 +207,60 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination()
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
     assert n == ev.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Pins the append-mode late-data contract: once the event-time
+    watermark has passed a window's end, a late row for that window is
+    dropped — the principled, *bounded* version of the reference's
+    'strict >' loss semantics (reference exports.py:119, README:335)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "stream")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write_batch([(t0 + dt.timedelta(minutes=m), "a") for m in (0, 10, 20)])
+    drain()
+    # advance the watermark past the 10:00 window's end -> it finalizes
+    write_batch([(dt.datetime(2024, 1, 1, 13, 0, 0), "a")])
+    drain()
+    # NOW a 10:15 straggler arrives: watermark (12:30) > window end -> dropped
+    write_batch(
+        [(t0 + dt.timedelta(minutes=15), "a"), (dt.datetime(2024, 1, 1, 15, 0, 0), "a")]
+    )
+    drain()
+    write_batch([(dt.datetime(2024, 1, 1, 17, 0, 0), "a")])
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r.ws, []).append(r.n)
+    assert per_window[t0] == [3]  # one finalized emission, late row excluded
