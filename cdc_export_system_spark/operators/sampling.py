@@ -66,3 +66,80 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter((F.col("o_orderkey") * F.lit(KNUTH)) % 1000 < rate).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+SPLIT_SALT = 7  # decorrelates the split hash from any other sampling hash
+
+
+@register(
+    "sample_split_train_test",
+    oracle=f"""
+        SELECT doc_id, source,
+               CASE WHEN ((doc_id + {SPLIT_SALT}) * {KNUTH}) % 1000 < 800 THEN 'train'
+                    WHEN ((doc_id + {SPLIT_SALT}) * {KNUTH}) % 1000 < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: a pure function
+    of the document key, so the split survives reshards, incremental
+    appends, and engine changes — and a doc can never leak across splits
+    between pipeline runs. Zero shuffle: the label is a scan-side
+    expression. The salt decorrelates it from other hash-sampling ops on
+    the same key."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = ((F.col("doc_id") + SPLIT_SALT) * F.lit(KNUTH)) % 1000
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test").alias("split"),
+    )
+
+
+# target keep-rates per mille for the corpus mixture (default: downsample)
+MIX_RATES = {"src0": 1000, "src1": 700, "src2": 400}
+MIX_DEFAULT_RATE = 150
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS chars_kept
+        FROM documents
+        WHERE (doc_id * {KNUTH}) % 1000 <
+              CASE source WHEN 'src0' THEN {MIX_RATES['src0']}
+                          WHEN 'src1' THEN {MIX_RATES['src1']}
+                          WHEN 'src2' THEN {MIX_RATES['src2']}
+                          ELSE {MIX_DEFAULT_RATE} END
+        GROUP BY source
+    """,
+    tags=("sampling", "pipeline"),
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing — the LLM-pretraining 'data recipe' op:
+    per-source target rates (upweight curated sources, downsample the
+    crawl) applied as deterministic hash sampling, so the mixture is
+    exactly reproducible and composes across incremental ingests. The
+    whole recipe is one scan predicate (no shuffle until the reporting
+    agg); changing weights re-selects supersets/subsets, never a
+    disjoint re-roll."""
+    from cdc_export_system_spark.registry import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("source") == "src0", MIX_RATES["src0"])
+    for s, r in list(MIX_RATES.items())[1:]:
+        rate = rate.when(F.col("source") == s, r)
+    rate = rate.otherwise(MIX_DEFAULT_RATE)
+    return (
+        docs.filter((F.col("doc_id") * F.lit(KNUTH)) % 1000 < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            dsum(F.col("n_chars").cast("double"), "chars_kept"),
+        )
+    )
