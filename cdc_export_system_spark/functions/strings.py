@@ -122,3 +122,39 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("rk_a") == F.col("rk_b")) & (F.col("key_a") < F.col("key_b")))
         .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("edit_dist"))
     )
+
+
+@register(
+    "fn_url_suite",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' || doc_id
+                       || '?lang=' || lang AS url
+            FROM documents)
+        SELECT doc_id, url,
+               split_part(split_part(url, '://', 2), '/', 1) AS host,
+               split_part(substr(split_part(url, '://', 2),
+                                 strpos(split_part(url, '://', 2), '/')),
+                          '?', 1) AS path,
+               split_part(split_part(url, 'lang=', 2), '&', 1) AS lang_param
+        FROM u
+    """,
+    tags=("function", "string"),
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the web-crawl pipeline primitive (host for
+    per-domain dedup/rate stats, path, query params). URLs synthesized
+    deterministically from document columns; parse_url runs JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -277,3 +277,68 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_open_orders",
         )
     )
+
+
+@register(
+    "join_interval_bins",
+    oracle="""
+        WITH fulfill AS (
+            SELECT o.o_orderkey, o.o_orderdate AS iv_start, e.last_ship AS iv_end
+            FROM orders o
+            JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                  FROM lineitem GROUP BY l_orderkey) e
+              ON o.o_orderkey = e.l_orderkey),
+        q AS (SELECT DISTINCT date_trunc('quarter', o_orderdate) AS qs FROM orders)
+        SELECT CAST(year(qs) * 10 + quarter(qs) AS INT) AS quarter_id,
+               count(*) AS n_open_orders
+        FROM fulfill JOIN q
+          ON fulfill.iv_start < qs + INTERVAL 3 MONTH AND fulfill.iv_end >= qs
+        GROUP BY qs
+    """,
+    tags=("join", "range"),
+)
+def join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable form of join_interval_overlap (same oracle, pinned
+    identical): each interval is REPLICATED to the quarter bins it spans
+    (explode of a sequence — map-side, fan-out = interval length in
+    quarters), then a plain shuffled EQUI-join on the bin replaces the
+    nested-loop overlap predicate. At 100 TB this is the difference
+    between |facts| x |intervals| probe work and a hash join whose build
+    side is the bin dimension. tests/test_plan_quality.py pins that no
+    nested-loop appears here."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ends = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("iv_end"))
+    fulfill = orders.join(ends, orders.o_orderkey == ends.l_orderkey).select(
+        "o_orderkey", F.col("o_orderdate").alias("iv_start"), "iv_end"
+    )
+    quarters = orders.select(
+        F.date_trunc("quarter", "o_orderdate").alias("qs")
+    ).distinct()
+    # A quarter qs overlaps [iv_start, iv_end] iff
+    # trunc(iv_start) <= qs <= trunc(iv_end); the guard handles reversed
+    # intervals (shipdate precedes orderdate in the synthetic data), whose
+    # match set is empty once the quarters diverge.
+    binned = fulfill.select(
+        "o_orderkey",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN date_trunc('quarter', iv_start) <= date_trunc('quarter', iv_end)
+                     THEN sequence(date_trunc('quarter', iv_start),
+                                   date_trunc('quarter', iv_end), INTERVAL 3 MONTH)
+                     ELSE array()
+                END
+                """
+            )
+        ).alias("bin"),
+    )
+    return (
+        binned.join(quarters, binned.bin == quarters.qs)
+        .groupBy("qs")
+        .agg(F.count(F.lit(1)).alias("n_open_orders"))
+        .select(
+            (F.year("qs") * 10 + F.quarter("qs")).cast("int").alias("quarter_id"),
+            "n_open_orders",
+        )
+    )

@@ -294,3 +294,32 @@ def reshape_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_orders"),
         )
     )
+
+
+@register(
+    "reshape_pivot_dynamic",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                   AS "4-NOT SPECIFIED",
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("reshape",),
+)
+def reshape_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with RUNTIME column discovery: no values list, so Spark runs
+    the extra distinct pass to find the pivot columns, then the pivot
+    itself. The oracle enumerates the (deterministic) domain. At scale
+    prefer the explicit-values form (one pass); this op pins that the
+    discovery path yields identical results."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .count()
+        .na.fill(0)
+    )
