@@ -1,0 +1,65 @@
+"""Source-connector robustness: schema evolution across parquet files and
+malformed-row handling on CSV ingest — the failure modes a 100 TB ingest
+hits daily (a new producer adds a column; one bad row must not kill the
+job, echoing the reference's transactional all-or-nothing job wrapper but
+at per-row granularity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.mode("append").parquet(d)
+    # v2 of the producer adds a column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", True).parquet(d)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None  # old files surface the new column as NULL
+    assert rows[2].score == 9.5
+    # and filters on the evolved column still push down / evaluate
+    assert merged.filter(F.col("score") > 9).count() == 1
+
+
+def test_csv_permissive_and_dropmalformed(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,notanumber,3.25\n"  # malformed qty
+        "3,7,1.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3  # nothing dropped; the bad row is quarantined
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(bad) == 1 and bad[0].id == 2 and bad[0].qty is None
+
+    dropped = (
+        spark.read.schema(
+            T.StructType(schema.fields[:3])
+        )
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
