@@ -175,3 +175,35 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("cents").cast("decimal(38,6)") / 1000).cast("double").alias("sum_total"),
     )
+
+
+@register(
+    "cdc_compact_changelog",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                     lag(l_quantity) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber) AS prev_qty
+              FROM lineitem)
+        WHERE prev_qty IS NULL OR l_quantity <> prev_qty
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: drop no-op updates (consecutive versions of
+    a key with an unchanged value) before they cost downstream IO — the
+    delta-export consumer's dual of the reference's 'only latest state'
+    collapse (reference README:335), keeping every *transition* instead
+    of only the last. One shuffle on the key; the lag window and the
+    filter run on data already clustered by it. (Versions here are
+    lineitems ordered by linenumber within an order — a deterministic
+    stand-in changelog on the shared testdata.)"""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("prev_qty", F.lag("l_quantity").over(w))
+        .filter(F.col("prev_qty").isNull() | (F.col("l_quantity") != F.col("prev_qty")))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -158,3 +158,33 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "fn_format_pad",
+    oracle="""
+        SELECT o_orderkey,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+               rpad(o_orderstatus, 4, '.') AS status_padded,
+               printf('%08d/%s', o_orderkey, o_orderstatus) AS composed,
+               repeat('-', CAST(o_orderkey % 5 AS INT)) AS dashes,
+               reverse(o_orderpriority) AS rev_priority
+        FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("function", "string"),
+)
+def fn_format_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting/padding surface: lpad/rpad/printf-style format_string/
+    repeat/reverse — fixed-width key formatting for file naming and
+    export layouts (reference filename stamping, app/main.py:31-34)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.rpad(F.col("o_orderstatus"), 4, ".").alias("status_padded"),
+        F.format_string("%08d/%s", F.col("o_orderkey"), F.col("o_orderstatus")).alias(
+            "composed"
+        ),
+        F.repeat(F.lit("-"), (F.col("o_orderkey") % 5).cast("int")).alias("dashes"),
+        F.reverse(F.col("o_orderpriority")).alias("rev_priority"),
+    )
