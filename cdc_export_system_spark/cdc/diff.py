@@ -183,7 +183,8 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
                      lag(l_quantity) OVER (PARTITION BY l_orderkey
-                                           ORDER BY l_linenumber) AS prev_qty
+                         ORDER BY l_linenumber, l_quantity, l_extendedprice)
+                         AS prev_qty
               FROM lineitem)
         WHERE prev_qty IS NULL OR l_quantity <> prev_qty
     """,
@@ -201,7 +202,12 @@ def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (orderkey, linenumber) is NOT unique in the testdata: the extra sort
+    # keys make the version order total, so lag() is deterministic in both
+    # engines (rows tied on all three keys compare equal for the filter).
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice"
+    )
     return (
         li.withColumn("prev_qty", F.lag("l_quantity").over(w))
         .filter(F.col("prev_qty").isNull() | (F.col("l_quantity") != F.col("prev_qty")))
