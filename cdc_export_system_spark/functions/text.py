@@ -275,3 +275,77 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_PER_SOURCE)
         .drop("rn")
     )
+
+
+CHUNK_TOKENS = 12
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        chunks AS (
+            SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT) + 1),
+                           i -> {{'pos': CAST(i AS INT),
+                                  'chunk': array_to_string(
+                                      toks[(i - 1) * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS}],
+                                      ' ')}})) AS u
+                FROM tok)),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+            FROM chunks)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               floor(count(*) FILTER (WHERE rn = 1) * 1000000.0 / count(*) + 0.5)
+                   / 1000000 AS keep_ratio
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup — the LLM-corpus pass that removes repeated
+    boilerplate *within* otherwise-unique documents: split each doc into
+    fixed-size token chunks, keep only the globally-first occurrence of
+    each chunk (first = lowest (doc_id, pos) — deterministic), report the
+    per-doc survival ratio.
+
+    Scale: the only shuffle keys are chunk *strings* (at production scale,
+    hash them first — same plan shape as dedup/minhash.py's digests);
+    keep-first is one window over the chunk groups, and the per-doc
+    rollup reuses nothing heavier than a |chunks| exchange. No pairwise
+    comparison ever materializes."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(1, CAST(ceil(size(split(text, ' ')) / {CHUNK_TOKENS}.0) AS INT)),
+                          i -> concat_ws(' ', slice(split(text, ' '),
+                                                    (i - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))
+                """
+            )
+        ).alias("pos0", "chunk"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "chunk")
+    w = W.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+        (
+            F.floor(
+                F.sum((F.col("rn") == 1).cast("bigint")) * 1000000.0
+                / F.count(F.lit(1))
+                + 0.5
+            )
+            / 1000000
+        ).alias("keep_ratio"),
+    )
