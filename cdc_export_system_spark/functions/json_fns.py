@@ -54,3 +54,28 @@ def json_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               CAST(NULL AS INT) AS missing_field
+        FROM events WHERE event_id < 500
+    """,
+    tags=("json", "variant"),
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse once
+    into the binary variant encoding, then typed path extraction —
+    the open-format answer to schema-on-read JSON at scale (single parse,
+    columnar-shredded access, no per-query string re-parse). try_variant_get
+    returns NULL for absent paths instead of failing mid-job."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
+    )
