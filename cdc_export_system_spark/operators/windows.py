@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table, star_view
-from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.registry import dsum, register
 
 
 @register(
@@ -267,4 +267,40 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_days"),
         )
         .drop("grp")
+    )
+
+
+@register(
+    "window_mom_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1)
+        SELECT ym, revenue,
+               round((revenue - lag(revenue) OVER (ORDER BY ym))
+                     / lag(revenue) OVER (ORDER BY ym), 6) AS mom_growth
+        FROM monthly
+    """,
+    tags=("window", "agg", "analytics"),
+)
+def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: aggregate to the monthly series FIRST
+    (map-side-combined, |months| rows), then a lag window over the tiny
+    series. The unpartitioned window is safe exactly because its input is
+    the aggregated series — never put one over the fact table. Revenue is
+    an exact decimal sum, so both engines divide identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym")
+    ).agg(dsum(F.col("o_totalprice"), "revenue"))
+    w = W.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "ym",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
