@@ -323,3 +323,27 @@ def reshape_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+_EXISTS_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.09)
+"""
+
+
+@register(
+    "sql_exists_correlated",
+    oracle=_EXISTS_SQL,
+    tags=("sql", "subquery", "join"),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL parser: Catalyst
+    decorrelates both into a left-semi and a left-anti join on the
+    correlation key — never a per-row subquery execution. The identical
+    statement runs as the oracle."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_EXISTS_SQL)
