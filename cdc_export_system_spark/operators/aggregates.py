@@ -600,3 +600,28 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         F.round(F.col("wsum") / F.col("sum_qty"), 6).alias("wavg_price"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one statement: Catalyst plans one
+    Expand (row replicated per distinct set) feeding a single shuffle —
+    not one pass per distinct column. At extreme scale swap for
+    approx_count_distinct per column (agg_approx_distinct) and keep one
+    non-expanded pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -316,3 +316,30 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.exceptAll(supp)
+
+
+@register(
+    "setop_union_missing_cols",
+    oracle="""
+        SELECT n_nationkey AS key, n_name AS name, n_regionkey AS regionkey
+        FROM nation
+        UNION ALL
+        SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS INT) AS regionkey
+        FROM region
+    """,
+    tags=("setop",),
+)
+def setop_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-mediated union where
+    absent columns surface as NULLs — the ingest-time shape for merging
+    feeds with drifting schemas (same contract tests/test_source_robustness
+    pins for parquet mergeSchema)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    return nation.unionByName(region, allowMissingColumns=True)
