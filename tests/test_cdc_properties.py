@@ -120,3 +120,44 @@ def test_delta_partitions_into_classes(spark, rows):
     }
     assert sum(counts.values()) == len(rows)
     assert set(counts) <= {"DELETE", "INSERT", "UPDATE"}
+
+
+def test_snapshot_diff_changelog_roundtrip(spark):
+    """CDC algebra: apply(diff(A, B), A) == B. The changelog emitted by
+    cdc_snapshot_diff, merged into the old snapshot (delete DELETEs,
+    upsert INSERTs/UPDATEs), must reconstruct the new snapshot exactly —
+    the invariant every downstream changelog consumer relies on."""
+    from pyspark.sql import functions as F
+
+    from cdc_export_system_spark.cdc.diff import (
+        _MUTATE_PRED, _NEW_PRED, _OLD_PRED, cdc_snapshot_diff,
+    )
+    from cdc_export_system_spark.io.sources import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    snap_old = orders.filter(F.expr(_OLD_PRED)).select(
+        "o_orderkey", F.col("o_totalprice").alias("total")
+    )
+    snap_new = orders.filter(F.expr(_NEW_PRED)).select(
+        "o_orderkey",
+        F.when(F.expr(_MUTATE_PRED), F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+    )
+    log = cdc_snapshot_diff(spark, SF_DIR)
+
+    # merge: drop DELETEd and UPDATEd keys from A, add new values from log
+    dead_or_changed = log.filter(F.col("operation").isin("DELETE", "UPDATE")).select(
+        F.col("o_orderkey").alias("k")
+    )
+    kept = snap_old.join(
+        dead_or_changed, snap_old.o_orderkey == F.col("k"), "left_anti"
+    )
+    added = log.filter(F.col("operation").isin("INSERT", "UPDATE")).select(
+        "o_orderkey", F.col("new_total").alias("total")
+    )
+    rebuilt = kept.unionByName(added)
+
+    assert rebuilt.exceptAll(snap_new).isEmpty()
+    assert snap_new.exceptAll(rebuilt).isEmpty()
