@@ -349,3 +349,43 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("keep_ratio"),
     )
+
+
+HASH_DIM = 16  # feature-hashing bucket count (power of two)
+
+
+@register(
+    "text_hash_embedding",
+    oracle=f"""
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, {HASH_DIM}), j ->
+                   CAST(len(list_filter(
+                       list_transform(string_split(text, ' '), tok ->
+                           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+                                AS BIGINT) % {HASH_DIM}),
+                       h -> h = j)) AS INT)), ',') AS vec
+        FROM documents WHERE doc_id < 200
+    """,
+    tags=("text", "ml"),
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer: token -> md5-prefix hash -> bucket,
+    dense count vector per document — fixed dimensionality with no
+    vocabulary to build or broadcast (the property that matters at
+    100 TB: no global dictionary state, pure map). All JVM higher-order
+    functions; the same md5-prefix hash scheme as dedup/minhash.py, so
+    both engines bucket identically."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"""
+            array_join(transform(sequence(0, {HASH_DIM - 1}), j ->
+                CAST(size(filter(
+                    transform(split(text, ' '), tok ->
+                        cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)
+                            % {HASH_DIM}),
+                    h -> h = j)) AS INT)), ',')
+            """
+        ).alias("vec"),
+    )

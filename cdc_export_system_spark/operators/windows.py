@@ -304,3 +304,38 @@ def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w * 100.0) AS avg_last4
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: trailing-4-order average spend per customer.
+    Exact cents under the frame sum, so frame content — not float order —
+    determines the value; the (orderdate, orderkey) order is total, so
+    the frame is deterministic. One shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * 100.0)
+        ).alias("avg_last4"),
+    )
