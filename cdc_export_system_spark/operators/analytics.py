@@ -193,3 +193,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "feat_user_activity",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+               count(*) FILTER (WHERE event_type = 'view') AS n_views,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+               max(ts) AS last_seen,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "agg", "ml"),
+)
+def feat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-store shape that
+    feeds ranking/churn models: typed counts, active days, recency,
+    monetary total, in ONE pass over the event log (one shuffle on
+    user_id; every column is a conditional aggregate of the same scan,
+    never N per-feature joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.count_if(F.col("event_type") == "view").alias("n_views"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.max("ts").alias("last_seen"),
+        dsum(F.col("value"), "total_value"),
+    )
