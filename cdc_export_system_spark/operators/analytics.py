@@ -196,6 +196,239 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_next_transitions",
+    oracle="""
+        WITH nx AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+            FROM events)
+        SELECT event_type, next_type, count(*) AS n
+        FROM nx WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    tags=("analytics", "window"),
+)
+def event_next_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (the input to next-action models and UX flow graphs). One
+    shuffle on user_id for the lead window; the |types|x|types| rollup
+    is map-side combined on data already clustered per user, so the
+    second exchange carries at most |tasks|x25 partial rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "retention_nday",
+    oracle="""
+        WITH um AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        c AS (SELECT user_id, min(d) AS d0 FROM um GROUP BY user_id),
+        f AS (SELECT um.user_id, c.d0,
+                     bool_or(um.d = c.d0 + 1) AS r1,
+                     bool_or(um.d > c.d0 AND um.d <= c.d0 + 7) AS r7
+              FROM um JOIN c ON um.user_id = c.user_id
+              GROUP BY um.user_id, c.d0)
+        SELECT CAST(d0 AS TIMESTAMP) AS cohort_day, count(*) AS n_users,
+               count(*) FILTER (WHERE r1) AS n_d1,
+               count(*) FILTER (WHERE r7) AS n_d7
+        FROM f GROUP BY d0
+    """,
+    tags=("analytics", "agg"),
+)
+def retention_nday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 / day-7 retention per signup-day cohort. Like
+    cohort_retention, the event log collapses to per-user day SETS
+    map-side (one shuffle carrying |user-days|, not |events|); both
+    retention flags are then array predicates over the set — no second
+    pass over events, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.col("ts").cast("date")).alias("days")
+    )
+    d0 = F.array_min("days")
+    return (
+        per_user.select(
+            d0.cast("timestamp").alias("cohort_day"),
+            F.array_contains("days", F.date_add(d0, 1)).alias("r1"),
+            F.exists(
+                "days",
+                lambda d: (d > F.array_min("days"))
+                & (d <= F.date_add(F.array_min("days"), 7)),
+            ).alias("r7"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("r1")).alias("n_d1"),
+            F.count_if(F.col("r7")).alias("n_d7"),
+        )
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM events)
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               last_click_ts,
+               epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+        FROM t WHERE event_type = 'purchase'
+    """,
+    tags=("analytics", "window"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding click, as a single ignore-nulls window over
+    the event stream — zero joins, one shuffle on user_id. The
+    stream-stream join form lives in stream_join_attribution; this is
+    the batch/backfill shape (no state bound needed: the frame IS the
+    lookback)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, count(*) AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s_c,
+                   SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                       * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sq_c
+            FROM events GROUP BY user_id),
+        z AS (
+            SELECT e.user_id, e.event_id, e.value,
+                   (CAST(s.n AS DOUBLE) * CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                      - CAST(CAST(s.s_c AS VARCHAR) AS DOUBLE))
+                   / sqrt(CAST(s.n AS DOUBLE)
+                          * (CAST(s.n AS DOUBLE) * CAST(CAST(s.sq_c AS VARCHAR) AS DOUBLE)
+                             - CAST(CAST(s.s_c AS VARCHAR) AS DOUBLE)
+                               * CAST(CAST(s.s_c AS VARCHAR) AS DOUBLE))
+                          / (CAST(s.n AS DOUBLE) - 1))
+                       AS zs
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE s.n > 1
+              AND CAST(s.n AS DOUBLE) * CAST(CAST(s.sq_c AS VARCHAR) AS DOUBLE)
+                  > CAST(CAST(s.s_c AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s.s_c AS VARCHAR) AS DOUBLE))
+        SELECT user_id, event_id, value,
+               floor(zs * 1000000 + 0.5) / 1000000 AS z
+        FROM z WHERE abs(zs) >= 2.5
+    """,
+    tags=("analytics", "stats", "ml"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event outlier flagging: |z| >= 2.5 against the user's own
+    value distribution, with mean/variance from EXACT integer moments
+    (cents and cents^2 — see agg_stats_exact for why Welford-merged
+    stddev_samp is unusable under reshard). The per-user stats table is
+    |users| rows — broadcast back onto the event scan, so the whole op
+    is one shuffle (the stats groupBy) + a map-side join; the z
+    expression itself is pure codegen arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s_c"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("sq_c"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s_c").cast("double")
+    sq_d = F.col("sq_c").cast("double")
+    b = n_d * sq_d - s_d * s_d  # n * sum(x^2) - sum(x)^2, in cents^2
+    zs = (n_d * c - s_d) / F.sqrt(n_d * b / (n_d - F.lit(1)))
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") > 1) & (b > 0))
+        .withColumn("zs", zs)
+        .filter(F.abs(F.col("zs")) >= 2.5)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.floor(F.col("zs") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
+        )
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY user_id, event_type),
+        u AS (SELECT user_id, SUM(c) AS n,
+                     list_aggregate(
+                         list_transform(list(CAST(c AS DOUBLE) ORDER BY event_type),
+                                        x -> x * ln(x)), 'sum') AS sclc
+              FROM c GROUP BY user_id)
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               floor((ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE)) / ln(2)
+                     * 1000000000 + 0.5) / 1000000000 AS entropy_bits
+        FROM u
+    """,
+    tags=("analytics", "agg", "stats"),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type mix — the
+    behavioral-diversity feature. Counts aggregate exactly (map-side
+    combined ints); the c*ln(c) sum folds over the CATEGORY-SORTED count
+    list in both engines, so the float accumulation order is pinned —
+    a plain SUM(c*ln c) would be partition-order-dependent. Entropy via
+    ln(n) - sum(c ln c)/n needs only the per-category counts, never the
+    raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["c"].cast("double") * F.log(x["c"].cast("double")),
+        ).alias("sclc"),
+    )
+    n_d = F.col("n").cast("double")
+    ent = (F.log(n_d) - F.col("sclc") / n_d) / F.log(F.lit(2.0))
+    return per_user.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.floor(ent * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+@register(
     "feat_user_activity",
     oracle="""
         SELECT user_id,
