@@ -141,3 +141,68 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (north-star extension; cf. PAPERS.md — standard
+# LLM-pretraining hygiene: drop training docs sharing a long n-gram with the
+# held-out eval set).
+
+DECON_NGRAM = 8  # long n-grams: common phrases don't false-positive
+DECON_EVAL_PERMILLE = 20  # the deterministic 2% "benchmark" slice
+
+_SPARK_TOKS8 = r"split(lower(trim(text)), '\\s+')"
+_SPARK_NGRAMS8 = (
+    f"CASE WHEN size({_SPARK_TOKS8}) < {DECON_NGRAM}"
+    f"     THEN array(concat_ws(' ', {_SPARK_TOKS8}))"
+    f"     ELSE array_distinct(transform("
+    f"          sequence(1, size({_SPARK_TOKS8}) - {DECON_NGRAM} + 1),"
+    f"          i -> concat_ws(' ', slice({_SPARK_TOKS8}, i, {DECON_NGRAM})))) END"
+)
+_DUCK_TOKS8 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_NGRAMS8 = (
+    f"CASE WHEN len({_DUCK_TOKS8}) < {DECON_NGRAM}"
+    f" THEN [array_to_string({_DUCK_TOKS8}, ' ')]"
+    f" ELSE list_distinct(list_transform("
+    f"      range(1, len({_DUCK_TOKS8}) - {DECON_NGRAM} + 2),"
+    f"      i -> array_to_string({_DUCK_TOKS8}[i:i+{DECON_NGRAM}-1], ' '))) END"
+)
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+        WITH ng AS (SELECT doc_id, {_DUCK_NGRAMS8} AS ngrams FROM documents),
+        ex AS (SELECT doc_id, unnest(ngrams) AS g FROM ng),
+        eval_g AS (SELECT DISTINCT g FROM ex
+                   WHERE (doc_id * 2654435761) % 1000 < {DECON_EVAL_PERMILLE})
+        SELECT ex.doc_id, count(*) AS n_hits
+        FROM ex JOIN eval_g ON ex.g = eval_g.g
+        WHERE (ex.doc_id * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE}
+        GROUP BY ex.doc_id
+    """,
+    tags=("dedup", "pipeline", "text"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    8-token n-gram with the (deterministic-hash-sampled) eval slice.
+    The eval n-gram set is tiny relative to the corpus — broadcast it,
+    so the training scan never shuffles: flagging is a map-side semi
+    join probing a hashed set of eval n-grams. Long n-grams keep the
+    false-positive rate near zero (a shared 8-gram is quotation, not
+    coincidence). Returns flagged doc_ids + hit counts; the clean
+    corpus is the anti-join complement of this result."""
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_NGRAMS8)).alias("g")
+    )
+    is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
+    eval_g = ex.filter(is_eval).select("g").distinct()
+    return (
+        ex.filter(~is_eval)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

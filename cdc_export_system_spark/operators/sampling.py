@@ -16,7 +16,7 @@ realistic key space (< 3.5e9 keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
@@ -142,4 +142,40 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
             dsum(F.col("n_chars").cast("double"), "chars_kept"),
         )
+    )
+
+
+# per-group deterministic sample size
+GROUP_SAMPLE_K = 25
+
+
+@register(
+    "sample_uniform_per_group",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+        SELECT doc_id, source, n_chars FROM r WHERE rk <= {GROUP_SAMPLE_K}
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_uniform_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source uniform sample, the distributed reservoir:
+    rank by a keyed hash (md5 of the key — identical bytes in both
+    engines) inside each source and keep the first k. Deterministic and
+    reshard-invariant where rand()-based reservoirs are neither; one
+    shuffle on source. At 100 TB the win is the same as window_topk:
+    per-partition partial top-k before the exchange (Spark's WindowExec
+    with a rank filter prunes via TopK pushdown under AQE), so the wire
+    carries ~k rows per task, not the group."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("doc_id", "source", "n_chars")
     )

@@ -204,3 +204,55 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .select("q_vec_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rank"))
     )
+
+
+@register(
+    "sim_centroid_per_label",
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings),
+        s AS (
+            SELECT label, pos, count(*) AS n,
+                   SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                       AS s_micro
+            FROM ex GROUP BY label, pos)
+        SELECT label, CAST(pos AS INT) AS pos, n AS n_vectors,
+               floor(CAST(CAST(s_micro AS VARCHAR) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000.0) * 1000000000 + 0.5)
+                   / 1000000000 AS centroid_c
+        FROM s
+    """,
+    tags=("similarity", "agg", "ml"),
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (class centroid / nearest-centroid model
+    fit) as an EXACT vector aggregate: components are scaled to integer
+    micro-units before summing, so the centroid is reshard-reproducible
+    where a float sum's partition order is not (same argument as
+    agg_stats_exact, lifted to array columns). posexplode turns the
+    vector agg into a plain (label, pos) int-sum — map-side combinable,
+    one shuffle of |labels| x dim partial rows per task, never the raw
+    vectors. Output is the exploded (label, pos, component) grid; the
+    kmeans module shows the re-assembled array form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    )
+    micro = F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    s = ex.groupBy("label", F.col("pos0").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.sum(micro).alias("s_micro")
+    )
+    mean = F.col("s_micro").cast("double") / (
+        F.col("n_vectors").cast("double") * F.lit(1_000_000.0)
+    )
+    return s.select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("pos"),  # 1-based like the oracle
+        "n_vectors",
+        (F.floor(mean * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "centroid_c"
+        ),
+    )
