@@ -389,3 +389,72 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("vec"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        t AS (SELECT * FROM tok WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+        n AS (SELECT count(*) AS total FROM t),
+        lp AS (
+            SELECT t.doc_id, t.pos,
+                   ln(CAST(vocab.tf AS DOUBLE)) - ln(CAST(n.total AS DOUBLE)) AS lp
+            FROM t JOIN vocab ON t.token = vocab.token CROSS JOIN n),
+        d AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   list_aggregate(list(lp ORDER BY pos), 'sum') AS s
+            FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               floor(-s / CAST(n_tokens AS DOUBLE) * 1000000000 + 0.5)
+                   / 1000000000 AS avg_nll
+        FROM d
+    """,
+    tags=("text", "ml"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram LM — the classic cheap perplexity-style quality filter
+    (high avg_nll = rare-token soup, low = boilerplate). tf and the
+    token total are exact ints, so each token's ln(tf)-ln(N) matches
+    bit-for-bit across engines; the per-doc sum folds in TOKEN-POSITION
+    order in both (array_sort fold here, list(ORDER BY pos) there) so
+    the float accumulation order is pinned. Scale: one |vocab| agg
+    (map-side combined), vocab broadcast back onto the token stream —
+    the per-doc rollup is the only shuffle carrying |tokens| rows, and
+    it reduces to |docs|."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.count()  # driver scalar: exact int, same in the oracle
+    lp = tok.join(F.broadcast(vocab), "token").select(
+        "doc_id",
+        "pos",
+        (F.log(F.col("tf").cast("double")) - F.log(F.lit(float(total)))).alias("lp"),
+    )
+    d = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("s"),
+    )
+    avg_nll = -F.col("s") / F.col("n_tokens").cast("double")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(avg_nll * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "avg_nll"
+        ),
+    )

@@ -342,3 +342,41 @@ def join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_open_orders",
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH hi AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                    WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        seg AS (SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
+        SELECT COALESCE(seg.c_custkey, hi.o_custkey) AS custkey,
+               seg.c_mktsegment, hi.n_big
+        FROM seg FULL OUTER JOIN hi ON seg.c_custkey = hi.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered/aggregated sides, preserving
+    unmatched rows of both (the reconciliation shape — cdc_snapshot_diff
+    is this plus change classification). Physical note: full-outer can't
+    broadcast either side (unmatched build rows must surface), so Spark
+    plans a sort-merge join; both inputs here are pre-reduced before the
+    exchange, which is exactly what you want at 100 TB — never full-outer
+    raw fact tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hi = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    seg = cust.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    return seg.join(hi, seg.c_custkey == hi.o_custkey, "full_outer").select(
+        F.coalesce(seg.c_custkey, hi.o_custkey).alias("custkey"),
+        "c_mktsegment",
+        "n_big",
+    )
