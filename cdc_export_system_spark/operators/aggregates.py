@@ -625,3 +625,49 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "feat_minmax_scale",
+    oracle="""
+        WITH c AS (SELECT event_id, event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                   FROM events),
+        stats AS (SELECT event_type, min(vc) AS lo, max(vc) AS hi
+                  FROM c GROUP BY event_type)
+        SELECT c.event_id, c.event_type,
+               CAST(c.vc - s.lo AS DOUBLE) / CAST(s.hi - s.lo AS DOUBLE) AS scaled
+        FROM c JOIN stats s ON c.event_type = s.event_type
+        WHERE s.hi > s.lo
+    """,
+    tags=("agg", "ml", "stats"),
+)
+def feat_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — feat_standardize's
+    sibling for bounded features. min/max over exact cents are
+    order-free (unlike float sums), the |groups|-row stats table
+    broadcasts back onto the scan, and (v-lo)/(hi-lo) is one exact
+    integer subtraction per side of a single double divide — identical
+    in any engine. Degenerate constant groups (hi == lo) are excluded
+    rather than emitting NaN/Inf."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.min("vc").alias("lo"), F.max("vc").alias("hi")
+    )
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("vc") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+            ).alias("scaled"),
+        )
+    )

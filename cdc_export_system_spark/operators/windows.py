@@ -339,3 +339,75 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).over(w) * 100.0)
         ).alias("avg_last4"),
     )
+
+
+EWMA_ALPHA = 0.5  # decay 1/2: every weight is an exact power of two, so the
+# weighted sum is bit-identical across engines (pow(0.7,k) could differ ulps)
+EWMA_SPAN = 8  # finite lookback: 0.5^8 < 0.4% — the truncated-EWMA form
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+        WITH fr AS (
+            SELECT user_id, event_id, ts,
+                   list(CAST(floor(value * 100 + 0.5) AS BIGINT) / 100.0) OVER w
+                       AS vals
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, ts,
+               floor(
+                 list_aggregate(list_transform(vals,
+                     (x, i) -> x * pow(1 - {EWMA_ALPHA}, len(vals) - i)), 'sum')
+                 / list_aggregate(list_transform(vals,
+                     (x, i) -> pow(1 - {EWMA_ALPHA}, len(vals) - i)), 'sum')
+                 * 1000000000 + 0.5) / 1000000000 AS ewma
+        FROM fr
+    """,
+    tags=("window", "frame", "ml"),
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of each user's
+    event values (the smoothing feature for rate/engagement signals).
+    An exact EWMA is a sequential recurrence; the standard distributed
+    form truncates the tail (alpha^span < 0.4% here) so it becomes a
+    bounded ROWS frame — collect the frame ONCE per row, then weight by
+    recency with a JVM fold whose order is pinned by the frame order in
+    both engines (a float SUM over the frame would be order-free). One
+    shuffle on user_id, frame state bounded at span rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), W.currentRow)
+    )
+    cents_v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") / F.lit(100.0)
+    vals = F.collect_list(cents_v).over(w)
+    # Spark transform's index i is 0-based; DuckDB's is 1-based — both
+    # spell weight = (1-alpha)^(n-1-k) for element k from the oldest.
+    num = F.aggregate(
+        F.expr(
+            f"transform(__vals, (x, i) -> x * pow({1 - EWMA_ALPHA}D, size(__vals) - i - 1))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.expr(
+            f"transform(__vals, (x, i) -> pow({1 - EWMA_ALPHA}D, size(__vals) - i - 1))"
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        ev.withColumn("__vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.floor(num / den * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+                "ewma"
+            ),
+        )
+    )
