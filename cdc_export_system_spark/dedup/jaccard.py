@@ -72,3 +72,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(jac * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("jaccard"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents),
+        ex AS (SELECT doc_id, unnest(shingles) AS sh FROM tok),
+        keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
+        sizes AS (SELECT doc_id, len(shingles) AS n FROM tok),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            JOIN keep k ON k.sh = a.sh
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               floor(CAST(n_common AS DOUBLE) / sa.n * 1000000 + 0.5)
+                   / 1000000 AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| >= 0.8: finds documents
+    SUBSUMED by another (quotes, mirrors with boilerplate, partial
+    scrapes) that symmetric Jaccard misses — a doc 10% the size of its
+    superset scores ~0.1 Jaccard but 1.0 containment. Same inverted-
+    index join as dedup_ngram_jaccard (only docs sharing a non-stop
+    shingle ever meet; directed pairs, so both containment directions
+    emerge from one join), normalized by the CONTAINED side's shingle
+    count only."""
+    sh = shingles_df(load_table(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    keep = ex.groupBy("sh").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("sh")
+    ex = ex.join(keep, "sh")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cont = F.col("n_common").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "doc_a")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cont * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("containment"),
+        )
+    )
