@@ -151,13 +151,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_NGRAM = 8  # long n-grams: common phrases don't false-positive
 DECON_EVAL_PERMILLE = 20  # the deterministic 2% "benchmark" slice
 
-_SPARK_TOKS8 = r"split(lower(trim(text)), '\\s+')"
+# operates on a pre-materialized __toks column so the regex split runs
+# once per row (see shingles_df for the same pattern + rationale)
 _SPARK_NGRAMS8 = (
-    f"CASE WHEN size({_SPARK_TOKS8}) < {DECON_NGRAM}"
-    f"     THEN array(concat_ws(' ', {_SPARK_TOKS8}))"
+    f"CASE WHEN size(__toks) < {DECON_NGRAM}"
+    f"     THEN array(concat_ws(' ', __toks))"
     f"     ELSE array_distinct(transform("
-    f"          sequence(1, size({_SPARK_TOKS8}) - {DECON_NGRAM} + 1),"
-    f"          i -> concat_ws(' ', slice({_SPARK_TOKS8}, i, {DECON_NGRAM})))) END"
+    f"          sequence(1, size(__toks) - {DECON_NGRAM} + 1),"
+    f"          i -> concat_ws(' ', slice(__toks, i, {DECON_NGRAM})))) END"
 )
 _DUCK_TOKS8 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _DUCK_NGRAMS8 = (
@@ -196,8 +197,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
-        "doc_id", F.explode(F.expr(_SPARK_NGRAMS8)).alias("g")
-    )
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
+    ).select("doc_id", F.explode(F.expr(_SPARK_NGRAMS8)).alias("g"))
     is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
     eval_g = ex.filter(is_eval).select("g").distinct()
     return (
