@@ -1,0 +1,111 @@
+"""Graph operators over the part co-purchase graph (engine extension).
+
+The dedup family already runs one graph algorithm (connected components,
+dedup/cluster.py); this module rounds out the graph surface with the two
+other staples a relational engine is asked for — triangle counting and
+degree ranking — over a graph DERIVED relationally: parts are nodes,
+and an undirected edge links two parts that appear in the same order
+(the co-purchase / co-occurrence graph, same shape as doc-pair graphs
+in dedup clustering).
+
+Scale notes (100 TB posture):
+
+* Edge building is the dangerous step: an order with k parts emits
+  C(k,2) pairs. Orders here are bounded (<=7 lineitems); at scale a
+  hot-basket cap (drop orders with k > ~50, which carry no pairwise
+  signal, exactly like MAX_SHINGLE_DF in dedup/jaccard.py) bounds the
+  quadratic fan-out.
+* Triangle counting uses the canonical a<b<c orientation, so every
+  triangle is produced exactly once and the three-way self-join never
+  revisits a permutation. The standard further refinement at scale —
+  orienting edges from the lower-degree endpoint (so high-degree hubs
+  never expand) — is a one-line change on the same plan shape.
+* Both ops shuffle only the EDGE LIST (|E| rows of two longs), never
+  lineitem payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+_DUCK_EDGES = """
+        op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges, canonically oriented pa < pb."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH {_DUCK_EDGES}
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count: the cohesion metric (clustering
+    coefficient numerator). Canonical orientation a<b<c means each
+    wedge (a-b, b-c) closes against exactly one edge (a, c); two hash
+    joins on edge endpoints, shuffles carry |E| then |wedges| rows."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, "b")
+    return (
+        wedges.join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+GRAPH_TOPK = 20
+
+
+@register(
+    "graph_degree_topk",
+    oracle=f"""
+        WITH {_DUCK_EDGES},
+        deg AS (
+            SELECT p, count(*) AS degree FROM (
+                SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e
+            ) GROUP BY p)
+        SELECT p AS partkey, degree FROM deg
+        ORDER BY degree DESC, p LIMIT {GRAPH_TOPK}
+    """,
+    tags=("graph", "agg"),
+)
+def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nodes by co-purchase degree (hub detection — the nodes a
+    degree-oriented triangle count would never expand). Undirected
+    degree = occurrences on either endpoint; TakeOrdered caps the
+    result at k rows per partition before the single-partition merge."""
+    e = _edges(spark, sf_dir)
+    both = e.select(F.col("pa").alias("p")).unionAll(e.select(F.col("pb").alias("p")))
+    return (
+        both.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("p"))
+        .limit(GRAPH_TOPK)
+        .select(F.col("p").alias("partkey"), "degree")
+    )

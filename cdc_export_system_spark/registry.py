@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.dedup.minhash",
     "cdc_export_system_spark.dedup.cluster",
     "cdc_export_system_spark.operators.sampling",
+    "cdc_export_system_spark.operators.graph",
     "cdc_export_system_spark.functions.packing",
     "cdc_export_system_spark.dedup.simhash",
     "cdc_export_system_spark.dedup.jaccard",
