@@ -31,15 +31,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
 
-_DUCK_EDGES = """
+MIN_SUPPORT = 2  # an edge needs >=2 co-purchases: one co-occurrence is noise
+
+_DUCK_EDGES = f"""
         op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
-              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        e AS (SELECT a.p AS pa, b.p AS pb
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p HAVING count(*) >= {MIN_SUPPORT})
 """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-purchase edges, canonically oriented pa < pb."""
+    """Undirected co-purchase edges (canonical pa < pb) with co-occurrence
+    support >= MIN_SUPPORT. The support threshold is what makes the graph
+    family scale-stable: single co-occurrences in a large random basket
+    stream are noise and grow O(|orders|), while repeated pairs are
+    signal and grow with the real correlation structure — thresholding
+    is the frequent-itemset standard, and it bounds the density the
+    triangle join ever sees (without it, the sf0.1 wedge fan-out is
+    ~10^8 on THIS data; with it, |E| is ~3.5k at every sf)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a = op.select("o", F.col("p").alias("pa"))
@@ -47,8 +57,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "o")
         .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
         .select("pa", "pb")
-        .distinct()
     )
 
 
