@@ -63,3 +63,28 @@ def test_csv_permissive_and_dropmalformed(spark, tmp_path):
         .csv(str(p))
     )
     assert {r.id for r in dropped.collect()} == {1, 3}
+
+
+def test_hostile_session_timezone_still_matches_oracle(spark, duck):
+    """The driver hands us ITS session; if that session runs in a non-UTC
+    zone, every timestamp-bearing query would silently shift. load_table
+    must re-assert UTC (ensure_engine_conf) on each call, so even a
+    session someone switched to America/New_York matches the oracle."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from parity import compare, duck_register
+
+    from cdc_export_system_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    reg = load_all()
+    duck_register(duck, SF_DIR)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("agg_by_month", "sessionize_batch", "fn_ts_isoformat"):
+            spec = reg[name]
+            r = compare(spec.fn(spark, SF_DIR), duck, spec.oracle)
+            assert r["match"], f"{name} under hostile TZ: {r['detail']}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
