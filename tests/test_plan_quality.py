@@ -143,3 +143,40 @@ def test_bloom_prefilter_actually_prunes(spark):
         .count()
     )
     assert matched == after
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    # per-user stats (|users| rows) broadcast back onto the event scan —
+    # the big side is never shuffled for the join.
+    p = plan_of(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    # the eval-slice n-gram set broadcasts; the training-side scan joins
+    # map-side, so flagging adds no extra shuffle of the corpus.
+    p = plan_of(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_feature_scaling_broadcasts_stats(spark):
+    for name in ("feat_minmax_scale", "feat_standardize"):
+        p = plan_of(spark, name)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+
+
+def test_retention_nday_single_event_shuffle(spark):
+    # day-set collapse is the only exchange over events; flags are array
+    # predicates over the per-user set — no join, no window, no second pass.
+    p = plan_of(spark, "retention_nday")
+    assert "Join" not in p and "Window" not in p, p
+    assert nodes(p, "Exchange") == 2, p  # user collapse + cohort rollup
+
+
+def test_attribution_window_has_no_join(spark):
+    p = plan_of(spark, "attribution_last_touch")
+    assert "Join" not in p, p
+    assert nodes(p, "Exchange") == 1, p  # one user_id shuffle for the frame
