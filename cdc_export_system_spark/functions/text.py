@@ -458,3 +458,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                   FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+        uni AS (SELECT doc_id, SUM(c) AS n, count(*) AS n_distinct, max(c) AS top_c
+                FROM tf GROUP BY doc_id),
+        bi AS (SELECT t.doc_id,
+                      len(list_transform(range(1, len(toks)), 
+                          i -> toks[i] || ' ' || toks[i+1])) AS n_bigrams,
+                      len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_bigrams
+               FROM t WHERE len(toks) >= 2)
+        SELECT uni.doc_id,
+               CAST(uni.n_distinct AS DOUBLE) / CAST(uni.n AS DOUBLE)
+                   AS distinct_token_ratio,
+               CAST(uni.top_c AS DOUBLE) / CAST(uni.n AS DOUBLE)
+                   AS top_token_share,
+               CAST(bi.n_bigrams - bi.n_distinct_bigrams AS DOUBLE)
+                   / CAST(bi.n_bigrams AS DOUBLE) AS dup_bigram_frac
+        FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+    tags=("text", "ml"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters in the Gopher-rules style:
+    distinct-token ratio, most-frequent-token share, and duplicate-
+    bigram fraction — the cheap signals that catch boilerplate loops
+    and keyboard-mash documents before any model-based scoring. All
+    three are ratios of EXACT per-document integer counts (token
+    multiset stats via one in-doc groupBy; bigram stats via a JVM-side
+    self-zip, no explode of bigram strings off the executor), so the
+    doubles are single divides of identical ints in both engines.
+    Per-doc group cardinality is bounded by doc length; the only
+    shuffle keys are (doc_id, token) then doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    ex = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    bi = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        (F.col("n_distinct").cast("double") / F.col("n").cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        (F.col("top_c").cast("double") / F.col("n").cast("double")).alias(
+            "top_token_share"
+        ),
+        (
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
