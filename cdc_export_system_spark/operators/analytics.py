@@ -460,3 +460,118 @@ def feat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "metric_rolling_wau",
+    oracle=f"""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        contrib AS (
+            SELECT user_id, d + CAST(off.o AS INTEGER) AS day
+            FROM ud JOIN generate_series(0, {WAU_WINDOW_DAYS - 1}) off(o) ON TRUE),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        SELECT CAST(days.day AS TIMESTAMP) AS day,
+               CAST(count(DISTINCT contrib.user_id) AS BIGINT) AS wau
+        FROM contrib JOIN days ON contrib.day = days.day
+        GROUP BY days.day
+    """,
+    tags=("analytics", "agg"),
+)
+def metric_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU curve. Windowed
+    COUNT DISTINCT has no distributed window form; the scalable shape is
+    the CONTRIBUTION EXPLODE: dedup to user-days (map-side sets), fan
+    each user-day out to the <=7 report days it contributes to, and
+    count distinct per day. Shuffle volume is 7x|user-days| key pairs —
+    linear, partitionable, and it beats both the 7-way self-join (7
+    scans) and a naive per-day subquery (|days| scans). Reported days
+    are restricted to days with any activity (the observed spine)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), WAU_WINDOW_DAYS - 1))
+        ).alias("day"),
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("day").cast("timestamp").alias("day"), "wau")
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+        WITH m AS (SELECT max(ts) AS now FROM events),
+        per_user AS (
+            SELECT user_id,
+                   date_diff('day', max(ts), (SELECT now FROM m)) AS recency_days,
+                   count(*) AS frequency,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS monetary_cents
+            FROM events GROUP BY user_id),
+        scored AS (
+            SELECT user_id, recency_days, frequency, monetary_cents,
+                   ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+                   ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+                   ntile(5) OVER (ORDER BY monetary_cents, user_id) AS mo
+            FROM per_user)
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(mo AS INT) AS mo,
+               CASE WHEN r >= 4 AND f >= 4 AND mo >= 4 THEN 'champion'
+                    WHEN r <= 2 AND f >= 4 THEN 'at_risk_loyal'
+                    WHEN r >= 4 AND f <= 2 THEN 'new'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """,
+    tags=("analytics", "window", "ml"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    rolled up in ONE event-log pass (exact cents), then three ntile(5)
+    scores over the |users|-sized aggregate — the windows run on the
+    reduced table, never the event stream. Ties are broken by user_id
+    so every quintile boundary is deterministic. The segment label is a
+    pure CASE over the scores (codegen); 'best' quintile is 5 on every
+    axis (recency ranked DESC: most-recent = highest score)."""
+    ev = load_table(spark, sf_dir, "events")
+    now_df = ev.agg(F.max("ts").alias("now"))  # 1 row, broadcast — no driver trip
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(now_df))
+        .select(
+            "user_id",
+            F.datediff(F.col("now").cast("date"), F.col("last_ts").cast("date")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
+    f = F.ntile(5).over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
+    mo = F.ntile(5).over(W.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
+    scored = per_user.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        r.cast("int").alias("r"), f.cast("int").alias("f"), mo.cast("int").alias("mo"),
+    )
+    seg = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("mo") >= 4), "champion")
+        .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk_loyal")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
