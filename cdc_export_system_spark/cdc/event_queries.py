@@ -30,6 +30,7 @@ WM = "2024-01-20 00:00:00"
         SELECT event_id, ts, user_id, event_type, value
         FROM events WHERE event_type <> 'error'
     """,
+    headline=True,
     tags=("cdc",),
 )
 def cdc_full_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +73,7 @@ def cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE ts > TIMESTAMP '{WM}'
     """,
+    headline=True,
     tags=("cdc",),
 )
 def cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
