@@ -59,18 +59,23 @@ def start_export_job(
     consumer_id: str,
     output_dir: str = "output",
     single_file: bool = True,
+    job_id: str | None = None,
+    filename: str | None = None,
 ) -> dict[str, Any]:
     """Run one export job synchronously; returns the job dict augmented
     with rowsExported (the reference returns 202 before the background
     task runs and never persists job state — we keep the dict shape and
-    add the outcome since the call is synchronous)."""
+    add the outcome since the call is synchronous). The HTTP facade
+    (api.py) mints job_id/filename in the route — exactly where the
+    reference mints them (app/main.py:43,31-34) — and passes them in so
+    its 202 can be sent before the job runs."""
     if not consumer_id:
         raise ValueError("X-Consumer-ID required")  # app/main.py:25-28
     if export_type not in EXPORT_TYPES:
         raise ValueError(f"unknown export type: {export_type}")  # jobs.py:39-40
 
-    job_id = str(uuid.uuid4())
-    filename = make_output_filename(export_type, consumer_id)
+    job_id = job_id or str(uuid.uuid4())
+    filename = filename or make_output_filename(export_type, consumer_id)
     filepath = f"{output_dir.rstrip('/')}/{filename}"
     _log_event(
         "export_started", jobId=job_id, exportType=export_type, consumerId=consumer_id,
