@@ -188,3 +188,34 @@ def fn_format_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("-"), (F.col("o_orderkey") % 5).cast("int")).alias("dashes"),
         F.reverse(F.col("o_orderpriority")).alias("rev_priority"),
     )
+
+
+@register(
+    "fn_base64_suite",
+    oracle="""
+        SELECT doc_id,
+               to_base64(encode(text)) AS b64,
+               length(to_base64(encode(text))) AS b64_len,
+               text = decode(from_base64(to_base64(encode(text))))
+                   AS roundtrip_ok
+        FROM documents WHERE doc_id < 100
+    """,
+    tags=("function", "string"),
+)
+def fn_base64_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round trip — the binary-safe transport
+    encoding every export/ingest boundary needs (payload columns in
+    JSON/CSV sinks). Pure codegen string ops. Spark's base64 emits
+    MIME-chunked output (CRLF every 76 chars, a JDK legacy); the
+    canonical unchunked RFC 4648 form is recovered by stripping the
+    line breaks — after that the bytes match any other engine's."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.col("text"), "UTF-8")), r"[\r\n]", ""
+    )
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.length(b64).alias("b64_len"),
+        (F.col("text") == F.decode(F.unbase64(b64), "UTF-8")).alias("roundtrip_ok"),
+    )
