@@ -180,3 +180,21 @@ def test_attribution_window_has_no_join(spark):
     p = plan_of(spark, "attribution_last_touch")
     assert "Join" not in p, p
     assert nodes(p, "Exchange") == 1, p  # one user_id shuffle for the frame
+
+
+def test_join_strategy_hints_flip_physical_join(spark):
+    # SURVEY §2.3: the engine exposes all physical join strategies; hints
+    # must actually reach the planner (broadcast pins live above — this
+    # pins the shuffle-hash escape hatch for when the build side is too
+    # big to broadcast but small enough to hash per-partition).
+    import io, contextlib
+    from cdc_export_system_spark.io.sources import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    joined = orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "ShuffledHashJoin" in buf.getvalue(), buf.getvalue()
