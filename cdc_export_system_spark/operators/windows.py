@@ -411,3 +411,109 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "window_pareto_share",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+            FROM orders GROUP BY o_custkey),
+        tot AS (SELECT SUM(rev_c) AS t, count(*) AS n FROM per_cust),
+        r AS (SELECT o_custkey, rev_c,
+                     row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rk,
+                     SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+              FROM per_cust)
+        SELECT rk AS revenue_rank, o_custkey,
+               CAST(CAST(rev_c AS VARCHAR) AS DOUBLE) / 100 AS revenue,
+               CAST(CAST(cum_c AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(tot.t AS VARCHAR) AS DOUBLE) AS cum_share,
+               CAST(rk AS DOUBLE) / tot.n AS cust_frac
+        FROM r CROSS JOIN tot
+        WHERE rk <= 100
+    """,
+    tags=("window", "analytics"),
+)
+def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: customers ranked by spend,
+    cumulative share of total against cumulative customer fraction —
+    'the top 1% of customers drive X% of revenue'. The windows run over
+    the |customers|-sized aggregate (exact cents), never orders; the
+    1-row total broadcasts. Top-100 keeps the output a curve sketch,
+    and the rank filter prunes the window output immediately."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
+    tot = per_cust.agg(
+        F.sum("rev_c").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
+    r = per_cust.select(
+        "o_custkey",
+        "rev_c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev_c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum_c"
+        ),
+    ).filter(F.col("rk") <= 100)
+    return r.crossJoin(F.broadcast(tot)).select(
+        F.col("rk").alias("revenue_rank"),
+        "o_custkey",
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        (F.col("cum_c").cast("double") / F.col("t").cast("double")).alias("cum_share"),
+        (F.col("rk").cast("double") / F.col("n")).alias("cust_frac"),
+    )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+            FROM orders GROUP BY o_custkey),
+        r AS (SELECT rev_c,
+                     row_number() OVER (ORDER BY rev_c, o_custkey) AS i
+              FROM per_cust),
+        s AS (SELECT count(*) AS n, SUM(rev_c) AS t,
+                     SUM(CAST(i AS HUGEINT) * rev_c) AS iw
+              FROM r)
+        SELECT floor((2.0 * CAST(CAST(iw AS VARCHAR) AS DOUBLE)
+                      / (n * CAST(CAST(t AS VARCHAR) AS DOUBLE))
+                      - (n + 1.0) / n) * 1000000000 + 0.5) / 1000000000
+                   AS gini
+        FROM s
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration scalar
+    behind the Pareto curve, via the rank formula
+    G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over ascending-sorted exact
+    cents (deterministic tie-break on custkey). sum(i*x) is an exact
+    integer, so the only float math is the 3-operation finalization of
+    a 1-row aggregate. The rank is a single total-order window over the
+    |customers| aggregate — the same shape as window_ntile_dist, and at
+    scale the same range-partitioned sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
+    w = W.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
+    r = per_cust.select(
+        "rev_c", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("t"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev_c")).alias("iw"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("iw").cast("double") / (n_d * F.col("t").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return s.select(
+        (F.floor(gini * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("gini")
+    )
