@@ -104,6 +104,8 @@ INTENTIONAL_BROADCAST_NLJ = {
     "cluster_kmeans_iterate",
     "sim_knn_join",  # bounded probe set broadcast; corpus never shuffles
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
+    "rfm_segmentation",  # 1-row global-max broadcast onto the |users| aggregate
+    "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
 }
 
 
