@@ -347,3 +347,30 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement runs as the oracle."""
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_EXISTS_SQL)
+
+
+_NAMED_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INT) AS order_seq,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER w AS DOUBLE) / 100 AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register(
+    "sql_named_window",
+    oracle=_NAMED_WINDOW_SQL,
+    tags=("sql", "window"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the SQL API: two window functions
+    (rank + running sum) share one ``WINDOW w AS`` definition, so the
+    statement is portable ANSI and the planner reuses a single
+    sort/exchange for both. The running sum rides the default
+    RANGE-to-current frame, which equals ROWS here because the
+    (orderdate, orderkey) order is total — both engines agree on that
+    default. Exact cents under the sum."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_NAMED_WINDOW_SQL)

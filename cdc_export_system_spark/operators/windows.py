@@ -517,3 +517,53 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         (F.floor(gini * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("gini")
     )
+
+
+MEDIAN_FRAME = 7  # trailing-7 rolling median
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+        WITH fr AS (
+            SELECT o_custkey, o_orderkey,
+                   list(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN {MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW)
+                       AS vals
+            FROM orders)
+        SELECT o_custkey, o_orderkey,
+               (CAST(list_sort(vals)[(len(vals) + 1) // 2] AS DOUBLE)
+                + CAST(list_sort(vals)[len(vals) // 2 + 1] AS DOUBLE))
+                   / 200.0 AS rolling_median
+        FROM fr
+    """,
+    tags=("window", "frame", "stats"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-order rolling median spend per customer. Median is a
+    HOLISTIC aggregate — Spark refuses it over a window frame (no
+    partial form exists) — so the distributed shape is the bounded
+    frame-list pattern (same as window_ewma): collect the <=7-row frame,
+    sort it in-expression, take the exact middle (lower+upper halved, so
+    odd frames collapse to the middle element). All values are exact
+    cents; the only float op is the final halving. State per row is
+    bounded by the frame, and the one shuffle is the o_custkey window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(MEDIAN_FRAME - 1), W.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    vals = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        ((lo.cast("double") + hi.cast("double")) / F.lit(200.0)).alias(
+            "rolling_median"
+        ),
+    )
