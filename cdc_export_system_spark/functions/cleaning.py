@@ -117,3 +117,79 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, token
         LIMIT 100
     """)
+
+
+# --- the composed pretraining recipe ----------------------------------------
+
+MIN_TOKENS = 20
+MAX_TOKENS = 200
+PIPE_SALT = 7717
+
+
+@register(
+    "pipeline_pretraining_corpus",
+    oracle=f"""
+        WITH cleaned AS (
+            SELECT doc_id, source, lang,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean
+            FROM documents),
+        scored AS (
+            SELECT *, len(string_split(clean, ' ')) AS n_tok FROM cleaned),
+        filtered AS (
+            SELECT * FROM scored
+            WHERE lang = 'en' AND n_tok BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}),
+        deduped AS (
+            SELECT md5(clean) AS fp, min(doc_id) AS doc_id
+            FROM filtered GROUP BY md5(clean)),
+        kept AS (
+            SELECT f.doc_id, f.source, f.n_tok,
+                   CASE WHEN ((f.doc_id + {PIPE_SALT}) * 2654435761) % 1000 < 900
+                        THEN 'train' ELSE 'val' END AS split
+            FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id)
+        SELECT source, split, count(*) AS n_docs,
+               SUM(n_tok) AS n_tokens
+        FROM kept GROUP BY source, split
+    """,
+    headline=True,
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining data recipe, end to end in ONE lazy plan:
+    normalize -> language + length gate -> exact dedup (first-wins by
+    min doc_id) -> leak-proof hash split -> per-(source, split) corpus
+    accounting. Every stage is a narrow transformation or a digest-keyed
+    aggregate, so Catalyst fuses the scan->clean->filter front into one
+    codegen stage; the only shuffles are the 16-byte-fingerprint dedup
+    and the final |sources x 2| rollup. This is the 'a user can run
+    their whole recipe on this engine' op: each stage also exists as a
+    standalone operator (text_clean_normalize, text_quality_score,
+    dedup_exact, sample_split_train_test, corpus_mix_weighted)."""
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("clean"),
+    )
+    scored = cleaned.withColumn("n_tok", F.size(F.split("clean", " ")))
+    filtered = scored.filter(
+        (F.col("lang") == "en")
+        & F.col("n_tok").between(MIN_TOKENS, MAX_TOKENS)
+    )
+    deduped = (
+        filtered.groupBy(F.md5("clean").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    split = F.when(
+        ((F.col("doc_id") + PIPE_SALT) * F.lit(KNUTH)) % 1000 < 900, "train"
+    ).otherwise("val")
+    kept = filtered.join(deduped, "doc_id").select(
+        "source", "n_tok", split.alias("split")
+    )
+    return kept.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
