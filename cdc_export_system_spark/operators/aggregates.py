@@ -671,3 +671,80 @@ def feat_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+
+
+_VC = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+_H = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   SUM({_VC}) AS s1,
+                   SUM(CAST({_VC} AS HUGEINT) * {_VC}) AS s2,
+                   SUM(CAST({_VC} AS HUGEINT) * {_VC} * {_VC}) AS s3,
+                   SUM(CAST({_VC} AS HUGEINT) * {_VC} * {_VC} * {_VC}) AS s4
+            FROM events GROUP BY event_type),
+        m AS (
+            SELECT event_type, n,
+                   {_H.format(x='s1')} / n AS mu,
+                   {_H.format(x='s2')} / n AS r2,
+                   {_H.format(x='s3')} / n AS r3,
+                   {_H.format(x='s4')} / n AS r4
+            FROM s)
+        SELECT event_type, n,
+               floor((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                     / ((r2 - mu * mu) * sqrt(r2 - mu * mu))
+                     * 1000000000 + 0.5) / 1000000000 AS skewness,
+               floor(((r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+                      / ((r2 - mu * mu) * (r2 - mu * mu)) - 3)
+                     * 1000000000 + 0.5) / 1000000000 AS excess_kurtosis
+        FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type from EXACT
+    integer power sums (cents^1..4 — the 3rd/4th-moment extension of
+    agg_stats_exact; Spark's own skewness()/kurtosis() stream doubles
+    and are partition-order-dependent). The four sums are one map-side-
+    combinable pass; finalization is a fixed double expression over the
+    |groups| rows, with m2^1.5 spelled m2*sqrt(m2) (libm pow ulps differ
+    across engines; mul and sqrt are correctly rounded everywhere).
+    Raw->central moment identities keep every engine on the same tree:
+    m3 = r3 - 3·mu·r2 + 2·mu^3, m4 = r4 - 4·mu·r3 + 6·mu^2·r2 - 3·mu^4."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cd = c.cast("decimal(38,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(cd * c).alias("s2"),
+        F.sum(cd * c * c).alias("s3"),
+        F.sum(cd * c * c * c).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4) * mu * r3
+        + F.lit(6) * mu * mu * r2
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3)
+    return s.select(
+        "event_type",
+        "n",
+        (F.floor(skew * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("skewness"),
+        (F.floor(kurt * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "excess_kurtosis"
+        ),
+    )
