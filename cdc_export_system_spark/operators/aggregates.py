@@ -748,3 +748,75 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+AB_GROUP_A = "click"
+AB_GROUP_B = "view"
+
+
+@register(
+    "ab_welch_ttest",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   SUM({_VC}) AS s1,
+                   SUM(CAST({_VC} AS HUGEINT) * {_VC}) AS s2
+            FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+            GROUP BY event_type),
+        m AS (
+            SELECT event_type, n,
+                   {_H.format(x='s1')} / n / 100 AS mu,
+                   (n * {_H.format(x='s2')} - {_H.format(x='s1')} * {_H.format(x='s1')})
+                       / (CAST(n AS DOUBLE) * (n - 1) * 10000.0) AS v
+            FROM s)
+        SELECT a.n AS n_a, b.n AS n_b,
+               floor(a.mu * 1000000 + 0.5) / 1000000 AS mean_a,
+               floor(b.mu * 1000000 + 0.5) / 1000000 AS mean_b,
+               floor((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n)
+                     * 1000000000 + 0.5) / 1000000000 AS t_stat
+        FROM (SELECT * FROM m WHERE event_type = '{AB_GROUP_A}') a,
+             (SELECT * FROM m WHERE event_type = '{AB_GROUP_B}') b
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic comparing event values between two
+    cohorts — the A/B-experimentation readout, computed from the same
+    exact integer moments as agg_stats_exact (one combinable pass over
+    both cohorts; Spark never sees a row twice). The |2|-row stats
+    table collapses to a single-row cross pair, so the t finalization
+    is driver-scale arithmetic on an identical double tree in both
+    engines. (Degrees of freedom/p-value are monotone in t and left to
+    the caller's lookup; the statistic is the engine's job.)"""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
+    )
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    mu = F.col("s1").cast("double") / n / F.lit(100)
+    v = (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) / (
+        nd * (n - F.lit(1)) * F.lit(10000.0)
+    )
+    m = s.select("event_type", "n", mu.alias("mu"), v.alias("v"))
+    a = m.filter(F.col("event_type") == AB_GROUP_A).select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("v").alias("v_a")
+    )
+    b = m.filter(F.col("event_type") == AB_GROUP_B).select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("v").alias("v_b")
+    )
+    t = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (F.floor(F.col("mu_a") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mean_a"),
+        (F.floor(F.col("mu_b") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mean_b"),
+        (F.floor(t * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("t_stat"),
+    )

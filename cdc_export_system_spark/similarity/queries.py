@@ -256,3 +256,74 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_c"
         ),
     )
+
+
+# --- seeded random projection (Johnson-Lindenstrauss reduce) -----------------
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic +-1 projection matrix from md5 — the 'seed' both the
+    Spark plan and the oracle SQL are generated from, so the model is
+    pinned in the query text itself (no runtime randomness)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    blocks = []
+    for j in range(RP_OUT_DIM):
+        terms = " ".join(
+            ("+" if s > 0 else "-")
+            + f" CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            for i, s in enumerate(signs[j])
+        )
+        blocks.append(
+            f"SELECT vec_id, label, CAST({j} AS INT) AS j,"
+            f" CAST(CAST(({terms}) AS VARCHAR) AS DOUBLE) / 1000000.0 AS comp"
+            f" FROM embeddings"
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "sim_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "ml"),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Johnson-Lindenstrauss) 64d -> 16d: the
+    cheap dimensionality reduction in front of LSH/clustering at scale.
+    The +-1 matrix is a pure function of an md5 seed, embedded as
+    literals in BOTH engines' query texts, so the 'random' model is
+    reproducible and versionable. Components sum exact micro-ints
+    (floor-scaled) per output dim, so no float-order hazard exists at
+    all; output is the exploded (vec_id, j, comp) grid. Per-row work is
+    16 folds over 64 JVM array slots — no shuffle before the sink."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    cols = []
+    for j in range(RP_OUT_DIM):
+        terms = " ".join(
+            ("+" if s > 0 else "-")
+            + f" CAST(floor(CAST(get(embedding, {i}) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            for i, s in enumerate(signs[j])
+        )
+        cols.append(
+            F.expr(f"CAST(({terms}) AS DOUBLE) / 1000000.0").alias(f"c{j}")
+        )
+    wide = emb.select("vec_id", "label", *cols)
+    pairs = ", ".join(f"CAST({j} AS INT), c{j}" for j in range(RP_OUT_DIM))
+    return wide.selectExpr(
+        "vec_id", "label", f"stack({RP_OUT_DIM}, {pairs}) AS (j, comp)"
+    )
