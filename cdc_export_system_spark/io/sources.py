@@ -31,6 +31,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: epoch-nanos exceed double's exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Testdata variants with isAdjustedToUTC=false arrive as TIMESTAMP_NTZ
+    # when the session pre-dates ensure_engine_conf (an already-analyzed
+    # read, or a conf the host refuses). Under the pinned UTC session the
+    # NTZ wall clock IS the UTC instant, so the cast is value-preserving
+    # and keeps every downstream operator on plain TimestampType.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

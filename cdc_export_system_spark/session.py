@@ -21,6 +21,13 @@ from pyspark.sql import SparkSession
 # long (nanoseconds) that io.sources converts to a microsecond timestamp.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# The testdata's timestamp[us] columns carry isAdjustedToUTC=false, which
+# Spark 4 infers as TIMESTAMP_NTZ by default. The engine (like the
+# reference, UTC-everywhere) wants instants: with inference off the raw
+# micros are read as TimestampType, i.e. the same wall clock DuckDB's
+# naive TIMESTAMP sees under our pinned UTC session.
+INFER_NTZ = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -44,6 +51,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
+        .config(INFER_NTZ, "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -62,4 +70,5 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set(INFER_NTZ, "false")
     return spark
