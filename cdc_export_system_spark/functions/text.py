@@ -530,3 +530,99 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bigrams").cast("double")
         ).alias("dup_bigram_frac"),
     )
+
+
+PMI_MIN_PAIR_COUNT = 5
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        uni AS (
+            SELECT tok, count(*) AS c_tok
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        bi AS (
+            SELECT t[i] AS tok_a, t[i + 1] AS tok_b, count(*) AS c_ab
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+            GROUP BY tok_a, tok_b),
+        tot AS (
+            SELECT (SELECT CAST(sum(c_tok) AS BIGINT) FROM uni) AS n_uni,
+                   (SELECT CAST(sum(c_ab) AS BIGINT) FROM bi) AS n_bi)
+        SELECT tok_a, tok_b, c_ab, ua.c_tok AS c_a, ub.c_tok AS c_b,
+               round(ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                         * CAST(n_uni AS DOUBLE))
+                        / (CAST(n_bi AS DOUBLE) * CAST(ua.c_tok AS DOUBLE)
+                           * CAST(ub.c_tok AS DOUBLE))), 6) AS pmi
+        FROM bi
+        JOIN uni ua ON bi.tok_a = ua.tok
+        JOIN uni ub ON bi.tok_b = ub.tok
+        CROSS JOIN tot
+        WHERE c_ab >= {PMI_MIN_PAIR_COUNT}
+    """,
+    tags=("text", "agg"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs, PMI = ln(P(a,b) / (P(a)P(b))) — the classic corpus-
+    statistics signal for multi-word expressions (and a tokenizer-merge
+    heuristic for training-data pipelines).
+
+    Shuffle budget: the token/bigram streams explode map-side into two
+    map-side-combined hash aggregates, so the exchanges carry |vocab| and
+    |bigram vocab| rows, never the token stream. Both unigram lookups are
+    broadcast joins (the vocabulary is tiny relative to the corpus), and
+    the corpus totals arrive as a broadcast 1-row cross join — the big
+    side is never reshuffled after its aggregate. The row set is decided
+    purely by the exact integer pair count (PMI_MIN_PAIR_COUNT), so no
+    float-ordered LIMIT; pmi itself is one ln of a quotient of exact-int
+    doubles, composed with identical association order in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    pair_structs = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        "         (x, y) -> struct(x AS tok_a, y AS tok_b))"
+    )
+    bi = (
+        docs.select(toks.alias("toks"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c_tok").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bi").cast("double")
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c_ab") >= PMI_MIN_PAIR_COUNT)
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+    )

@@ -575,3 +575,111 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+PATH_TOPK = 25
+
+
+@register(
+    "event_path_topk",
+    oracle=f"""
+        WITH stepped AS (
+            SELECT event_type AS s1,
+                   lead(event_type, 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+                   lead(event_type, 2) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+            FROM events)
+        SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path, count(*) AS n_paths
+        FROM stepped WHERE s3 IS NOT NULL
+        GROUP BY path
+        ORDER BY n_paths DESC, path
+        LIMIT {PATH_TOPK}
+    """,
+    tags=("analytics", "window"),
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the most common 3-step event sequences, via two lead()
+    taps over one per-user sort — the product-analytics 'what do users do
+    next' query. Both leads share a single window spec (one exchange +
+    sort on user_id); the path rollup is map-side combined over a domain
+    bounded by |event_type|^3, and TakeOrderedAndProject picks the head
+    with a deterministic (count, path) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        stepped.filter(F.col("s3").isNotNull())
+        .select(F.concat_ws(" > ", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+@register(
+    "attribution_time_to_convert",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM events),
+        g AS (
+            SELECT date_trunc('day', ts) AS day,
+                   epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+            FROM t
+            WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL)
+        SELECT day, count(*) AS n_conv,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p50_gap_us,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                    AS BIGINT) AS p90_gap_us,
+               CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+        FROM g GROUP BY day
+    """,
+    tags=("analytics", "window", "percentile"),
+)
+def attribution_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution per day: the last-touch
+    window (see attribution_last_touch) feeds discrete (ANSI
+    percentile_disc) percentiles of the conversion gap — an actual
+    element, so the exact-int result is engine-portable where
+    interpolated quantile_cont differs in ulps at 1e11 magnitudes. One
+    exchange for the per-user window, then a per-day aggregate whose
+    shuffle carries |attributed purchases|; the average is an explicit
+    exact-int sum / count divide so both engines produce the identical
+    double."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    gaps = (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conv"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)"
+        ).alias("p50_gap_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)"
+        ).alias("p90_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )

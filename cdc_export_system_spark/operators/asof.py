@@ -206,3 +206,90 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views = ev.filter(F.col("event_type") == "view")
     return asof_join_forward(purchases, views, "user_id", "ts", "ts", "event_id")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        ranked AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.ts AS nearest_ts, c.event_id AS nearest_id,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                                CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                                CASE WHEN c.ts <= p.ts THEN -c.event_id
+                                     ELSE c.event_id END
+                   ) AS rn
+            FROM p LEFT JOIN c ON p.user_id = c.user_id)
+        SELECT event_id, user_id, ts, nearest_ts, nearest_id,
+               epoch_us(nearest_ts) - epoch_us(ts) AS signed_gap_us
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: for each purchase, the user's click closest in
+    time in EITHER direction (ties to the earlier side, then the as-of
+    tie-break of each side). The scale shape composes both as-of
+    directions from ONE union + ONE sort: backward candidate = running
+    max over the preceding frame, forward candidate = running min over
+    the following frame — the two window aggregates share the sort order,
+    so a single exchange and a single per-key sort serve both. The
+    per-row comparison then picks the nearer candidate with no join at
+    all, where the naive form (and the oracle) cross-matches every
+    purchase against every click of the user and ranks by absolute gap.
+
+    At equal timestamps rights sort before lefts, so backward is
+    inclusive (gap 0) and forward strict — equivalent, since a gap-0
+    backward match beats any forward one under the tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("purchase", "click"))
+    is_right = (F.col("event_type") == "click").cast("int")
+    enc = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(EPOCH_BASE).cast("timestamp")))
+        * (1 << ID_BITS)
+        + F.col("event_id")
+    )
+    tagged = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        is_right.alias("__is_right"),
+        F.when(is_right == 1, enc).alias("__enc"),
+    )
+    order = W.partitionBy("user_id").orderBy(
+        "ts", F.col("__is_right").desc(), "event_id"
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "__is_right",
+        F.max("__enc")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("__b"),
+        F.min("__enc")
+        .over(order.rowsBetween(W.currentRow, W.unboundedFollowing))
+        .alias("__f"),
+    ).filter(F.col("__is_right") == 0)
+    base_us = F.unix_micros(F.lit(EPOCH_BASE).cast("timestamp"))
+    b_ts = F.timestamp_micros(F.expr(f"__b div {1 << ID_BITS}") + base_us)
+    f_ts = F.timestamp_micros(F.expr(f"__f div {1 << ID_BITS}") + base_us)
+    b_gap = F.unix_micros(F.col("ts")) - F.unix_micros(b_ts)
+    f_gap = F.unix_micros(f_ts) - F.unix_micros(F.col("ts"))
+    use_b = F.col("__b").isNotNull() & (F.col("__f").isNull() | (b_gap <= f_gap))
+    nearest_ts = F.when(use_b, b_ts).otherwise(f_ts)
+    nearest_enc = F.when(use_b, F.col("__b")).otherwise(F.col("__f"))
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest_ts.alias("nearest_ts"),
+        (nearest_enc % (1 << ID_BITS)).cast("long").alias("nearest_id"),
+        (F.unix_micros(nearest_ts) - F.unix_micros(F.col("ts"))).alias("signed_gap_us"),
+    )

@@ -64,14 +64,12 @@ def windowed_counts_stream(
     watermark are dropped — the principled version of the reference's
     'strict >' data-loss contract (exports.py:119, README:335), with the
     lateness bound explicit instead of implicit."""
-    import os
-
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # INT64 nanos in the testdata
+            T.StructField("ts", T.TimestampType()),  # timestamp[us] in the testdata
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -83,7 +81,6 @@ def windowed_counts_stream(
         # the file source wants a directory: stream the sf dir, glob one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return (
         ev.withWatermark("ts", watermark)

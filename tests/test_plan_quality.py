@@ -107,6 +107,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "rfm_segmentation",  # 1-row global-max broadcast onto the |users| aggregate
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
+    "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
 }
 
 
