@@ -88,3 +88,46 @@ def cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         op.alias("operation"), "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "cdc_changelog_stats",
+    oracle="""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CASE WHEN event_type = 'error' THEN 'DELETE'
+                        WHEN event_type = 'signup' THEN 'INSERT'
+                        ELSE 'UPDATE' END AS operation,
+                   user_id
+            FROM events)
+        SELECT day, operation, count(*) AS n_changes,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM d GROUP BY day, operation
+    """,
+    tags=("cdc", "agg"),
+)
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC observability: per-day change-volume profile of the logical
+    changelog — row counts and distinct touched keys per operation class
+    (the dashboard query behind 'did yesterday's delta look normal?').
+    One map-side-combined aggregate over the classified scan; the
+    shuffle carries |days x operations| groups plus the per-group
+    distinct-key state, never the changelog itself."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "DELETE")
+        .when(F.col("event_type") == "signup", "INSERT")
+        .otherwise("UPDATE")
+    )
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            op.alias("operation"),
+            "user_id",
+        )
+        .groupBy("day", "operation")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.countDistinct("user_id").cast("bigint").alias("n_keys"),
+        )
+    )

@@ -683,3 +683,59 @@ def attribution_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_gap_us"),
         (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
     )
+
+
+MAU_WINDOW_DAYS = 30
+
+
+@register(
+    "metric_dau_mau",
+    oracle=f"""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        dau AS (
+            SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY d),
+        contrib AS (
+            SELECT user_id, d + CAST(off.o AS INTEGER) AS day
+            FROM ud JOIN generate_series(0, {MAU_WINDOW_DAYS - 1}) off(o) ON TRUE),
+        mau AS (
+            SELECT contrib.day, CAST(count(DISTINCT contrib.user_id) AS BIGINT) AS mau
+            FROM contrib JOIN dau ON contrib.day = dau.day
+            GROUP BY contrib.day)
+        SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, mau.mau,
+               CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+        FROM dau JOIN mau ON dau.day = mau.day
+    """,
+    tags=("analytics", "agg"),
+)
+def metric_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day. Same contribution-explode shape as
+    metric_rolling_wau (windowed COUNT DISTINCT has no distributed
+    window form): dedup to user-days map-side, fan each user-day out to
+    the <=30 report days its user counts toward, count distinct per day.
+    Shuffle volume is 30x|user-days| key pairs — linear and
+    partitionable; DAU rides the same deduped user-day table for free,
+    and the final ratio is a single divide of two exact BIGINTs.
+    Reported days are the observed activity spine."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), MAU_WINDOW_DAYS - 1))
+        ).alias("day"),
+    )
+    mau = (
+        contrib.join(dau.select("day"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    )
