@@ -120,3 +120,53 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(
         _center, "event_id long, user_id long, value double, value_centered double"
     )
+
+
+UDTF_CHUNK_TOKENS = 16
+
+
+@register(
+    "udtf_lateral_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents)
+        SELECT doc_id, CAST(i AS INT) AS chunk_no,
+               array_to_string(t[(i * {UDTF_CHUNK_TOKENS} + 1)
+                               :((i + 1) * {UDTF_CHUNK_TOKENS})], ' ')
+                   AS chunk_text
+        FROM toks,
+             unnest(range(0, CAST(ceil(len(t) / {UDTF_CHUNK_TOKENS}.0)
+                                  AS BIGINT))) r(i)
+    """,
+    tags=("udf", "text"),
+)
+def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): context-window chunking of each
+    document into UDTF_CHUNK_TOKENS-token pieces via a LATERAL table function — the
+    1-row-in / k-rows-out generator shape (the UDTF analogue of
+    multimodal_frame_sample's fan-out). Arrow-batched; the chunker is
+    pure per-row Python so the operator parallelizes with the scan and
+    shuffles nothing. The whitespace tokenization (str.split) is
+    byte-identical to the oracle's regexp_split on trimmed text."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk_text string", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(0, (len(toks) + UDTF_CHUNK_TOKENS - 1) // UDTF_CHUNK_TOKENS):
+                yield i, " ".join(
+                    toks[i * UDTF_CHUNK_TOKENS : (i + 1) * UDTF_CHUNK_TOKENS]
+                )
+
+    spark.udtf.register("chunk_text", ChunkText)
+    from cdc_export_system_spark.io.sources import star_view
+
+    docs = star_view(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_no, c.chunk_text
+        FROM {docs} d, LATERAL chunk_text(d.text) c
+        """
+    )

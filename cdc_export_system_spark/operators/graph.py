@@ -121,3 +121,51 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(GRAPH_TOPK)
         .select(F.col("p").alias("partkey"), "degree")
     )
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+@register(
+    "graph_pagerank",
+    oracle=None,  # iterative float fixpoint: NumPy-pinned in tests/test_pagerank.py
+    tags=("graph", "ml"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) co-purchase graph: PAGERANK_ITERS
+    rounds of r <- (1-d)/N + d * sum(r_in/deg_in) — the canonical
+    distributed power iteration. Per round: one |E|-row shuffle join of
+    the edge list against the |V|-row rank table and one map-side-
+    combined sum by destination; the edge list itself is computed once
+    and reused. The symmetric graph has no dangling nodes (every node in
+    the edge list has out-degree >= 1), so no dangling-mass correction
+    term is needed. N is a driver scalar (O(1)); rank sums are floating
+    accumulations, hence no SQL oracle — tests/test_pagerank.py pins the
+    result against a NumPy power iteration within 1e-9."""
+    e = _edges(spark, sf_dir)
+    edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # |V|: driver scalar, broadcast into the expressions
+    d = PAGERANK_DAMPING
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                "node",
+                (F.lit((1 - d) / n) + F.lit(d) * F.col("mass")).alias("rank"),
+            )
+        )
+    return ranks

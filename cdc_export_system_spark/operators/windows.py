@@ -567,3 +567,45 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   date_trunc('year', o_orderdate) AS year,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS revenue_cents
+            FROM orders GROUP BY month, year)
+        SELECT month, revenue_cents,
+               CAST(revenue_cents AS DOUBLE)
+                   / CAST(CAST(SUM(revenue_cents) OVER (PARTITION BY year)
+                               AS BIGINT) AS DOUBLE) AS share_of_year
+        FROM m
+    """,
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total reporting: each month's fraction of its year's
+    revenue via an unpartition-keyed window SUM — over the AGGREGATED
+    monthly series (|months| rows), never the fact table, so the window
+    sort is trivial at any scale. Revenue accumulates as exact cents in
+    both engines; the share is one double divide of exact BIGINTs."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.date_trunc("year", F.col("o_orderdate")).alias("year"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "revenue_cents"
+        )
+    )
+    year_total = F.sum("revenue_cents").over(W.partitionBy("year"))
+    return m.select(
+        "month",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / year_total.cast("double")).alias(
+            "share_of_year"
+        ),
+    )
