@@ -94,6 +94,7 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
         WHERE CASE WHEN c.user_id IS NOT NULL THEN c.event_type
                    ELSE b.event_type END <> 'error'
     """,
+    headline=True,
     tags=("cdc", "join"),
 )
 def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

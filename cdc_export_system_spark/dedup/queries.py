@@ -182,6 +182,7 @@ _DUCK_NGRAMS8 = (
         WHERE (ex.doc_id * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE}
         GROUP BY ex.doc_id
     """,
+    headline=True,
     tags=("dedup", "pipeline", "text"),
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,6 +60,7 @@ FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
                {sql_dsum("value", "sum_value")}
         FROM s GROUP BY user_id, session_no
     """,
+    headline=True,
     tags=("analytics", "window"),
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

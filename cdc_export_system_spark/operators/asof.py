@@ -104,6 +104,7 @@ def asof_join(
                CAST(match % {1 << ID_BITS} AS BIGINT) AS matched_id
         FROM carried WHERE is_right = 0
     """,
+    headline=True,
     tags=("join", "asof", "window"),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

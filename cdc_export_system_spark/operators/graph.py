@@ -144,10 +144,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulations, hence no SQL oracle — tests/test_pagerank.py pins the
     result against a NumPy power iteration within 1e-9."""
     e = _edges(spark, sf_dir)
-    edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
-        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    edges = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        # the loop-invariant dataset of an iterative algorithm gets
+        # persisted (Spark's standard for power iteration): without this
+        # the lazy edge derivation re-executes inside every round's plan
+        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()  # |V|: driver scalar, broadcast into the expressions
     d = PAGERANK_DAMPING
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
