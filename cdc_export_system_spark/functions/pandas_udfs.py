@@ -109,7 +109,8 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
-    mean = float(stats["s"]) / stats["n"]  # decimal->double, then IEEE divide
+    # decimal->double, then IEEE divide; 0-row input => no mean to subtract
+    mean = float(stats["s"]) / stats["n"] if stats["n"] else 0.0
 
     def _center(batches):
         for pdf in batches:

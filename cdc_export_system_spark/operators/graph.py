@@ -154,6 +154,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()  # |V|: driver scalar, broadcast into the expressions
+    if n == 0:
+        # empty graph: no nodes, no ranks (and no 1/N to compute)
+        return deg.select(F.col("src").alias("node"), F.lit(0.0).alias("rank"))
     d = PAGERANK_DAMPING
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     for _ in range(PAGERANK_ITERS):

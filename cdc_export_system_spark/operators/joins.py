@@ -198,6 +198,9 @@ def join_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row state table would defeat pushdown)."""
     ev = load_table(spark, sf_dir, "events")
     wm = ev.agg(F.max("ts").alias("m")).first()["m"]
+    if wm is None:
+        # no state row: the reference exports nothing (exports.py:110-113)
+        return ev.filter(F.lit(False)).select("event_id", "ts", "user_id", "event_type")
     from datetime import timedelta
 
     cutoff = wm - timedelta(days=3)

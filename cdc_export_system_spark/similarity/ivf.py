@@ -94,11 +94,19 @@ def ivf_topk(
     cluster_id-partitioned corpus that is pure partition pruning, so the
     probe-side plan is scan(nprobe lists) -> dot -> TakeOrdered with no
     exchange."""
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        # empty corpus / unknown query id: no lists to train or probe —
+        # return the empty result with the contract schema (KMeans.fit
+        # on zero rows would raise, and there is nothing to rank anyway)
+        return emb.select(
+            "vec_id",
+            "label",
+            F.lit(0).cast("int").alias("cluster_id"),
+            F.lit(0.0).alias("cos_sim"),
+        ).filter(F.lit(False))
+    qvec = [float(x) for x in qrow["embedding"]]
     assigned, centroids = ivf_assign(emb, n_clusters=n_clusters, seed=seed)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == query_vec_id).first()["embedding"]
-    ]
     probe = _rank_centroids(qvec, centroids)[:nprobe]
     q = F.lit(qvec).cast("array<float>")
     return (

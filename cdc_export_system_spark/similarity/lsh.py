@@ -133,6 +133,11 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = TOP_K, radius: int = 1)
     """
     bucketed = emb.withColumn("bucket", bucket_id(F.col("embedding")))
     qrow = bucketed.filter(F.col("vec_id") == query_vec_id).select("embedding", "bucket").first()
+    if qrow is None:
+        # empty corpus / unknown query id: nothing to probe
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("cos_sim")
+        ).filter(F.lit(False))
     qvec, qbucket = F.lit(qrow["embedding"]).cast("array<float>"), qrow["bucket"]
     cand = bucketed.filter(
         (F.col("vec_id") != query_vec_id)
