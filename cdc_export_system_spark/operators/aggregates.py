@@ -355,11 +355,13 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_max_by",
-    oracle="""
+    oracle=f"""
         SELECT event_type,
-               max_by(event_id, value) AS top_event,
+               max_by(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                * {1 << 40} + event_id) AS top_event,
                max(value) AS top_value,
-               min_by(event_id, value) AS bottom_event,
+               min_by(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                * {1 << 40} + event_id) AS bottom_event,
                any_value(user_id ORDER BY event_id) AS first_user
         FROM events GROUP BY event_type
     """,
@@ -368,14 +370,21 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregation (max_by/min_by): the 'row that won'
     pattern, one hash aggregate instead of the self-join-on-max it
-    replaces. Safe here because `value` is unique within each group at
-    every SF (2dp uniform over a wide range) — max_by ties are
-    engine-nondeterministic, so don't pin ties in an oracle."""
+    replaces. The ordering value is a COMPOSITE — exact cents packed
+    with the unique event_id into one BIGINT (cents * 2^40 + id; valid
+    while id < 2^40) — not the bare value: bare max_by ties are engine-
+    AND reshard-nondeterministic (2dp values collide within a group by
+    sf0.1; the sf0.1 parity sweep caught exactly this), while the packed
+    key is a total order, so the winner is unique under any
+    partitioning."""
     ev = load_table(spark, sf_dir, "events")
+    tie = F.floor(F.col("value") * 100 + 0.5).cast("long") * F.lit(1 << 40) + F.col(
+        "event_id"
+    )
     return ev.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("top_event"),
+        F.max_by("event_id", tie).alias("top_event"),
         F.max("value").alias("top_value"),
-        F.min_by("event_id", "value").alias("bottom_event"),
+        F.min_by("event_id", tie).alias("bottom_event"),
         F.min_by("user_id", "event_id").alias("first_user"),
     )
 
