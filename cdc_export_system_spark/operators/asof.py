@@ -294,3 +294,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nearest_enc % (1 << ID_BITS)).cast("long").alias("nearest_id"),
         (F.unix_micros(nearest_ts) - F.unix_micros(F.col("ts"))).alias("signed_gap_us"),
     )
+
+
+ASOF_TOLERANCE = "INTERVAL 6 HOUR"
+ASOF_TOLERANCE_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id AS k, ts, event_id,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_right,
+                   CASE WHEN event_type = 'view'
+                        THEN (epoch_us(ts) - epoch_us(TIMESTAMP '{EPOCH_BASE}'))
+                             * {1 << ID_BITS} + event_id END AS enc
+            FROM events WHERE event_type IN ('purchase', 'view')),
+        carried AS (
+            SELECT *, max(enc) OVER (PARTITION BY k ORDER BY ts, is_right DESC, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS match
+            FROM tagged),
+        decoded AS (
+            SELECT event_id, k AS user_id, ts,
+                   TIMESTAMP '{EPOCH_BASE}' + to_microseconds(match // {1 << ID_BITS})
+                       AS m_ts,
+                   CAST(match % {1 << ID_BITS} AS BIGINT) AS m_id
+            FROM carried WHERE is_right = 0)
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= {ASOF_TOLERANCE_US}
+                    THEN m_ts END AS matched_ts,
+               CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= {ASOF_TOLERANCE_US}
+                    THEN m_id END AS matched_id
+        FROM decoded
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (pandas merge_asof's ``tolerance``):
+    the most recent view at-or-before each purchase, but only if it is
+    within 6 hours — older matches become NULL (stale state must not
+    attribute). Same single union + sort + running-max plan as join_asof;
+    the tolerance is a pure post-projection CASE, so the bound costs
+    nothing and the window state stays O(1) per key. (A pre-filter could
+    not express this: which right rows are 'too old' depends on each
+    left row's own timestamp.)"""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    matched = asof_join(purchases, views, "user_id", "ts", "ts", "event_id")
+    in_tol = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    ) <= ASOF_TOLERANCE_US
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
+        F.when(in_tol, F.col("matched_id")).alias("matched_id"),
+    )
