@@ -1,4 +1,4 @@
-"""CSV and JSON-lines source connectors, proven by round-trip.
+"""CSV, JSON-lines, and ORC source connectors, proven by round-trip.
 
 The reference's only interchange format is headered CSV (reference
 ``app/services/exports.py:20-67``); a complete engine must also *read*
@@ -49,6 +49,8 @@ def _materialize(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = df.write.mode("overwrite").option("timestampFormat", TS_FMT)
         if fmt == "csv":
             w.option("header", True).csv(base)
+        elif fmt == "orc":
+            w.orc(base)
         else:
             w.json(base)
     return base
@@ -58,7 +60,11 @@ def _read_back(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     path = _materialize(spark, sf_dir, fmt)
     schema = load_table(spark, sf_dir, "orders").schema
     r = spark.read.schema(schema).option("timestampFormat", TS_FMT)
-    return r.option("header", True).csv(path) if fmt == "csv" else r.json(path)
+    if fmt == "csv":
+        return r.option("header", True).csv(path)
+    if fmt == "orc":
+        return r.orc(path)
+    return r.json(path)
 
 
 def _orders_agg(df: DataFrame) -> DataFrame:
@@ -83,3 +89,13 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write → explicit-schema read → aggregate round-trip."""
     return _orders_agg(_read_back(spark, sf_dir, "json"))
+
+
+@register("source_orc_roundtrip", oracle=ORDERS_AGG_ORACLE, tags=("source", "orc"))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate round-trip: the other columnar
+    warehouse format, native in Spark. Unlike the text formats above it
+    keeps stripe-level min/max statistics, so filters push down on read
+    just as with parquet — it is a first-class storage format, not just
+    an ingest path."""
+    return _orders_agg(_read_back(spark, sf_dir, "orc"))
