@@ -202,3 +202,32 @@ def test_join_strategy_hints_flip_physical_join(spark):
     with contextlib.redirect_stdout(buf):
         joined.explain("formatted")
     assert "ShuffledHashJoin" in buf.getvalue(), buf.getvalue()
+
+
+def test_asof_nearest_single_sort_serves_both_directions(spark):
+    # backward running max + forward running min share one partition/order
+    # spec: ONE exchange, ONE sort, and Spark fuses both frames into a
+    # single Window node. No join anywhere (the naive form cross-matches
+    # purchases x clicks per user).
+    p = plan_of(spark, "join_asof_nearest")
+    assert nodes(p, "Exchange") == 1, p
+    assert nodes(p, "Sort") == 1, p
+    assert nodes(p, "Window") == 1, p
+    assert "Join" not in p, p
+
+
+def test_event_path_topk_window_then_bounded_rollup(spark):
+    # one user_id exchange for the two lead() taps, one exchange for the
+    # |event_type|^3-bounded path rollup, TakeOrdered for the head.
+    p = plan_of(spark, "event_path_topk")
+    assert nodes(p, "Exchange") == 2, p
+    assert nodes(p, "Window") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_time_to_convert_two_exchanges(spark):
+    # per-user attribution window exchange + per-day percentile rollup;
+    # no join back to events.
+    p = plan_of(spark, "attribution_time_to_convert")
+    assert nodes(p, "Exchange") == 2, p
+    assert "Join" not in p, p
