@@ -489,20 +489,25 @@ def metric_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     count distinct per day. Shuffle volume is 7x|user-days| key pairs —
     linear, partitionable, and it beats both the 7-way self-join (7
     scans) and a naive per-day subquery (|days| scans). Reported days
-    are restricted to days with any activity (the observed spine)."""
+    are restricted to days with any activity — and because posexplode
+    carries the offset, 'observed' is simply 'a zero-offset contribution
+    exists', so the spine costs NO second scan/branch (count_if over the
+    already-deduped user-days is exact)."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
     contrib = ud.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), WAU_WINDOW_DAYS - 1))
-        ).alias("day"),
+        ).alias("off", "day"),
     )
-    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
     return (
-        contrib.join(days, "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+            F.count_if(F.col("off") == 0).alias("n_day0"),
+        )
+        .filter(F.col("n_day0") > 0)
         .select(F.col("day").cast("timestamp").alias("day"), "wau")
     )
 
@@ -713,30 +718,32 @@ def metric_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per day. Same contribution-explode shape as
     metric_rolling_wau (windowed COUNT DISTINCT has no distributed
     window form): dedup to user-days map-side, fan each user-day out to
-    the <=30 report days its user counts toward, count distinct per day.
-    Shuffle volume is 30x|user-days| key pairs — linear and
-    partitionable; DAU rides the same deduped user-day table for free,
-    and the final ratio is a single divide of two exact BIGINTs.
-    Reported days are the observed activity spine."""
+    the <=30 report days its user counts toward via posexplode, and roll
+    up ONCE — DAU is count_if(offset == 0), exact because the user-day
+    table is already deduped (each user contributes exactly one
+    zero-offset row per active day), the observed-day spine is
+    'dau > 0', and MAU is the per-day distinct. One scan, one explode,
+    one rollup; no joins, no second pass. The final ratio is a single
+    divide of two exact BIGINTs."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    dau = ud.groupBy(F.col("d").alias("day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
-    )
     contrib = ud.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), MAU_WINDOW_DAYS - 1))
-        ).alias("day"),
+        ).alias("off", "day"),
     )
-    mau = (
-        contrib.join(dau.select("day"), "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
-    )
-    return dau.join(mau, "day").select(
-        F.col("day").cast("timestamp").alias("day"),
-        "dau",
-        "mau",
-        (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("mau"),
+            F.count_if(F.col("off") == 0).cast("bigint").alias("dau"),
+        )
+        .filter(F.col("dau") > 0)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
     )

@@ -231,3 +231,14 @@ def test_time_to_convert_two_exchanges(spark):
     p = plan_of(spark, "attribution_time_to_convert")
     assert nodes(p, "Exchange") == 2, p
     assert "Join" not in p, p
+
+
+def test_rolling_distinct_metrics_single_pass(spark):
+    # contribution-explode with posexplode-carried offsets: the observed-
+    # day spine is count_if(off == 0) inside the SAME rollup — no join,
+    # no second scan branch. Exchanges: user-day dedup + the two-phase
+    # per-day distinct.
+    for name in ("metric_rolling_wau", "metric_dau_mau"):
+        p = plan_of(spark, name)
+        assert "Join" not in p, (name, p)
+        assert nodes(p, "Exchange") == 3, (name, p)
