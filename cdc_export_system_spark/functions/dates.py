@@ -54,6 +54,8 @@ def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function", "date", "join"),
 )
 def fn_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc granularities + datediff/months_between — the calendar
+    bucketing and interval-arithmetic surface."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     orders = load_table(spark, sf_dir, "orders")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)

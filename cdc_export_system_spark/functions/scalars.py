@@ -61,6 +61,8 @@ def fn_ts_isoformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function",),
 )
 def fn_ts_strftime_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's compact filename stamp %Y%m%dT%H%M%SZ
+    (app/main.py:32) as date_format."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
     return ev.select("event_id", compact_stamp(F.col("ts")).alias("stamp"))
 

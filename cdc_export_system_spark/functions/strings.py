@@ -30,6 +30,8 @@ from cdc_export_system_spark.registry import register
     tags=("function", "string"),
 )
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, trim, substring, split, concat,
+    length — all whole-stage-codegen JVM expressions."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
@@ -83,6 +85,8 @@ def fn_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function", "hash"),
 )
 def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash surface: md5 / sha2 / crc32 over name+email —
+    the content-addressing primitives the dedup family builds on."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
         "doc_id",

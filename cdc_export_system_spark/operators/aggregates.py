@@ -167,6 +167,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "group"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    Expand pass, exact-cents sums; NULL marks the rolled-up level."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")

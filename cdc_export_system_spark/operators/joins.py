@@ -73,6 +73,8 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (customer -> orders): unmatched left rows survive
+    with NULL right columns; AQE picks broadcast for the dim side."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(

@@ -248,6 +248,7 @@ def limit_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) of two projected slices — no implicit dedup."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.unionByName(supp)
@@ -263,6 +264,7 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): plans as a left-semi join + dedup."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.intersect(supp)
@@ -278,6 +280,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): plans as a left-anti join + dedup."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     # subtract == EXCEPT DISTINCT, matching DuckDB's EXCEPT.

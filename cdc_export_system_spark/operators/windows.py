@@ -50,6 +50,8 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number under one total order (ties broken by
+    key) — one sort serves all three rank flavors."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
     return orders.select(
@@ -72,6 +74,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead taps over a per-customer order-date sort — the
+    previous/next-row comparison primitive."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(

@@ -118,6 +118,8 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh"),
 )
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: probe the query bucket and Hamming<=1
+    neighbors, exact cosine re-rank on candidates only (see lsh_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, query_vec_id=0)
 
