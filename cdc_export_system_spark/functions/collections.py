@@ -133,3 +133,39 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_vals"),
         F.element_at(F.transform_values(m, lambda k, v: v * 2), "u").alias("doubled_u"),
     )
+
+
+@register(
+    "fn_struct_suite",
+    oracle="""
+        SELECT event_id,
+               event_id AS id_field,
+               value AS v_field,
+               (value < 50 OR (value = 50 AND event_id < user_id)) AS a_lt_b,
+               CASE WHEN value < 50 OR (value = 50 AND event_id <= user_id)
+                    THEN event_id ELSE user_id END AS min_struct_id,
+               user_id AS nested_uid
+        FROM events
+    """,
+    tags=("function", "struct"),
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: construction (named fields), field access,
+    lexicographic struct comparison, array_sort over structs (min-of-pair
+    via ordering), and nesting with a two-level field path. Like
+    fn_map_suite, the oracle states every result positionally — struct
+    VALUES are the contract; the field-wise comparison semantics are
+    spelled out as the equivalent boolean expression."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
+    b = F.struct(F.lit(50.0).alias("v"), F.col("user_id").alias("id"))
+    nested = F.struct(a.alias("inner"), F.col("user_id").alias("uid"))
+    pair_min = F.get(F.array_sort(F.array(a, b)), 0)
+    return ev.select(
+        "event_id",
+        a["id"].alias("id_field"),
+        nested["inner"]["v"].alias("v_field"),
+        (a < b).alias("a_lt_b"),
+        pair_min["id"].alias("min_struct_id"),
+        nested["uid"].alias("nested_uid"),
+    )
