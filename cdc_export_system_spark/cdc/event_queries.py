@@ -131,3 +131,41 @@ def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_keys"),
         )
     )
+
+
+AS_OF = "2024-01-25 00:00:00"
+
+
+@register(
+    "cdc_point_in_time",
+    oracle=f"""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '{AS_OF}')
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) snapshot reconstruction from the changelog —
+    the time-travel query Delta Lake answers from its log, expressed over
+    a raw soft-delete changelog: restrict to changes at-or-before T,
+    collapse to the latest version per key, drop keys whose latest state
+    is a delete. One ts-pruned scan (the AS OF predicate reaches parquet
+    row-group stats) + one keyed window; the delete filter runs AFTER
+    the collapse — a key deleted before T and never reborn must NOT
+    resurrect an older live version, the classic PIT-reconstruction
+    bug."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(AS_OF).cast("timestamp")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

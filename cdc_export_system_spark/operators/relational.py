@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, star_view
 from cdc_export_system_spark.registry import register
 
 
@@ -346,3 +346,36 @@ def setop_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
     )
     return nation.unionByName(region, allowMissingColumns=True)
+
+
+_EVENT_CATEGORY_VALUES = """(VALUES ('click', 'engagement'), ('view', 'engagement'),
+            ('purchase', 'revenue'), ('signup', 'growth'),
+            ('error', 'operations')) AS m(event_type, category)"""
+
+
+@register(
+    "sql_values_inline",
+    oracle=f"""
+        SELECT m.category, count(*) AS n,
+               CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        FROM events e
+        JOIN {_EVENT_CATEGORY_VALUES} ON e.event_type = m.event_type
+        GROUP BY m.category
+    """,
+    tags=("sql", "join"),
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension: the code-as-data mapping table (event
+    taxonomy, country groups, tier thresholds) joined without any stored
+    table — the literal rows live in the plan and broadcast for free.
+    At 100 TB this is the right home for every sub-hundred-row mapping:
+    versioned with the query, no storage round trip, no cache staleness.
+    Identical SQL runs on both engines."""
+    ev = star_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT m.category, count(*) AS n,
+               CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        FROM {ev} e
+        JOIN {_EVENT_CATEGORY_VALUES} ON e.event_type = m.event_type
+        GROUP BY m.category
+    """)
