@@ -42,3 +42,84 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("payload_md5"),
         F.when(F.length(payload) > 1024, "large").otherwise("small").alias("size_class"),
     )
+
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 15  # 4 x 15 = the 60-bit hash
+PHASH_HAMMING_T = 3  # < PHASH_BANDS, so banding NEVER misses a true pair
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS ph
+            FROM documents),
+        bands AS (
+            SELECT doc_id, ph, t.i AS b,
+                   (ph >> (t.i * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS v
+            FROM d, unnest([0, 1, 2, 3]) AS t(i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(CAST(xor(da.ph, db.ph) AS BIT)) AS INT) AS hamming
+        FROM cand c
+        JOIN d da ON da.doc_id = c.doc_a
+        JOIN d db ON db.doc_id = c.doc_b
+        WHERE bit_count(CAST(xor(da.ph, db.ph) AS BIT)) <= {PHASH_HAMMING_T}
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads — the
+    image-dedup pipeline shape with a deterministic stand-in hash (60
+    bits of the payload md5; a real pHash/aHash drops in for the hash
+    expression once a decoder exists, the plan is unchanged). Banded
+    blocking: 4 bands of 15 bits; any pair within Hamming distance 3
+    shares at least one clean band (pigeonhole: 3 errors cannot dirty 4
+    bands), so candidate generation is an equi-join on (band, value) —
+    never an all-pairs scan — and the exact bit_count(xor) verify runs
+    on candidates only. Same LSH-family scale argument as the MinHash
+    dedup: shuffles carry (band, value, doc_id) triples and the
+    candidate pair list, never payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    d = docs.select("doc_id", ph.alias("ph"))
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = d.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.expr(f"shiftright(ph, {i * PHASH_BAND_BITS}) & {mask}").alias(
+                            "v"
+                        ),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ph", "bv.b", "bv.v")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "v")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "v")
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("ph").alias("ph_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("ph_b"))
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(hamming <= PHASH_HAMMING_T)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
