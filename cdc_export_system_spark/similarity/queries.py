@@ -327,3 +327,52 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         "vec_id", "label", f"stack({RP_OUT_DIM}, {pairs}) AS (j, comp)"
     )
+
+
+SIM_RADIUS = 0.25
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+        SELECT a.vec_id, a.label,
+               round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), {SIM_DECIMALS}) AS cos_sim
+        FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE a.vec_id <> {QUERY_VEC_ID}
+          AND round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), {SIM_DECIMALS})
+              >= {SIM_RADIUS}
+    """,
+    tags=("similarity",),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every vector with cosine >=
+    SIM_RADIUS of the query — the other half of the vector-search API
+    beside top-k (dedup thresholds, recall-oriented retrieval). Same
+    broadcast-1-row + scan + fold plan as sim_search_topk but with a
+    pure filter instead of TakeOrdered: no ordering state at all, so
+    the scan parallelizes perfectly and row membership is decided on
+    the ROUNDED similarity (6 dp) — boundary ulps cannot flip a row in
+    or out between engines or reshards."""
+    emb = star_view(spark, sf_dir, "embeddings")
+    spark_dot = (
+        "aggregate(zip_with(embedding, qe, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    spark_norm_a = (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return spark.sql(f"""
+        SELECT vec_id, label, cos_sim FROM (
+            SELECT vec_id, label,
+                   round({spark_dot} / ({spark_norm_a} * qnorm), {SIM_DECIMALS}) AS cos_sim
+            FROM (SELECT vec_id, label, embedding,
+                         (SELECT embedding FROM {emb} WHERE vec_id = {QUERY_VEC_ID}) AS qe,
+                         (SELECT sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+                              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                          FROM {emb} WHERE vec_id = {QUERY_VEC_ID}) AS qnorm
+                  FROM {emb}
+                  WHERE vec_id <> {QUERY_VEC_ID}))
+        WHERE cos_sim >= {SIM_RADIUS}
+    """)
