@@ -747,3 +747,129 @@ def metric_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
         )
     )
+
+
+MAD_K = 3.0
+
+
+@register(
+    "anomaly_mad",
+    oracle=f"""
+        WITH med AS (
+            SELECT user_id,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY user_id),
+        dev AS (
+            SELECT e.user_id, e.event_id, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med ON e.user_id = med.user_id),
+        mad AS (
+            SELECT user_id, min(med) AS med,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+            FROM dev GROUP BY user_id)
+        SELECT d.user_id, d.event_id, d.value, m.med, m.mad,
+               round(d.adev / m.mad, 6) AS score
+        FROM dev d JOIN mad m ON d.user_id = m.user_id
+        WHERE m.mad > 0 AND d.adev > {MAD_K} * m.mad
+    """,
+    tags=("analytics", "stats", "percentile"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    complement of anomaly_zscore for heavy-tailed values, where a single
+    spike inflates the stddev and hides itself (the MAD is 50%-breakdown
+    robust). percentile_disc keeps every statistic an actual data
+    element, so all derived doubles are identical across engines and
+    reshards (see attribution_time_to_convert). Shape: two grouped
+    medians over the user key + the deviations rejoined — both stats
+    tables are |users|-sized and broadcast back onto the scan (the
+    anomaly_zscore pattern); membership compares exact doubles, no
+    float-ordered LIMIT."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "user_id").select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.min("med").alias("med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > MAD_K * F.col("mad")))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "med",
+            "mad",
+            F.round(F.col("adev") / F.col("mad"), 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, min(date_trunc('month', ts)) AS cohort
+            FROM events GROUP BY user_id),
+        p AS (
+            SELECT c.cohort,
+                   CAST(date_diff('month', c.cohort, date_trunc('month', e.ts))
+                        AS INT) AS month_offset,
+                   CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'),
+        g AS (
+            SELECT cohort, month_offset, SUM(cents) AS rev_cents
+            FROM p GROUP BY cohort, month_offset)
+        SELECT cohort, month_offset, rev_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_offset
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_rev_cents
+        FROM g
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per signup cohort: purchase
+    revenue bucketed by (cohort month, month offset) in exact cents,
+    then a running sum over the AGGREGATED |cohorts x offsets| grid —
+    the window never touches the event stream (the window_mom_growth
+    rule). Cohort resolution is a |users|-sized aggregate broadcast
+    onto the purchase scan."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", F.col("ts"))).alias("cohort")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .select(
+            "cohort",
+            F.months_between(F.date_trunc("month", F.col("ts")), F.col("cohort"))
+            .cast("int")
+            .alias("month_offset"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    g = p.groupBy("cohort", "month_offset").agg(F.sum("cents").alias("rev_cents"))
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "month_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
