@@ -379,3 +379,34 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN {_EVENT_CATEGORY_VALUES} ON e.event_type = m.event_type
         GROUP BY m.category
     """)
+
+
+@register(
+    "sql_group_by_all",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               date_trunc('year', o_orderdate) AS order_year,
+               count(*) AS n,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    tags=("sql", "agg"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar: GROUP BY ALL / ORDER BY ALL — every
+    non-aggregate select item becomes a grouping (then ordering) key.
+    Spark 4 and DuckDB both support the clause, so the statement runs
+    verbatim on either engine; the plan is the ordinary partial/final
+    hash aggregate."""
+    orders = star_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               date_trunc('year', o_orderdate) AS order_year,
+               count(*) AS n,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+        FROM {orders}
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
