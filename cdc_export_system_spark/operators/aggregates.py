@@ -831,3 +831,80 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("mu_b") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mean_b"),
         (F.floor(t * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("t_stat"),
     )
+
+
+@register(
+    "feat_forward_fill",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS raw_value,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM events
+    """,
+    tags=("feature", "window"),
+)
+def feat_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation (last observation carried forward): a sparse
+    signal — here 'value observed only on purchase events' — is carried
+    forward along each user's timeline with one ignore-nulls window.
+    The standard gap-fill for sensor/price/feature series before
+    training: one shuffle + sort per key, no joins, no self-scan; rows
+    before the first observation stay NULL (LOCF never invents data
+    backward)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "feat_quantile_bucketize",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice <= (SELECT percentile_disc(0.25)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM orders) THEN 1
+                    WHEN o_totalprice <= (SELECT percentile_disc(0.5)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM orders) THEN 2
+                    WHEN o_totalprice <= (SELECT percentile_disc(0.75)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM orders) THEN 3
+                    ELSE 4 END AS bucket
+        FROM orders
+    """,
+    tags=("feature", "percentile"),
+)
+def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile feature binning: assign each row its quantile bucket with
+    thresholds from percentile_disc — actual data elements, so bucket
+    boundaries are exact and engine/reshard-identical (an interpolated
+    quantile could put a boundary BETWEEN two floats and flip rows by
+    ulps). The three scalar subqueries evaluate once and broadcast into
+    the scan's CASE — the Bucketizer pattern without collecting the
+    column. Identical statement runs on both engines."""
+    from cdc_export_system_spark.io.sources import star_view
+
+    orders = star_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice <= (SELECT percentile_disc(0.25)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 1
+                    WHEN o_totalprice <= (SELECT percentile_disc(0.5)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 2
+                    WHEN o_totalprice <= (SELECT percentile_disc(0.75)
+                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 3
+                    ELSE 4 END AS bucket
+        FROM {orders}
+    """)
