@@ -908,3 +908,36 @@ def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 4 END AS bucket
         FROM {orders}
     """)
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4's bitmap aggregates — the
+    warehouse bitmap-index path (Snowflake/ClickHouse style): bucket the
+    key space into 32k-bit bitmaps, OR the position bits per bucket
+    map-side, then sum the per-bucket popcounts. Unlike
+    approx_count_distinct this is exact, and unlike COUNT(DISTINCT) the
+    partial state is a fixed-width bitmap per (group, bucket) — fully
+    mergeable, so re-aggregation across partitions/days composes without
+    ever re-touching rows (precompute bitmaps per day, OR them for any
+    date range). Oracle = plain exact COUNT(DISTINCT): the numbers must
+    agree because the bitmap path IS exact."""
+    from cdc_export_system_spark.io.sources import star_view
+
+    ev = star_view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_type, sum(bitmap_count(w)) AS n_users FROM (
+            SELECT event_type, bitmap_bucket_number(user_id) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(user_id)) AS w
+            FROM {ev}
+            GROUP BY event_type, bitmap_bucket_number(user_id))
+        GROUP BY event_type
+    """)
