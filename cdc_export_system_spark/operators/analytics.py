@@ -873,3 +873,65 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+@register(
+    "sessionize_metrics",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            <= {SESSION_GAP_S} * 1000000
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_no
+            FROM g),
+        sess AS (
+            SELECT user_id, session_no,
+                   date_trunc('day', min(ts)) AS day,
+                   count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+            FROM s GROUP BY user_id, session_no)
+        SELECT day,
+               count(*) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+               SUM(n_events) AS total_events,
+               CAST(SUM(dur_us) AS DOUBLE) / count(*) AS avg_dur_us
+        FROM sess GROUP BY day
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def sessionize_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality dashboard rollup: sessions, unique users, bounce
+    (single-event) sessions, and mean duration per day — the query a
+    product team runs on yesterday's sessionization output. Same single
+    event-shuffle as sessionize_batch; the per-session rollup rides the
+    user_id clustering and the daily rollup's shuffle carries |sessions|
+    rows. A session belongs to the day it STARTED (min ts), so day
+    boundaries never split a session's metrics. The mean duration is an
+    explicit exact-int sum / count divide."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us <= SESSION_GAP_S * 1_000_000, F.lit(0)).otherwise(F.lit(1))
+    sess = (
+        ev.withColumn("session_no", F.sum(new_sess).over(w).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("day"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count_if(F.col("n_events") == 1).alias("n_bounces"),
+        F.sum("n_events").alias("total_events"),
+        (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias("avg_dur_us"),
+    )
