@@ -177,3 +177,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM op),
+        item AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+        pair AS (SELECT a.p AS pa, b.p AS pb, count(*) AS c_ab
+                 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                 GROUP BY a.p, b.p HAVING count(*) >= {MIN_SUPPORT})
+        SELECT pair.pa, pair.pb, pair.c_ab,
+               ia.c AS c_a, ib.c AS c_b,
+               round(CAST(pair.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE), 6)
+                   AS confidence_a_to_b,
+               round((CAST(pair.c_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+                     / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)), 6) AS lift
+        FROM pair
+        JOIN item ia ON pair.pa = ia.p
+        JOIN item ib ON pair.pb = ib.p
+        CROSS JOIN n
+    """,
+    tags=("graph", "agg", "ml"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased part pairs:
+    support count, confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — the
+    frequent-itemset readout behind 'customers who bought X also
+    bought Y'. Same support-thresholded pair generation as the graph
+    family (the quadratic fan-out is bounded per basket and thresholded
+    pairs grow with real correlation, not noise); per-item counts are a
+    |parts|-sized aggregate broadcast onto the pair list, and the basket
+    total is a broadcast 1-row cross join. All ratios are single divides
+    of exact integer counts composed identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n_baskets = op.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_SUPPORT)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

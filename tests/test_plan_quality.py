@@ -108,6 +108,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
+    "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
 }
 
 
