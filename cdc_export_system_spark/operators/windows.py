@@ -613,3 +613,73 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_year"
         ),
     )
+
+
+ROLLZ_FRAME = 10  # trailing observations (excluding the current row)
+
+
+@register(
+    "window_rolling_zscore",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                   count(*) OVER fr AS n,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER fr AS s,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER fr AS sq
+            FROM events
+            WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {ROLLZ_FRAME} PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, ts, value,
+               round((CAST(n AS DOUBLE) * c - CAST(s AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1)), 6) AS roll_z
+        FROM w
+        WHERE n > 1 AND CAST(n AS DOUBLE) * sq > CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+    """,
+    tags=("window", "stats"),
+)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score: each observation against its own trailing window
+    of ROLLZ_FRAME predecessors (excluding itself — no self-contamination)
+    — the streaming-style drift/anomaly signal, where anomaly_zscore
+    compares against the user's whole history. The frame statistics are
+    EXACT integer cent sums (count/sum/sum-of-squares share one named
+    window, so one exchange + sort serves all three), and the z is
+    derived from those ints with identical association order in both
+    engines — no frame-order float accumulation anywhere. Rows with
+    degenerate trailing windows (n<=1 or zero variance) are excluded by
+    integer predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLZ_FRAME, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        c.alias("c"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(c).over(fr).alias("s"),
+        F.sum(c * c).over(fr).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    z = (nd * F.col("c") - F.col("s").cast("double")) / F.sqrt(
+        nd
+        * (nd * F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nd - 1)
+    )
+    return (
+        w.filter(
+            (F.col("n") > 1)
+            & (nd * F.col("sq") > F.col("s").cast("double") * F.col("s").cast("double"))
+        )
+        .select("event_id", "user_id", "ts", "value", F.round(z, 6).alias("roll_z"))
+    )
