@@ -683,3 +683,45 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "value", F.round(z, 6).alias("roll_z"))
     )
+
+
+OPEN_DAYS = 30  # synthetic fulfillment horizon: order closes 30 days after placement
+
+
+@register(
+    "metric_open_orders_sweep",
+    oracle=f"""
+        WITH deltas AS (
+            SELECT date_trunc('day', o_orderdate) AS day, 1 AS d FROM orders
+            UNION ALL
+            SELECT date_trunc('day', o_orderdate) + INTERVAL {OPEN_DAYS} DAY, -1
+            FROM orders),
+        g AS (SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+              FROM deltas GROUP BY day)
+        SELECT day, delta,
+               CAST(SUM(delta) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+        FROM g
+    """,
+    tags=("window", "analytics"),
+)
+def metric_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval census: how many orders are 'open' on each day
+    (placed, not yet past the {OPEN_DAYS}-day fulfillment horizon). The
+    naive form joins every day against every overlapping interval —
+    O(|days| x |orders|); the sweep emits +1/-1 boundary deltas, rolls
+    them up per day map-side (the shuffle carries |days| rows), and one
+    running sum turns deltas into the open count. The unpartitioned
+    window runs over the REDUCED |days| domain (thousands of rows — the
+    one place a global window is safe), never the order stream."""
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(F.date_trunc("day", F.col("o_orderdate")).alias("day"), F.lit(1).alias("d"))
+    closes = o.select(
+        (F.date_trunc("day", F.col("o_orderdate")) + F.expr(f"INTERVAL {OPEN_DAYS} DAYS")).alias(
+            "day"
+        ),
+        F.lit(-1).alias("d"),
+    )
+    g = opens.unionAll(closes).groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return g.select("day", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open"))
