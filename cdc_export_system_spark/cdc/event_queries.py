@@ -94,7 +94,7 @@ def cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_changelog_stats",
     oracle="""
         WITH d AS (
-            SELECT date_trunc('day', ts) AS day,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CASE WHEN event_type = 'error' THEN 'DELETE'
                         WHEN event_type = 'signup' THEN 'INSERT'
                         ELSE 'UPDATE' END AS operation,

@@ -87,7 +87,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (fingerprint // CAST(pow(2, b.i * 8) AS BIGINT)) % 256 AS byte
             FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) b)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(CAST(xor(a.fingerprint, b.fingerprint) AS BIT)) AS hamming
+               CAST(bit_count(CAST(xor(a.fingerprint, b.fingerprint) AS BIT)) AS INTEGER) AS hamming
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
         WHERE bit_count(CAST(xor(a.fingerprint, b.fingerprint) AS BIT)) <= 6

@@ -147,7 +147,7 @@ PIPE_SALT = 7717
                         THEN 'train' ELSE 'val' END AS split
             FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id)
         SELECT source, split, count(*) AS n_docs,
-               SUM(n_tok) AS n_tokens
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM kept GROUP BY source, split
     """,
     headline=True,

@@ -15,13 +15,13 @@ from cdc_export_system_spark.registry import register
     "fn_array_suite",
     oracle="""
         SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_unique,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INTEGER) AS n_unique,
                array_to_string(list_sort(list_distinct(
                    regexp_split_to_array(trim(text), '\\s+')))[1:5], ',') AS first5_sorted,
                list_contains(regexp_split_to_array(trim(text), '\\s+'), 'spark') AS has_spark,
-               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                               t -> length(t) > 5)) AS n_long_tokens
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> length(t) > 5)) AS INTEGER) AS n_long_tokens
         FROM documents
     """,
     tags=("function", "array"),
@@ -46,12 +46,12 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_fold",
     oracle="""
         SELECT vec_id,
-               len(embedding) AS dim,
+               CAST(len(embedding) AS INTEGER) AS dim,
                round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                     'sum'), 9) AS comp_sum,
                round(list_aggregate(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 9) AS sq_norm,
-               len(list_filter(embedding, x -> x > 0)) AS n_positive
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
         FROM embeddings WHERE vec_id < 100
     """,
     tags=("function", "array", "similarity"),
@@ -85,8 +85,8 @@ def fn_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, u.tok, u.pos
         FROM (SELECT doc_id,
                      unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
-                     generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) - 1
-                         AS pos
+                     CAST(generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) - 1
+                         AS INTEGER) AS pos
               FROM documents WHERE doc_id < 20) u(doc_id, tok, pos)
     """,
     tags=("function", "array"),

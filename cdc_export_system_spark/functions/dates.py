@@ -15,11 +15,11 @@ from cdc_export_system_spark.registry import register
     "fn_date_extract",
     oracle="""
         SELECT o_orderkey,
-               year(o_orderdate) AS y,
-               month(o_orderdate) AS m,
-               day(o_orderdate) AS d,
-               quarter(o_orderdate) AS q,
-               dayofweek(o_orderdate) AS dow,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
                CAST(strftime(o_orderdate, '%j') AS INTEGER) AS doy
         FROM orders WHERE o_orderkey < 500
     """,
@@ -44,9 +44,9 @@ def fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date_trunc_diff",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               date_trunc('month', l_shipdate) AS ship_month,
-               date_trunc('week', l_shipdate) AS ship_week,
-               datediff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+               CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS ship_week,
+               CAST(datediff('day', o_orderdate, l_shipdate) AS INT) AS ship_delay_days,
                o_orderdate + INTERVAL 90 DAY AS due_date
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_orderkey < 300
@@ -72,7 +72,7 @@ def fn_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_by_month",
     oracle="""
-        SELECT date_trunc('month', o_orderdate) AS order_month,
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                count(*) AS n_orders,
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    AS month_revenue

@@ -38,7 +38,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_group_agg",
     oracle="""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,

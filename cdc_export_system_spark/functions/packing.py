@@ -80,7 +80,7 @@ def global_token_positions(docs: DataFrame) -> DataFrame:
             FROM t)
         SELECT CAST(floor(pos_start / {CHUNK_BUDGET}) AS BIGINT) AS chunk_id,
                count(*) AS n_docs,
-               sum(n_tokens) AS chunk_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM c GROUP BY 1

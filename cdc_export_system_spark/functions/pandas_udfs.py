@@ -71,7 +71,7 @@ def _group_profile(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_grouped_pandas",
     oracle="""
         SELECT l_returnflag, count(*) AS n,
-               sum(CAST(l_quantity AS BIGINT)) AS qty_total,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
                min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -139,6 +139,7 @@ UDTF_CHUNK_TOKENS = 16
         FROM toks,
              unnest(range(0, CAST(ceil(len(t) / {UDTF_CHUNK_TOKENS}.0)
                                   AS BIGINT))) r(i)
+        WHERE len(t) > 1 OR t[1] <> ''
     """,
     tags=("udf", "text"),
 )
@@ -155,7 +156,7 @@ def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_no int, chunk_text string", useArrow=True)
     class ChunkText:
         def eval(self, text: str):
-            toks = text.split()
+            toks = text.split() if text else []
             for i in range(0, (len(toks) + UDTF_CHUNK_TOKENS - 1) // UDTF_CHUNK_TOKENS):
                 yield i, " ".join(
                     toks[i * UDTF_CHUNK_TOKENS : (i + 1) * UDTF_CHUNK_TOKENS]

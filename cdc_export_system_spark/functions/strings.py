@@ -19,11 +19,11 @@ from cdc_export_system_spark.registry import register
                upper(c_name) AS name_upper,
                lower(c_mktsegment) AS segment_lower,
                substr(c_name, 1, 8) AS name_prefix,
-               length(c_name) AS name_len,
+               CAST(length(c_name) AS INTEGER) AS name_len,
                concat(c_name, '#', c_mktsegment) AS name_seg,
                lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
                reverse(c_name) AS name_rev,
-               strpos(c_name, 'Customer') AS pos_customer,
+               CAST(strpos(c_name, 'Customer') AS INTEGER) AS pos_customer,
                trim(concat('  ', c_name, '  ')) AS name_trimmed
         FROM customer
     """,
@@ -99,7 +99,7 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_edit_distance",
     oracle="""
         SELECT a.n_name AS name_a, b.n_name AS name_b,
-               levenshtein(a.n_name, b.n_name) AS edit_dist
+               CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
         FROM nation a JOIN nation b
           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
     """,
@@ -199,7 +199,7 @@ def fn_format_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                to_base64(encode(text)) AS b64,
-               length(to_base64(encode(text))) AS b64_len,
+               CAST(length(to_base64(encode(text))) AS INTEGER) AS b64_len,
                text = decode(from_base64(to_base64(encode(text))))
                    AS roundtrip_ok
         FROM documents WHERE doc_id < 100

@@ -46,9 +46,9 @@ def _sql_stop_count(words: list[str]) -> str:
     "text_token_count",
     oracle="""
         SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
-               length(text) AS n_chars_computed
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
+               CAST(length(text) AS INTEGER) AS n_chars_computed
         FROM documents
     """,
     tags=("text",),
@@ -110,9 +110,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle=f"""
         SELECT doc_id,
-               length(text) AS n_chars_q,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+               CAST(length(text) AS INTEGER) AS n_chars_q,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
                CAST({_sql_stop_count(STOPWORDS['en'])} AS DOUBLE)
                    / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -160,7 +160,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars
         FROM documents GROUP BY lang

@@ -208,9 +208,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     oracle=f"""
-        SELECT d.doc_id, gs.i AS frame_idx,
-               length(substr(d.text, CAST(gs.i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
-                   AS frame_bytes,
+        SELECT d.doc_id, CAST(gs.i AS INTEGER) AS frame_idx,
+               CAST(length(substr(d.text, CAST(gs.i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
+                   AS INTEGER) AS frame_bytes,
                md5(substr(d.text, CAST(gs.i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
                    AS frame_md5
         FROM documents d

@@ -23,7 +23,7 @@ from cdc_export_system_spark.registry import register
     "multimodal_binary_meta",
     oracle="""
         SELECT doc_id,
-               octet_length(encode(text)) AS payload_bytes,
+               CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
                md5(text) AS payload_md5,
                CASE WHEN octet_length(encode(text)) > 1024 THEN 'large' ELSE 'small' END
                    AS size_class

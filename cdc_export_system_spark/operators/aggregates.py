@@ -433,10 +433,10 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_rows,
                count(DISTINCT o_custkey) AS n_customers,
                count(DISTINCT o_orderstatus) AS n_statuses,
-               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
-                   AS null_priority,
-               min(o_orderdate) AS first_order,
-               max(o_orderdate) AS last_order,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_priority,
+               CAST(min(o_orderdate) AS DATE) AS first_order,
+               CAST(max(o_orderdate) AS DATE) AS last_order,
                CAST(CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS VARCHAR) AS DOUBLE) / 100 AS min_price,
                CAST(CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -460,8 +460,8 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
             "null_priority"
         ),
-        F.min("o_orderdate").alias("first_order"),
-        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderdate").cast("date").alias("first_order"),
+        F.max("o_orderdate").cast("date").alias("last_order"),
         (F.min(_cents_col()).cast("decimal(38,6)") / 100).cast("double").alias("min_price"),
         (F.max(_cents_col()).cast("decimal(38,6)") / 100).cast("double").alias("max_price"),
     )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.operators.ranks import ntile_from_rank, with_global_row_number
 from cdc_export_system_spark.registry import register, dsum, sql_dsum
 
 SESSION_GAP_S = 30 * 60
@@ -156,7 +157,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cohort_retention",
     oracle="""
-        WITH um AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+        WITH um AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('month', ts) AS TIMESTAMP) AS m
                     FROM events),
         c AS (SELECT user_id, min(m) AS cohort FROM um GROUP BY user_id)
         SELECT c.cohort AS cohort_month, um.m AS activity_month,
@@ -518,9 +520,11 @@ def metric_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (SELECT max(ts) AS now FROM events),
         per_user AS (
             SELECT user_id,
-                   date_diff('day', max(ts), (SELECT now FROM m)) AS recency_days,
+                   CAST(date_diff('day', max(ts), (SELECT now FROM m)) AS INTEGER)
+                       AS recency_days,
                    count(*) AS frequency,
-                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS monetary_cents
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS monetary_cents
             FROM events GROUP BY user_id),
         scored AS (
             SELECT user_id, recency_days, frequency, monetary_cents,
@@ -540,12 +544,16 @@ def metric_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user recency/frequency/monetary
-    rolled up in ONE event-log pass (exact cents), then three ntile(5)
-    scores over the |users|-sized aggregate — the windows run on the
-    reduced table, never the event stream. Ties are broken by user_id
-    so every quintile boundary is deterministic. The segment label is a
-    pure CASE over the scores (codegen); 'best' quintile is 5 on every
-    axis (recency ranked DESC: most-recent = highest score)."""
+    rolled up in ONE event-log pass (exact cents), then three exact
+    ntile(5) scores over the |users|-sized aggregate. Each score is a
+    distributed global row number (operators/ranks.py — range shuffle +
+    parallel per-range window + broadcast offsets, never a
+    single-partition sort of |users|) fed through the closed-form
+    SQL-standard NTILE bucket formula, so the result is bit-identical
+    to the oracle's positional ntile(5) with the user_id tie-break.
+    The segment label is a pure CASE over the scores (codegen); 'best'
+    quintile is 5 on every axis (recency ranked DESC: most-recent =
+    highest score)."""
     ev = load_table(spark, sf_dir, "events")
     now_df = ev.agg(F.max("ts").alias("now"))  # 1 row, broadcast — no driver trip
     per_user = (
@@ -567,12 +575,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r = F.ntile(5).over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
-    f = F.ntile(5).over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
-    mo = F.ntile(5).over(W.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
-    scored = per_user.select(
+    ranked = per_user
+    for rank_col, order in [
+        ("rn_r", [F.desc("recency_days"), F.asc("user_id")]),
+        ("rn_f", [F.asc("frequency"), F.asc("user_id")]),
+        ("rn_mo", [F.asc("monetary_cents"), F.asc("user_id")]),
+    ]:
+        ranked = with_global_row_number(
+            ranked, order, out=rank_col, total_out="n_users"
+        )
+    scored = ranked.select(
         "user_id", "recency_days", "frequency", "monetary_cents",
-        r.cast("int").alias("r"), f.cast("int").alias("f"), mo.cast("int").alias("mo"),
+        ntile_from_rank(F.col("rn_r"), F.col("n_users"), 5).alias("r"),
+        ntile_from_rank(F.col("rn_f"), F.col("n_users"), 5).alias("f"),
+        ntile_from_rank(F.col("rn_mo"), F.col("n_users"), 5).alias("mo"),
     )
     seg = (
         F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("mo") >= 4), "champion")
@@ -640,7 +656,7 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS last_click_ts
             FROM events),
         g AS (
-            SELECT date_trunc('day', ts) AS day,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
             FROM t
             WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL)
@@ -819,7 +835,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_ltv_curve",
     oracle="""
         WITH c AS (
-            SELECT user_id, min(date_trunc('month', ts)) AS cohort
+            SELECT user_id, CAST(min(date_trunc('month', ts)) AS TIMESTAMP) AS cohort
             FROM events GROUP BY user_id),
         p AS (
             SELECT c.cohort,
@@ -829,7 +845,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events e JOIN c ON e.user_id = c.user_id
             WHERE e.event_type = 'purchase'),
         g AS (
-            SELECT cohort, month_offset, SUM(cents) AS rev_cents
+            SELECT cohort, month_offset, CAST(SUM(cents) AS BIGINT) AS rev_cents
             FROM p GROUP BY cohort, month_offset)
         SELECT cohort, month_offset, rev_cents,
                CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_offset
@@ -892,7 +908,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g),
         sess AS (
             SELECT user_id, session_no,
-                   date_trunc('day', min(ts)) AS day,
+                   CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day,
                    count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
             FROM s GROUP BY user_id, session_no)
@@ -900,7 +916,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_sessions,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                count(*) FILTER (WHERE n_events = 1) AS n_bounces,
-               SUM(n_events) AS total_events,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
                CAST(SUM(dur_us) AS DOUBLE) / count(*) AS avg_dur_us
         FROM sess GROUP BY day
     """,

@@ -153,30 +153,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = deg.count()  # |V|: driver scalar, broadcast into the expressions
-    if n == 0:
-        # empty graph: no nodes, no ranks (and no 1/N to compute)
-        return deg.select(F.col("src").alias("node"), F.lit(0.0).alias("rank"))
-    d = PAGERANK_DAMPING
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(PAGERANK_ITERS):
-        contribs = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+    try:
+        n = deg.count()  # |V|: driver scalar, broadcast into the expressions
+        if n == 0:
+            # empty graph: no nodes, no ranks (and no 1/N to compute)
+            return deg.select(F.col("src").alias("node"), F.lit(0.0).alias("rank"))
+        d = PAGERANK_DAMPING
+        ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+        for _ in range(PAGERANK_ITERS):
+            contribs = (
+                edges.join(deg, "src")
+                .join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
             )
-        )
-        ranks = (
-            contribs.groupBy("node")
-            .agg(F.sum("c").alias("mass"))
-            .select(
-                "node",
-                (F.lit((1 - d) / n) + F.lit(d) * F.col("mass")).alias("rank"),
+            ranks = (
+                contribs.groupBy("node")
+                .agg(F.sum("c").alias("mass"))
+                .select(
+                    "node",
+                    (F.lit((1 - d) / n) + F.lit(d) * F.col("mass")).alias("rank"),
+                )
             )
-        )
-    return ranks
+        # Materialize the fixpoint (truncating the 5-round join lineage)
+        # so edges/deg can be unpersisted before returning: repeated
+        # invocations (bench rounds, test suite) would otherwise stack
+        # cached partitions on the executors indefinitely.
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        deg.unpersist()
+        edges.unpersist()
 
 
 @register(

@@ -1,0 +1,93 @@
+"""Distributed global row numbering — the scale-safe replacement for
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY.
+
+A partition-less window makes Spark plan an Exchange SinglePartition:
+one task sorts the whole input. Fine at sf0.1, a wall at 100 TB. The
+two-level construction here keeps every stage parallel:
+
+1. ``repartitionByRange`` on the total-order keys — a range shuffle;
+   partition p holds a contiguous key range, ranges ascending in p.
+2. per-range ``row_number`` — a window PARTITIONED by the range id,
+   so it parallelizes (one hash exchange on the range id).
+3. per-range counts (a ~num_partitions-row aggregate) get an exclusive
+   prefix sum on a single partition — legitimately: the table has one
+   row per range, not per input row.
+4. offsets broadcast-join back: global rn = range_offset + rn_in_range.
+
+The same construction as text_pack_chunks' block prefix sum
+(functions/packing.py), generalized to an arbitrary sort order where no
+pre-existing block key exists. Range boundaries come from sampling and
+are not deterministic, but the produced ranks are: they depend only on
+the total order, which the caller must make total (include a tie-break
+key). Cost: 2 shuffles of the input + a broadcast, vs. the
+single-partition wall.
+
+The offsets branch and the numbered branch both hang off the same
+Exchange rangepartitioning node; Spark's ReuseExchange rule (on by
+default, AQE-compatible) materializes that shuffle once, so both sides
+observe identical range boundaries. The oracle-parity suite pins the
+result against the naive global window, so a reuse regression would
+surface as a rank mismatch, not silent corruption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_RANGE_ID = "__range_id"
+_RN_IN = "__rn_in_range"
+_OFFSET = "__range_offset"
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    total_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global row number ``out`` over the total order given
+    by ``order_cols`` (use F.asc/F.desc columns; include a unique
+    tie-break). Optionally also attach the total row count as
+    ``total_out`` (free: it is the last range's offset + count)."""
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+
+    w_in = W.partitionBy(_RANGE_ID).orderBy(*order_cols)
+    numbered = parted.withColumn(_RN_IN, F.row_number().over(w_in))
+
+    counts = parted.groupBy(_RANGE_ID).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = W.orderBy(_RANGE_ID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        _RANGE_ID,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias(_OFFSET),
+        F.sum("__cnt").over(W.orderBy(_RANGE_ID).rangeBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("__total"),
+    )
+
+    joined = numbered.join(F.broadcast(offsets), _RANGE_ID)
+    result = joined.withColumn(out, (F.col(_OFFSET) + F.col(_RN_IN)).cast("bigint"))
+    if total_out is not None:
+        result = result.withColumn(total_out, F.col("__total"))
+    return result.drop(_RANGE_ID, _RN_IN, _OFFSET, "__total")
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact SQL-standard NTILE(k) bucket from a global 1-based rank
+    ``rn`` out of ``n`` rows — larger buckets first, sizes differing by
+    at most one — as a pure row-local expression (codegen-resident).
+
+    With q = n div k, r = n mod k: the first r buckets have q+1 rows.
+    rn <= r*(q+1)  ->  ceil(rn / (q+1))
+    otherwise      ->  r + ceil((rn - r*(q+1)) / q)
+    (q = 0 degenerates to bucket = rn, covered by the first branch.)
+    """
+    q = F.floor(n / F.lit(k)).cast("bigint")
+    r = (n % F.lit(k)).cast("bigint")
+    cut = r * (q + F.lit(1))
+    first = F.floor((rn + q) / (q + F.lit(1)))  # ceil(rn/(q+1))
+    rest = r + F.floor((rn - cut + q - F.lit(1)) / q)
+    return F.when(rn <= cut, first).otherwise(rest).cast("int")

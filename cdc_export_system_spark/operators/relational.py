@@ -385,9 +385,10 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_group_by_all",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
-               date_trunc('year', o_orderdate) AS order_year,
+               CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
                count(*) AS n,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
         FROM orders
         GROUP BY ALL
         ORDER BY ALL
@@ -403,7 +404,7 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = star_view(spark, sf_dir, "orders")
     return spark.sql(f"""
         SELECT o_orderstatus, o_orderpriority,
-               date_trunc('year', o_orderdate) AS order_year,
+               CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
                count(*) AS n,
                SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
         FROM {orders}

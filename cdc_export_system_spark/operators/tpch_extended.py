@@ -102,7 +102,7 @@ def tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_like",
     oracle=f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               YEAR(l_shipdate) AS l_year,
+               CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
                {SQL_REVENUE} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -166,7 +166,7 @@ def tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q8_like",
     oracle=f"""
-        SELECT YEAR(o_orderdate) AS o_year,
+        SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
                (100.0 * {_sql_cond_revenue("n1.n_name = 'NATION_3'")})
                    / {SQL_REVENUE} AS mkt_share
         FROM lineitem
@@ -228,7 +228,7 @@ def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_like",
     oracle=f"""
-        SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
                {SQL_REVENUE} AS sum_profit
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey

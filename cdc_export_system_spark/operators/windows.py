@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table, star_view
+from cdc_export_system_spark.operators.ranks import with_global_row_number
 from cdc_export_system_spark.registry import dsum, register
 
 
@@ -43,8 +44,8 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice,
-               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-               dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+               CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
         FROM orders
     """,
     tags=("window",),
@@ -140,7 +141,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_dist",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               ntile(4) OVER w AS quartile,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
                round(percent_rank() OVER w, 9) AS pct_rank,
                round(cume_dist() OVER w, 9) AS cume
         FROM orders
@@ -430,7 +431,7 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                      SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
                           ROWS UNBOUNDED PRECEDING) AS cum_c
               FROM per_cust)
-        SELECT rk AS revenue_rank, o_custkey,
+        SELECT CAST(rk AS INTEGER) AS revenue_rank, o_custkey,
                CAST(CAST(rev_c AS VARCHAR) AS DOUBLE) / 100 AS revenue,
                CAST(CAST(cum_c AS VARCHAR) AS DOUBLE)
                    / CAST(CAST(tot.t AS VARCHAR) AS DOUBLE) AS cum_share,
@@ -443,25 +444,29 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto) curve: customers ranked by spend,
     cumulative share of total against cumulative customer fraction —
-    'the top 1% of customers drive X% of revenue'. The windows run over
-    the |customers|-sized aggregate (exact cents), never orders; the
-    1-row total broadcasts. Top-100 keeps the output a curve sketch,
-    and the rank filter prunes the window output immediately."""
+    'the top 1% of customers drive X% of revenue'. The per-customer
+    aggregate is pruned to the top 100 FIRST via orderBy+limit — a
+    distributed TakeOrdered (per-partition top-100, then a 100-row
+    merge), never a global sort — and only those 100 rows see the
+    rank/running-sum window. The row_number and prefix sum over the
+    top-k equal those over the full set because both depend only on
+    preceding rows in the same total order. The 1-row total broadcasts."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
     tot = per_cust.agg(
         F.sum("rev_c").alias("t"), F.count(F.lit(1)).alias("n")
     )
-    w = W.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
-    r = per_cust.select(
+    top = per_cust.orderBy(F.desc("rev_c"), F.asc("o_custkey")).limit(100)
+    w = W.orderBy(F.desc("rev_c"), F.asc("o_custkey"))  # 100 rows only
+    r = top.select(
         "o_custkey",
         "rev_c",
         F.row_number().over(w).alias("rk"),
         F.sum("rev_c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
             "cum_c"
         ),
-    ).filter(F.col("rk") <= 100)
+    )
     return r.crossJoin(F.broadcast(tot)).select(
         F.col("rk").alias("revenue_rank"),
         "o_custkey",
@@ -498,16 +503,16 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over ascending-sorted exact
     cents (deterministic tie-break on custkey). sum(i*x) is an exact
     integer, so the only float math is the 3-operation finalization of
-    a 1-row aggregate. The rank is a single total-order window over the
-    |customers| aggregate — the same shape as window_ntile_dist, and at
-    scale the same range-partitioned sort."""
+    a 1-row aggregate. The global rank comes from the distributed
+    two-level row numbering (operators/ranks.py) — range-partitioned
+    parallel windows plus a broadcast offset table — so no stage sorts
+    the whole |customers| aggregate on one task."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
-    w = W.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
-    r = per_cust.select(
-        "rev_c", F.row_number().over(w).cast("bigint").alias("i")
-    )
+    r = with_global_row_number(
+        per_cust, [F.asc("rev_c"), F.asc("o_custkey")], out="i"
+    ).select("rev_c", "i")
     s = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev_c").alias("t"),
@@ -577,10 +582,10 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_share_of_total",
     oracle="""
         WITH m AS (
-            SELECT date_trunc('month', o_orderdate) AS month,
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                    date_trunc('year', o_orderdate) AS year,
-                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                       AS revenue_cents
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
             FROM orders GROUP BY month, year)
         SELECT month, revenue_cents,
                CAST(revenue_cents AS DOUBLE)
