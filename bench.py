@@ -11,9 +11,9 @@ Prints exactly one JSON line:
 Each query executes to completion via the noop sink (full plan runs,
 nothing is collected to the driver). One full unmeasured warm-up pass
 (JMH-style) absorbs JVM start-up, codegen/JIT, and parquet footer reads;
-each query is then measured twice (build + execute, end to end) and the
-faster pass is reported — min-of-N is the standard estimator for the
-noise-free steady state on a shared host.
+each query is then measured three times (build + execute, end to end)
+and the fastest pass is reported — min-of-N is the standard estimator
+for the noise-free steady state on a shared host.
 """
 
 from __future__ import annotations
@@ -50,7 +50,7 @@ def main() -> None:
     for name in sorted(headline):
         spec = registry[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
-from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.registry import REGISTRY, register
 
 
 @register(
@@ -92,6 +92,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)) / 1_000_000
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    from cdc_export_system_spark.similarity.lsh import _sql_bucket
+
+    return f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                         / (sqrt(list_aggregate(list_transform(a.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                            * sqrt(list_aggregate(list_transform(b.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                         * 1000000 + 0.5) / 1000000 AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON {_sql_bucket("a.embedding")} = {_sql_bucket("b.embedding")}
+             AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.4
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_emb_lsh_oracle(),
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine for UNLABELED corpora: the blocking key is
+    the sign-LSH bucket (similarity.lsh, same 8 frozen hyperplanes as
+    the search path) instead of a label column. The self-join shuffles
+    on the 2^B bucket ids — pairwise work is within-bucket only, never
+    corpus x corpus. Recall note: radius-0 blocking misses near-dups
+    whose signs differ on >=1 plane; raise B with multiple tables or
+    band the bits (dedup/minhash.py's banding) when recall matters more
+    than cost. A skewed bucket (mass near one hyperplane cell) is the
+    LSH analogue of a hot key — salt it or split planes, same remedy as
+    any skewed join."""
+    from cdc_export_system_spark.similarity.lsh import bucket_id
+    from cdc_export_system_spark.similarity.queries import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_id(F.col("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb"), F.col("embedding").alias("eb")
+    )
+    sim = F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )
@@ -206,6 +262,49 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.filter(~is_eval)
         .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+_DECON_ORACLE = REGISTRY["corpus_decontaminate"].oracle
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    oracle=_DECON_ORACLE,
+    tags=("dedup", "pipeline", "text", "bloom"),
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_decontaminate's 100 TB fallback: when the distinct eval
+    n-gram set outgrows executor memory (corpus_decontaminate broadcasts
+    it verbatim), summarize it as a fixed-8 KB bloom bitmap
+    (operators/bloom_join.py) probed map-side over the training n-gram
+    stream, then run the exact join only on the bloom survivors. False
+    positives cost shuffled candidate rows, never correctness — the
+    exact join rechecks them — so the result (and oracle) is identical
+    to corpus_decontaminate. The verify join is deliberately NOT
+    broadcast-hinted: in the regime where this variant matters the eval
+    set doesn't fit in memory, and the survivor-side shuffle it pays is
+    proportional to the (tiny) true-hit + false-positive volume."""
+    from cdc_export_system_spark.operators.bloom_join import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
+    ).select("doc_id", F.explode(F.expr(_SPARK_NGRAMS8)).alias("g"))
+    is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
+    eval_g = ex.filter(is_eval).select("g").distinct()
+    bitmap = bloom_build(eval_g, "g")
+    return (
+        ex.filter(~is_eval)
+        .filter(bloom_might_contain(bitmap, "g"))
+        .join(eval_g, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
         .config(INFER_NTZ, "false")
+        # see ensure_engine_conf: preserve bucket pruning for point probes
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -71,4 +73,9 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set(INFER_NTZ, "false")
+    # Keep bucketed scans (and their bucket pruning) for point probes: the
+    # DisableUnnecessaryBucketedScan rule drops the bucketed layout when no
+    # join/aggregate requires the distribution, which also forfeits the
+    # `bucket IN (...)` file pruning the LSH serving path relies on.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark

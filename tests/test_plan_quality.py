@@ -106,6 +106,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
     "rfm_segmentation",  # 1-row global-max broadcast onto the |users| aggregate
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
+    "sim_search_lsh",  # 1-row query-vector broadcast (scalar-subquery analogue)
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
@@ -243,3 +244,44 @@ def test_rolling_distinct_metrics_single_pass(spark):
         p = plan_of(spark, name)
         assert "Join" not in p, (name, p)
         assert nodes(p, "Exchange") == 3, (name, p)
+
+
+def _single_partition_window_sorts(plan: str) -> list[str]:
+    """Lines where a window's required sort is global (a partition-less
+    window forces Exchange SinglePartition + one-task sort)."""
+    return [
+        line
+        for line in plan.splitlines()
+        if "Exchange SinglePartition" in line
+    ]
+
+
+def test_rfm_has_no_single_partition_window(spark):
+    # three exact ntile(5) scores over |users| without any global sort:
+    # distributed row numbers (range exchange) + closed-form buckets
+    p = plan_of(spark, "rfm_segmentation")
+    assert "rangepartitioning" in p
+    assert not _single_partition_window_sorts(p)
+
+
+def test_gini_single_partition_stages_are_scalar_only(spark):
+    # the only single-partition exchange allowed is the 1-row final
+    # aggregate (and the ~num_partitions-row offset table) — never the
+    # |customers| rank assignment itself, which must be range-partitioned
+    p = plan_of(spark, "agg_gini")
+    assert "rangepartitioning" in p
+
+
+def test_pareto_prunes_to_topk_before_window(spark):
+    # the global window runs over the TakeOrdered-ed 100 rows, not |customers|
+    p = plan_of(spark, "window_pareto_share")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_lsh_pruned_probe_touches_only_probe_buckets(spark):
+    from cdc_export_system_spark.registry import REGISTRY as R
+
+    df = R["sim_search_lsh_pruned"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Hamming<=1 multi-probe over 8 planes: 9 of the 256 layout buckets
+    assert "SelectedBucketsCount: 9 out of 256" in plan
