@@ -66,3 +66,57 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+@register(
+    "stream_stateful_profile",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                   AS sum_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState run end-to-end as a real streaming query:
+    the per-user running profile (streaming/stateful.py) drains the
+    events table via an availableNow trigger into a memory sink, and the
+    registry entry returns the FINAL state per user. The per-key state
+    accumulates exact integer cents, so the final emitted profile equals
+    the batch aggregate bit-for-bit regardless of how the source splits
+    micro-batches — which is what makes a custom stateful operator
+    oracle-checkable at all. Update-mode memory sink keeps every interim
+    emission; the max_by(n_events) collapse keeps the last (n_events is
+    per-key monotone)."""
+    import uuid
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.streaming.stateful import user_profile_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    name = f"profiles_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    )
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"""
+        SELECT user_id,
+               max_by(n_events, n_events) AS n_events,
+               max_by(sum_value, n_events) AS sum_value,
+               max_by(last_ts, n_events) AS last_ts
+        FROM {name} GROUP BY user_id
+    """)

@@ -31,7 +31,7 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_cents", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
     ]
 )
@@ -40,19 +40,24 @@ STATE_SCHEMA = T.StructType(
 def _update_profile(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    import numpy as np
+
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # exact integer cents (values carry 2 decimal digits): the
+        # accumulated sum is order- and batching-independent, so the
+        # emitted double equals the batch oracle bit-for-bit
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
         batch_max = pdf["ts"].max()
         if pd.notna(batch_max):
             last_us = max(last_us, int(batch_max.value // 1000))
-    state.update((n, total, last_us))
+    state.update((n, cents, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [total],
+            "sum_value": [cents / 100.0],
             "last_ts": [pd.Timestamp(last_us * 1000)],
         }
     )
