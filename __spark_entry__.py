@@ -68,15 +68,19 @@ _PRIORITY = [
 
 
 def _round_order(registry) -> list[str]:
+    import glob
     import json
 
+    # every query already driver-checked in ANY earlier round goes last,
+    # so the ~50-entry verified prefix always lands on fresh queries
     checked: set[str] = set()
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "CORRECTNESS_r01.json")) as f:
-            checked = set(json.load(f))
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                checked |= set(json.load(f))
+        except (OSError, ValueError):
+            pass
     prio = [n for n in _PRIORITY if n in registry]
     rest = [n for n in registry if n not in prio and n not in checked]
     tail = [n for n in registry if n in checked and n not in prio]
