@@ -73,6 +73,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.ivf",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.io.format_roundtrip",
+    "cdc_export_system_spark.io.python_source",
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.event_windows",
     "cdc_export_system_spark.streaming.joins",

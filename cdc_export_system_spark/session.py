@@ -54,6 +54,8 @@ def get_spark(
         .config(INFER_NTZ, "false")
         # see ensure_engine_conf: preserve bucket pruning for point probes
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        # allow Python DataSources to absorb filters (io/python_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -78,4 +80,6 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # join/aggregate requires the distribution, which also forfeits the
     # `bucket IN (...)` file pruning the LSH serving path relies on.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # Python DataSource filter pushdown (io/python_source.py) is opt-in
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark
