@@ -1,0 +1,42 @@
+"""transformWithStateInPandas (state API v2) — executable only where
+google.protobuf works (the v2 state server's wire protocol); this
+container ships a broken protobuf, so the execution test skips and the
+construction-level contract is pinned instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_export_system_spark.streaming.tws import (
+    EventLedgerProcessor,
+    event_ledger_stream,
+    stream_tws_event_ledger,
+    tws_available,
+)
+from tests.conftest import SF_DIR
+from tests.parity import compare, duck_register
+
+
+def test_processor_contract_shape():
+    p = EventLedgerProcessor()
+    assert callable(p.init) and callable(p.handleInputRows) and callable(p.close)
+
+
+@pytest.mark.skipif(not tws_available(), reason="google.protobuf broken in container")
+def test_tws_ledger_matches_batch_oracle(spark, duck):
+    from cdc_export_system_spark.streaming.tws import _TWS_ORACLE
+
+    duck_register(duck, SF_DIR)
+    res = compare(stream_tws_event_ledger(spark, SF_DIR), duck, _TWS_ORACLE)
+    assert res["match"], res["detail"]
+
+
+@pytest.mark.skipif(not tws_available(), reason="google.protobuf broken in container")
+def test_tws_stream_builds(spark):
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    df = event_ledger_stream(stream)
+    assert df.isStreaming
