@@ -30,6 +30,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -101,6 +102,38 @@ class ChangeFeedReader(DataSourceReader):
             yield row_at(i)
 
 
+STREAM_BATCH_ROWS = 1000  # rows surfaced per micro-batch
+
+
+class ChangeFeedStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed streaming form of the feed: the offset dict carries
+    the next unread sequence number — exactly a change feed's cursor. A
+    replay between two committed offsets (readBetweenOffsets) regenerates
+    the identical rows, which is the exactly-once recovery contract; the
+    engine-side watermark protocol (cdc/exports.py) is this same idea
+    persisted across jobs."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", DEFAULT_ROWS))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = int(start["seq"])
+        hi = min(lo + STREAM_BATCH_ROWS, self.n_rows)
+        # a list_iterator (not a bare generator): the runner calls next()
+        # on it AND pickles the prefetched rows for executors — a
+        # generator fails the pickle, a bare list fails the next()
+        return iter([row_at(i) for i in range(lo, hi)]), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_at(i) for i in range(int(start["seq"]), int(end["seq"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing upstream to acknowledge: the feed is closed-form
+
+
 class ChangeFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -111,6 +144,9 @@ class ChangeFeedDataSource(DataSource):
 
     def reader(self, schema) -> ChangeFeedReader:
         return ChangeFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ChangeFeedStreamReader:
+        return ChangeFeedStreamReader(self.options)
 
 
 def register_changefeed(spark) -> None:
@@ -202,6 +238,65 @@ def source_python_changefeed_pushdown(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_changes"),
+            F.max("seq").alias("last_seq"),
+        )
+    )
+
+
+@register(
+    "source_python_changefeed_stream",
+    oracle=f"""
+        WITH feed AS ({_oracle_rows()})
+        SELECT user_id, count(*) AS n_changes,
+               CAST(SUM(CAST(floor(amount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS amount_cents,
+               max(seq) AS last_seq
+        FROM feed GROUP BY user_id
+    """,
+    tags=("source", "connector", "python-datasource", "streaming"),
+)
+def source_python_changefeed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's STREAMING path: readStream over the custom source
+    drains the whole feed through offset-managed micro-batches
+    ({STREAM_BATCH_ROWS} rows per offset step, availableNow trigger,
+    append memory sink) and rolls the drained rows up per user. The
+    rollup equals the batch closed form exactly — micro-batch boundaries
+    carry no semantics — which is the oracle check that the offset
+    bookkeeping neither drops nor duplicates rows."""
+    import time
+    import uuid
+
+    register_changefeed(spark)
+    name = f"feed_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("changefeed")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    # drain: the simple stream reader surfaces STREAM_BATCH_ROWS per
+    # micro-batch (availableNow would stop at the first prefetched
+    # offset), so run the trigger loop until the cursor reaches the end
+    deadline = time.monotonic() + 120
+    try:
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= DEFAULT_ROWS:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum(F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "amount_cents"
+            ),
             F.max("seq").alias("last_seq"),
         )
     )

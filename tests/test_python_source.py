@@ -76,3 +76,23 @@ def test_partitioned_scan_covers_every_row_exactly_once(spark):
     n = df.count()
     n_distinct = df.select("seq").distinct().count()
     assert n == DEFAULT_ROWS and n_distinct == DEFAULT_ROWS
+
+
+def test_stream_reader_offsets_partition_the_feed():
+    from cdc_export_system_spark.io.python_source import (
+        STREAM_BATCH_ROWS,
+        ChangeFeedStreamReader,
+    )
+
+    r = ChangeFeedStreamReader({"rows": "2500"})
+    off = r.initialOffset()
+    seen = []
+    while int(off["seq"]) < 2500:
+        rows, off = r.read(off)
+        seen.extend(rows)
+    assert len(seen) == 2500
+    assert [t[0] for t in seen] == list(range(2500))
+    # replay between committed offsets regenerates identical rows
+    replay = list(r.readBetweenOffsets({"seq": 1000}, {"seq": 2000}))
+    assert replay == seen[1000:2000]
+    assert len(replay) == STREAM_BATCH_ROWS
