@@ -71,19 +71,26 @@ def _round_order(registry) -> list[str]:
     import glob
     import json
 
-    # every query already driver-checked in ANY earlier round goes last,
-    # so the ~50-entry verified prefix always lands on fresh queries
+    # every query already driver-GREEN in ANY earlier round goes last, so
+    # the ~50-entry verified prefix always lands on fresh (or previously
+    # failed, i.e. since-fixed) queries
     checked: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                checked |= set(json.load(f))
-        except (OSError, ValueError):
+                for name, row in json.load(f).items():
+                    green = row.get("hash_match") is True or (
+                        row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                    )
+                    if green:
+                        checked.add(name)
+        except (OSError, ValueError, AttributeError):
             pass
-    prio = [n for n in _PRIORITY if n in registry]
-    rest = [n for n in registry if n not in prio and n not in checked]
-    tail = [n for n in registry if n in checked and n not in prio]
+    prio = [n for n in _PRIORITY if n in registry and n not in checked]
+    prio_set = set(prio)
+    rest = [n for n in registry if n not in prio_set and n not in checked]
+    tail = [n for n in registry if n in checked]
     return prio + rest + tail
 
 

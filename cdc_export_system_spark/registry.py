@@ -80,6 +80,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.streaming.tws",
     "cdc_export_system_spark.cdc.diff",
     "cdc_export_system_spark.operators.recursive",
+    "cdc_export_system_spark.operators.timeseries",
     "cdc_export_system_spark.io.zorder",
     "cdc_export_system_spark.similarity.kmeans",
     "cdc_export_system_spark.operators.bloom_join",

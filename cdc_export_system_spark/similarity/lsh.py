@@ -296,4 +296,9 @@ def sim_search_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select("vec_id", "label", F.lit(0.0).alias("cos_sim")).filter(
             F.lit(False)
         )
-    return lsh_topk_pruned(spark, sf_dir, list(qrow["embedding"]), exclude_vec_id=0)
+    try:
+        return lsh_topk_pruned(spark, sf_dir, list(qrow["embedding"]), exclude_vec_id=0)
+    except Exception:
+        # environments where the managed bucketed table cannot be written
+        # (read-only warehouse dir): same candidates + scores, unpruned scan
+        return lsh_topk(emb, query_vec_id=0)
