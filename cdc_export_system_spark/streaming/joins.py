@@ -82,3 +82,69 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").alias("c")
     purchases = ev.filter(F.col("event_type") == "purchase").alias("p")
     return _attribution_select(clicks.join(purchases, _attribution_condition(), "inner"))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+        WITH e AS (
+            SELECT user_id % 1500 AS custkey, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events)
+        SELECT c.c_nationkey AS nationkey, e.event_type,
+               count(*) AS n_events,
+               CAST(SUM(e.cents) AS BIGINT) AS cents
+        FROM e JOIN customer c ON e.custkey = c.c_custkey
+        GROUP BY c.c_nationkey, e.event_type
+    """,
+    tags=("streaming", "join", "broadcast"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a static
+    dimension (customer), the join every streaming fact pipeline runs
+    per micro-batch. The static side re-resolves each batch (picking up
+    dim updates) and broadcasts, so the stream side never shuffles for
+    the join — state-free, unlike a stream-stream join. Executed here
+    through a real availableNow streaming query into a memory sink,
+    then rolled up; the rollup equals the batch join exactly because
+    enrichment is row-local. The synthetic custkey bridge (user_id mod
+    |customers at sf0.01|) stands in for the natural key the star
+    schema lacks."""
+    import uuid
+
+    from cdc_export_system_spark.io.sources import load_table as _lt
+
+    name = f"enrich_{uuid.uuid4().hex[:12]}"
+    cust = F.broadcast(_lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            (F.col("user_id") % 1500).alias("custkey"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    enriched = stream.join(cust, stream.custkey == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nationkey"), "event_type", "cents"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("nationkey", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
