@@ -99,3 +99,52 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     just as with parquet — it is a first-class storage format, not just
     an ingest path."""
     return _orders_agg(_read_back(spark, sf_dir, "orc"))
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE o_orderkey % 2 = 1) AS n_with_priority,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 of a dataset lacks a
+    column that generation 2 adds (here: orders written without, then
+    with, o_orderpriority — the additive-column evolution every
+    long-lived ingest hits). `mergeSchema` unions the file schemas and
+    back-fills the missing column with NULL, so the rollup counts
+    exactly the gen-2 rows under n_with_priority. Split is by orderkey
+    parity, so the oracle reproduces the union from the original table.
+    Scale note: mergeSchema footer-merges every file's schema — at
+    warehouse scale pin the table schema in a catalog and evolve it
+    there instead; this op proves the reader semantics."""
+    import os
+    import tempfile
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "cdc_spark_fmt", f"{tag}_evo")
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = os.path.join(base, "gen1")
+    gen2 = os.path.join(base, "gen2")
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(gen1, "_SUCCESS")):
+        o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.mode(
+            "overwrite"
+        ).parquet(gen1)
+    if not os.path.exists(os.path.join(gen2, "_SUCCESS")):
+        o.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(gen2)
+    merged = spark.read.option("mergeSchema", True).parquet(gen1, gen2)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -1,0 +1,128 @@
+"""Data-quality check suite — the dbt-test / Great-Expectations surface
+as one engine operator: every rule is a conditional aggregate, so the
+whole suite is ONE pass over each checked table (no per-rule scans),
+map-side combined, shuffling only the handful of violation counters.
+
+Rule classes covered: not-null, uniqueness (exact, via distinct-count
+equality), accepted-values, range, cross-column monotonicity, and
+referential integrity (anti-join cardinality). At 100 TB the
+uniqueness and RI rules are the only ones that shuffle (distinct /
+join on the key); everything else rides the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+
+@register(
+    "dq_checks",
+    oracle="""
+        WITH o AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+                   count(*) FILTER (WHERE o_totalprice <= 0) AS nonpos_price,
+                   count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                       AS bad_status,
+                   count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+            FROM orders),
+        ri AS (
+            SELECT count(*) AS orphan_orders
+            FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        li AS (
+            SELECT count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                       AS qty_out_of_range,
+                   count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                       AS bad_discount,
+                   count(*) FILTER (WHERE l_shipdate < o_orderdate)
+                       AS ship_before_order
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT v.* FROM (
+            SELECT 'orders.o_custkey_not_null' AS rule,
+                   CAST(o.null_cust AS BIGINT) AS violations FROM o
+            UNION ALL SELECT 'orders.o_totalprice_positive',
+                   CAST(o.nonpos_price AS BIGINT) FROM o
+            UNION ALL SELECT 'orders.o_orderstatus_accepted_values',
+                   CAST(o.bad_status AS BIGINT) FROM o
+            UNION ALL SELECT 'orders.o_orderkey_unique',
+                   CAST(o.dup_orderkey AS BIGINT) FROM o
+            UNION ALL SELECT 'orders.o_custkey_refs_customer',
+                   CAST(ri.orphan_orders AS BIGINT) FROM ri
+            UNION ALL SELECT 'lineitem.l_quantity_in_1_50',
+                   CAST(li.qty_out_of_range AS BIGINT) FROM li
+            UNION ALL SELECT 'lineitem.l_discount_in_0_1',
+                   CAST(li.bad_discount AS BIGINT) FROM li
+            UNION ALL SELECT 'lineitem.no_ship_before_order',
+                   CAST(li.ship_before_order AS BIGINT) FROM li
+        ) v
+    """,
+    tags=("quality", "agg", "join"),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the whole rule suite and return (rule, violations) rows — the
+    contract a CI gate consumes (suite green iff max(violations) = 0).
+    The orders rules compute in ONE aggregate pass; referential
+    integrity is a broadcast anti-join count; the lineitem rules ride a
+    single orders join (broadcast at test scale, SMJ at warehouse
+    scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o_stats = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).alias("null_cust"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    li_stats = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count_if(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).alias("qty_out_of_range"),
+            F.count_if(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).alias("bad_discount"),
+            F.count_if(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+                "ship_before_order"
+            ),
+        )
+    )
+    def unpivot(stats: DataFrame, mapping: list[tuple[str, str]]) -> DataFrame:
+        # stack() the 1-row stats frame so each source aggregate is
+        # computed once, not once per rule row
+        args = ", ".join(f"'{rule}', CAST({col} AS BIGINT)" for col, rule in mapping)
+        return stats.selectExpr(
+            f"stack({len(mapping)}, {args}) AS (rule, violations)"
+        )
+
+    return (
+        unpivot(
+            o_stats,
+            [
+                ("null_cust", "orders.o_custkey_not_null"),
+                ("nonpos_price", "orders.o_totalprice_positive"),
+                ("bad_status", "orders.o_orderstatus_accepted_values"),
+                ("dup_orderkey", "orders.o_orderkey_unique"),
+            ],
+        )
+        .unionAll(unpivot(orphans, [("orphan_orders", "orders.o_custkey_refs_customer")]))
+        .unionAll(
+            unpivot(
+                li_stats,
+                [
+                    ("qty_out_of_range", "lineitem.l_quantity_in_1_50"),
+                    ("bad_discount", "lineitem.l_discount_in_0_1"),
+                    ("ship_before_order", "lineitem.no_ship_before_order"),
+                ],
+            )
+        )
+    )

@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.cdc.diff",
     "cdc_export_system_spark.operators.recursive",
     "cdc_export_system_spark.operators.timeseries",
+    "cdc_export_system_spark.operators.quality",
     "cdc_export_system_spark.io.zorder",
     "cdc_export_system_spark.similarity.kmeans",
     "cdc_export_system_spark.operators.bloom_join",
