@@ -308,3 +308,47 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+        WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+             batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+        SELECT b.fp AS fp, min(b.doc_id) AS accept_doc_id,
+               count(*) AS batch_copies
+        FROM batch b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM fp i WHERE i.doc_id % 2 = 0 AND i.fp = b.fp)
+        GROUP BY b.fp
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch of documents (odd doc_ids
+    stand in for today's arrivals) is admitted only where its content
+    fingerprint is absent from the already-ingested corpus index (even
+    doc_ids), then first-wins deduped *within* the batch — the steady-
+    state shape of a production corpus builder, where yesterday's corpus
+    is never rescanned as text, only its fingerprint index is probed.
+
+    Scale posture: both sides reduce to 32-byte digests before any
+    exchange; the index side arrives pre-distinct (one groupBy on the
+    digest), the probe is a LEFT ANTI hash join on the digest, and the
+    within-batch collapse rides the same key. At 100 TB the index
+    probe is the only large join, and it is exactly the bloom-
+    prefilterable shape of join_bloom_prefilter (operators/
+    bloom_join.py) when the index outgrows a broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    index = fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    return (
+        batch.join(index, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("accept_doc_id"),
+            F.count(F.lit(1)).alias("batch_copies"),
+        )
+    )

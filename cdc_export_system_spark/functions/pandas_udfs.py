@@ -172,3 +172,122 @@ def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {docs} d, LATERAL chunk_text(d.text) c
         """
     )
+
+
+MG_CAPACITY = 64  # counters per partial summary (memory bound, not a row bound)
+MG_SUPPORT = 0.05  # report items with frequency >= 5% of the stream
+
+
+@register(
+    "agg_freq_items_mg",
+    oracle=f"""
+        WITH c AS (SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+                   FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             t AS (SELECT CAST(sum(est_count) AS BIGINT) AS n FROM c)
+        SELECT c.item, c.est_count FROM c, t
+        WHERE c.est_count >= {MG_SUPPORT} * t.n
+    """,
+    tags=("udf", "sketch", "agg"),
+)
+def agg_freq_items_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a distributed Misra-Gries summary: each
+    partition folds its rows into at most MG_CAPACITY counters inside a
+    ``mapInPandas`` iterator (per-Arrow-batch ``value_counts`` — the
+    per-row work stays in C — then the batched MG compression: when the
+    dict exceeds capacity, subtract the (C+1)-th largest count from all
+    and drop the non-positive). Partials merge by counter addition (the
+    MG merge), and items at or above MG_SUPPORT of the stream are
+    reported.
+
+    Guarantees (standard MG bounds): merged counts undercount true
+    frequency by at most n/(C+1); with support 5% and C=64 (error
+    <=1.54%) every true heavy hitter is reported. On this dataset
+    |domain(event_type)| <= C, so no decrement ever fires and the counts
+    are EXACT — which is what makes the operator oracle-checkable; the
+    lossy regime is pinned separately in tests/test_pipeline_ops.py.
+
+    Scale posture: the scan emits at most C rows per partition (a few
+    KB), so the merge shuffle is O(C x partitions) regardless of input
+    size — the bounded-memory alternative to a full groupBy when the
+    item domain is adversarially large (URLs, n-grams, user agents).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item")
+    ).where(F.col("item").isNotNull())
+    return mg_heavy_hitters(ev, capacity=MG_CAPACITY, support=MG_SUPPORT)
+
+
+def mg_heavy_hitters(items: DataFrame, capacity: int, support: float) -> DataFrame:
+    """Misra-Gries heavy hitters over a single-column ``item`` DataFrame.
+
+    Reported ``est_count`` is a lower bound within n/(capacity+1) of the
+    true count (exact when a partition never exceeds capacity distinct
+    items); the support filter is applied against the merged estimates.
+    The threshold denominator is the merged estimate total, which also
+    undercounts by at most n/(capacity+1) — both biases are covered by
+    the standard recall guarantee support > 1/(capacity+1).
+    """
+
+    def mg_partials(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, cnt in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                delta = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - delta for k, v in counters.items() if v > delta
+                }
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "cnt": list(counters.values())}
+        ).astype({"item": "string", "cnt": "int64"})
+
+    partials = items.mapInPandas(mg_partials, schema="item string, cnt bigint")
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    total = merged.agg(F.sum("est_count").alias("n"))
+    return (
+        merged.join(F.broadcast(total))
+        .where(F.col("est_count") >= F.lit(support) * F.col("n"))
+        .select("item", "est_count")
+    )
+
+
+COMPRESSION_MIN_RATIO = 0.35  # below: pathologically repetitive text
+
+
+@register("text_compression_quality", tags=("udf", "text", "quality"))
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (the CCNet/Gopher-style repetition
+    signal): zlib-deflate each document and score ``compressed_bytes /
+    original_bytes`` — ratios near 0 mean the text is dominated by
+    repeated blocks that token-level rules (text_repetition_score) can
+    miss, e.g. a boilerplate page pasted hundreds of times.
+
+    Arrow-batched scalar pandas UDF; zlib runs in C per value so the
+    Python overhead is one call per document, not per byte. Row-local —
+    embarrassingly parallel with the scan, shuffles nothing. Rows-only
+    for the driver (DuckDB has no deflate); the exact scores are pinned
+    against direct ``zlib.compress`` in tests/test_pipeline_ops.py.
+    """
+    import zlib
+
+    @F.pandas_udf(T.LongType())
+    def deflate_len(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda s: len(zlib.compress(s.encode("utf-8"), 6)) if s else 0
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = F.octet_length(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            orig.cast("bigint").alias("orig_bytes"),
+            deflate_len(F.col("text")).alias("comp_bytes"),
+        )
+        .withColumn(
+            "comp_ratio",
+            F.round(F.col("comp_bytes") / F.greatest(F.col("orig_bytes"), F.lit(1)), 4),
+        )
+        .withColumn("keep", F.col("comp_ratio") >= COMPRESSION_MIN_RATIO)
+    )

@@ -75,6 +75,56 @@ def with_global_row_number(
     return result.drop(_RANGE_ID, _RN_IN, _OFFSET, "__total")
 
 
+def with_prefix_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: str,
+    out: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the EXCLUSIVE running max of ``value`` over the total order
+    given by ``order_cols`` (NULL for the global first row) — the
+    prefix-extreme sibling of :func:`with_global_row_number`, built on
+    the same two-level range construction so no stage ever sorts the
+    whole input on one partition:
+
+    1. range-shuffle on the order; 2. per-range exclusive running max
+    (window PARTITIONED by the range id); 3. per-range maxima (one row
+    per range); 4. exclusive prefix max across the tiny range table;
+    5. broadcast back, combine with ``greatest`` (null-skipping).
+
+    The order must be total per the caller's semantics for ROWS frames
+    to be deterministic; for prefix-max specifically, ties in the order
+    keys beyond ``value`` itself cannot change the result, since every
+    ordering of equal keys yields the same running maximum once the
+    value column is part of the key set.
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+
+    w_in = (
+        W.partitionBy(_RANGE_ID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = parted.withColumn("__within_excl", F.max(value).over(w_in))
+
+    rmax = parted.groupBy(_RANGE_ID).agg(F.max(value).alias("__rmax"))
+    w_off = W.orderBy(_RANGE_ID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = rmax.select(
+        _RANGE_ID, F.max("__rmax").over(w_off).alias("__range_excl")
+    )
+
+    joined = within.join(F.broadcast(offsets), _RANGE_ID)
+    return joined.withColumn(
+        out, F.greatest(F.col("__within_excl"), F.col("__range_excl"))
+    ).drop(_RANGE_ID, "__within_excl", "__range_excl")
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """Exact SQL-standard NTILE(k) bucket from a global 1-based rank
     ``rn`` out of ``n`` rows — larger buckets first, sizes differing by

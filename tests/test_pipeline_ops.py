@@ -91,3 +91,39 @@ def test_hll_sketch_estimate_accuracy(spark):
     assert abs(row["merged_estimate"] - exact) <= max(1, 0.05 * exact)
     # union estimate <= sum of per-type estimates (distinct users overlap)
     assert row["merged_estimate"] <= row["sum_of_type_estimates"]
+
+
+def test_mg_lossy_regime_bounds(spark):
+    """Misra-Gries under real counter pressure: 1 heavy item among 400
+    distinct tail items with capacity 8. The heavy hitter must survive
+    with est <= true and undercount <= n/(capacity+1)."""
+    from cdc_export_system_spark.functions.pandas_udfs import mg_heavy_hitters
+
+    rows = [("hot",)] * 600 + [(f"tail{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {
+        r["item"]: r["est_count"]
+        for r in mg_heavy_hitters(df, capacity=8, support=0.3).collect()
+    }
+    n = 1000
+    assert "hot" in got
+    assert got["hot"] <= 600
+    assert 600 - got["hot"] <= n / (8 + 1)
+
+
+def test_compression_quality_matches_zlib(spark):
+    import zlib
+
+    from cdc_export_system_spark.functions.pandas_udfs import (
+        COMPRESSION_MIN_RATIO,
+        text_compression_quality,
+    )
+
+    got = text_compression_quality(spark, SF_DIR).collect()
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_DIR, "documents").collect()}
+    assert len(got) == len(docs)
+    for r in got:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        assert r["orig_bytes"] == len(raw)
+        assert r["comp_bytes"] == len(zlib.compress(raw, 6))
+        assert r["keep"] == (r["comp_ratio"] >= COMPRESSION_MIN_RATIO)

@@ -285,3 +285,13 @@ def test_lsh_pruned_probe_touches_only_probe_buckets(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # Hamming<=1 multi-probe over 8 planes: 9 of the 256 layout buckets
     assert "SelectedBucketsCount: 9 out of 256" in plan
+
+
+def test_skyline_uses_distributed_prefix_not_self_join(spark):
+    # the oracle's NOT EXISTS is an all-pairs dominance check; the engine
+    # form must be reductions + the range-partitioned prefix max — one
+    # equi-join to attach thresholds, nothing nested-loop-shaped
+    p = plan_of(spark, "skyline_pareto_front")
+    assert "rangepartitioning" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

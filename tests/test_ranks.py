@@ -67,3 +67,30 @@ def test_spark_ntile_from_rank_matches_sql_ntile(spark):
     rows = ranked.join(ref, ["v", "id"]).select("tile", "tile_ref").collect()
     assert len(rows) == 237
     assert all(r.tile == r.tile_ref for r in rows)
+
+
+def test_prefix_max_matches_naive_global_window(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_max
+
+    df = spark.createDataFrame(
+        [((i * 17) % 41, (i * 7) % 23, i) for i in range(300)], "x int, y int, id int"
+    ).repartition(7)
+    got = with_prefix_max(df, [F.desc("x"), F.desc("y"), F.asc("id")], "y", out="pm")
+    ref = df.withColumn(
+        "pm_ref",
+        F.max("y").over(
+            W.orderBy(F.desc("x"), F.desc("y"), F.asc("id")).rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        ),
+    )
+    rows = got.join(ref, ["x", "y", "id"]).select("pm", "pm_ref").collect()
+    assert len(rows) == 300
+    assert all(r.pm == r.pm_ref for r in rows)
+
+
+def test_prefix_max_empty_input(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_max
+
+    df = spark.createDataFrame([], "x int, y int")
+    assert with_prefix_max(df, [F.desc("x")], "y").count() == 0
