@@ -295,3 +295,64 @@ def test_skyline_uses_distributed_prefix_not_self_join(spark):
     assert "rangepartitioning" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+# Queries whose physical plans legitimately contain an
+# Exchange SinglePartition node, with the reason the single-partition
+# stage is NOT a scale problem. Two legitimate classes:
+#   scalar  — a global aggregate's 1-row final stage (or a <=k-row
+#             TakeOrdered / date-spine / probe-literal input);
+#   tiny    — a window/prefix pass over an already-reduced metadata
+#             table (range-count offsets, per-band thresholds, the
+#             top-100 pareto head, the |days| sweep axis, ...), rows
+#             ~ O(num_partitions) or O(distinct small domain), never
+#             O(input).
+# Anything NOT listed here must plan with zero single-partition
+# exchanges; a new global-window op fails this sweep by construction.
+_SINGLE_PARTITION_OK = {
+    "agg_approx_distinct": "scalar",
+    "agg_count_distinct": "scalar",
+    "agg_count_filtered": "scalar",
+    "agg_count_star": "scalar",
+    "agg_freq_items_mg": "scalar",  # 1-row total for the support threshold
+    "agg_gini": "tiny",  # range-offset table of the distributed rank
+    "agg_hll_sketch": "scalar",
+    "agg_max_ts": "scalar",
+    "agg_min_max_ts": "scalar",
+    "basket_association_rules": "scalar",  # 1-row basket-count denominator
+    "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
+    "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
+    "funnel_conversion": "scalar",
+    "graph_triangle_count": "scalar",
+    "metric_open_orders_sweep": "tiny",  # running sum over the |days| axis
+    "profile_table": "scalar",
+    "reshape_date_spine": "scalar",  # min/max bounds feeding sequence()
+    "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
+    "skyline_pareto_front": "tiny",  # prefix-max range-offset table
+    "sql_scalar_subquery": "scalar",
+    "text_pack_chunks": "tiny",  # block-offset prefix table
+    "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count
+    "tpch_q14": "scalar",
+    "tpch_q15": "scalar",  # max(total_revenue) scalar subquery
+    "tpch_q17": "scalar",
+    "tpch_q19_like": "scalar",
+    "tpch_q22_like": "scalar",  # avg(acctbal) scalar subquery
+    "tpch_q6": "scalar",
+    "window_mom_growth": "tiny",  # lag over the |months| aggregate
+    "window_pareto_share": "tiny",  # window over the TakeOrdered top-100
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_single_partition_exchanges_are_allowlisted(spark, name):
+    """100 TB posture sweep: an Exchange SinglePartition stage is only
+    acceptable for 1-row scalar finals or windows over already-reduced
+    metadata tables — every occurrence must be named and justified in
+    _SINGLE_PARTITION_OK. A partition-less window/sort over data-sized
+    input shows up here as an unlisted query and fails."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange SinglePartition" in plan:
+        assert name in _SINGLE_PARTITION_OK, (
+            f"{name} plans an unreviewed Exchange SinglePartition:\n{plan}"
+        )
