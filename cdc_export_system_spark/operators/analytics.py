@@ -1015,3 +1015,59 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cust", "freq", "money_cents")
     )
+
+
+@register(
+    "sessionize_session_window",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            < {SESSION_GAP_S} * 1000000
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events),
+        s AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_no
+            FROM g)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+               count(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM s GROUP BY user_id, session_no
+    """,
+    tags=("analytics", "window", "session"),
+)
+def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` aggregate in
+    batch mode — the same native operator Structured Streaming uses for
+    its stateful session windows (streaming/event_windows.py), run over
+    the static events table. One shuffle on (user_id, merged-window);
+    session merging happens inside the aggregation operator itself, so
+    unlike sessionize_batch there is no lag/running-sum window pass at
+    all — Spark's UpdatingSessionsIterator merges in-sort.
+
+    Semantics note, pinned by the oracle: session_window breaks at gap
+    >= 30 min (windows are half-open [ts, ts+gap), adjacency does not
+    merge), while sessionize_batch's lag formulation breaks at gap >
+    30 min — the two agree everywhere except events exactly 30:00.000000
+    apart, so the oracle uses strict '<' where sessionize_batch uses
+    '<='. session_end is last_ts + gap by definition (the window's
+    close, not the last event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -376,3 +376,71 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE vec_id <> {QUERY_VEC_ID}))
         WHERE cos_sim >= {SIM_RADIUS}
     """)
+
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+
+
+@register("sim_mmr_rerank", tags=("similarity", "rerank"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank — the serving-side
+    second stage every retrieval pipeline bolts onto a top-k search:
+    pick MMR_K results that trade off relevance to the query against
+    redundancy with what's already picked,
+    ``argmax λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)``.
+
+    Stage 1 is fully distributed: the exact brute-force top-TOP_K
+    candidate retrieval (sim_search_topk's scan + fold + TakeOrdered
+    plan) joined back to its vectors. Stage 2 collects the TOP_K
+    candidate rows — a k × dim serving-model payload (20×64 floats),
+    the same legitimate O(k·d) driver transfer as the k-means model —
+    and runs the inherently sequential greedy selection in plain
+    Python; each pick is deterministic (scores rounded to SIM_DECIMALS,
+    ties to the lower vec_id). Rows-only for the driver (greedy
+    selection is not SQL-expressible); pinned against an independent
+    NumPy implementation in tests/test_similarity_quality.py."""
+    cands = sim_search_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = (
+        cands.join(emb, "vec_id")
+        .select("vec_id", "label", "cos_sim", "embedding")
+        .collect()
+    )
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return d / (na * nb)
+
+    by_id = {r["vec_id"]: r for r in rows}
+    pool = set(by_id)
+    picked: list[tuple[int, float]] = []  # (vec_id, mmr_score)
+    while pool and len(picked) < MMR_K:
+        best_vid, best_score = None, None
+        for vid in pool:
+            redundancy = max(
+                (cos(by_id[vid]["embedding"], by_id[s]["embedding"]) for s, _ in picked),
+                default=0.0,
+            )
+            score = round(
+                MMR_LAMBDA * by_id[vid]["cos_sim"] - (1 - MMR_LAMBDA) * redundancy,
+                SIM_DECIMALS,
+            )
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and vid < best_vid)
+            ):
+                best_vid, best_score = vid, score
+        picked.append((best_vid, best_score))
+        pool.remove(best_vid)
+
+    out = [
+        (i + 1, vid, float(by_id[vid]["cos_sim"]), score)
+        for i, (vid, score) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, relevance double, mmr_score double"
+    )

@@ -356,3 +356,48 @@ def test_single_partition_exchanges_are_allowlisted(spark, name):
         assert name in _SINGLE_PARTITION_OK, (
             f"{name} plans an unreviewed Exchange SinglePartition:\n{plan}"
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling is the runtime half of the engine's skew
+    strategy (join_skew_salted is the static half): with one key owning
+    ~99% of the fact side and thresholds scaled to fixture size, the
+    runtime plan must mark and split the skewed partition."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id") % 8)
+            .alias("k"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        dim = spark.range(0, 8).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = fact.join(dim, "k")
+        # materialize THROUGH j's own QueryExecution (collect, not a
+        # derived count) so executedPlan is the finalized adaptive plan
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -95,3 +95,56 @@ def test_ivf_probe_scans_fraction(spark):
     assert len(centroids) == 16
     probed = sum(sorted(sizes.values(), reverse=True)[:4])
     assert probed < total  # even the 4 largest lists are a proper subset
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    """The engine's greedy MMR (plain-Python folds) must reproduce an
+    independent NumPy implementation: same candidate pool, same lambda,
+    scores compared after the shared SIM_DECIMALS rounding."""
+    import numpy as np
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.similarity.queries import (
+        MMR_K,
+        MMR_LAMBDA,
+        QUERY_VEC_ID,
+        SIM_DECIMALS,
+        TOP_K,
+        sim_mmr_rerank,
+        sim_search_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sim_mmr_rerank(spark, SF_DIR).orderBy("rank").collect()
+    assert len(got) == MMR_K
+
+    cand = {
+        r["vec_id"]: r["cos_sim"]
+        for r in sim_search_topk(spark, SF_DIR).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+        if r["vec_id"] in cand
+    }
+
+    def ncos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    pool, picked = set(cand), []
+    while pool and len(picked) < MMR_K:
+        scored = []
+        for vid in pool:
+            red = max((ncos(vecs[vid], vecs[s]) for s, _ in picked), default=0.0)
+            scored.append(
+                (round(MMR_LAMBDA * cand[vid] - (1 - MMR_LAMBDA) * red, SIM_DECIMALS), vid)
+            )
+        score, vid = max(scored, key=lambda t: (t[0], -t[1]))
+        picked.append((vid, score))
+        pool.remove(vid)
+
+    assert [(r["vec_id"], r["rank"]) for r in got] == [
+        (vid, i + 1) for i, (vid, _) in enumerate(picked)
+    ]
+    for r, (_, score) in zip(got, picked):
+        assert abs(r["mmr_score"] - score) < 10 ** -(SIM_DECIMALS - 1)
