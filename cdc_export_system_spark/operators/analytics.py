@@ -1005,15 +1005,23 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias("money_cents"),
     )
-    per_x = pts.groupBy("freq").agg(F.max("money_cents").alias("__ymax"))
-    thr = with_prefix_max(per_x, [F.desc("freq")], "__ymax", out="__gt_max")
+    return skyline_2d(pts, x="freq", y="money_cents")
+
+
+def skyline_2d(pts: DataFrame, x: str, y: str) -> DataFrame:
+    """Maximizing 2-D skyline of ``pts``: rows where no other row is >=
+    on both ``x`` and ``y`` and strictly greater on at least one.
+    Reductions + distributed prefix-max; see skyline_pareto_front."""
+    per_x = pts.groupBy(x).agg(F.max(y).alias("__ymax"))
+    thr = with_prefix_max(per_x, [F.desc(x)], "__ymax", out="__gt_max")
     return (
-        pts.join(thr, "freq")
+        pts.join(thr, x)
         .filter(
-            (F.col("money_cents") == F.col("__ymax"))
-            & (F.col("__gt_max").isNull() | (F.col("money_cents") > F.col("__gt_max")))
+            (F.col(y) == F.col("__ymax"))
+            & (F.col("__gt_max").isNull() | (F.col(y) > F.col("__gt_max")))
         )
-        .select("cust", "freq", "money_cents")
+        .drop("__ymax", "__gt_max")
+        .select(*pts.columns)
     )
 
 
@@ -1070,4 +1078,43 @@ def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register("metric_rolling_wau_hll", tags=("analytics", "sketch", "agg"))
+def metric_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via HLL SKETCH ALGEBRA — the
+    pre-aggregation shape that replaces metric_rolling_wau's exact
+    contribution explode once |user-days| is too large to reshuffle:
+    build ONE mergeable sketch per day (map-side combinable, fixed
+    ~2^12 bytes each), fan the <=7-day contributions out over the
+    |days|-sized sketch table, and union per report day. Shuffle volume
+    drops from 7x|user-days| key pairs to 7x|days| fixed-size sketches
+    — at 100 TB that is the difference between reshuffling billions of
+    user-day pairs and moving a few thousand kilobyte-sized sketches.
+    The daily sketch table is also reusable for ANY window length (MAU,
+    QAU) without rescanning raw events — the sketch-rollup property.
+
+    Approximate (standard HLL error ~1.6% at lgConfigK=12), hence
+    rows-only for the driver; accuracy vs the exact operator is pinned
+    in tests/test_pipeline_ops.py (sparse-mode sketches are exact at
+    fixture cardinalities)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    contrib = daily.select(
+        "sk",
+        F.posexplode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), WAU_WINDOW_DAYS - 1))
+        ).alias("off", "day"),
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"),
+            F.count_if(F.col("off") == 0).alias("n_day0"),
+        )
+        .filter(F.col("n_day0") > 0)
+        .select(F.col("day").cast("timestamp").alias("day"), "wau_est")
     )

@@ -127,3 +127,43 @@ def test_compression_quality_matches_zlib(spark):
         assert r["orig_bytes"] == len(raw)
         assert r["comp_bytes"] == len(zlib.compress(raw, 6))
         assert r["keep"] == (r["comp_ratio"] >= COMPRESSION_MIN_RATIO)
+
+
+def test_rolling_wau_hll_tracks_exact(spark):
+    """Sketch-rollup WAU must track the exact contribution-explode WAU
+    within standard HLL error (exact here: sparse-mode sketches)."""
+    from cdc_export_system_spark.operators.analytics import (
+        metric_rolling_wau,
+        metric_rolling_wau_hll,
+    )
+
+    exact = {r["day"]: r["wau"] for r in metric_rolling_wau(spark, SF_DIR).collect()}
+    est = {r["day"]: r["wau_est"] for r in metric_rolling_wau_hll(spark, SF_DIR).collect()}
+    assert set(est) == set(exact)
+    for day, wau in exact.items():
+        assert abs(est[day] - wau) <= max(1, 0.05 * wau), (day, est[day], wau)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    """skyline_2d vs the quadratic dominance definition on seeded random
+    point sets, including duplicate points (both survive) and ties on
+    one axis."""
+    import random
+
+    from cdc_export_system_spark.operators.analytics import skyline_2d
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40)) for i in range(250)]
+        pts += [(1000 + i, 20, 20) for i in range(3)]  # exact duplicates
+        df = spark.createDataFrame(pts, "id long, x int, y int").repartition(5)
+        got = {(r["id"]) for r in skyline_2d(df, "x", "y").collect()}
+        expect = {
+            pid
+            for pid, px, py in pts
+            if not any(
+                qx >= px and qy >= py and (qx > px or qy > py)
+                for _, qx, qy in pts
+            )
+        }
+        assert got == expect, (seed, got ^ expect)
