@@ -362,3 +362,49 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE jaccard >= {JACCARD_THRESHOLD}
         """
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+        WITH {_sql_signature_cte()},
+        bands AS ({_sql_band_exprs()})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: LSH candidate pairs that touch
+    TODAY'S batch (odd doc_ids stand in for the new arrivals) — the
+    steady-state form of dedup_minhash_lsh, where yesterday's corpus is
+    already indexed and only pairs involving a new document matter.
+
+    Same single bucket-groupBy as the full pipeline — never a band-table
+    self-join (which would also execute the signature pipeline twice) —
+    with two incremental refinements, both row-local: buckets with no
+    new member are discarded before any pair materializes
+    (``exists(ids, odd)``), and old-old pairs are filtered inside the
+    per-bucket pair generator. In production the band rows of the
+    already-indexed corpus stream from the persisted band index
+    (io/bucketed.py layout, cf. sim_search_lsh_pruned) instead of being
+    recomputed, so per-day cost is |new docs| signatures + a bucket
+    probe — this query keeps the stateless registry contract but plans
+    the identical downstream shape."""
+    src = _fanned_docs_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH {_spark_sig_cte(src)}, {_spark_bands_cte()}
+        SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
+        FROM (SELECT ids FROM (
+                  SELECT array_sort(collect_set(doc_id)) AS ids
+                  FROM bands GROUP BY band, digest)
+              WHERE size(ids) >= 2 AND exists(ids, x -> x % 2 = 1)) b
+        LATERAL VIEW explode(flatten(transform(ids, (x, i) ->
+            transform(filter(slice(ids, i + 2, size(ids) - i - 1),
+                             y -> x % 2 = 1 OR y % 2 = 1),
+                      y -> named_struct('doc_a', x, 'doc_b', y))))) t AS p
+        """
+    )

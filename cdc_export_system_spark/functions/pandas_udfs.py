@@ -180,6 +180,7 @@ MG_SUPPORT = 0.05  # report items with frequency >= 5% of the stream
 
 @register(
     "agg_freq_items_mg",
+    headline=True,
     oracle=f"""
         WITH c AS (SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
                    FROM events WHERE event_type IS NOT NULL GROUP BY 1),

@@ -959,6 +959,7 @@ def sessionize_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skyline_pareto_front",
+    headline=True,
     oracle="""
         WITH pts AS (
             SELECT o_custkey AS cust,
@@ -1081,7 +1082,7 @@ def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("metric_rolling_wau_hll", tags=("analytics", "sketch", "agg"))
+@register("metric_rolling_wau_hll", headline=True, tags=("analytics", "sketch", "agg"))
 def metric_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users via HLL SKETCH ALGEBRA — the
     pre-aggregation shape that replaces metric_rolling_wau's exact

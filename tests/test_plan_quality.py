@@ -110,6 +110,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
+    "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
 }
 
 
