@@ -37,33 +37,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # retries: hash-FAILed in round 1, root-caused (HUGEINT / DATE-type
-    # oracle divergence) and fixed
-    "sql_group_by_all", "profile_table",
-    # dedup family
-    "dedup_exact", "dedup_upsert_key", "dedup_latest_per_key", "dedup_keep_best",
-    "corpus_decontaminate", "dedup_minhash_signature", "dedup_minhash_lsh",
-    "dedup_minhash_verified", "dedup_cluster_cc", "dedup_simhash",
-    "dedup_simhash_banded_pairs", "dedup_ngram_jaccard", "dedup_containment",
-    "dedup_embedding_cosine",
-    # similarity family
-    "sim_search_topk", "sim_search_lsh", "sim_lsh_buckets", "sim_knn_join",
-    "sim_centroid_per_label", "sim_random_projection",
-    # text / LLM-pipeline family
-    "text_token_count", "text_quality_score", "text_stats", "text_fingerprint",
-    "text_pack_chunks", "pipeline_pretraining_corpus",
-    # multimodal family
-    "multimodal_binary_meta", "multimodal_phash_near_dup", "multimodal_resize",
-    "multimodal_frame_sample", "multimodal_extract_features",
-    # analytics / windows rewritten or dtype-fixed this round
-    "rfm_segmentation", "window_pareto_share", "agg_gini", "window_share_of_total",
-    "window_ntile_dist", "window_rank", "sessionize_metrics", "cohort_ltv_curve",
-    "attribution_time_to_convert", "cohort_retention", "cdc_changelog_stats",
-    # streaming family
-    "stream_tumbling_window", "stream_sliding_window", "stream_join_attribution",
-    # tpch + pandas-UDF representatives
-    "tpch_q1", "tpch_q3",
-    "udf_scalar_pandas", "udaf_grouped_pandas", "udtf_lateral_chunks",
+    # round-3 lead: the two UDF reps queued twice but cut off by the
+    # driver's ~50-entry prefix, plus the last-commit op from round 2
+    "udaf_grouped_pandas", "udtf_lateral_chunks", "udf_map_in_pandas",
+    "dedup_minhash_incremental",
+    # joins family — zero driver rows before round 3
+    "join_left", "join_semi", "join_anti", "join_range", "join_full_outer",
+    "join_null_safe", "join_state_lookup", "join_skew_salted",
+    "join_interval_overlap", "join_interval_bins", "join_bloom_prefilter",
+    "join_asof", "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
+    # windows family — zero driver rows before round 3
+    "window_latest_per_key", "window_lag_lead", "window_running_sum",
+    "window_topk_per_group", "window_range_interval", "window_first_last",
+    "window_gaps_islands", "window_mom_growth", "window_moving_avg",
+    "window_ewma", "window_rolling_median", "window_rolling_zscore",
+    # tpch suite — only q1/q3 driver-checked so far
+    "tpch_q4_like", "tpch_q5", "tpch_q6", "tpch_q7_like", "tpch_q8_like",
+    "tpch_q9_like", "tpch_q10_like", "tpch_q12_like", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16_like", "tpch_q17", "tpch_q18", "tpch_q19_like",
+    "tpch_q22_like",
+    # round-2 additions still driver-unverified
+    "dedup_incremental_batch", "corpus_decontaminate_bloom",
+    "dedup_embedding_lsh", "sim_search_lsh_pruned", "agg_freq_items_mg",
+    "text_compression_quality",
 ]
 
 

@@ -11,9 +11,14 @@ Prints exactly one JSON line:
 Each query executes to completion via the noop sink (full plan runs,
 nothing is collected to the driver). One full unmeasured warm-up pass
 (JMH-style) absorbs JVM start-up, codegen/JIT, and parquet footer reads;
-each query is then measured three times (build + execute, end to end)
+each query is then measured five times (build + execute, end to end)
 and the fastest pass is reported — min-of-N is the standard estimator
-for the noise-free steady state on a shared host.
+for the noise-free steady state on a shared host. Round-2 lesson
+(docs/BENCH_NOTES.md): min-of-3 under-samples on this host — three
+queries appeared 1.46-1.48x slower with byte-identical plans, and a
+10-rep isolated rerun put two of them back at/below their round-1
+times. Five reps plus the published per-query median/max spread make
+noise visible instead of shipping it as a phantom regression.
 """
 
 from __future__ import annotations
@@ -47,15 +52,21 @@ def main() -> None:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    maxima: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     for name in sorted(headline):
         spec = registry[name]
-        best = float("inf")
-        for _ in range(3):
+        samples: list[float] = []
+        for _ in range(reps):
             t0 = time.monotonic()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        medians[name] = round(samples[len(samples) // 2], 4)
+        maxima[name] = round(samples[-1], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -65,6 +76,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_max": maxima,
+                "reps": reps,
                 "sf": sf,
             }
         )
