@@ -223,15 +223,22 @@ def mg_heavy_hitters(items: DataFrame, capacity: int, support: float) -> DataFra
 
     Reported ``est_count`` is a lower bound within n/(capacity+1) of the
     true count (exact when a partition never exceeds capacity distinct
-    items); the support filter is applied against the merged estimates.
-    The threshold denominator is the merged estimate total, which also
-    undercounts by at most n/(capacity+1) — both biases are covered by
-    the standard recall guarantee support > 1/(capacity+1).
+    items). The support threshold is applied against the EXACT stream
+    size n, not the merged-estimate total: the per-item n/(C+1) bound
+    does not extend to the total (compressions drop the entire tail
+    mass), so thresholding on the merged total would silently lower the
+    effective support in tail-heavy streams and admit false positives.
+    Each partition therefore also emits its exact non-null row count as
+    a null-item sentinel row — one extra row per partition, no extra
+    pass over the data — and the merge sums those into true n. Null
+    items are ignored (not counted, never reported).
     """
 
     def mg_partials(batches):
         counters: dict[str, int] = {}
+        n_exact = 0
         for pdf in batches:
+            n_exact += int(pdf["item"].count())  # exact non-null rows
             for item, cnt in pdf["item"].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(cnt)
             if len(counters) > capacity:
@@ -239,13 +246,18 @@ def mg_heavy_hitters(items: DataFrame, capacity: int, support: float) -> DataFra
                 counters = {
                     k: v - delta for k, v in counters.items() if v > delta
                 }
+        # null-item sentinel row carries this partition's exact size
         yield pd.DataFrame(
-            {"item": list(counters.keys()), "cnt": list(counters.values())}
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [n_exact],
+            }
         ).astype({"item": "string", "cnt": "int64"})
 
     partials = items.mapInPandas(mg_partials, schema="item string, cnt bigint")
-    merged = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
-    total = merged.agg(F.sum("est_count").alias("n"))
+    agg = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    total = agg.where(F.col("item").isNull()).select(F.col("est_count").alias("n"))
+    merged = agg.where(F.col("item").isNotNull())
     return (
         merged.join(F.broadcast(total))
         .where(F.col("est_count") >= F.lit(support) * F.col("n"))
@@ -269,26 +281,47 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel with the scan, shuffles nothing. Rows-only
     for the driver (DuckDB has no deflate); the exact scores are pinned
     against direct ``zlib.compress`` in tests/test_pipeline_ops.py.
+
+    Edge semantics (explicit): only a NULL text yields NULL comp_bytes;
+    an empty string is compressed for real (zlib's 8-byte empty stream),
+    matching the ``len(zlib.compress(raw, 6))`` pin for every non-null
+    doc. Zero-length and NULL docs carry no signal, so comp_ratio is
+    NULL for them and they are dropped (keep = false) rather than being
+    misread as "pathologically repetitive".
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return with_compression_quality(docs, "doc_id", "text")
+
+
+def with_compression_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Core of text_compression_quality over any (id, text) frame."""
     import zlib
 
     @F.pandas_udf(T.LongType())
     def deflate_len(text: pd.Series) -> pd.Series:
         return text.map(
-            lambda s: len(zlib.compress(s.encode("utf-8"), 6)) if s else 0
+            lambda s: len(zlib.compress(s.encode("utf-8"), 6)),
+            na_action="ignore",
         )
 
-    docs = load_table(spark, sf_dir, "documents")
-    orig = F.octet_length(F.col("text"))
+    orig = F.octet_length(F.col(text_col))
     return (
-        docs.select(
-            "doc_id",
+        df.select(
+            id_col,
             orig.cast("bigint").alias("orig_bytes"),
-            deflate_len(F.col("text")).alias("comp_bytes"),
+            deflate_len(F.col(text_col)).alias("comp_bytes"),
         )
         .withColumn(
             "comp_ratio",
-            F.round(F.col("comp_bytes") / F.greatest(F.col("orig_bytes"), F.lit(1)), 4),
+            F.when(
+                F.col("orig_bytes") > 0,
+                F.round(F.col("comp_bytes") / F.col("orig_bytes"), 4),
+            ),
         )
-        .withColumn("keep", F.col("comp_ratio") >= COMPRESSION_MIN_RATIO)
+        .withColumn(
+            "keep",
+            F.coalesce(
+                F.col("comp_ratio") >= COMPRESSION_MIN_RATIO, F.lit(False)
+            ),
+        )
     )

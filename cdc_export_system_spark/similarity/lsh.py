@@ -20,6 +20,10 @@ Hyperplanes are frozen literals from a seeded LCG, so the DuckDB oracle
 
 from __future__ import annotations
 
+import warnings
+
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
@@ -298,7 +302,16 @@ def sim_search_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     try:
         return lsh_topk_pruned(spark, sf_dir, list(qrow["embedding"]), exclude_vec_id=0)
-    except Exception:
+    except (AnalysisException, Py4JJavaError, OSError) as exc:
         # environments where the managed bucketed table cannot be written
-        # (read-only warehouse dir): same candidates + scores, unpruned scan
+        # (read-only warehouse dir / catalog conflicts): same candidates +
+        # scores, unpruned scan. Only table/IO failures fall back — a
+        # Python-side bug (TypeError, KeyError, ...) must propagate, not
+        # masquerade as silent perf degradation.
+        warnings.warn(
+            f"sim_search_lsh_pruned: bucketed layout unavailable "
+            f"({type(exc).__name__}); falling back to unpruned LSH scan",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return lsh_topk(emb, query_vec_id=0)

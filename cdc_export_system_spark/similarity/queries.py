@@ -395,11 +395,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan) joined back to its vectors. Stage 2 collects the TOP_K
     candidate rows — a k × dim serving-model payload (20×64 floats),
     the same legitimate O(k·d) driver transfer as the k-means model —
-    and runs the inherently sequential greedy selection in plain
-    Python; each pick is deterministic (scores rounded to SIM_DECIMALS,
-    ties to the lower vec_id). Rows-only for the driver (greedy
-    selection is not SQL-expressible); pinned against an independent
-    NumPy implementation in tests/test_similarity_quality.py."""
+    and runs the inherently sequential greedy selection driver-side on
+    numpy float64 (bit-identical to the independent reference in
+    tests/test_similarity_quality.py — a pure-Python sequential sum can
+    differ in the last ulp, and SIM_DECIMALS rounding before the greedy
+    argmax could flip a boundary pick); each pick is deterministic
+    (scores rounded to SIM_DECIMALS, ties to the lower vec_id).
+    Rows-only for the driver (greedy selection is not
+    SQL-expressible)."""
+    import numpy as np
+
     cands = sim_search_topk(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rows = (
@@ -408,11 +413,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
 
-    def cos(a: list[float], b: list[float]) -> float:
-        d = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = sum(float(x) * float(x) for x in a) ** 0.5
-        nb = sum(float(y) * float(y) for y in b) ** 0.5
-        return d / (na * nb)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    norms = {vid: float(np.linalg.norm(v)) for vid, v in vecs.items()}
+
+    def cos(i: int, j: int) -> float:
+        return float(vecs[i] @ vecs[j]) / (norms[i] * norms[j])
 
     by_id = {r["vec_id"]: r for r in rows}
     pool = set(by_id)
@@ -421,7 +426,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         best_vid, best_score = None, None
         for vid in pool:
             redundancy = max(
-                (cos(by_id[vid]["embedding"], by_id[s]["embedding"]) for s, _ in picked),
+                (cos(vid, s) for s, _ in picked),
                 default=0.0,
             )
             score = round(

@@ -111,6 +111,29 @@ def test_mg_lossy_regime_bounds(spark):
     assert 600 - got["hot"] <= n / (8 + 1)
 
 
+def test_mg_support_thresholds_on_exact_n(spark):
+    """The support threshold divides by the EXACT stream size, not the
+    merged-estimate total (which loses the compressed-away tail mass).
+    Tail-heavy stream, n=1000, support 30%: 'warm' (true count 260,
+    est <= true) can never reach 0.30 * 1000 = 300, so it must NOT be
+    reported — under the old merged-total denominator (tail mass
+    compressed away, total far below n) warm's estimate could clear the
+    effective threshold and surface as a false positive."""
+    from cdc_export_system_spark.functions.pandas_udfs import mg_heavy_hitters
+
+    rows = [("hot",)] * 320 + [("warm",)] * 260 + [(f"tail{i}",) for i in range(420)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {
+        r["item"]: r["est_count"]
+        for r in mg_heavy_hitters(df, capacity=8, support=0.30).collect()
+    }
+    # est is a lower bound: warm (26% of n) and every tail item are out
+    assert "warm" not in got
+    assert all(not k.startswith("tail") for k in got)
+    # anything reported must genuinely clear support * exact-n as an estimate
+    assert all(v >= 300 for v in got.values())
+
+
 def test_compression_quality_matches_zlib(spark):
     import zlib
 
@@ -126,7 +149,35 @@ def test_compression_quality_matches_zlib(spark):
         raw = docs[r["doc_id"]].encode("utf-8")
         assert r["orig_bytes"] == len(raw)
         assert r["comp_bytes"] == len(zlib.compress(raw, 6))
-        assert r["keep"] == (r["comp_ratio"] >= COMPRESSION_MIN_RATIO)
+        if r["orig_bytes"] > 0:
+            assert r["keep"] == (r["comp_ratio"] >= COMPRESSION_MIN_RATIO)
+        else:
+            assert r["comp_ratio"] is None and r["keep"] is False
+
+
+def test_compression_quality_empty_and_null_docs(spark):
+    """Edge semantics: empty string is compressed for real (zlib's 8-byte
+    empty stream), NULL text yields NULL comp_bytes; both carry NULL
+    comp_ratio and keep=false instead of reading as 'pathologically
+    repetitive'."""
+    import zlib
+
+    from cdc_export_system_spark.functions.pandas_udfs import (
+        with_compression_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world, hello world"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_compression_quality(df, "doc_id", "text").collect()}
+    assert rows[1]["comp_bytes"] == len(zlib.compress(b"hello world, hello world", 6))
+    assert rows[1]["keep"] == (rows[1]["comp_ratio"] >= 0.35)
+    assert rows[2]["orig_bytes"] == 0
+    assert rows[2]["comp_bytes"] == len(zlib.compress(b"", 6)) == 8
+    assert rows[2]["comp_ratio"] is None and rows[2]["keep"] is False
+    assert rows[3]["comp_bytes"] is None
+    assert rows[3]["comp_ratio"] is None and rows[3]["keep"] is False
 
 
 def test_rolling_wau_hll_tracks_exact(spark):

@@ -148,3 +148,37 @@ def test_mmr_rerank_matches_numpy_reference(spark):
     ]
     for r, (_, score) in zip(got, picked):
         assert abs(r["mmr_score"] - score) < 10 ** -(SIM_DECIMALS - 1)
+
+
+def test_lsh_pruned_fallback_is_narrow(spark, monkeypatch):
+    """The bucketed-layout fallback only catches table/IO failures: an
+    AnalysisException falls back to the unpruned scan (with a warning),
+    while a Python-side bug propagates instead of masquerading as
+    silent perf degradation."""
+    import warnings
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from cdc_export_system_spark.similarity import lsh as lsh_mod
+
+    def boom_analysis(*a, **k):
+        raise AnalysisException("[TABLE_OR_VIEW_ALREADY_EXISTS] simulated")
+
+    monkeypatch.setattr(lsh_mod, "lsh_topk_pruned", boom_analysis)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = lsh_mod.sim_search_lsh_pruned(spark, SF_DIR).collect()
+    assert len(out) > 0  # unpruned path produced the same top-k
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "falling back to unpruned" in str(w.message)
+        for w in caught
+    )
+
+    def boom_python(*a, **k):
+        raise TypeError("simulated python-side bug")
+
+    monkeypatch.setattr(lsh_mod, "lsh_topk_pruned", boom_python)
+    with pytest.raises(TypeError, match="simulated python-side bug"):
+        lsh_mod.sim_search_lsh_pruned(spark, SF_DIR)
