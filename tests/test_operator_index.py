@@ -22,3 +22,25 @@ def test_operator_index_counts_match():
     registry = load_all()
     text = open(DOC).read()
     assert f"**{len(registry)} operators**" in text, "regenerate docs/OPERATORS.md"
+
+
+PLAN_DOC = os.path.join(os.path.dirname(DOC), "PLAN_METRICS.md")
+
+
+def test_plan_metrics_names_every_headline_op():
+    """docs/PLAN_METRICS.md is the machine-noise-free regression signal;
+    a headline op added without re-running scripts/gen_plan_metrics.py
+    fails here, not in a silently stale table."""
+    text = open(PLAN_DOC).read()
+    missing = [
+        n for n, spec in load_all().items() if spec.headline and f"`{n}`" not in text
+    ]
+    assert not missing, f"regenerate docs/PLAN_METRICS.md: missing {missing}"
+
+
+def test_plan_metrics_counts_match():
+    n_headline = sum(1 for spec in load_all().values() if spec.headline)
+    text = open(PLAN_DOC).read()
+    assert f"**{n_headline} headline queries**" in text, (
+        "regenerate docs/PLAN_METRICS.md"
+    )
