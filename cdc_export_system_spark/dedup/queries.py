@@ -283,10 +283,14 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, then run the exact join only on the bloom survivors. False
     positives cost shuffled candidate rows, never correctness — the
     exact join rechecks them — so the result (and oracle) is identical
-    to corpus_decontaminate. The verify join is deliberately NOT
-    broadcast-hinted: in the regime where this variant matters the eval
-    set doesn't fit in memory, and the survivor-side shuffle it pays is
-    proportional to the (tiny) true-hit + false-positive volume."""
+    to corpus_decontaminate. The verify join is SHUFFLE_HASH-hinted (not
+    broadcast): in the regime where this variant matters the eval set
+    doesn't fit in memory — an un-hinted join lets Catalyst broadcast it
+    at test scale, which would silently revert to the plan this variant
+    exists to avoid (pinned in tests/test_plan_quality.py). The
+    survivor-side shuffle it pays instead is proportional to the (tiny)
+    true-hit + false-positive volume, since the bloom probe runs
+    map-side below the exchange."""
     from cdc_export_system_spark.operators.bloom_join import (
         bloom_build,
         bloom_might_contain,
@@ -304,7 +308,7 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.filter(~is_eval)
         .filter(bloom_might_contain(bitmap, "g"))
-        .join(eval_g, "g")
+        .join(eval_g.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -402,3 +403,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_bloom_never_broadcasts_eval_set(spark):
+    """corpus_decontaminate_bloom exists for the regime where the eval
+    n-gram set does NOT fit in memory: the exact verify join must be a
+    shuffled hash join, never a broadcast of the eval set (which would
+    silently revert to corpus_decontaminate's plan), and the 8 KB bloom
+    probe must run as a map-side Filter on the training n-gram stream —
+    below the join's exchange, so survivors alone are shuffled."""
+    p = plan_of(spark, "corpus_decontaminate_bloom")
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    # the bitmap probe compiles to shiftright(element_at(<bitmap literal>..))
+    probe_filters = [
+        ln for ln in p.splitlines()
+        if "Condition" in ln and "element_at" in ln and "shiftright" in ln
+    ]
+    assert probe_filters, p[:2000]
+    # filters sit below exchanges in every Catalyst plan; presence of the
+    # probe Filter plus a shuffled join implies only survivors reach the
+    # exchange. Exactly two keyed exchanges feed the join (both sides by g).
+    assert len(re.findall(r"hashpartitioning\(g#", p)) >= 2, p[:2000]
