@@ -264,3 +264,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     for r in rows:
         per_window.setdefault(r.ws, []).append(r.n)
     assert per_window[t0] == [3]  # one finalized emission, late row excluded
+
+
+def test_incremental_stream_crash_mid_batch_resumes_exactly_once(
+    spark, tmp_path, changes_dir, monkeypatch
+):
+    """Chaos pin for the checkpointed CDC stream, matching the reference's
+    rollback semantics (app/services/jobs.py:51-58 — a failed export
+    advances nothing): the micro-batch dies AFTER the CSV write but
+    BEFORE the watermark upsert / checkpoint commit; on restart the same
+    epoch replays onto the same path (atomic os.replace overwrite) and
+    every change row is exported exactly once — no loss, no dupes."""
+    from pyspark.errors import StreamingQueryException
+
+    from cdc_export_system_spark.streaming import cdc_stream
+
+    d, users = changes_dir
+    store = WatermarkStore(spark, str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # epoch 0 drains the first change file cleanly
+    run_incremental_export_stream(spark, d, store, "cc", out, ckpt)
+    wm_after_first = store.get("cc")
+
+    # second change file arrives; its batch dies mid-write on first attempt
+    users.filter(F.col("id") > 100).coalesce(1).write.mode("append").parquet(d)
+    real_write = cdc_stream.write_users_csv
+    crashed = {"n": 0}
+
+    def crash_after_sink(df, filepath, columns, **kw):
+        n = real_write(df, filepath, columns, **kw)
+        crashed["n"] += 1
+        raise RuntimeError("simulated executor loss after sink write")
+
+    monkeypatch.setattr(cdc_stream, "write_users_csv", crash_after_sink)
+    with pytest.raises(StreamingQueryException):
+        run_incremental_export_stream(spark, d, store, "cc", out, ckpt)
+    assert crashed["n"] == 1
+    # rollback semantics: the failed batch advanced nothing
+    assert store.get("cc") == wm_after_first
+
+    # restart without the fault: the uncommitted epoch replays
+    monkeypatch.setattr(cdc_stream, "write_users_csv", real_write)
+    res = run_incremental_export_stream(spark, d, store, "cc", out, ckpt)
+    live = users.filter(~F.col("is_deleted"))
+    assert sum(r["rowsExported"] for r in res) == live.filter(F.col("id") > 100).count()
+
+    # exactly-once across ALL exported CSVs: every live id once, no dupes
+    seen: list[str] = []
+    for fname in os.listdir(out):
+        with open(os.path.join(out, fname)) as f:
+            seen += [row["id"] for row in csv.DictReader(f)]
+    assert len(seen) == len(set(seen)) == live.count()
+    # and the watermark lands on the true max change timestamp
+    assert store.get("cc") == live.agg(F.max("updated_at")).first()[0]
+
+    # idempotent tail: nothing new -> nothing exported, watermark unmoved
+    res2 = run_incremental_export_stream(spark, d, store, "cc", out, ckpt)
+    assert sum(r["rowsExported"] for r in res2) == 0
