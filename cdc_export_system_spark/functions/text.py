@@ -626,3 +626,73 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
     )
+
+
+POSTINGS_HEAD = 5
+
+
+@register(
+    "corpus_inverted_index",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        pd AS (SELECT token, doc_id, count(*) AS tf_doc
+               FROM tok WHERE token <> '' GROUP BY token, doc_id),
+        head AS (
+            SELECT token,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+            FROM (SELECT token, doc_id,
+                         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+                  FROM pd)
+            WHERE rn <= {POSTINGS_HEAD} GROUP BY token)
+        SELECT pd.token AS token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf_doc) AS BIGINT) AS tf,
+               head.postings_head AS postings_head
+        FROM pd JOIN head ON pd.token = head.token
+        GROUP BY pd.token, head.postings_head
+    """,
+    tags=("text", "search", "agg"),
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the IR primitive behind corpus search and
+    contamination lookups: per token, document frequency, total term
+    frequency, and the head of the sorted posting list.
+
+    Scale posture: the token stream collapses FIRST to the (token,
+    doc_id) grid (map-side combined count), so every later stage is
+    bounded by |vocab x touched-docs|, never the raw token stream. The
+    posting head is row_number-truncated BEFORE any collect — a stopword
+    posting list at 100 TB is |corpus|-sized, and an unbounded
+    collect_set on it is executor-OOM by construction; the full postings
+    would stream to a doc_id-bucketed sink instead, with this head kept
+    as the serving summary. Three keyed exchanges total, each narrower
+    than the last."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf_doc"))
+    head = (
+        per_doc.withColumn(
+            "rn", F.row_number().over(W.partitionBy("token").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") <= POSTINGS_HEAD)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf_doc").alias("tf")
+    )
+    return stats.join(head, "token").select("token", "df", "tf", "postings_head")

@@ -71,10 +71,12 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.dedup.jaccard",
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.similarity.ivf",
+    "cdc_export_system_spark.similarity.pq",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.io.format_roundtrip",
     "cdc_export_system_spark.io.python_source",
     "cdc_export_system_spark.streaming.queries",
+    "cdc_export_system_spark.streaming.scd_stream",
     "cdc_export_system_spark.streaming.event_windows",
     "cdc_export_system_spark.streaming.joins",
     "cdc_export_system_spark.streaming.tws",

@@ -1,0 +1,199 @@
+"""Product-quantization ANN over the embeddings table (north-star
+extension; cf. PAPERS.md — Jégou et al.'s PQ is the standard
+memory-compressed ANN representation).
+
+The 100 TB story is memory, not speed-of-light: a 64-dim float32 vector
+is 256 B; its PQ code is M=8 uint8 subspace assignments = 8 B — a 32x
+compression that lets a single executor hold billions of codes, with the
+full-precision vectors left on cold storage for optional re-rank.
+
+Pipeline (everything JVM-side except the k x dim query table built
+driver-side from the trained model):
+
+1. **Train** — all M codebooks fit SIMULTANEOUSLY in one distributed
+   Lloyd loop: explode each vector once into (vec_id, m, subvec), assign
+   against the broadcast (m, cid, centroid) model keyed by subspace,
+   recompute means per (m, cid, pos). Per iteration: one scan + one
+   |M x K x dim/M| shuffle (1024 floats here); only the model reaches
+   the driver. At 100 TB you train the codebooks on a bounded sample
+   (they need ~100k vectors to converge) and encode the full corpus with
+   the frozen model — the encode pass below is exactly that shape.
+2. **Encode** — one broadcast-assign pass producing codes
+   array<int>[M] per vector; row-local after the broadcast, shuffles
+   only the vec_id groupBy that reassembles subspace codes in order.
+3. **Query (ADC + re-rank)** — the query vector's M x K squared-distance
+   table is computed driver-side in numpy (O(K x dim) work), embedded as
+   a 2-level array literal, and the asymmetric distance is a zip_with +
+   fold over the codes — whole-stage-codegen arithmetic, no Python, no
+   join, no shuffle until the TakeOrdered(shortlist). The ADC shortlist
+   (PQ_SHORTLIST ids) then re-ranks EXACTLY against the full-precision
+   vectors — a broadcast semi-join probe of |shortlist| rows, the
+   standard two-stage PQ serving pipeline (coarse 8-byte scan over
+   everything, exact math over almost nothing).
+
+Deterministic end to end: centroid init is the first K_PQ vectors'
+subvectors, Lloyd updates are exact double means, ties break to the
+lowest centroid id — so the codes and the top-k are stable across runs
+(rows-only for the external driver: the iterative fit is not one SQL
+statement; recall vs the exact scan is pinned in
+tests/test_similarity_quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.schemas import EMBEDDING_DIM
+from cdc_export_system_spark.similarity.kmeans import sq_dist
+from cdc_export_system_spark.similarity.queries import TOP_K
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (codes fit in uint8 with room to grow)
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M
+PQ_ITER = 3
+PQ_SHORTLIST = 5 * TOP_K  # ADC candidates fed to the exact re-rank
+PQ_DECIMALS = 6
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, subvec): each vector exploded into its M subspace
+    slices — one Generate, no shuffle."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                for m in range(PQ_M)
+            ])
+        ).alias("m", "subvec"),
+    )
+
+
+def _assign_codes(sub: DataFrame, model: DataFrame) -> DataFrame:
+    """Nearest-centroid per (vec_id, m) against the broadcast model —
+    the join key is the subspace id, so each row sees only its K
+    candidate centroids; ties to the lowest cid."""
+    d = sq_dist(F.col("subvec"), F.col("centroid"))
+    return (
+        sub.join(F.broadcast(model), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(F.col("cid"), F.struct(d.alias("d"), F.col("cid"))).alias("code")
+        )
+    )
+
+
+def pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
+    """Train all M codebooks in one distributed Lloyd loop; returns the
+    (m, cid, centroid) model DataFrame (M x K rows, driver-held between
+    iterations like kmeans_fit)."""
+    spark = emb.sparkSession
+    sub = _subvectors(emb)
+    model = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").cast("int").alias("cid"),
+                F.col("subvec").alias("centroid"))
+    )
+    for _ in range(n_iter):
+        codes = _assign_codes(sub, model)
+        upd = (
+            sub.join(codes, ["vec_id", "m"])
+            .select("m", "code", F.posexplode("subvec").alias("pos", "v"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "m",
+                F.col("code").alias("cid"),
+                F.transform(F.col("pc"), lambda s: s["c"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        rows = upd.collect()  # M x K x subdim model — the only driver transfer
+        model = spark.createDataFrame(rows, schema=upd.schema)
+    return model
+
+
+def pq_encode(emb: DataFrame, model: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>[M]): the 8-byte-per-vector corpus
+    representation. One broadcast assign + one vec_id groupBy."""
+    codes = _assign_codes(_subvectors(emb), model)
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+@register(
+    "sim_search_pq",
+    oracle=None,  # iterative codebook fit: rows-only; recall pinned in tests
+    tags=("similarity", "ann", "pq"),
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization: the 8-byte-code corpus is
+    scanned with asymmetric distance (fold of M table lookups — pure
+    codegen, no join), a PQ_SHORTLIST-sized candidate set survives, and
+    those candidates alone are re-ranked exactly against their
+    full-precision vectors. vec_id=0 models the serving request (as in
+    sim_search_lsh_pruned) and is excluded from the results. Recall vs
+    the exact scan is pinned in tests/test_similarity_quality.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        return emb.select(
+            "vec_id", F.lit(0.0).alias("l2_dist")
+        ).filter(F.lit(False))
+
+    model = pq_fit(emb)
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), model)
+
+    # driver-side M x K squared-distance table for the query vector
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    cent = {(r["m"], r["cid"]): np.asarray(r["centroid"], dtype=np.float64)
+            for r in model.collect()}
+    table = [
+        [
+            float(np.sum((q[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] - cent[(m, c)]) ** 2))
+            if (m, c) in cent else float("inf")
+            for c in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    tbl_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in table])
+
+    shortlist = (
+        codes.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    tbl_lit,
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]]).cast("array<float>")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(sq_dist(F.col("embedding"), qlit), PQ_DECIMALS).alias("l2_dist"),
+        )
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

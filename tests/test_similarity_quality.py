@@ -182,3 +182,52 @@ def test_lsh_pruned_fallback_is_narrow(spark, monkeypatch):
     monkeypatch.setattr(lsh_mod, "lsh_topk_pruned", boom_python)
     with pytest.raises(TypeError, match="simulated python-side bug"):
         lsh_mod.sim_search_lsh_pruned(spark, SF_DIR)
+
+
+def test_pq_search_recall_vs_exact(spark):
+    """Two-stage PQ (8-byte ADC scan -> exact re-rank of the shortlist)
+    must recover most of the exact L2 top-k, and every returned distance
+    must be the exact one (the re-rank stage computes full-precision
+    distances, so the approximation can only lose candidates, never
+    mis-score them)."""
+    import numpy as np
+
+    from cdc_export_system_spark.registry import load_all
+    from cdc_export_system_spark.similarity.pq import PQ_M
+    from cdc_export_system_spark.similarity.queries import TOP_K
+
+    got = load_all()["sim_search_pq"].fn(spark, SF_DIR).collect()
+    assert len(got) == TOP_K
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    q = vecs[0]
+    exact = sorted(
+        (float(np.sum((v - q) ** 2)), vid) for vid, v in vecs.items() if vid != 0
+    )
+    exact_ids = [vid for _, vid in exact[:TOP_K]]
+    recall = len({r["vec_id"] for r in got} & set(exact_ids)) / TOP_K
+    assert recall >= 0.6, f"PQ recall@{TOP_K} = {recall}"
+    # re-ranked distances are exact (rounded), and sorted ascending
+    exact_d = dict((vid, d) for d, vid in exact)
+    for r in got:
+        assert abs(r["l2_dist"] - exact_d[r["vec_id"]]) < 1e-4, r
+    ds = [r["l2_dist"] for r in got]
+    assert ds == sorted(ds)
+
+
+def test_pq_codes_are_compact(spark):
+    """The corpus representation is M small ints per vector — the 32x
+    memory story the operator exists for."""
+    from cdc_export_system_spark.io.sources import load_table as lt
+    from cdc_export_system_spark.similarity.pq import PQ_K, PQ_M, pq_encode, pq_fit
+
+    emb = lt(spark, SF_DIR, "embeddings")
+    model = pq_fit(emb, n_iter=1)
+    codes = pq_encode(emb, model).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])

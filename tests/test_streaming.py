@@ -323,3 +323,50 @@ def test_incremental_stream_crash_mid_batch_resumes_exactly_once(
     # idempotent tail: nothing new -> nothing exported, watermark unmoved
     res2 = run_incremental_export_stream(spark, d, store, "cc", out, ckpt)
     assert sum(r["rowsExported"] for r in res2) == 0
+
+
+def test_scd2_stream_multi_batch_equals_batch_recompute(spark, tmp_path):
+    """The incremental SCD2 merge must converge to the batch window
+    recomputation regardless of how the change feed splits into
+    micro-batches — including keys whose history spans batches and
+    late rows for already-seen keys."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.streaming.scd_stream import (
+        _intervals,
+        run_scd2_stream,
+        scd2_apply_batch,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    # three change files with interleaved event ids => every batch revisits
+    # most keys, and batch 3 carries ts older than batch 2's for many keys
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+    state = str(tmp_path / "state")
+    run_scd2_stream(spark, stream, state, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(state)
+    want = _intervals(ev)
+    assert got.count() == want.count() == ev.count()
+    # exact row equivalence (order-insensitive)
+    got = got.select(*want.columns)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # replay idempotence: re-applying the last batch changes nothing
+    last = ev.filter(F.col("event_id") % 3 == 2)
+    replayed = scd2_apply_batch(got, last)
+    assert replayed.exceptAll(want).count() == 0 and want.exceptAll(replayed).count() == 0
