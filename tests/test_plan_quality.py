@@ -425,3 +425,16 @@ def test_decontaminate_bloom_never_broadcasts_eval_set(spark):
     # probe Filter plus a shuffled join implies only survivors reach the
     # exchange. Exactly two keyed exchanges feed the join (both sides by g).
     assert len(re.findall(r"hashpartitioning\(g#", p)) >= 2, p[:2000]
+
+
+def test_inverted_index_collapses_before_postings(spark):
+    """corpus_inverted_index must reduce the token stream to the
+    (token, doc) grid in a map-side-combined aggregate before any
+    posting-list work, and the posting head must be truncated by a
+    row_number filter (never an unbounded collect over the raw stream)."""
+    p = plan_of(spark, "corpus_inverted_index")
+    # partial + final aggregates for the grid collapse
+    assert p.count("HashAggregate") >= 4, p
+    # the rn <= head filter exists between window and collect
+    assert "row_number" in p and "rn" in p, p
+    assert "CartesianProduct" not in p
