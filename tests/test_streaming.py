@@ -370,3 +370,60 @@ def test_scd2_stream_multi_batch_equals_batch_recompute(spark, tmp_path):
     last = ev.filter(F.col("event_id") % 3 == 2)
     replayed = scd2_apply_batch(got, last)
     assert replayed.exceptAll(want).count() == 0 and want.exceptAll(replayed).count() == 0
+
+
+def test_scd2_apply_batch_converges_for_any_split(spark):
+    """Property: however the change feed is partitioned into micro-batches
+    — including out-of-order arrival and redelivered (duplicate) rows —
+    folding scd2_apply_batch over the batches converges to the batch
+    interval recomputation."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from cdc_export_system_spark.streaming.scd_stream import (
+        _intervals,
+        scd2_apply_batch,
+    )
+
+    BASE = datetime(2024, 1, 1)
+    SCHEMA = "user_id long, event_id long, event_type string, value double, ts timestamp"
+
+    # up to 10 changes over 3 keys; each row assigned to one of 3 batches,
+    # plus an optional redelivery of the row in a second batch
+    change_st = st.tuples(
+        st.integers(0, 2),        # user_id
+        st.integers(0, 600),      # ts offset seconds (ties likely)
+        st.integers(0, 2),        # batch assignment
+        st.booleans(),            # also redelivered in another batch
+    )
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(changes=st.lists(change_st, min_size=0, max_size=10),
+           order=st.permutations([0, 1, 2]))
+    def run(changes, order):
+        rows = [
+            (uid, eid, f"t{uid}", float(eid), BASE + timedelta(seconds=off))
+            for eid, (uid, off, _, _) in enumerate(changes)
+        ]
+        batches = {b: [] for b in range(3)}
+        for eid, (uid, off, b, redeliver) in enumerate(changes):
+            batches[b].append(rows[eid])
+            if redeliver:
+                batches[(b + 1) % 3].append(rows[eid])
+        state = None
+        for b in order:
+            if batches[b]:
+                state = scd2_apply_batch(
+                    state, spark.createDataFrame(batches[b], SCHEMA)
+                )
+        want = _intervals(spark.createDataFrame(rows, SCHEMA)) if rows else None
+        if state is None:
+            assert want is None or want.count() == 0
+            return
+        got = state.select(*want.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    run()
