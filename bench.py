@@ -54,7 +54,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     maxima: dict[str, float] = {}
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     for name in sorted(headline):
         spec = registry[name]
         samples: list[float] = []

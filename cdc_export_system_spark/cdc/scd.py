@@ -31,26 +31,26 @@ from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
 
 
-@register(
-    "cdc_scd2_history",
-    oracle="""
-        SELECT user_id, event_id, event_type, value,
-               ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   AS is_current
-        FROM events
-    """,
-    tags=("cdc", "window"),
-)
-def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2: each change opens a validity interval that the next
-    change of the same key closes. (event_id breaks ts ties so intervals
-    are deterministic.)"""
-    ev = load_table(spark, sf_dir, "events")
+# Shared by cdc_scd2_history and the streaming maintainer
+# (streaming/scd_stream.py), whose contract is bit-for-bit convergence to
+# this batch recomputation — one definition, one oracle, no drift.
+SCD2_ORACLE = """
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+"""
+
+
+def scd2_intervals(changes: DataFrame) -> DataFrame:
+    """SCD2 interval derivation: each change opens a validity interval
+    that the next change of the same key closes (event_id breaks ts ties
+    so intervals are deterministic)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
-    return ev.select(
+    return changes.select(
         "user_id",
         "event_id",
         "event_type",
@@ -59,6 +59,16 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=SCD2_ORACLE,
+    tags=("cdc", "window"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 over the full change history (see scd2_intervals)."""
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:

@@ -11,11 +11,12 @@ so the merge cost is O(|touched keys' history| + |batch|), never
 O(|dimension|), and at scale the state rewrite below becomes a
 partition-overwrite of the touched key buckets instead of a full copy.
 
-Replay-safe: the merge dedupes on (user_id, event_id) after unioning
-prior rows with the batch, so a micro-batch that dies after the state
-swap and replays under the same epoch converges to the same table —
-matching the CDC stream's exactly-once discipline
-(tests/test_streaming.py crash pin).
+Replay- and crash-safe: the merge dedupes on (user_id, event_id) — on
+the bootstrap path too — and the state swap uses deterministic
+stage/old directories with startup recovery, so a process that dies at
+ANY point of the swap resumes with the complete prior state and
+converges to the same table (tests/test_streaming.py pins multi-batch
+splits, redelivery inside and across batches, and the crash windows).
 
 reference: app/services/exports.py:138-171 — the delta export's consumer
 is exactly who maintains a table like this from the change feed.
@@ -25,39 +26,25 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cdc_export_system_spark.cdc.scd import SCD2_ORACLE, scd2_intervals
 from cdc_export_system_spark.registry import register
 
 _CHANGE_COLS = ["user_id", "event_id", "event_type", "value", "ts"]
-
-
-def _intervals(changes: DataFrame) -> DataFrame:
-    """SCD2 interval derivation (same window as cdc_scd2_history)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w)
-    return changes.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
-        nxt.isNull().alias("is_current"),
-    )
 
 
 def scd2_apply_batch(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Merge one micro-batch of changes into the SCD2 state.
 
     Only the batch's keys are re-windowed; every other key's intervals
-    are passed through by a LEFT ANTI probe. Idempotent under replay
-    (event_id dedupe)."""
-    batch = batch.select(_CHANGE_COLS)
+    are passed through by a LEFT ANTI probe. Idempotent under replay and
+    redelivery: (user_id, event_id) dedupe runs on every path, including
+    the first batch against empty state."""
+    batch = batch.select(_CHANGE_COLS).dropDuplicates(["user_id", "event_id"])
     if state is None:
-        return _intervals(batch)
+        return scd2_intervals(batch)
     touched = batch.select("user_id").distinct()
     untouched = state.join(touched, "user_id", "left_anti")
     prior = (
@@ -68,7 +55,16 @@ def scd2_apply_batch(state: DataFrame | None, batch: DataFrame) -> DataFrame:
         )
     )
     merged = prior.unionByName(batch).dropDuplicates(["user_id", "event_id"])
-    return untouched.unionByName(_intervals(merged))
+    return untouched.unionByName(scd2_intervals(merged))
+
+
+def _recover_state(state_dir: str) -> None:
+    """Startup recovery for the swap in _process: if a crash landed
+    between the two renames, the complete prior state sits at __old__ —
+    restore it before the epoch replays."""
+    old = f"{state_dir}.__old__"
+    if not os.path.isdir(state_dir) and os.path.isdir(old):
+        os.replace(old, state_dir)
 
 
 def run_scd2_stream(
@@ -78,21 +74,25 @@ def run_scd2_stream(
     checkpoint_dir: str,
 ) -> None:
     """Drain `source` (a streaming DF of change rows) into the SCD2
-    state table at `state_dir`, one atomic directory swap per
-    micro-batch."""
+    state table at `state_dir`; each micro-batch commits via a
+    crash-recoverable two-rename swap with deterministic stage/old
+    paths (no leaked directories: stale stage dirs are pruned on entry,
+    the old dir on success)."""
+    staged = f"{state_dir}.__stage__"
+    old = f"{state_dir}.__old__"
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        _recover_state(state_dir)
+        shutil.rmtree(staged, ignore_errors=True)  # stale stage from a crash
         has_state = os.path.isdir(state_dir)
         state = spark.read.parquet(state_dir) if has_state else None
         out = scd2_apply_batch(state, batch_df)
-        staged = f"{state_dir}.__stage__{uuid.uuid4().hex}"
         out.write.mode("overwrite").parquet(staged)
-        old = f"{state_dir}.__old__{uuid.uuid4().hex}"
-        if has_state:
-            os.replace(state_dir, old)
-        os.replace(staged, state_dir)
         if has_state:
             shutil.rmtree(old, ignore_errors=True)
+            os.replace(state_dir, old)
+        os.replace(staged, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         source.writeStream.foreachBatch(_process)
@@ -105,26 +105,24 @@ def run_scd2_stream(
 
 @register(
     "stream_cdc_scd2",
-    oracle="""
-        SELECT user_id, event_id, event_type, value,
-               ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   AS is_current
-        FROM events
-    """,
+    oracle=SCD2_ORACLE,
     tags=("streaming", "cdc", "window"),
 )
 def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCD2 dimension maintained by a REAL streaming query (file
     source + availableNow + foreachBatch incremental merge), then read
-    back. Same oracle as cdc_scd2_history: however the source splits the
-    feed into micro-batches, the converged table must equal the batch
-    recomputation bit-for-bit (the multi-batch split is pinned in
-    tests/test_streaming.py)."""
+    back. Same oracle constant as cdc_scd2_history: however the source
+    splits the feed into micro-batches, the converged table must equal
+    the batch recomputation bit-for-bit (the multi-batch split is pinned
+    in tests/test_streaming.py). Scratch is a deterministic
+    per-(session, sf_dir) directory, cleared on the next invocation —
+    bounded to one state copy, never an unbounded /tmp leak."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="scd2_stream_")
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
+    base = os.path.join(tempfile.gettempdir(), f"scd2_stream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
     # declared schema — same pattern as stream_stateful_profile
     stream = (
         spark.readStream.schema(
