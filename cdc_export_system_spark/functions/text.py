@@ -696,3 +696,73 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"), F.sum("tf_doc").alias("tf")
     )
     return stats.join(head, "token").select("token", "df", "tf", "postings_head")
+
+
+@register(
+    "corpus_quality_report",
+    oracle=f"""
+        WITH feat AS (
+            SELECT source,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_punct,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(lower(trim(text))) AS fp,
+                   CASE WHEN {_sql_stop_count(STOPWORDS['en'])} > 0
+                        THEN 1 ELSE 0 END AS has_en_stop
+            FROM documents)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+               round(CAST(sum(n_punct) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 6)
+                   AS punct_ratio,
+               round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+                   AS dup_rate,
+               round(CAST(sum(has_en_stop) AS DOUBLE) / count(*), 6)
+                   AS en_stopword_rate
+        FROM feat GROUP BY source
+    """,
+    tags=("text", "quality", "agg", "pipeline"),
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard in ONE scan: document counts,
+    mean length, punctuation density, exact-duplicate rate, and English
+    stopword coverage — the report a data curation team reviews before
+    admitting a source into the training mix.
+
+    Scale posture: every per-doc feature is a row-local codegen
+    expression over one pass; the only shuffle is the |sources| groupBy
+    (map-side combined, countDistinct on the 32-byte fingerprint rides
+    the same exchange as a partial-distinct aggregate). All numerators/
+    denominators are exact integers before a single double division, so
+    the DuckDB oracle matches bit-for-bit at 6 dp."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    feat = docs.select(
+        "source",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        (_stop_count(F.col("__toks"), STOPWORDS["en"]) > 0)
+        .cast("int")
+        .alias("has_en_stop"),
+    )
+    n = F.count(F.lit(1))
+    return feat.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.round(F.sum("n_tokens").cast("double") / n, 6).alias("avg_tokens"),
+        F.round(
+            F.sum("n_punct").cast("double") / F.sum("n_chars").cast("double"), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / n, 6
+        ).alias("dup_rate"),
+        F.round(F.sum("has_en_stop").cast("double") / n, 6).alias(
+            "en_stopword_rate"
+        ),
+    )
