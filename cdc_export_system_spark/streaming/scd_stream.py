@@ -119,6 +119,13 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded to one state copy, never an unbounded /tmp leak."""
     import tempfile
 
+    from cdc_export_system_spark.session import ensure_engine_conf
+
+    # this op reads via readStream directly (no load_table), so the
+    # UTC/nanos runtime confs must be applied here — a non-UTC driver
+    # session would otherwise shift every interval timestamp (pinned in
+    # tests/test_streaming.py::test_stream_cdc_scd2_hostile_timezone)
+    ensure_engine_conf(spark)
     tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
     base = os.path.join(tempfile.gettempdir(), f"scd2_stream_{tag}")
     shutil.rmtree(base, ignore_errors=True)

@@ -466,3 +466,27 @@ def test_scd2_state_swap_survives_crash_between_renames(spark, tmp_path):
     assert sorted(map(str, spark.read.parquet(state_dir).collect())) == sorted(
         map(str, want)
     )
+
+
+def test_stream_cdc_scd2_hostile_timezone(spark, duck):
+    """stream_cdc_scd2 reads via readStream directly (no load_table), so
+    it must re-assert the UTC/nanos engine confs itself — under a driver
+    session switched to a non-UTC zone the parquet timestamps would
+    otherwise shift by the zone offset and every interval bound would
+    miss the oracle."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from parity import compare, duck_register
+
+    from cdc_export_system_spark.registry import load_all
+
+    reg = load_all()
+    duck_register(duck, SF_DIR)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = reg["stream_cdc_scd2"]
+        r = compare(spec.fn(spark, SF_DIR), duck, spec.oracle)
+        assert r["match"], f"stream_cdc_scd2 under hostile TZ: {r['detail']}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
