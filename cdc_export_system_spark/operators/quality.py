@@ -126,3 +126,103 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- distribution drift (PSI) ------------------------------------------------
+
+PSI_REF_SOURCE = "src0"  # reference slice: the already-admitted corpus source
+PSI_NBINS = 10
+PSI_BIN_WIDTH = 60  # n_chars per bin; last bin open-ended
+
+
+@register(
+    "corpus_drift_psi",
+    oracle=f"""
+        WITH b AS (
+            SELECT source,
+                   least(CAST(floor(n_chars / {PSI_BIN_WIDTH}) AS INT),
+                         {PSI_NBINS - 1}) AS bin
+            FROM documents),
+        cnt AS (SELECT source, bin, count(*) AS c FROM b GROUP BY source, bin),
+        grid AS (
+            SELECT s.source, g.bin
+            FROM (SELECT DISTINCT source FROM documents) s,
+                 unnest(range(0, {PSI_NBINS})) AS g(bin)),
+        filled AS (
+            SELECT grid.source, grid.bin, coalesce(cnt.c, 0) AS c
+            FROM grid LEFT JOIN cnt
+              ON grid.source = cnt.source AND grid.bin = cnt.bin),
+        tot AS (SELECT source, sum(c) AS tot FROM filled GROUP BY source),
+        p AS (
+            SELECT f.source, f.bin,
+                   (f.c + 0.5) / (t.tot + {PSI_NBINS} * 0.5) AS p
+            FROM filled f JOIN tot t USING (source)),
+        r AS (SELECT bin, p AS q FROM p WHERE source = '{PSI_REF_SOURCE}'),
+        term AS (
+            SELECT p.source, p.bin, (p.p - r.q) * ln(p.p / r.q) AS term
+            FROM p JOIN r USING (bin))
+        SELECT source,
+               floor(list_aggregate(list(term ORDER BY bin), 'sum')
+                     * 1000000000 + 0.5) / 1000000000 AS psi
+        FROM term GROUP BY source
+    """,
+    tags=("quality", "stats", "drift"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the reference source — the drift monitor a
+    curation pipeline runs before admitting a new crawl slice into the
+    training mix (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Semantics pinned for cross-engine parity: fixed-width n_chars bins
+    (open-ended last bin), Laplace 0.5 smoothing so empty bins
+    contribute finitely, and the 10-term sum folds in BIN ORDER on both
+    engines (array_sort + F.aggregate here, list(... ORDER BY bin)
+    there) so float accumulation is order-pinned, same as agg_entropy.
+
+    Scale: one scan + a |sources|x|bins| groupBy (map-side combined);
+    everything after the first aggregate operates on the tiny
+    (source, bin) grid, with the 10-row reference joined by broadcast.
+    The bin grid is produced by exploding a literal sequence per source
+    — no cartesian join, no driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / F.lit(PSI_BIN_WIDTH)),
+        F.lit(PSI_NBINS - 1).cast("bigint"),
+    ).cast("int")
+    cnt = docs.groupBy(F.col("source"), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_NBINS - 1))).alias("bin"),
+        )
+    )
+    filled = grid.join(cnt, ["source", "bin"], "left").fillna(0, ["c"])
+    tot = filled.groupBy("source").agg(F.sum("c").alias("tot"))
+    p = filled.join(tot, "source").withColumn(
+        "p", (F.col("c") + F.lit(0.5)) / (F.col("tot") + F.lit(PSI_NBINS * 0.5))
+    )
+    refp = p.filter(F.col("source") == PSI_REF_SOURCE).select(
+        "bin", F.col("p").alias("q")
+    )
+    term = p.join(F.broadcast(refp), "bin").withColumn(
+        "term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    return term.groupBy("source").agg(
+        (
+            F.floor(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bin", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000000.0)
+        ).alias("psi")
+    )

@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.graph",
     "cdc_export_system_spark.functions.packing",
     "cdc_export_system_spark.dedup.simhash",
+    "cdc_export_system_spark.dedup.substring",
     "cdc_export_system_spark.dedup.jaccard",
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.similarity.ivf",

@@ -1,0 +1,92 @@
+"""Semantic pins for the round-3 corpus ops: exact duplicated-substring
+span recovery (dedup_exact_substring) and PSI drift (corpus_drift_psi),
+each on a hand-built micro-corpus where the right answer is computable
+by eye. The DuckDB oracle sweep covers the real corpus; these pin the
+edge semantics the corpus may never exercise."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_export_system_spark.dedup.substring import dedup_exact_substring
+from cdc_export_system_spark.operators.quality import corpus_drift_psi
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _w(n, tag):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def _spans(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in df.collect()
+    }
+
+
+def test_shared_prefix_recovered_as_one_span(spark, tmp_path):
+    """Two docs sharing a 10-token prefix: every seed inside the run is
+    duplicated, so coverage merges to one span of exactly the run."""
+    shared = _w(10, "s")
+    rows = [
+        (1, f"{shared} {_w(12, 'a')}", "en", "src0", 0),
+        (2, f"{shared} {_w(12, 'b')}", "en", "src0", 0),
+    ]
+    out = dedup_exact_substring(spark, _docs_dir(spark, tmp_path, rows))
+    assert _spans(out) == {(1, 1, 10, 10), (2, 1, 10, 10)}
+
+
+def test_intra_document_repeat_detected(spark, tmp_path):
+    """An 8-gram occurring twice WITHIN one doc counts as duplicated
+    (corpus-wide count >= 2 makes no inter/intra distinction)."""
+    rep = _w(8, "r")
+    rows = [(1, f"{rep} {_w(9, 'mid')} {rep}", "en", "src0", 0)]
+    out = dedup_exact_substring(spark, _docs_dir(spark, tmp_path, rows))
+    # tokens 1-8 and 18-25 are the two copies; the unique 9-token gap
+    # (> 0 uncovered positions) keeps them separate islands
+    assert _spans(out) == {(1, 1, 8, 8), (1, 18, 25, 8)}
+
+
+def test_short_docs_and_sub_seed_overlap_below_floor(spark, tmp_path):
+    """Docs shorter than SEED_LEN yield no grams; a shared run shorter
+    than SEED_LEN is below the detection floor — both produce no spans."""
+    rows = [
+        (1, _w(5, "x"), "en", "src0", 0),
+        (2, f"{_w(7, 'c')} {_w(10, 'd')}", "en", "src0", 0),
+        (3, f"{_w(7, 'c')} {_w(10, 'e')}", "en", "src0", 0),
+    ]
+    out = dedup_exact_substring(spark, _docs_dir(spark, tmp_path, rows))
+    assert _spans(out) == set()
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark, tmp_path):
+    """PSI is exactly 0 against an identically-binned source (including
+    the reference itself) and strictly positive for a shifted one."""
+    rows = (
+        [(i, "t", "en", "src0", 30 + 10 * (i % 3)) for i in range(30)]
+        + [(100 + i, "t", "en", "src1", 30 + 10 * (i % 3)) for i in range(30)]
+        + [(200 + i, "t", "en", "src2", 500) for i in range(30)]
+    )
+    out = {
+        r["source"]: r["psi"]
+        for r in corpus_drift_psi(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    }
+    assert out["src0"] == 0.0
+    assert out["src1"] == 0.0  # same histogram, different doc ids
+    assert out["src2"] > 0.25  # fully shifted into the open-ended bin
+    assert all(v >= 0 for v in out.values())  # PSI is non-negative
+
+
+def test_psi_missing_reference_source_yields_empty(spark, tmp_path):
+    """No reference slice in the input -> empty report (never a crash or
+    a silently-wrong unsmoothed division)."""
+    rows = [(i, "t", "en", "srcX", 100) for i in range(5)]
+    out = corpus_drift_psi(spark, _docs_dir(spark, tmp_path, rows))
+    assert out.count() == 0
