@@ -10,6 +10,8 @@ aggregation over the events table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
@@ -120,3 +122,77 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(last_ts, n_events) AS last_ts
         FROM {name} GROUP BY user_id
     """)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` on the at-least-once change feed —
+    the ingest-side defense against redelivery. The feed is the events
+    source unioned with ITSELF (a deterministic 2x redelivery), streamed
+    through a 1-hour watermark dedup into a file sink; the oracle is the
+    per-type count over the ORIGINAL table, so any leaked duplicate or
+    dropped original breaks the count.
+
+    Why WithinWatermark: plain ``dropDuplicates`` on a stream keys state
+    forever (unbounded at 100 TB); the watermark variant evicts keys
+    older than the delay, so state is bounded by the redelivery horizon,
+    which is exactly the delivery guarantee a CDC bus offers
+    (reference app/services/exports.py:110-127 — the consumer contract
+    is at-least-once with a bounded replay window).
+
+    Scratch handling mirrors stream_cdc_scd2: deterministic
+    per-(session, sf_dir) dir, cleared on the next invocation."""
+    import shutil
+    import tempfile
+
+    from cdc_export_system_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)  # readStream path: UTC/nanos not yet applied
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+
+    deduped = (
+        src()
+        .union(src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'dd'))):x}"
+    base = os.path.join(tempfile.gettempdir(), f"stream_dd_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    empty = spark.createDataFrame([], schema)
+    files = (
+        spark.read.schema(schema).parquet(out_dir)
+        if os.path.isdir(out_dir)
+        else empty
+    )
+    return files.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )

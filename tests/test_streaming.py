@@ -490,3 +490,51 @@ def test_stream_cdc_scd2_hostile_timezone(spark, duck):
         assert r["match"], f"stream_cdc_scd2 under hostile TZ: {r['detail']}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_stream_dedup_watermark_drops_cross_batch_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a redelivered event that
+    arrives in a LATER micro-batch run, as long as it lands inside the
+    watermark delay — the delivery contract stream_dedup_watermark's
+    docstring claims. Two availableNow drains share one checkpoint: the
+    second delivers a dup of event 2 plus a fresh event 3; only the
+    fresh row may append."""
+    import glob
+
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    write_batch([(1, t0, "a"), (2, t0, "b")])
+    drain()
+    # redelivery of 2 lands 10 min later — inside the 1 h delay
+    write_batch([(2, t0 + dt.timedelta(minutes=10), "b"), (3, t0, "c")])
+    drain()
+    got = {
+        (r["event_id"], r["event_type"])
+        for r in spark.read.schema(schema).parquet(out_dir).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert len(glob.glob(f"{src_dir}/*.parquet")) >= 2  # really two batches
