@@ -130,8 +130,17 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
 
 
 def _band_digest(band: int) -> Column:
-    cols = [F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-    return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+    """Pack the band's signature rows into ONE bigint: with m < P < 2^31
+    and ROWS_PER_BAND = 2, m_a * P + m_b < 2^62 — a lossless (injective)
+    digest, so bucket membership is EXACTLY row-equality, and the bucket
+    shuffle keys on 8 bytes instead of a 32-byte md5 hex string (which
+    also cost one md5 per doc-band). The digest never leaves the plan —
+    the op's output is candidate pairs — so the oracle's md5 form and
+    this packed form group identically."""
+    assert ROWS_PER_BAND == 2, "64-bit packing holds for 2 rows/band"
+    a = F.col(f"m{band * ROWS_PER_BAND}")
+    b = F.col(f"m{band * ROWS_PER_BAND + 1}")
+    return a * F.lit(P).cast("bigint") + b
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
@@ -243,13 +252,12 @@ def _spark_sig_cte(src: str) -> str:
 
 
 def _spark_bands_cte() -> str:
+    # packed-bigint digest, same contract as _band_digest (injective for
+    # m < P, 2 rows/band; never leaves the plan)
+    assert ROWS_PER_BAND == 2, "64-bit packing holds for 2 rows/band"
     structs = ", ".join(
-        "named_struct('band', {b}, 'digest', md5(concat_ws(',', {cols})))".format(
-            b=b,
-            cols=", ".join(
-                f"cast(m{b * ROWS_PER_BAND + r} as string)" for r in range(ROWS_PER_BAND)
-            ),
-        )
+        f"named_struct('band', {b}, 'digest', "
+        f"m{b * ROWS_PER_BAND} * cast({P} as bigint) + m{b * ROWS_PER_BAND + 1})"
         for b in range(NUM_BANDS)
     )
     return f"""

@@ -249,7 +249,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join probing a hashed set of eval n-grams. Long n-grams keep the
     false-positive rate near zero (a shared 8-gram is quotation, not
     coincidence). Returns flagged doc_ids + hit counts; the clean
-    corpus is the anti-join complement of this result."""
+    corpus is the anti-join complement of this result.
+
+    The probe keys on xxhash64 of the n-gram, not the n-gram text: the
+    ~50-byte gram string exists only transiently inside the projection,
+    so the eval-distinct exchange, the broadcast table, and the hash
+    probe all carry 8-byte longs (same accepted 2^-64 collision contract
+    as the MinHash band digest — a collision adds one spurious hit)."""
     from cdc_export_system_spark.operators.sampling import KNUTH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -257,11 +263,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
     ).select("doc_id", F.explode(F.expr(_SPARK_NGRAMS8)).alias("g"))
+    ex = ex.select("doc_id", F.xxhash64("g").alias("gh"))
     is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
-    eval_g = ex.filter(is_eval).select("g").distinct()
+    eval_g = ex.filter(is_eval).select("gh").distinct()
     return (
         ex.filter(~is_eval)
-        .join(F.broadcast(eval_g), "g")
+        .join(F.broadcast(eval_g), "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
