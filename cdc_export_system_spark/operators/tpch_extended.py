@@ -6,7 +6,7 @@ COUNT), so this module is engine-surface extension, not parity: it widens
 the analytical coverage started in ``operators/tpch.py`` to the classic
 TPC-H shapes expressible with the driver testdata's column subset
 (TESTDATA.md — no partsupp table, no l_commitdate/l_receiptdate/
-l_shipmode, so Q2/Q11/Q20/Q21 are out and Q4/Q12 use shipdate-based
+l_shipmode, so Q2/Q11/Q20 are out and Q4/Q12/Q21 use shipdate-based
 variants).
 
 Every query follows the registry's exactness conventions (registry.py
@@ -588,4 +588,70 @@ def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).select(
         "cntrycode", "numcust", F.col("tot_dec").cast("double").alias("totacctbal")
+    )
+
+
+@register(
+    "tpch_q21_like",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND o3.o_orderkey = l3.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+    """,
+    tags=("tpch", "correlated-subquery", "anti-join", "agg"),
+)
+def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21, shipdate variant: no
+    l_commitdate/l_receiptdate in testdata, so "late" is shipped > 60
+    days after the order date) — the classic double-correlated
+    EXISTS / NOT EXISTS, which the oracle states literally.
+
+    The engine never runs the correlated form: both subqueries collapse
+    into ONE per-order aggregate — n_supp = distinct suppliers on the
+    order, n_late_supp = distinct LATE suppliers — because
+    "EXISTS another supplier" == n_supp >= 2 and "NOT EXISTS another
+    late supplier" (given l1 itself is late) == n_late_supp = 1. The
+    per-order distinct sets ride collect_set (bounded by suppliers per
+    order, ~7 in TPC-H), avoiding the multi-countDistinct Expand; the
+    groupBy and the blame join both reuse the l_orderkey partitioning
+    from the orders join, so the fact table shuffles ONCE; supplier is
+    a broadcast dim."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    rows = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = rows.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        rows.filter("is_late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
