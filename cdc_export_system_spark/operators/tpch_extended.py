@@ -624,10 +624,13 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXISTS another supplier" == n_supp >= 2 and "NOT EXISTS another
     late supplier" (given l1 itself is late) == n_late_supp = 1. The
     per-order distinct sets ride collect_set (bounded by suppliers per
-    order, ~7 in TPC-H), avoiding the multi-countDistinct Expand; the
-    groupBy and the blame join both reuse the l_orderkey partitioning
-    from the orders join, so the fact table shuffles ONCE; supplier is
-    a broadcast dim."""
+    order, ~7 in TPC-H), avoiding the multi-countDistinct Expand. Plan
+    shape (read, not inferred): orders and supplier broadcast; the fact
+    shuffles on l_orderkey twice — once un-filtered into the per-order
+    aggregate, once as the LATE slice only (Catalyst pushes the
+    lateness predicate into the orders join on that branch, so the
+    blame-side exchange carries only the late rows); the aggregate's
+    output partitioning then feeds the SMJ with no further exchange."""
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"

@@ -90,3 +90,71 @@ def test_psi_missing_reference_source_yields_empty(spark, tmp_path):
     rows = [(i, "t", "en", "srcX", 100) for i in range(5)]
     out = corpus_drift_psi(spark, _docs_dir(spark, tmp_path, rows))
     assert out.count() == 0
+
+
+# --- property pin: spans == brute force on any corpus ------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+from cdc_export_system_spark.dedup.substring import SEED_LEN  # noqa: E402
+
+_SEGMENT = st.lists(
+    st.sampled_from("abcde"), min_size=3, max_size=12
+).map(lambda toks: [f"w{t}" for t in toks])
+_POOL = st.lists(_SEGMENT, min_size=2, max_size=4)
+
+
+@st.composite
+def _corpus(draw):
+    """Docs concatenated from a shared segment pool, so duplicated runs
+    of varying lengths (including > SEED_LEN and sub-seed) actually
+    occur, unlike uniformly random tokens."""
+    pool = draw(_POOL)
+    n_docs = draw(st.integers(min_value=1, max_value=5))
+    docs = []
+    for _ in range(n_docs):
+        picks = draw(
+            st.lists(st.integers(0, len(pool) - 1), min_size=1, max_size=4)
+        )
+        docs.append([tok for i in picks for tok in pool[i]])
+    return docs
+
+
+def _brute_spans(docs):
+    """Reference implementation: duplicated SEED_LEN-gram seeds ->
+    covered positions -> maximal islands, in plain Python."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - SEED_LEN + 1):
+            grams[tuple(toks[i : i + SEED_LEN])] += 1
+    spans = set()
+    for doc_id, toks in enumerate(docs):
+        cov = set()
+        for i in range(len(toks) - SEED_LEN + 1):
+            if grams[tuple(toks[i : i + SEED_LEN])] >= 2:
+                cov.update(range(i + 1, i + SEED_LEN + 1))  # 1-based
+        for p in sorted(cov):
+            if p - 1 in cov:
+                continue
+            q = p
+            while q + 1 in cov:
+                q += 1
+            spans.add((doc_id, p, q, q - p + 1))
+    return spans
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpus())
+def test_substring_spans_match_brute_force(spark, tmp_path_factory, docs):
+    tmp = tmp_path_factory.mktemp("sub")
+    rows = [
+        (i, " ".join(toks), "en", "src0", 0) for i, toks in enumerate(docs)
+    ]
+    out = dedup_exact_substring(spark, _docs_dir(spark, tmp, rows))
+    assert _spans(out) == _brute_spans(docs)
