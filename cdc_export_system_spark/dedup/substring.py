@@ -20,8 +20,10 @@ distributed re-expression here uses fixed-length seed n-grams:
    gaps-and-islands construction (pos - row_number() per doc).
 
 Scale: the only corpus-wide shuffle is keyed on xxhash64(gram) — 8
-bytes instead of the ~50-byte gram text, and both the count and the
-probe-back join share that one key so the exchange is reused. A 64-bit
+bytes instead of the ~50-byte gram text — and it happens ONCE: the
+duplicated-seed test is a count over a partition-only window on the
+gram hash, not a count-aggregate plus probe-back join (which would
+rebuild and re-shuffle the gram stream a second time). A 64-bit
 collision could mark a unique gram as duplicated (P ~ |grams|^2 / 2^65;
 ~1e-11 at 1e8 grams) — the same accepted-risk contract as the MinHash
 band hash. Everything downstream of the seed join is keyed on doc_id.
@@ -31,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table_fanned
 from cdc_export_system_spark.registry import register
 
 # Minimum duplicated-run length (tokens) the seeds can detect; 50 in the
@@ -63,13 +65,16 @@ SEED_LEN = 8
                count(*) AS span_len
         FROM isl GROUP BY doc_id, grp
     """,
+    headline=True,
     tags=("dedup", "text", "substring"),
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document maximal duplicated token spans: (doc_id, span_start,
     span_end, span_len), positions 1-based, a span being a maximal run
     of positions covered by some corpus-duplicated SEED_LEN-gram."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanned: a small single-row-group scan would otherwise run the
+    # whole gram build on one core (no-op at warehouse scale)
+    docs = load_table_fanned(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     n = F.size("t")
     # overlapping seed grams; docs shorter than SEED_LEN yield none
@@ -88,8 +93,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("g").alias("gh"),  # 8-byte shuffle key, see module doc
         )
     )
-    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
-    seeds = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    # one shuffle on gh: per-gram occurrence counts via a partition-only
+    # window, instead of a count groupBy plus a probe-back join (which
+    # would rebuild and re-shuffle the gram stream a second time)
+    w_g = W.partitionBy("gh")
+    seeds = (
+        grams.withColumn("c", F.count(F.lit(1)).over(w_g))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
     cov = seeds.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + SEED_LEN - 1)).alias("p"),
