@@ -256,9 +256,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the eval-distinct exchange, the broadcast table, and the hash
     probe all carry 8-byte longs (same accepted 2^-64 collision contract
     as the MinHash band digest — a collision adds one spurious hit)."""
+    from cdc_export_system_spark.io.sources import load_table_fanned
     from cdc_export_system_spark.operators.sampling import KNUTH
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fanned: the n-gram build is the CPU wall on a small single-split
+    # scan (no-op at warehouse scale, io/sources.py:fan_out)
+    docs = load_table_fanned(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks"),
