@@ -113,3 +113,78 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p").cast("bigint").alias("span_end"),
         F.count(F.lit(1)).alias("span_len"),
     ).drop("grp")
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos, array_to_string(t[i:i+{SEED_LEN - 1}], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - {SEED_LEN} + 2)) AS r(i)),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        seeds AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)),
+        cov AS (
+            SELECT DISTINCT doc_id, pos + j AS p
+            FROM seeds, unnest(range(0, {SEED_LEN})) AS rj(j)),
+        covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — a fully-scrubbed doc is ''
+               coalesce(array_to_string(list_transform(
+                   list_filter(range(1, len(t.t) + 1),
+                               i -> c.ps IS NULL OR NOT list_contains(c.ps, i)),
+                   i -> t.t[i]), ' '), '') AS clean_text,
+               CAST(coalesce(len(c.ps), 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN covl c USING (doc_id)
+    """,
+    tags=("dedup", "text", "substring", "cleaning"),
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of dedup_exact_substring: every document
+    rebuilt with its duplicated spans REMOVED (conservative scrub — all
+    copies go; keep-one-copy is a policy layer over the same span set),
+    plus the removed-token count. Span derivation is shared with the
+    span query; the only additions are a per-doc covered-position set
+    (doc_id-keyed, bounded by doc length) and a row-local index-aware
+    filter/rejoin of the token array — no new corpus-wide shuffle
+    beyond the single gram-hash exchange."""
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    n = F.size("t")
+    gram_arr = F.when(
+        n >= SEED_LEN,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(SEED_LEN) + F.lit(1)),
+            lambda i: F.array_join(F.slice("t", i, SEED_LEN), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("g").alias("gh")
+    )
+    w_g = W.partitionBy("gh")
+    seeds = (
+        grams.withColumn("c", F.count(F.lit(1)).over(w_g))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    cov = seeds.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + SEED_LEN - 1)).alias("p"),
+    ).distinct()
+    covl = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
+    joined = toks.join(covl, "doc_id", "left")
+    keep = F.filter(
+        "t",
+        lambda x, i: F.col("ps").isNull() | ~F.array_contains("ps", i + F.lit(1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(keep, " ").alias("clean_text"),
+        F.when(F.col("ps").isNull(), F.lit(0))
+        .otherwise(F.size("ps"))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

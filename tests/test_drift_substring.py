@@ -158,3 +158,28 @@ def test_substring_spans_match_brute_force(spark, tmp_path_factory, docs):
     ]
     out = dedup_exact_substring(spark, _docs_dir(spark, tmp, rows))
     assert _spans(out) == _brute_spans(docs)
+
+
+def test_scrub_removes_exactly_the_duplicated_spans(spark, tmp_path):
+    """Scrub = original minus covered positions: the shared 10-token
+    prefix disappears from both docs, unique tails survive verbatim, a
+    dup-free doc passes through unchanged, and n_removed equals the
+    span-length sum per doc."""
+    from cdc_export_system_spark.dedup.substring import dedup_substring_scrub
+
+    shared, tail_a, tail_b = _w(10, "s"), _w(12, "a"), _w(12, "b")
+    rows = [
+        (1, f"{shared} {tail_a}", "en", "src0", 0),
+        (2, f"{shared} {tail_b}", "en", "src0", 0),
+        (3, _w(15, "z"), "en", "src0", 0),
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_substring_scrub(spark, d).collect()
+    }
+    assert got == {
+        1: (tail_a, 10),
+        2: (tail_b, 10),
+        3: (_w(15, "z"), 0),
+    }
