@@ -284,6 +284,9 @@ def _fanned_docs_view(spark: SparkSession, sf_dir: str) -> str:
     the view name encodes the sf_dir so concurrent scales never collide."""
     from cdc_export_system_spark.io.sources import load_table_fanned as _ltf
 
+    from cdc_export_system_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)  # cache hit skips load_table — re-assert UTC
     name = "__minhash_documents_" + "".join(c if c.isalnum() else "_" for c in sf_dir)
     key = (id(spark), name)
     if key not in _FANNED_VIEWS:

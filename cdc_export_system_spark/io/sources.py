@@ -95,6 +95,11 @@ _VIEW_CACHE: dict[str, SparkSession] = {}
 def star_view(spark: SparkSession, sf_dir: str, name: str, fanned: bool = False) -> str:
     """Register (once per session+sf_dir) a temp view of one star table and
     return its name, for use inside single-statement spark.sql() queries."""
+    # unconditionally, not just on the registration miss: a cached view
+    # skips load_table, and the SQL built over it still depends on the
+    # session timezone (timestamp literals, output rendering) — a caller
+    # that re-poisoned the session between queries must still get UTC
+    ensure_engine_conf(spark)
     view = (
         "__star_"
         + ("f_" if fanned else "")

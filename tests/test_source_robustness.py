@@ -88,3 +88,37 @@ def test_hostile_session_timezone_still_matches_oracle(spark, duck):
             assert r["match"], f"{name} under hostile TZ: {r['detail']}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_cached_view_queries_survive_per_query_repoisoning(spark, duck):
+    """The memoized temp-view paths (star_view, the minhash fanned view)
+    skip load_table on a cache hit — they must re-assert the engine
+    confs THEMSELVES, or a session poisoned to a non-UTC zone between
+    queries shifts timestamp literals and rendered outputs. Warm the
+    caches under UTC, then poison before every query — each must still
+    match its oracle (the exact 5-query failure set of the round-3
+    hostile sweep, plus a fanned-view representative)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from parity import compare, duck_register
+
+    from cdc_export_system_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    reg = load_all()
+    duck_register(duck, SF_DIR)
+    names = [
+        "sql_group_by_all", "tpch_q3", "tpch_q6", "tpch_q10_like",
+        "window_range_interval", "dedup_minhash_lsh",
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for n in names:  # warm the view caches on the clean session
+        reg[n].fn(spark, SF_DIR).count()
+    try:
+        for n in names:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            r = compare(reg[n].fn(spark, SF_DIR), duck, reg[n].oracle)
+            assert r["match"], f"{n} after cache-hit repoisoning: {r['detail']}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
