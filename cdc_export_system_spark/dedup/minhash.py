@@ -107,26 +107,45 @@ def shingles_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def _coeff_array_sql() -> str:
+    """The NUM_PERM (a, b) permutation coefficients as one array literal."""
+    return "array(" + ", ".join(
+        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))"
+        for a, b in COEFFS
+    ) + ")"
+
+
+def _sig_fold_sql() -> str:
+    """ONE aggregate() fold producing all NUM_PERM mins as an array:
+    per shingle hash, zip_with updates every permutation's running min.
+    Measurably faster than NUM_PERM separate aggregate() folds (each of
+    which re-traverses the shingle-hash array), bit-identical output."""
+    coeffs = _coeff_array_sql()
+    return (
+        f"aggregate(hs, transform({coeffs}, c -> cast({P} as bigint)), "
+        f"(acc, h) -> zip_with(acc, {coeffs}, "
+        f"(m, c) -> least(m, (c.a * h + c.b) % {P})))"
+    )
+
+
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """doc_id + m0..m{NUM_PERM-1} minhash signature columns.
 
-    Each permutation min is an aggregate() fold over the hashed shingle
-    array — the signature stage is a shuffle-free map (the earlier
-    explode + groupBy formulation paid a full (doc_id, hash) exchange and,
-    worse, re-ran under every self-join consumer). The DuckDB oracle keeps
-    the unnest + GROUP BY form: same values, independent evaluation path.
+    All permutation mins come from ONE aggregate() fold over the hashed
+    shingle array (_sig_fold_sql) — the signature stage is a shuffle-free
+    map (the earlier explode + groupBy formulation paid a full
+    (doc_id, hash) exchange and, worse, re-ran under every self-join
+    consumer). The DuckDB oracle keeps the unnest + GROUP BY form: same
+    values, independent evaluation path.
     """
     hashed = shingles_df(docs).select(
         "doc_id",
         F.expr(f"transform(shingles, sh -> {_SPARK_H32})").alias("hs"),
     )
-    mins = [
-        F.expr(
-            f"aggregate(hs, cast({P} as bigint), (acc, h) -> least(acc, ({a} * h + {b}) % {P}))"
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(COEFFS)
-    ]
-    return hashed.select("doc_id", *mins)
+    folded = hashed.select("doc_id", F.expr(_sig_fold_sql()).alias("ms"))
+    return folded.select(
+        "doc_id", *[F.col("ms")[i].alias(f"m{i}") for i in range(NUM_PERM)]
+    )
 
 
 def _band_digest(band: int) -> Column:
@@ -235,19 +254,15 @@ _SPARK_SHINGLE_CASE = """
 
 
 def _spark_sig_cte(src: str) -> str:
-    """Spark-dialect CTE chain mirroring minhash_signature() exactly."""
-    mins = ",\n               ".join(
-        f"aggregate(hs, cast({P} as bigint), (acc, h) -> least(acc, ({a} * h + {b}) % {P}))"
-        f" AS m{i}"
-        for i, (a, b) in enumerate(COEFFS)
-    )
+    """Spark-dialect CTE chain mirroring minhash_signature() exactly
+    (same single-fold construction, _sig_fold_sql)."""
+    mins = ", ".join(f"ms[{i}] AS m{i}" for i in range(NUM_PERM))
     return f"""
         tok AS (SELECT doc_id, {_SPARK_TOKS} AS toks FROM {src}),
         shg AS (SELECT doc_id, {_SPARK_SHINGLE_CASE} AS shingles FROM tok),
         hsx AS (SELECT doc_id, transform(shingles, sh -> {_SPARK_H32}) AS hs FROM shg),
-        sig AS (SELECT doc_id,
-               {mins}
-               FROM hsx)
+        sigf AS (SELECT doc_id, {_sig_fold_sql()} AS ms FROM hsx),
+        sig AS (SELECT doc_id, {mins} FROM sigf)
     """
 
 
