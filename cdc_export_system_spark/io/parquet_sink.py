@@ -66,3 +66,36 @@ def read_pruned_month(spark: SparkSession, path: str, month: str) -> DataFrame:
     becomes a directory-level PartitionFilter — non-matching months are
     never opened."""
     return spark.read.parquet(path).filter(F.col("event_month") == month)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Replace ONLY the partition directories present in ``df``, leaving
+    every sibling partition untouched — the incremental lake-refresh
+    write (re-land one day/month after a correction) that a plain
+    ``mode("overwrite")`` cannot express: static overwrite mode truncates
+    the WHOLE table root first.
+
+    ``partitionOverwriteMode=dynamic`` is runtime-settable but session-
+    scoped, so it is set for the duration of this write and restored
+    after — callers' static-overwrite semantics elsewhere are unaffected.
+    reference app/services/exports.py:87 rewrites the single CSV per
+    export; this is that operation's shape at lake scale."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

@@ -73,3 +73,48 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and the result is the expected partition only
     assert joined.select("o_orderstatus").distinct().collect()[0][0] == "O"
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Re-landing one day must replace exactly that day's directory:
+    siblings untouched, the touched day fully swapped (no stale rows
+    merged in) — where a plain static overwrite of the same frame would
+    instead have truncated the whole table root."""
+    from cdc_export_system_spark.io.parquet_sink import overwrite_partitions_dynamic
+    from cdc_export_system_spark.io.sources import load_table
+    from tests.conftest import SF_DIR
+
+    from cdc_export_system_spark.io.parquet_sink import write_partitioned
+
+    daily = load_table(spark, SF_DIR, "events").withColumn(
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(daily, path, ["event_day"])
+    before = spark.read.parquet(path)
+    days = sorted(r["event_day"] for r in before.select("event_day").distinct().collect())
+    assert len(days) >= 2, "fixture needs >= 2 days"
+    target, keep = days[0], days[1:]
+    before_keep = before.filter(F.col("event_day").isin(keep)).count()
+
+    # re-land the target day with values doubled (a correction)
+    fixed = daily.filter(F.col("event_day") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_fixed = fixed.count()
+    overwrite_partitions_dynamic(fixed, path, ["event_day"])
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("event_day").isin(keep)).count() == before_keep
+    got = after.filter(F.col("event_day") == target)
+    assert got.count() == n_fixed
+    # the corrected values landed (no stale copy of the day survives)
+    orig_sum = (
+        daily.filter(F.col("event_day") == target)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    new_sum = got.agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s")).collect()[0]["s"]
+    assert new_sum == orig_sum * 2
+    # conf restored (session unchanged for later static writes)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
