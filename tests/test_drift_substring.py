@@ -145,19 +145,40 @@ def _brute_spans(docs):
     return spans
 
 
+def _brute_scrub(docs):
+    """Reference scrub: tokens minus covered positions, per doc."""
+    spans = _brute_spans(docs)
+    out = {}
+    for doc_id, toks in enumerate(docs):
+        cov = set()
+        for d, p, q, _ in spans:
+            if d == doc_id:
+                cov.update(range(p, q + 1))
+        kept = [t for i, t in enumerate(toks, start=1) if i not in cov]
+        out[doc_id] = (" ".join(kept), len(cov))
+    return out
+
+
 @settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_corpus())
-def test_substring_spans_match_brute_force(spark, tmp_path_factory, docs):
+def test_substring_spans_and_scrub_match_brute_force(spark, tmp_path_factory, docs):
+    from cdc_export_system_spark.dedup.substring import dedup_substring_scrub
+
     tmp = tmp_path_factory.mktemp("sub")
     rows = [
         (i, " ".join(toks), "en", "src0", 0) for i, toks in enumerate(docs)
     ]
-    out = dedup_exact_substring(spark, _docs_dir(spark, tmp, rows))
-    assert _spans(out) == _brute_spans(docs)
+    d = _docs_dir(spark, tmp, rows)
+    assert _spans(dedup_exact_substring(spark, d)) == _brute_spans(docs)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_substring_scrub(spark, d).collect()
+    }
+    assert got == _brute_scrub(docs)
 
 
 def test_scrub_removes_exactly_the_duplicated_spans(spark, tmp_path):

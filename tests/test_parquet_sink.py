@@ -118,3 +118,24 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp
     assert new_sum == orig_sum * 2
     # conf restored (session unchanged for later static writes)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
+
+
+def test_dynamic_partition_overwrite_with_empty_frame_is_a_noop(spark, tmp_path):
+    """An empty correction frame (the quiet-hours case) must leave every
+    existing partition in place — dynamic mode only replaces partitions
+    PRESENT in the incoming data, and none are."""
+    from cdc_export_system_spark.io.parquet_sink import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+    from cdc_export_system_spark.io.sources import load_table
+    from tests.conftest import SF_DIR
+
+    daily = load_table(spark, SF_DIR, "events").withColumn(
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(daily, path, ["event_day"])
+    n_before = spark.read.parquet(path).count()
+    overwrite_partitions_dynamic(daily.limit(0), path, ["event_day"])
+    assert spark.read.parquet(path).count() == n_before
