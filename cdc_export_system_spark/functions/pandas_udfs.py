@@ -325,3 +325,40 @@ def with_compression_quality(df: DataFrame, id_col: str, text_col: str) -> DataF
             ),
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+        SELECT doc_id, n_chars, length(text) AS utf8_len,
+               (n_chars = length(text)) AS len_matches
+        FROM documents
+    """,
+    tags=("udf", "multimodal"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-pandas Python boundary: RecordBatches flow
+    Arrow->Arrow with pyarrow.compute kernels (C, vectorized), skipping
+    the pandas conversion mapInPandas pays per batch. The canonical fit
+    is metadata validation over bulk payloads (here: does the stored
+    n_chars match the actual UTF-8 length) where constructing a pandas
+    object column per batch would dominate the actual work. Same
+    executor-side batch contract as the pandas form; only the per-batch
+    representation differs."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+
+    def _validate(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            utf8_len = pc.cast(pc.utf8_length(b.column(2)), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), utf8_len, pc.equal(b.column(1), utf8_len)],
+                ["doc_id", "n_chars", "utf8_len", "len_matches"],
+            )
+
+    return docs.mapInArrow(
+        _validate, "doc_id long, n_chars long, utf8_len long, len_matches boolean"
+    )
