@@ -411,3 +411,78 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@register(
+    "metric_observe_inline",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100
+                   AS total_price
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("sql", "agg", "observability"),
+)
+def metric_observe_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: named metrics ride the SAME pass that
+    produces the output rows — the audit counters every export job wants
+    (rows written, value totals) at zero extra scans, where a separate
+    count()+sum() query would re-read the table. The observed branch
+    executes to a noop sink (full plan, nothing collected); the metrics
+    arrive driver-side as one O(1) row, exactly like the reference's
+    per-job rowsExported accounting (app/services/jobs.py:44-50) but
+    computed inside the engine pass."""
+    from pyspark.sql import Observation
+
+    from cdc_export_system_spark.registry import _cents
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    obs = Observation("export_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    total = float(m["cents"]) / 100 if m["cents"] is not None else None
+    return spark.createDataFrame(
+        [(m["n_rows"], total)], "n_rows long, total_price double"
+    )
+
+
+@register(
+    "plan_cached_reuse",
+    oracle="""
+        SELECT 'n_purchases' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'sum_value',
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("sql", "agg", "cache"),
+)
+def plan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit caching surface: one filtered projection cached, two
+    aggregate consumers — the second consumer reads InMemoryRelation
+    instead of rescanning parquet (pinned in tests/test_plan_quality.py).
+    At warehouse scale this is the 'stage a hot slice once' pattern:
+    MEMORY_AND_DESK storage spills gracefully, and correctness never
+    depends on the cache (an evicted/unpersisted entry recomputes the
+    same lineage)."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .cache()
+    )
+    n = base.groupBy().agg(
+        F.lit("n_purchases").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+    )
+    s = base.groupBy().agg(
+        F.lit("sum_value").alias("metric"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"),
+    )
+    return n.unionByName(s)

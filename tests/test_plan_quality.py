@@ -327,6 +327,7 @@ _SINGLE_PARTITION_OK = {
     "funnel_conversion": "scalar",
     "graph_triangle_count": "scalar",
     "metric_open_orders_sweep": "tiny",  # running sum over the |days| axis
+    "plan_cached_reuse": "scalar",  # two 1-row scalar aggs over the cached slice
     "profile_table": "scalar",
     "reshape_date_spine": "scalar",  # min/max bounds feeding sequence()
     "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
@@ -438,3 +439,16 @@ def test_inverted_index_collapses_before_postings(spark):
     # the rn <= head filter exists between window and collect
     assert "row_number" in p and "rn" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_cached_reuse_second_consumer_reads_memory(spark):
+    """plan_cached_reuse's two aggregate branches must BOTH read the
+    InMemoryRelation (the point of the op) — a regression to two parquet
+    scans would silently double the IO."""
+    from cdc_export_system_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    df = load_all()["plan_cached_reuse"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2
