@@ -486,3 +486,34 @@ def plan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"),
     )
     return n.unionByName(s)
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    tags=("sql", "join", "correlated-subquery", "topk"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True correlated LATERAL subquery (not LATERAL VIEW generators):
+    each customer's top-2 orders by price, stated as a per-row subquery.
+    Catalyst decorrelates it into a rank-limit — the executed plan is
+    WindowGroupLimit (top-k pruned inside each partition BEFORE the full
+    sort/window, Spark 3.5+) feeding one per-key window + a broadcast
+    join back to customer — i.e. the hand-written window_topk_per_group
+    shape, derived automatically from the declarative form. Total
+    tie-break (o_orderkey) makes the LIMIT deterministic."""
+    c = star_view(spark, sf_dir, "customer")
+    o = star_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {c},
+        LATERAL (SELECT o_orderkey, o_totalprice FROM {o}
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)

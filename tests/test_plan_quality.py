@@ -452,3 +452,13 @@ def test_cached_reuse_second_consumer_reads_memory(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 2
+
+
+def test_lateral_topn_decorrelates_to_rank_limit(spark):
+    """The correlated LATERAL LIMIT must decorrelate to WindowGroupLimit
+    (partition-local top-k pruning before the window), never a
+    per-customer nested execution or a cartesian expansion."""
+    df = REGISTRY["sql_lateral_topn"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
