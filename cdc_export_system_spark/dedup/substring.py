@@ -16,8 +16,12 @@ distributed re-expression here uses fixed-length seed n-grams:
    a duplicated seed at every in-run offset, so seed coverage recovers
    the full span (maximal runs shorter than SEED_LEN are below the
    detection floor, the standard precision/recall knob);
-3. covered token positions merge into maximal spans with the
-   gaps-and-islands construction (pos - row_number() per doc).
+3. covered token positions merge into maximal spans ROW-LOCALLY: one
+   doc_id groupBy collects the covered-position set (bounded by doc
+   length — the same bound as the token array itself), and island
+   extraction is a pure array expression over the sorted positions.
+   The oracle keeps the classic gaps-and-islands window form
+   (pos - row_number() per doc): same spans, independent derivation.
 
 Scale: the only corpus-wide shuffle is keyed on xxhash64(gram) — 8
 bytes instead of the ~50-byte gram text — and it happens ONCE: the
@@ -102,17 +106,47 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
+    # islands row-locally: ONE doc_id groupBy collects the (bounded-by-
+    # doc-length) covered-position set; span extraction is a pure array
+    # expression over the sorted positions — vs the distinct + window +
+    # groupBy formulation, which costs three exchange stages for the
+    # same answer. Positions inside an island are consecutive, so
+    # span_len = end - start + 1.
     cov = seeds.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + SEED_LEN - 1)).alias("p"),
-    ).distinct()
-    w = W.partitionBy("doc_id").orderBy("p")
-    isl = cov.withColumn("grp", F.col("p") - F.row_number().over(w))
-    return isl.groupBy("doc_id", "grp").agg(
-        F.min("p").cast("bigint").alias("span_start"),
-        F.max("p").cast("bigint").alias("span_end"),
-        F.count(F.lit(1)).alias("span_len"),
-    ).drop("grp")
+    )
+    spans = (
+        cov.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        # 0-based indices where a new island begins (gap in positions)
+        .withColumn(
+            "st",
+            F.expr(
+                "filter(sequence(0, size(ps) - 1),"
+                " i -> i = 0 OR ps[i - 1] + 1 != ps[i])"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(st) - 1), k -> struct("
+                    " ps[st[k]] AS span_start,"
+                    " ps[IF(k + 1 < size(st), st[k + 1] - 1, size(ps) - 1)]"
+                    "   AS span_end))"
+                )
+            ).alias("sp"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        F.col("sp.span_start").cast("bigint").alias("span_start"),
+        F.col("sp.span_end").cast("bigint").alias("span_end"),
+        (F.col("sp.span_end") - F.col("sp.span_start") + 1)
+        .cast("bigint")
+        .alias("span_len"),
+    )
 
 
 @register(
