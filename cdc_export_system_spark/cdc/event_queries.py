@@ -169,3 +169,53 @@ def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+FORGET_PERMILLE = 15  # the deterministic "erasure request" slice
+
+
+@register(
+    "cdc_forget_users_audit",
+    oracle=f"""
+        WITH req AS (SELECT DISTINCT user_id FROM events
+                     WHERE (user_id * 2654435761) % 1000 < {FORGET_PERMILLE}),
+        hits AS (SELECT e.user_id, e.event_type FROM events e
+                 JOIN req ON e.user_id = req.user_id)
+        SELECT user_id, event_type, count(*) AS n_purged
+        FROM hits GROUP BY user_id, event_type
+    """,
+    tags=("cdc", "compliance", "anti-join"),
+)
+def cdc_forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep, audit side: for a deterministic
+    hash-selected erasure-request set, the per-(user, type) counts that
+    a purge would remove — the tombstone ledger a compliance pipeline
+    must persist BEFORE deleting (prove what was erased without keeping
+    the data). The purge itself is the LEFT ANTI complement on the same
+    request set (cdc/exports.py consumers replay from the purged table);
+    at lake scale both run as one pass: request keys broadcast, the
+    fact table never shuffles, and the rewrite lands via
+    io.parquet_sink.overwrite_partitions_dynamic on just the partitions
+    containing hits. reference app/services/exports.py:110-127 — the
+    consumer contract the purged feed must keep honoring."""
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    ev = load_table(spark, sf_dir, "events")
+    req = (
+        ev.filter((F.col("user_id") * F.lit(KNUTH)) % 1000 < FORGET_PERMILLE)
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(req), "user_id")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_purged"))
+    )
+
+
+def purge_users(events: DataFrame, requests: DataFrame) -> DataFrame:
+    """The purge itself: everything EXCEPT the requested users' rows —
+    a broadcast LEFT ANTI join, so the fact side never shuffles."""
+    return events.join(
+        F.broadcast(requests.select("user_id").distinct()), "user_id", "left_anti"
+    )

@@ -201,3 +201,38 @@ def test_failed_job_leaves_no_state(spark, users, store, tmp_path):
 def test_make_output_filename_pattern():
     name = make_output_filename("delta", "my consumer", datetime(2026, 3, 1, 12, 0, 0))
     assert name == "delta_my_consumer_20260301T120000Z.csv"
+
+
+def test_forget_users_purge_and_audit_partition_the_table(spark):
+    """Compliance invariants: purge keeps EXACTLY the complement of the
+    audited rows (kept + purged == total, and no requested user survives),
+    and the purge plans a broadcast LEFT ANTI join — the fact table is
+    never shuffled for an erasure pass."""
+    from pyspark.sql import functions as F
+
+    from cdc_export_system_spark.cdc.event_queries import (
+        FORGET_PERMILLE,
+        cdc_forget_users_audit,
+        purge_users,
+    )
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.sampling import KNUTH
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    req = (
+        ev.filter((F.col("user_id") * F.lit(KNUTH)) % 1000 < FORGET_PERMILLE)
+        .select("user_id")
+        .distinct()
+    )
+    kept = purge_users(ev, req)
+    purged = (
+        cdc_forget_users_audit(spark, SF_DIR)
+        .agg(F.coalesce(F.sum("n_purged"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert kept.count() + purged == ev.count()
+    assert kept.join(req, "user_id", "semi").count() == 0  # truly erased
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
