@@ -1119,3 +1119,60 @@ def metric_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_day0") > 0)
         .select(F.col("day").cast("timestamp").alias("day"), "wau_est")
     )
+
+
+@register(
+    "sessionize_dynamic_gap",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                   epoch_us(ts) + (CASE WHEN event_type IN ('view','click')
+                                        THEN 1800 ELSE 600 END) * 1000000 AS end_us
+            FROM events),
+        m AS (
+            SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM e),
+        g AS (
+            SELECT *, CASE WHEN prev_end IS NOT NULL AND epoch_us(ts) < prev_end
+                           THEN 0 ELSE 1 END AS new_sess FROM m),
+        s AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS session_no FROM g)
+        SELECT user_id, min(ts) AS session_start,
+               make_timestamp(max(end_us)) AS session_end,
+               count(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM s GROUP BY user_id, session_no
+    """,
+    tags=("analytics", "window", "session"),
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` with a DYNAMIC gap expression: engaged events
+    (view/click) hold a session open 30 minutes, everything else 10 —
+    the per-event-type timeout real product analytics wants, which the
+    fixed-gap form cannot express. Each event contributes the interval
+    [ts, ts + its own gap); Spark merges overlaps inside the native
+    session aggregation (one (user, window) shuffle, streaming-capable).
+    The oracle derives the same sessions independently as interval
+    merging: new session iff ts >= running max of all PRIOR interval
+    ends (a plain prefix-max — an earlier long-gap event can outlast a
+    later short-gap one, which a lag-only formulation would miss)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
