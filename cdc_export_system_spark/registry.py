@@ -87,6 +87,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.quality",
     "cdc_export_system_spark.io.zorder",
     "cdc_export_system_spark.similarity.kmeans",
+    "cdc_export_system_spark.similarity.pca",
     "cdc_export_system_spark.operators.bloom_join",
 ]
 
