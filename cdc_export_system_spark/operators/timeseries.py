@@ -184,3 +184,77 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / F.col("total_us").cast("double") / 100
         ).alias("twa_value"),
     )
+
+
+MA_HALF = 12  # centered moving-average half-width (hours): 24h detrend
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n
+            FROM events GROUP BY date_trunc('hour', ts)),
+        tr AS (
+            SELECT hour_ts, n,
+                   CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend
+            FROM hourly
+            WINDOW w AS (ORDER BY hour_ts
+                         ROWS BETWEEN {MA_HALF - 1} PRECEDING
+                                  AND {MA_HALF} FOLLOWING)),
+        se AS (
+            SELECT *,
+                   CAST(CAST(SUM(CAST(n - trend AS DECIMAL(18,6))) OVER
+                             (PARTITION BY extract(hour FROM hour_ts))
+                        AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY extract(hour FROM hour_ts))
+                       AS seasonal
+            FROM tr)
+        SELECT hour_ts, n,
+               floor(trend * 1000000 + 0.5) / 1000000 AS trend,
+               floor(seasonal * 1000000 + 0.5) / 1000000 AS seasonal,
+               floor((n - trend - seasonal) * 1000000 + 0.5) / 1000000
+                   AS residual
+        FROM se
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the hourly event-count series:
+    trend = 24h centered moving average, seasonal = hour-of-day mean of
+    the detrended series, residual = the rest — the anomaly-detection
+    baseline every ops dashboard runs.
+
+    Scale: events collapse to ONE row per hour in the first aggregate
+    (map-side combined), so every window below operates on the
+    |hours| axis — a REDUCED domain (8.8k rows/year), which is why the
+    partition-less trend window is acceptable (same 'tiny' contract as
+    metric_open_orders_sweep; at a multi-decade horizon the series
+    would range-partition by year with the ranks.py construction).
+    Float discipline: trend is an exact int sum / frame count; the
+    seasonal mean folds exact DECIMAL(18,6) residuals so accumulation
+    order cannot matter; outputs round at 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("hour_ts").rowsBetween(-(MA_HALF - 1), MA_HALF)
+    tr = hourly.withColumn(
+        "trend", F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
+    w_h = W.partitionBy(F.hour("hour_ts"))
+    se = tr.withColumn(
+        "seasonal",
+        F.sum((F.col("n") - F.col("trend")).cast("decimal(18,6)"))
+        .over(w_h)
+        .cast("double")
+        / F.count(F.lit(1)).over(w_h),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return se.select(
+        "hour_ts",
+        "n",
+        r6(F.col("trend")).alias("trend"),
+        r6(F.col("seasonal")).alias("seasonal"),
+        r6(F.col("n") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )

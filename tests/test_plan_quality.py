@@ -332,6 +332,7 @@ _SINGLE_PARTITION_OK = {
     "reshape_date_spine": "scalar",  # min/max bounds feeding sequence()
     "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
     "skyline_pareto_front": "tiny",  # prefix-max range-offset table
+    "ts_seasonal_decompose": "tiny",  # trend MA over the |hours| axis (8.8k/yr)
     "sql_scalar_subquery": "scalar",
     "text_pack_chunks": "tiny",  # block-offset prefix table
     "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count
