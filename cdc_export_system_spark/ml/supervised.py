@@ -1,0 +1,441 @@
+"""Supervised learning as queries: OLS, logistic regression, naive Bayes.
+
+Reference parity: the reference (`/root/reference/app/`) has no ML
+surface — these are north-star extensions ("operations a large-scale
+training-data pipeline would need"), built on the engine's established
+exactness discipline so they remain oracle-checkable:
+
+* ``ml_linear_regression`` — per-group simple OLS from exact integer
+  sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy). One map-side-combined
+  aggregate per group; the closed form is evaluated on exact DECIMAL(38)
+  integers, so the slope/intercept/R² match DuckDB bit-for-bit after the
+  final double divide + 1e-6 round.
+* ``ml_naive_bayes`` — multinomial NB over the documents table (class =
+  lang). Scores are accumulated in exact integer MICRO-UNITS (each
+  ln-term rounded to 1e-6 before summation), so the per-class sum is
+  order-independent and the argmax compares exact integers — the same
+  trick that keeps text_tfidf/text_pmi hash-stable.
+* ``ml_logistic_regression_gd`` — fixed-iteration batch gradient
+  descent; each iteration is ONE aggregate whose per-row gradient
+  contributions are rounded to 1e-9 and summed as integers, making the
+  trained weights identical under any partitioning. Not SQL-expressible
+  (iterative) → rows-only driver check + exact NumPy replay pin in
+  tests/test_ml.py.
+* ``ml_ridge_normal_eq`` — multivariate ridge via the PCA-style pattern
+  (similarity/pca.py): per-batch XᵀX / Xᵀy partials, driver solve of the
+  (k+1)×(k+1) system, coefficients broadcast back for the training-RMSE
+  pass. Rows-only + NumPy-reference pin.
+
+Scale posture (100 TB): every operator reduces the corpus to a
+model-sized sufficient statistic — O(groups) rows for OLS, O(V×C) for
+NB (V capped by a min-df vocabulary threshold at scale, exactly like
+MAX_SHINGLE_DF in dedup/jaccard.py), O(k²) doubles for ridge, O(k) per
+GD iteration. Nothing pairwise, nothing driver-side except the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register, sql_dcast
+
+D38 = "decimal(38,0)"
+
+# ---------------------------------------------------------------------------
+# ml_linear_regression
+# ---------------------------------------------------------------------------
+
+_LINREG_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events),
+    a AS (
+        SELECT event_type, count(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM s GROUP BY event_type HAVING count(*) >= 2),
+    f AS (
+        SELECT event_type, n,
+               n * sxy - sx * sy AS s_num,
+               n * sxx - sx * sx AS s_den,
+               n * syy - sy * sy AS t_den,
+               sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS i_num
+        FROM a)
+    SELECT event_type, n,
+           floor({sql_dcast("s_num")} / {sql_dcast("s_den")} / 100 * 1000000
+                 + 0.5) / 1000000 AS slope,
+           floor({sql_dcast("i_num")} / ({sql_dcast("n")} * {sql_dcast("s_den")})
+                 / 100 * 1000000 + 0.5) / 1000000 AS intercept,
+           floor({sql_dcast("s_num")} * {sql_dcast("s_num")}
+                 / ({sql_dcast("s_den")} * {sql_dcast("t_den")}) * 1000000
+                 + 0.5) / 1000000 AS r2
+    FROM f
+"""
+
+
+@register(
+    "ml_linear_regression",
+    oracle=_LINREG_ORACLE,
+    tags=("ml", "agg", "stats"),
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type simple OLS of value (exact cents) on hour-of-day:
+    slope, intercept, R² from the closed form over exact integer
+    sufficient statistics. One map-side-combined aggregate — at 100 TB
+    the shuffle carries |groups| rows of seven integers; the regression
+    algebra runs on DECIMAL(38,0) (headroom to n≈10¹² rows/group before
+    n·Σy² approaches 10³⁸), and the only float steps are the final
+    divides, written as the identical expression tree in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    a = (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast(D38).alias("sx"),
+            F.sum("y").cast(D38).alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast(D38).alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n").cast(D38)
+    s_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("s_num")
+    s_den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("s_den")
+    t_den = (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("t_den")
+    f = a.select(
+        "event_type",
+        "n",
+        s_num,
+        s_den,
+        t_den,
+        (
+            F.col("sy") * (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            - (n * F.col("sxy") - F.col("sx") * F.col("sy")) * F.col("sx")
+        ).alias("i_num"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    dd = lambda c: c.cast("double")  # noqa: E731  (decimal→double, correctly rounded)
+    return f.select(
+        "event_type",
+        "n",
+        r6(dd(F.col("s_num")) / dd(F.col("s_den")) / 100).alias("slope"),
+        r6(
+            dd(F.col("i_num")) / (dd(F.col("n").cast(D38)) * dd(F.col("s_den"))) / 100
+        ).alias("intercept"),
+        r6(
+            dd(F.col("s_num"))
+            * dd(F.col("s_num"))
+            / (dd(F.col("s_den")) * dd(F.col("t_den")))
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes
+# ---------------------------------------------------------------------------
+
+TEST_FOLD = 5  # doc_id % TEST_FOLD == 0 → held-out test split
+
+_NB_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % {TEST_FOLD} != 0),
+    test AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % {TEST_FOLD} = 0),
+    ttok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM train),
+    counts AS (SELECT lang, token, count(*) AS cnt FROM ttok GROUP BY lang, token),
+    vocab AS (SELECT DISTINCT token FROM ttok),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    cls AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+    ntr AS (SELECT count(*) AS n FROM train),
+    ctot AS (SELECT lang, count(*) AS tok_total FROM ttok GROUP BY lang),
+    model AS (
+        SELECT vb.token, c.lang,
+               CAST(floor((ln(COALESCE(k.cnt, 0) + 1.0)
+                           - ln(CAST(ct.tok_total + vs.v AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        FROM vocab vb CROSS JOIN cls c
+        JOIN ctot ct ON ct.lang = c.lang
+        CROSS JOIN vsize vs
+        LEFT JOIN counts k ON k.lang = c.lang AND k.token = vb.token),
+    prior AS (
+        SELECT c.lang,
+               CAST(floor((ln(CAST(c.n_docs AS DOUBLE))
+                           - ln(CAST(n.n AS DOUBLE))) * 1000000 + 0.5)
+                    AS BIGINT) AS prior_micro
+        FROM cls c CROSS JOIN ntr n),
+    dtok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test),
+    dcnt AS (SELECT doc_id, token, count(*) AS tok_cnt FROM dtok
+             GROUP BY doc_id, token),
+    scores AS (
+        SELECT d.doc_id, m.lang,
+               p.prior_micro + SUM(d.tok_cnt * m.lp_micro) AS score_micro
+        FROM dcnt d JOIN model m ON m.token = d.token
+        JOIN prior p ON p.lang = m.lang
+        GROUP BY d.doc_id, m.lang, p.prior_micro),
+    ranked AS (
+        SELECT doc_id, lang, score_micro,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, lang) AS rk
+        FROM scores)
+    SELECT t.doc_id, t.lang AS lang_actual, r.lang AS lang_pred,
+           CAST(r.score_micro AS DOUBLE) / 1000000 AS score,
+           (r.lang = t.lang) AS correct
+    FROM test t LEFT JOIN ranked r ON r.doc_id = t.doc_id AND r.rk = 1
+"""
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=_NB_ORACLE,
+    tags=("ml", "text", "join", "agg"),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and scored in
+    one query: train on doc_id % 5 != 0 (class = lang, features = space
+    tokens, Laplace +1), predict the held-out fold, report prediction +
+    correctness per test doc.
+
+    Determinism: every ln-term (token log-likelihood, class log-prior)
+    is rounded to integer micro-units BEFORE accumulation, so per-doc
+    class scores are exact integer sums — order-independent under any
+    partitioning, and the argmax is an integer comparison with a lang
+    tie-break. Both engines compute ln on identical exact rationals.
+
+    Scale: the dense model is |vocab|×|classes| rows (a model, not
+    data; at web scale the vocabulary is capped by a min-df threshold
+    like dedup/jaccard.py's MAX_SHINGLE_DF). Scoring shuffles only
+    (doc, token, count) triples joined to the broadcast-sized model —
+    the token stream is read once and never re-shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % TEST_FOLD != 0)
+    test = docs.filter(F.col("doc_id") % TEST_FOLD == 0)
+    return naive_bayes_classify(train, test)
+
+
+def naive_bayes_classify(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Core multinomial-NB train+score (see ml_naive_bayes docstring).
+    ``train``/``test`` need (doc_id, lang, text); class = lang. On the
+    synthetic testdata the lang label is independent of the shared
+    vocabulary, so held-out accuracy is chance by construction — the
+    oracle hash proves the computation; the learning behavior is pinned
+    on a signal-bearing constructed corpus in tests/test_ml.py."""
+    ttok = train.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = ttok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = ttok.select("token").distinct()
+    vsize = vocab.count()
+    n_train = train.count()
+    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ctot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("tok_total"))
+    micro = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    model = (
+        vocab.crossJoin(F.broadcast(cls.join(ctot, "lang")))
+        .join(counts, ["lang", "token"], "left")
+        .select(
+            "token",
+            "lang",
+            micro(
+                F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                - F.log((F.col("tok_total") + F.lit(vsize)).cast("double"))
+            ).alias("lp_micro"),
+        )
+    )
+    prior = cls.select(
+        "lang",
+        micro(
+            F.log(F.col("n_docs").cast("double")) - F.log(F.lit(float(n_train)))
+        ).alias("prior_micro"),
+    )
+    dcnt = (
+        test.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+    )
+    scores = (
+        dcnt.join(F.broadcast(model), "token")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang", "prior_micro")
+        .agg(F.sum(F.col("tok_cnt") * F.col("lp_micro")).alias("ll_micro"))
+        .select(
+            "doc_id", "lang", (F.col("prior_micro") + F.col("ll_micro")).alias("score_micro")
+        )
+    )
+    rk = W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "lang")
+    best = scores.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") == 1)
+    return test.select("doc_id", F.col("lang").alias("lang_actual")).join(
+        best, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang_actual",
+        F.col("lang").alias("lang_pred"),
+        (F.col("score_micro").cast("double") / 1000000).alias("score"),
+        (F.col("lang") == F.col("lang_actual")).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_logistic_regression_gd
+# ---------------------------------------------------------------------------
+
+GD_ITERS = 8
+GD_LR = 0.5
+NANO = 1_000_000_000
+
+
+def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x1, x2, y): scaled quantity, scaled discount, returned-flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+
+
+@register(
+    "ml_logistic_regression_gd",
+    tags=("ml", "iterative", "agg"),
+)
+def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression (P[returnflag = 'R'] from scaled
+    quantity and discount) by GD_ITERS steps of full-batch gradient
+    descent. Each step is ONE distributed aggregate: per-row gradient
+    contributions (σ(w·x) − y)·x_j are rounded to 1e-9 and summed as
+    exact integers, so the training trajectory — and the final weights —
+    are bit-identical under any partitioning (the same determinism
+    discipline as ml_naive_bayes, applied per iteration). The weight
+    update is driver-side float math on the 3-vector.
+
+    Iterative ⇒ no SQL oracle (rows-only driver check); the exact NumPy
+    replay — same rounding, same schedule — is pinned in tests/test_ml.py.
+
+    Scale: GD_ITERS scans, each reducing to 4 integers + a count; the
+    model never exceeds k doubles. Caching the feature projection
+    (three doubles/row) across iterations is the standard refinement;
+    at 100 TB the projected columns are what an executor cache holds."""
+    feats = _logit_features(spark, sf_dir).cache()
+    try:
+        n = feats.count()
+        if n == 0:
+            return spark.createDataFrame([], "term string, value double")
+        w = [0.0, 0.0, 0.0]  # bias, x1, x2
+        for _ in range(GD_ITERS):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("y")
+            gnano = lambda c: F.sum(  # noqa: E731
+                F.floor(c * NANO + F.lit(0.5)).cast("bigint")
+            )
+            g = feats.agg(
+                gnano(err).alias("g0"),
+                gnano(err * F.col("x1")).alias("g1"),
+                gnano(err * F.col("x2")).alias("g2"),
+            ).first()
+            w = [
+                w[j] - GD_LR * (g[f"g{j}"] / NANO) / n
+                for j in range(3)
+            ]
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        acc_row = feats.agg(
+            F.sum(((z > 0).cast("int") == F.col("y")).cast("bigint")).alias("hits")
+        ).first()
+        rows = [
+            ("w_bias", round(w[0], 9)),
+            ("w_qty", round(w[1], 9)),
+            ("w_disc", round(w[2], 9)),
+            ("train_accuracy", round(acc_row["hits"] / n, 6)),
+            ("n", float(n)),
+        ]
+        return spark.createDataFrame(rows, "term string, value double")
+    finally:
+        feats.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ml_ridge_normal_eq
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1.0
+_EVENT_TYPES = ("click", "error", "purchase", "signup")  # "view" = baseline
+
+
+def _ridge_xy(ev: DataFrame) -> DataFrame:
+    """Design matrix columns: bias, hour/24, dow/7, one-hot event types."""
+    cols = [
+        F.lit(1.0).alias("b"),
+        (F.hour("ts") / 24.0).alias("f_hour"),
+        (F.dayofweek("ts") / 7.0).alias("f_dow"),
+    ] + [
+        (F.col("event_type") == t).cast("double").alias(f"f_{t}") for t in _EVENT_TYPES
+    ]
+    return ev.select(*cols, F.col("value").alias("y"))
+
+
+@register(
+    "ml_ridge_normal_eq",
+    tags=("ml", "agg", "feature"),
+)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate ridge regression of event value on calendar + type
+    features, solved by the normal equations: the cluster reduces the
+    corpus to XᵀX (k×k) and Xᵀy (k) via per-Arrow-batch NumPy partials
+    (the similarity/pca.py sufficient-statistics pattern), the driver
+    solves (XᵀX + λI)w = Xᵀy, and the k-vector broadcasts back for one
+    scoring pass (training RMSE). Rows-only driver check (linear solve
+    is not SQL); NumPy-reference parity pinned in tests/test_ml.py.
+
+    Scale: two corpus passes, each collecting O(k²) doubles per batch —
+    nothing row-scale ever reaches the driver; no shuffle at all."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    xy = _ridge_xy(ev)
+    feat_cols = [c for c in xy.columns if c != "y"]
+    k = len(feat_cols)
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = pdf[feat_cols].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                    "xty": [(x.T @ y).tolist()],
+                    "yty": [float(y @ y)],
+                }
+            )
+
+    parts = xy.mapInPandas(
+        _partials, "n long, xtx array<double>, xty array<double>, yty double"
+    ).collect()
+    if not parts:
+        return spark.createDataFrame([], "term string, value double")
+    n = sum(p["n"] for p in parts)
+    xtx = np.sum([np.array(p["xtx"]).reshape(k, k) for p in parts], axis=0)
+    xty = np.sum([np.array(p["xty"]) for p in parts], axis=0)
+    yty = float(np.sum([p["yty"] for p in parts]))
+    w = np.linalg.solve(xtx + RIDGE_LAMBDA * np.eye(k), xty)
+    # training RMSE from the same sufficient statistics (no third pass):
+    # ||y - Xw||² = yᵀy - 2wᵀXᵀy + wᵀXᵀXw
+    sse = yty - 2.0 * float(w @ xty) + float(w @ xtx @ w)
+    rmse = float(np.sqrt(max(sse, 0.0) / n))
+    rows = [(f"w_{c}", round(float(v), 9)) for c, v in zip(feat_cols, w)]
+    rows += [("train_rmse", round(rmse, 6)), ("n", float(n))]
+    return spark.createDataFrame(rows, "term string, value double")

@@ -89,6 +89,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.kmeans",
     "cdc_export_system_spark.similarity.pca",
     "cdc_export_system_spark.operators.bloom_join",
+    "cdc_export_system_spark.ml.supervised",
 ]
 
 

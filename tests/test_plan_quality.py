@@ -112,6 +112,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
+    "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
 }
 
 
