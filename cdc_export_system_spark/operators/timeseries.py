@@ -258,3 +258,267 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("seasonal")).alias("seasonal"),
         r6(F.col("n") - F.col("trend") - F.col("seasonal")).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_resample_ohlc
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               ts, event_id, value
+        FROM events),
+    w AS (
+        SELECT event_type, hour_ts, value,
+               first_value(value) OVER (
+                   PARTITION BY event_type, hour_ts ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS open_v,
+               last_value(value) OVER (
+                   PARTITION BY event_type, hour_ts ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS close_v
+        FROM b)
+    SELECT event_type, CAST(hour_ts AS TIMESTAMP) AS hour_ts,
+           max(open_v) AS open_value, max(value) AS high_value,
+           min(value) AS low_value, max(close_v) AS close_value,
+           count(*) AS n_obs,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS volume
+    FROM w GROUP BY event_type, hour_ts
+"""
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=_OHLC_ORACLE,
+    tags=("timeseries", "agg", "analytics"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's value stream into hourly OHLC bars
+    (open/high/low/close + observation count + exact volume) — the
+    market-data/candlestick rollup shape. Open and close are selected by
+    min_by/max_by over the total (ts, event_id) ordering, so they are
+    deterministic raw column values (no float arithmetic to drift); the
+    oracle's window first/last_value form picks identical rows.
+
+    One map-side-combined aggregate keyed on (event_type, hour): at
+    100 TB the shuffle carries |types|x|hours| candle rows, never
+    observations — min_by/max_by partials are a single (value, key)
+    pair per group, so this scales exactly like a count."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("decimal(38,6)")
+             / F.lit(100)).cast("double").alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorrelation
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24
+
+_ACF_ORACLE = f"""
+    WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+               count(*) AS x
+        FROM events GROUP BY date_trunc('hour', ts)),
+    stats AS (
+        SELECT count(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q
+        FROM hourly),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, count(*) AS m,
+               SUM(CAST(a.x AS HUGEINT) * b.x) AS p,
+               SUM(CAST(a.x AS HUGEINT)) AS sa,
+               SUM(CAST(b.x AS HUGEINT)) AS sb
+        FROM lags l
+        JOIN hourly a ON true
+        JOIN hourly b ON b.t = a.t + l.lag
+        GROUP BY l.lag),
+    f AS (
+        SELECT p.lag, p.m,
+               s.n * s.n * p.p - s.n * s.s * (p.sa + p.sb) + p.m * s.s * s.s
+                   AS num,
+               s.n * s.n * s.q - s.n * s.s * s.s AS den
+        FROM pairs p CROSS JOIN stats s)
+    SELECT lag, m AS n_pairs,
+           floor(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(den AS VARCHAR) AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS acf
+    FROM f
+"""
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=_ACF_ORACLE,
+    tags=("timeseries", "stats", "join"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..ACF_MAX_LAG — the classic seasonality probe (a daily cycle shows
+    as a peak at lag 24). Uses the standard ACF estimator with the
+    global mean/variance; the algebra is expanded so numerator and
+    denominator are EXACT integers (n²·P − n·S·(A+B) + m·S² over
+    DECIMAL(38)), with one final double divide rounded at 1e-6 — the
+    same order-independence discipline as ml_linear_regression.
+
+    Scale: events collapse to one row per hour first, so the lag
+    self-join runs on the REDUCED |hours| axis (8.8k rows/year) times
+    |lags| — metadata-sized regardless of event volume. The 1-row
+    global-stats broadcast is the allowlisted scalar pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    ).select(
+        (F.unix_timestamp("h") / 3600).cast("bigint").alias("t"), "x"
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = hourly.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = hourly.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("p"),
+            F.sum("xa").cast("decimal(38,0)").alias("sa"),
+            F.sum("xb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    f = pairs.crossJoin(F.broadcast(stats)).select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        (
+            d38(F.col("n")) * d38(F.col("n")) * F.col("p")
+            - d38(F.col("n")) * F.col("s") * (F.col("sa") + F.col("sb"))
+            + d38(F.col("m")) * F.col("s") * F.col("s")
+        ).alias("num"),
+        (
+            d38(F.col("n")) * d38(F.col("n")) * F.col("q")
+            - d38(F.col("n")) * F.col("s") * F.col("s")
+        ).alias("den"),
+    )
+    return f.select(
+        "lag",
+        "n_pairs",
+        (
+            F.floor(
+                F.col("num").cast("double") / F.col("den").cast("double") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_changepoint_cusum
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS x
+        FROM events GROUP BY date_trunc('day', ts)),
+    tot AS (SELECT count(*) AS n, SUM(CAST(x AS HUGEINT)) AS s FROM daily),
+    pre AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS i,
+               SUM(CAST(x AS HUGEINT)) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS px
+        FROM daily),
+    c AS (
+        SELECT p.day, p.x, t.n * p.px - p.i * t.s AS num, t.n AS n
+        FROM pre p CROSS JOIN tot t),
+    r AS (
+        SELECT day, x, num, n,
+               row_number() OVER (ORDER BY abs(num) DESC, day) AS rk
+        FROM c)
+    SELECT day, x,
+           floor(CAST(CAST(num AS VARCHAR) AS DOUBLE) / n * 1000000 + 0.5)
+               / 1000000 AS cusum,
+           (rk = 1) AS is_peak
+    FROM r
+"""
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "window", "stats"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over the daily event-count series:
+    S_t = Σ_{i<=t}(x_i − μ); the |S_t| peak marks the most likely mean
+    shift (flagged is_peak, earliest-day tie-break). The statistic is
+    kept exact — numerator n·prefix(x) − t·Σx as HUGEINT/DECIMAL ints,
+    one final divide, 1e-6 round — so partitioning cannot move the peak.
+
+    Scale: events reduce to one row per DAY before any window runs, so
+    the prefix sum and the peak rank operate on the |days| axis (365
+    rows/year) — the allowlisted reduced-domain window pattern shared
+    with ts_seasonal_decompose; a multi-decade horizon would ride the
+    ranks.py two-level prefix construction instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    wo = W.orderBy("day")
+    pre = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.sum("x").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("decimal(38,0)")
+        .alias("px"),
+    )
+    c = pre.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        (F.col("n").cast("decimal(38,0)") * F.col("px")
+         - F.col("i").cast("decimal(38,0)") * F.col("s")).alias("num"),
+        "n",
+    )
+    rk = W.orderBy(F.abs(F.col("num")).desc(), "day")
+    return c.withColumn("rk", F.row_number().over(rk)).select(
+        "day",
+        "x",
+        (
+            F.floor(F.col("num").cast("double") / F.col("n") * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("cusum"),
+        (F.col("rk") == 1).alias("is_peak"),
+    )

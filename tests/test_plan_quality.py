@@ -113,6 +113,8 @@ INTENTIONAL_BROADCAST_NLJ = {
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
+    "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
+    "ts_changepoint_cusum",  # 1-row (n, Σx) totals broadcast onto |days| axis
 }
 
 
@@ -333,6 +335,8 @@ _SINGLE_PARTITION_OK = {
     "reshape_date_spine": "scalar",  # min/max bounds feeding sequence()
     "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
     "skyline_pareto_front": "tiny",  # prefix-max range-offset table
+    "ts_autocorrelation": "scalar",  # 1-row global (n, S, Q) stats
+    "ts_changepoint_cusum": "tiny",  # prefix sum + peak rank over |days| axis
     "ts_seasonal_decompose": "tiny",  # trend MA over the |hours| axis (8.8k/yr)
     "sql_scalar_subquery": "scalar",
     "text_pack_chunks": "tiny",  # block-offset prefix table
