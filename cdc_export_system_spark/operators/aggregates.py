@@ -941,3 +941,66 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY event_type, bitmap_bucket_number(user_id))
         GROUP BY event_type
     """)
+
+
+TE_SMOOTHING = 10  # pseudo-observations pulling small categories to the mean
+
+
+@register(
+    "feat_target_encode",
+    oracle=f"""
+        WITH g AS (
+            SELECT count(*) AS ng,
+                   SUM(CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT)) AS sg
+            FROM customer),
+        seg AS (
+            SELECT c_mktsegment, count(*) AS n,
+                   SUM(CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT)) AS sy
+            FROM customer GROUP BY c_mktsegment)
+        SELECT s.c_mktsegment, s.n,
+               floor(CAST(CAST(s.sy AS VARCHAR) AS DOUBLE) / s.n / 100
+                     * 1000000 + 0.5) / 1000000 AS category_mean,
+               floor(CAST(CAST(s.sy * g.ng + {TE_SMOOTHING} * g.sg AS VARCHAR)
+                          AS DOUBLE)
+                     / (CAST(CAST((s.n + {TE_SMOOTHING}) AS HUGEINT) * g.ng
+                             AS DOUBLE))
+                     / 100 * 1000000 + 0.5) / 1000000 AS encoded
+        FROM seg s CROSS JOIN g
+    """,
+    tags=("ml", "feature", "agg"),
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of the categorical c_mktsegment
+    against the c_acctbal target: encoded = (Σy + m·μ_global)/(n + m)
+    with m = TE_SMOOTHING pseudo-observations — the standard high-
+    cardinality categorical featurizer (rare categories shrink toward
+    the global mean instead of memorizing noise). The blend is evaluated
+    on exact integer cents — (Σy·N + m·ΣG) / ((n+m)·N) — so the encoding
+    is order-independent; one double divide, 1e-6 round.
+
+    Scale: one map-side-combined aggregate per category plus a 1-row
+    global broadcast; the encoder table is |categories| rows and
+    broadcast-joins back onto the feature frame at application time."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+    g = c.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(cents).cast("decimal(38,0)").alias("sg"),
+    )
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("decimal(38,0)").alias("sy"),
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return seg.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        "n",
+        r6(F.col("sy").cast("double") / F.col("n") / 100).alias("category_mean"),
+        r6(
+            (F.col("sy") * d38(F.col("ng")) + F.lit(TE_SMOOTHING) * F.col("sg"))
+            .cast("double")
+            / (d38(F.col("n") + F.lit(TE_SMOOTHING)) * d38(F.col("ng"))).cast("double")
+            / 100
+        ).alias("encoded"),
+    )

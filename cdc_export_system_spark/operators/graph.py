@@ -254,3 +254,75 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_shortest_hops",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_EDGES},
+        sym AS (SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb AS src, pa AS dst FROM e),
+        seed AS (SELECT min(pa) AS s FROM e),
+        walk AS (
+            SELECT s AS node, 0 AS hops FROM seed
+            UNION ALL
+            SELECT sym.dst, walk.hops + 1
+            FROM walk JOIN sym ON sym.src = walk.node
+            WHERE walk.hops < {BFS_MAX_HOPS}
+        )
+        SELECT node AS partkey, CAST(min(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative", "recursive"),
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path hop count (BFS) from the smallest node
+    of the co-purchase graph, bounded at BFS_MAX_HOPS — the reachability
+    primitive behind 'related items within k steps'. Spark runs level-
+    synchronous BFS: each round joins the current FRONTIER (only nodes
+    first reached last round) against the edge list and anti-subtracts
+    the visited set, so a node is expanded exactly once — the frontier
+    shrinks as the search saturates, unlike the oracle's recursive CTE
+    which re-walks every path (fine for DuckDB's in-memory check,
+    quadratic poison at scale). Per round: one |frontier⋈E| shuffle;
+    visited stays partitioned by node id.
+
+    The recursive-CTE equivalence is exact because min(hops) over all
+    paths == first-reach level in a level-synchronous BFS."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    try:
+        seed_row = e.agg(F.min("pa").alias("s")).first()
+        if seed_row is None or seed_row["s"] is None:
+            return sym.select(
+                F.col("src").alias("partkey"), F.lit(0).cast("bigint").alias("hops")
+            ).filter(F.lit(False))
+        seed = seed_row["s"]
+        spark_ = e.sparkSession
+        visited = spark_.createDataFrame([(seed, 0)], "partkey long, hops int")
+        frontier = visited.select(F.col("partkey").alias("src"))
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            reached = (
+                frontier.join(sym, "src")
+                .select(F.col("dst").alias("partkey"))
+                .distinct()
+                .join(visited.select("partkey"), "partkey", "left_anti")
+                .withColumn("hops", F.lit(hop))
+            )
+            # materialize the level (truncates the iterative lineage the
+            # same way graph_pagerank checkpoints its fixpoint)
+            reached = reached.localCheckpoint(eager=True)
+            if not reached.take(1):
+                break
+            visited = visited.unionAll(reached)
+            frontier = reached.select(F.col("partkey").alias("src"))
+        return visited.select("partkey", F.col("hops").cast("bigint").alias("hops"))
+    finally:
+        sym.unpersist()

@@ -730,3 +730,41 @@ def metric_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = opens.unionAll(closes).groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     return g.select("day", "delta", F.sum("delta").over(w).cast("bigint").alias("n_open"))
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                   AS pct_rank,
+               floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000
+                   AS cume,
+               ntile(10) OVER w AS decile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "percentile"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every customer inside its market segment:
+    percent_rank (rank−1)/(n−1), cume_dist, and decile — the trio of
+    normalized-rank window functions. The ordering is made TOTAL
+    (acctbal DESC, custkey) so ntile's row placement and both rank
+    ratios are deterministic; the ratios are exact rationals divided
+    once, rounded at 1e-6 identically in both engines. One shuffle on
+    the segment key; 5 segments at any scale means salting the segment
+    key (or the ranks.py two-level construction) is the documented
+    refinement when a single segment outgrows one partition."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )

@@ -90,6 +90,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.pca",
     "cdc_export_system_spark.operators.bloom_join",
     "cdc_export_system_spark.ml.supervised",
+    "cdc_export_system_spark.operators.sketches",
 ]
 
 

@@ -112,6 +112,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
+    "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
     "ts_changepoint_cusum",  # 1-row (n, Σx) totals broadcast onto |days| axis
@@ -327,6 +328,7 @@ _SINGLE_PARTITION_OK = {
     "basket_association_rules": "scalar",  # 1-row basket-count denominator
     "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
+    "feat_target_encode": "scalar",  # 1-row global (n, Σy) for the smoothing blend
     "funnel_conversion": "scalar",
     "graph_triangle_count": "scalar",
     "metric_open_orders_sweep": "tiny",  # running sum over the |days| axis
