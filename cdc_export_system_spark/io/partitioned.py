@@ -1,0 +1,101 @@
+"""Hive-partitioned parquet sink + partition-pruned reads.
+
+The reference's CDC index (``seeds/001_schema.sql:11``, btree on
+``users(updated_at)``) exists to make time-bounded incremental pulls
+cheap; the warehouse-scale equivalent is DATE PARTITIONING: one
+directory per day, so a time-range predicate prunes whole partitions at
+PLANNING time — the scan never even lists the excluded directories.
+This module is that layout decision as an operator:
+
+* ``partitioned_write`` — events repartitioned by day and written
+  ``partitionBy("event_date")``; one shuffle, each writer owns whole
+  days, no small-file spray (without the repartition, every task writes
+  a file into every day's directory — task×day files is the classic
+  partitioned-sink mistake).
+* ``sink_parquet_partitioned`` (registered) — writes (idempotently,
+  keyed by sf_dir), reads back a one-week slice, and aggregates; the
+  oracle computes the same week from the original parquet, proving the
+  layout round-trips values exactly. tests/test_partitioned_sink.py
+  pins the plan: PartitionFilters carries the date bounds, the
+  pushed-down data filter set is empty (the partition column does the
+  work), and the directory layout contains one subdir per day.
+
+Scale: daily partitions bound partition count to |days| (3.7k/decade —
+fine for any metastore); the in-partition file count is the
+repartition's parallelism knob. A second-level key (e.g. event_type)
+is the documented refinement when one day outgrows a writer wave.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register, sql_dsum, dsum
+
+# one-week probe slice: matches the testdata's first full week
+SLICE_START = "2024-01-08"
+SLICE_END = "2024-01-15"  # exclusive
+
+
+def partitioned_write(df: DataFrame, path: str) -> None:
+    """Write events Hive-partitioned by event_date. The repartition on
+    the partition key is the scale-critical step: it co-locates each
+    day's rows on one writer, so the sink emits |days| × O(1) files
+    instead of |tasks| × |days|."""
+    (
+        df.withColumn("event_date", F.to_date("ts"))
+        .repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def _materialize(spark: SparkSession, sf_dir: str) -> str:
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "cdc_spark_part", tag)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        partitioned_write(load_table(spark, sf_dir, "events"), base)
+    return base
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle=f"""
+        SELECT event_type, count(*) AS n_events,
+               {sql_dsum("value", "total_value")}
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '{SLICE_START}'
+          AND CAST(ts AS DATE) < DATE '{SLICE_END}'
+        GROUP BY event_type
+    """,
+    tags=("connector", "source", "pushdown", "layout"),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the date-partitioned layout: write events
+    partitioned by event_date (once per sf_dir), read back ONE WEEK via
+    a partition-column predicate — pruned at planning time, the
+    excluded day-directories (23 of 30 on the testdata) are never
+    scanned (plan pin in
+    tests/test_partitioned_sink.py) — and aggregate per type. The
+    oracle computes the identical week from the original unpartitioned
+    parquet, so a hash match proves the partitioned layout loses
+    nothing (timestamps keep microseconds; the derived partition column
+    round-trips as a real DATE)."""
+    base = _materialize(spark, sf_dir)
+    back = spark.read.parquet(base)
+    return (
+        back.filter(
+            (F.col("event_date") >= F.lit(SLICE_START).cast("date"))
+            & (F.col("event_date") < F.lit(SLICE_END).cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )

@@ -91,6 +91,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.bloom_join",
     "cdc_export_system_spark.ml.supervised",
     "cdc_export_system_spark.operators.sketches",
+    "cdc_export_system_spark.io.partitioned",
 ]
 
 
