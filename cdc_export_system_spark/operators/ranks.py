@@ -141,3 +141,61 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     first = F.floor((rn + q) / (q + F.lit(1)))  # ceil(rn/(q+1))
     rest = r + F.floor((rn - cut + q - F.lit(1)) / q)
     return F.when(rn <= cut, first).otherwise(rest).cast("int")
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    values: list[str],
+    suffix: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the EXCLUSIVE running sum of each column in ``values`` over
+    the total order given by ``order_cols`` (0 for the global first
+    row), as ``<value><suffix>`` — the prefix-additive sibling of
+    :func:`with_prefix_max`, same two-level range construction: no
+    stage ever sorts or sums the whole input on one partition.
+
+    All ``values`` ride ONE range shuffle and ONE broadcast offset
+    table (|ranges| rows × |values| sums). Sums are computed with
+    ``sum`` as-is — callers needing exactness pass integer columns
+    (the engine's cents/micro-units discipline)."""
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+
+    w_in = (
+        W.partitionBy(_RANGE_ID)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = parted
+    for v in values:
+        within = within.withColumn(
+            f"__within_{v}", F.coalesce(F.sum(v).over(w_in), F.lit(0))
+        )
+
+    rsum = parted.groupBy(_RANGE_ID).agg(
+        *[F.sum(v).alias(f"__rsum_{v}") for v in values]
+    )
+    w_off = W.orderBy(_RANGE_ID).rowsBetween(W.unboundedPreceding, -1)
+    offsets = rsum.select(
+        _RANGE_ID,
+        *[
+            F.coalesce(F.sum(f"__rsum_{v}").over(w_off), F.lit(0)).alias(
+                f"__off_{v}"
+            )
+            for v in values
+        ],
+    )
+
+    joined = within.join(F.broadcast(offsets), _RANGE_ID)
+    for v in values:
+        joined = joined.withColumn(
+            f"{v}{suffix}", F.col(f"__within_{v}") + F.col(f"__off_{v}")
+        )
+    drop = [_RANGE_ID] + [f"__within_{v}" for v in values] + [f"__off_{v}" for v in values]
+    return joined.drop(*drop)

@@ -1,0 +1,307 @@
+"""Nonparametric / categorical statistical tests as distributed queries.
+
+Completes the engine's A/B-testing toolkit (ab_welch_ttest is the
+parametric member, operators/aggregates.py): chi-square independence
+for categorical outcomes, Kolmogorov–Smirnov and Mann–Whitney for
+distribution shift between two arms. North-star extension — the
+reference has no analytics surface; these are the drift/quality gates a
+training-data pipeline runs between corpus versions (corpus_drift_psi
+is the binned sibling).
+
+Exactness discipline (what keeps all three oracle-checkable):
+
+* Contingency/ECDF/rank algebra stays in EXACT integers — chi-square
+  cell terms round to 1e-9 micro-units before the final sum; the KS
+  statistic's max runs over |cumA·nB − cumB·nA| integers; rank sums use
+  the 2·R doubling trick so midranks never materialize as floats.
+* The only doubles are final normalizations written as the identical
+  expression tree in both engines, rounded at 1e-6.
+
+Scale: every test reduces to the DISTINCT-VALUE axis first (groupBy
+value), then runs prefix sums via the ranks.py two-level range
+construction — no global-window single-partition stage anywhere; finals
+are 1-row scalars (allowlisted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.operators.ranks import with_prefix_sum
+from cdc_export_system_spark.registry import register
+
+ARM_A = "purchase"
+ARM_B = "click"
+KS_ALPHA_C = 1.358  # c(α) at α = 0.05 for the two-sample KS rejection bound
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2_independence
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cell AS (
+        SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS HUGEINT) AS o
+        FROM events GROUP BY event_type, dayofweek(ts)),
+    margins AS (
+        SELECT c.*, rt.rt, ct.ct, n.n FROM cell c
+        JOIN (SELECT event_type, SUM(o) AS rt FROM cell GROUP BY event_type) rt
+          USING (event_type)
+        JOIN (SELECT dow, SUM(o) AS ct FROM cell GROUP BY dow) ct USING (dow)
+        CROSS JOIN (SELECT SUM(o) AS n FROM cell) n),
+    terms AS (
+        SELECT CAST(floor(
+                   CAST(CAST(o * n - rt * ct AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(o * n - rt * ct AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * rt * ct AS VARCHAR) AS DOUBLE)
+                   * 1000000000 + 0.5) AS BIGINT) AS t_nano,
+               event_type, dow
+        FROM margins)
+    SELECT floor(CAST(SUM(t_nano) AS DOUBLE) / 1000 + 0.5) / 1000000 AS chi2,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+                AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms
+"""
+
+
+@register(
+    "stats_chi2_independence",
+    oracle=_CHI2_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week: χ² = Σ (O−E)²/E over the |types|×|dows| contingency
+    table, E = rowtot·coltot/n. Each cell term is the exact-integer
+    rational (O·n − rt·ct)²/(n·rt·ct) evaluated once in doubles and
+    rounded to 1e-9 BEFORE the final sum, so partitioning cannot move
+    χ². The contingency collapse is one map-side-combined aggregate;
+    margins join back onto the ≤35-row cell table (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("n"))
+    m = (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    # the (O·n − rt·ct) difference stays an exact ≤10²³ integer; the
+    # SQUARE happens in doubles (an int square would pass 10³⁸ at scale)
+    num_d = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    t_nano = F.floor(
+        num_d * num_d
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = m.select(t_nano.alias("t_nano"), "event_type", "dow")
+    return terms.agg(
+        (F.floor(F.sum("t_nano").cast("double") / 1000 + F.lit(0.5)) / 1000000).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_ks_test
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+    WITH v AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = '{ARM_A}' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = '{ARM_B}' THEN 1 ELSE 0 END) AS cb
+        FROM events WHERE event_type IN ('{ARM_A}', '{ARM_B}')
+        GROUP BY value),
+    tot AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                   CAST(SUM(cb) AS HUGEINT) AS nb FROM v),
+    c AS (
+        SELECT SUM(ca) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS cuma,
+               SUM(cb) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM v),
+    d AS (
+        SELECT MAX(abs(CAST(cuma AS HUGEINT) * t.nb
+                       - CAST(cumb AS HUGEINT) * t.na)) AS dnum,
+               MAX(t.na) AS na, MAX(t.nb) AS nb
+        FROM c CROSS JOIN tot t)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS ks_stat,
+           floor({KS_ALPHA_C} * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS ks_crit_05,
+           (CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+            > {KS_ALPHA_C} * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+               AS reject_05
+    FROM d
+"""
+
+
+@register(
+    "stats_ks_test",
+    oracle=_KS_ORACLE,
+    tags=("stats", "window", "analytics"),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event arms: D = max_x |F_A(x) − F_B(x)|, with
+    the α=0.05 rejection bound c·√((nA+nB)/(nA·nB)). The ECDF gap is
+    kept exact — max over |cumA·nB − cumB·nA| integers, one divide at
+    the end — so D is partition-invariant.
+
+    Scale: observations collapse to the DISTINCT-VALUE axis first; the
+    cumulative counts ride the ranks.py two-level prefix-sum (range
+    shuffle + per-range window + broadcast offsets), so no stage sorts
+    all values on one partition — the oracle's global window is the
+    semantic spec, not the plan. Final is a 1-row scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type").isin(ARM_A, ARM_B))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == ARM_A).cast("bigint")).alias("ca"),
+            F.sum((F.col("event_type") == ARM_B).cast("bigint")).alias("cb"),
+        )
+    )
+    tot = v.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    c = with_prefix_sum(v, [F.asc("value")], ["ca", "cb"], suffix="_x")
+    c = c.select(
+        (F.col("ca_x") + F.col("ca")).alias("cuma"),
+        (F.col("cb_x") + F.col("cb")).alias("cumb"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+            )
+        ).alias("dnum"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    stat = F.col("dnum").cast("double") / (nad * nbd)
+    crit = F.lit(KS_ALPHA_C) * F.sqrt((nad + nbd) / (nad * nbd))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return d.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r6(stat).alias("ks_stat"),
+        r6(crit).alias("ks_crit_05"),
+        (stat > crit).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_mann_whitney
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = f"""
+    WITH v AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = '{ARM_A}' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS ca,
+               CAST(SUM(CASE WHEN event_type = '{ARM_B}' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS cb
+        FROM events WHERE event_type IN ('{ARM_A}', '{ARM_B}')
+        GROUP BY value),
+    w AS (
+        SELECT ca, cb, ca + cb AS t,
+               COALESCE(SUM(ca + cb) OVER (ORDER BY value
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS before
+        FROM v),
+    s AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(ca * (2 * before + t + 1)) AS r2a,
+               SUM(t * t * t - t) AS ties
+        FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(CAST(r2a - na * (na + 1) AS VARCHAR) AS DOUBLE) / 2 AS u_a,
+           floor((CAST(CAST(r2a - na * (na + 1) AS VARCHAR) AS DOUBLE) / 2
+                  - CAST(CAST(na * nb AS VARCHAR) AS DOUBLE) / 2)
+                 / sqrt(CAST(CAST(na * nb AS VARCHAR) AS DOUBLE) / 12
+                        * ((CAST(CAST(na + nb AS VARCHAR) AS DOUBLE) + 1)
+                           - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                             / (CAST(CAST(na + nb AS VARCHAR) AS DOUBLE)
+                                * (CAST(CAST(na + nb AS VARCHAR) AS DOUBLE) - 1))))
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM s
+"""
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=_MW_ORACLE,
+    tags=("stats", "window", "analytics"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the two arms' value
+    distributions, with midrank tie handling and the tie-corrected
+    normal approximation z. Rank sums never materialize midranks as
+    floats: 2·R_A = Σ c_A·(2·before + t + 1) is exact over the grouped
+    value axis (before = pooled count strictly below the tie group,
+    t = tie size), and ties accumulate Σ(t³−t) for the variance
+    correction. One divide chain at the end, 1e-6 round.
+
+    Scale: same shape as stats_ks_test — distinct-value collapse, then
+    the ranks.py two-level prefix sum for ``before``; the final is a
+    1-row scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type").isin(ARM_A, ARM_B))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == ARM_A).cast("bigint")).alias("ca"),
+            F.sum((F.col("event_type") == ARM_B).cast("bigint")).alias("cb"),
+        )
+        .withColumn("t", F.col("ca") + F.col("cb"))
+    )
+    w = with_prefix_sum(v, [F.asc("value")], ["t"], suffix="_before")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = w.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+        F.sum(
+            d38(F.col("ca"))
+            * (F.lit(2) * d38(F.col("t_before")) + d38(F.col("t")) + F.lit(1))
+        ).alias("r2a"),
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t")) - d38(F.col("t"))
+        ).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u2a = F.col("r2a") - na * (na + F.lit(1))
+    u_a = u2a.cast("double") / 2
+    nd = (na + nb).cast("double")
+    var = (na * nb).cast("double") / 12 * (
+        (nd + 1) - F.col("ties").cast("double") / (nd * (nd - 1))
+    )
+    z = (u_a - (na * nb).cast("double") / 2) / F.sqrt(var)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        r6(z).alias("z"),
+    )

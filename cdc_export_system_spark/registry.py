@@ -92,6 +92,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.ml.supervised",
     "cdc_export_system_spark.operators.sketches",
     "cdc_export_system_spark.io.partitioned",
+    "cdc_export_system_spark.operators.stats_tests",
 ]
 
 

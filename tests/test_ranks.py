@@ -94,3 +94,29 @@ def test_prefix_max_empty_input(spark):
 
     df = spark.createDataFrame([], "x int, y int")
     assert with_prefix_max(df, [F.desc("x")], "y").count() == 0
+
+
+def test_prefix_sum_matches_naive_global_window(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [((i * 13) % 37, (i * 5) % 11 + 1, i % 3, i) for i in range(300)],
+        "k int, a int, b int, id int",
+    ).repartition(7)
+    got = with_prefix_sum(df, [F.asc("k"), F.asc("id")], ["a", "b"], suffix="_c")
+    w = W.orderBy(F.asc("k"), F.asc("id")).rowsBetween(W.unboundedPreceding, -1)
+    ref = df.withColumn("a_ref", F.coalesce(F.sum("a").over(w), F.lit(0))).withColumn(
+        "b_ref", F.coalesce(F.sum("b").over(w), F.lit(0))
+    )
+    rows = got.join(ref, ["k", "a", "b", "id"]).select(
+        "a_c", "a_ref", "b_c", "b_ref"
+    ).collect()
+    assert len(rows) == 300
+    assert all(r.a_c == r.a_ref and r.b_c == r.b_ref for r in rows)
+
+
+def test_prefix_sum_empty_input(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    df = spark.createDataFrame([], "k int, a int")
+    assert with_prefix_sum(df, [F.asc("k")], ["a"]).count() == 0
