@@ -439,3 +439,140 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(f"w_{c}", round(float(v), 9)) for c, v in zip(feat_cols, w)]
     rows += [("train_rmse", round(rmse, 6)), ("n", float(n))]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+# ---------------------------------------------------------------------------
+# ml_kfold_cv
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+
+_KFOLD_ORACLE = f"""
+    WITH s AS (
+        SELECT CAST(event_id % {KFOLDS} AS BIGINT) AS fold,
+               CAST(extract(hour FROM ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events),
+    pf AS (
+        SELECT fold, CAST(count(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM s GROUP BY fold),
+    tot AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM pf),
+    tr AS (
+        SELECT p.fold,
+               t.n - p.n AS n, t.sx - p.sx AS sx, t.sy - p.sy AS sy,
+               t.sxx - p.sxx AS sxx, t.sxy - p.sxy AS sxy,
+               p.n AS tn, p.sx AS tsx, p.sy AS tsy, p.sxx AS tsxx,
+               p.sxy AS tsxy, p.syy AS tsyy
+        FROM pf p CROSS JOIN tot t),
+    co AS (
+        SELECT fold, n, tn, tsx, tsy, tsxx, tsxy, tsyy,
+               CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100
+                   AS b,
+               (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 100
+                - CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100
+                  * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS a
+        FROM tr)
+    SELECT fold, CAST(n AS BIGINT) AS n_train, CAST(tn AS BIGINT) AS n_test,
+           floor(b * 1000000 + 0.5) / 1000000 AS slope,
+           floor(a * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(sqrt(greatest(
+                     CAST(CAST(tsyy AS VARCHAR) AS DOUBLE) / 10000
+                     - 2 * a * CAST(CAST(tsy AS VARCHAR) AS DOUBLE) / 100
+                     - 2 * b * CAST(CAST(tsxy AS VARCHAR) AS DOUBLE) / 100
+                     + CAST(CAST(tn AS VARCHAR) AS DOUBLE) * a * a
+                     + 2 * a * b * CAST(CAST(tsx AS VARCHAR) AS DOUBLE)
+                     + b * b * CAST(CAST(tsxx AS VARCHAR) AS DOUBLE), 0)
+                     / CAST(CAST(tn AS VARCHAR) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS test_rmse
+    FROM co
+"""
+
+
+@register(
+    "ml_kfold_cv",
+    oracle=_KFOLD_ORACLE,
+    tags=("ml", "stats", "agg"),
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the hour→value OLS, entirely inside
+    the engine: ONE pass computes per-fold sufficient statistics, the
+    train-side statistics for each fold are TOTAL − FOLD (exact integer
+    subtraction — no second scan, no per-fold retraining pass), and the
+    held-out RMSE expands ‖y − a − bx‖² algebraically over the fold's
+    own statistics. The cross-validation loop that costs K corpus scans
+    in a naive harness is K rows of integer algebra here.
+
+    Floats: slope/intercept/RMSE are evaluated with the identical
+    expression tree in both engines from the exact suffstats; outputs
+    round at 1e-6. Scale: shuffle is K rows of seven integers; the
+    1-row total broadcasts back (allowlisted scalar pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("event_id") % KFOLDS).cast("bigint").alias("fold"),
+        F.hour("ts").cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    pf = s.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("sx"),
+        F.sum("y").cast(D38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast(D38).alias("syy"),
+    )
+    tot = pf.agg(
+        *[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    t = tot.select(*[F.col(c).alias(f"t_{c}") for c in tot.columns])
+    tr = pf.crossJoin(F.broadcast(t)).select(
+        "fold",
+        (F.col("t_n") - F.col("n")).alias("trn"),
+        (F.col("t_sx") - F.col("sx")).alias("trsx"),
+        (F.col("t_sy") - F.col("sy")).alias("trsy"),
+        (F.col("t_sxx") - F.col("sxx")).alias("trsxx"),
+        (F.col("t_sxy") - F.col("sxy")).alias("trsxy"),
+        F.col("n").alias("tn"),
+        F.col("sx").alias("tsx"),
+        F.col("sy").alias("tsy"),
+        F.col("sxx").alias("tsxx"),
+        F.col("sxy").alias("tsxy"),
+        F.col("syy").alias("tsyy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    b = (
+        (F.col("trn") * F.col("trsxy") - F.col("trsx") * F.col("trsy")).cast("double")
+        / (F.col("trn") * F.col("trsxx") - F.col("trsx") * F.col("trsx")).cast("double")
+        / 100
+    )
+    co = tr.select(
+        "fold", "trn", "tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy",
+        b.alias("b"),
+        ((dd("trsy") / 100 - b * dd("trsx")) / dd("trn")).alias("a"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    sse = (
+        dd("tsyy") / 10000
+        - 2 * F.col("a") * dd("tsy") / 100
+        - 2 * F.col("b") * dd("tsxy") / 100
+        + dd("tn") * F.col("a") * F.col("a")
+        + 2 * F.col("a") * F.col("b") * dd("tsx")
+        + F.col("b") * F.col("b") * dd("tsxx")
+    )
+    return co.select(
+        "fold",
+        F.col("trn").cast("bigint").alias("n_train"),
+        F.col("tn").cast("bigint").alias("n_test"),
+        r6(F.col("b")).alias("slope"),
+        r6(F.col("a")).alias("intercept"),
+        r6(F.sqrt(F.greatest(sse, F.lit(0.0)) / dd("tn"))).alias("test_rmse"),
+    )

@@ -179,3 +179,60 @@ def sample_uniform_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= GROUP_SAMPLE_K)
         .select("doc_id", "source", "n_chars")
     )
+
+
+TOKEN_BUDGET = 3000  # greedy prefix budget for the registered demo
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+            FROM d)
+        SELECT doc_id, n_tokens,
+               CAST(before + n_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE before < {TOKEN_BUDGET}
+    """,
+    tags=("sampling", "text", "pipeline"),
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw a corpus sample that hits a TOKEN budget, not a document
+    count — the shape every pretraining data recipe needs ("give me
+    3,000 tokens of this source"): documents are taken greedily in a
+    deterministic pseudo-random order (md5 of doc_id — engine-portable,
+    unlike xxhash64) until the running token total crosses the budget;
+    the crossing document is included, so the sample always covers the
+    budget. Selection depends only on (hash, doc_id) — reproducible
+    across runs, partitionings, and engines.
+
+    Scale: token counts are row-local; the running total rides the
+    ranks.py two-level prefix-sum (range shuffle on the hash order +
+    broadcast range offsets) — no global-window single-partition sort.
+    The budget filter then prunes to the sample; at 100 TB this reads
+    every doc's token COUNT but never moves document text."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    c = with_prefix_sum(docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b")
+    return (
+        c.filter(F.col("n_tokens_b") < TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens_b") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )

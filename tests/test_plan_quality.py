@@ -114,6 +114,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
+    "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
     "stats_ks_test",  # 1-row (nA, nB) totals broadcast onto the value axis
     "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
@@ -339,6 +340,8 @@ _SINGLE_PARTITION_OK = {
     "reshape_date_spine": "scalar",  # min/max bounds feeding sequence()
     "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
     "skyline_pareto_front": "tiny",  # prefix-max range-offset table
+    "corpus_token_budget_sample": "tiny",  # prefix-sum range-offset table
+    "ml_kfold_cv": "scalar",  # 1-row suffstat total
     "stats_chi2_independence": "scalar",  # 1-row chi2 final
     "stats_ks_test": "tiny",  # prefix-sum range-offset table + 1-row final
     "stats_mann_whitney": "tiny",  # prefix-sum range-offset table + 1-row final
