@@ -123,3 +123,92 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= PHASH_HAMMING_T)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+VAD_FRAME = 32  # chars per analysis frame (the 'hop size')
+VAD_THRESH = 3000  # frame-energy gate: speech-vs-silence analogue
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, unnest(range(1, length(text) + 1)) AS i
+            FROM documents),
+        frames AS (
+            SELECT p.doc_id, CAST((p.i - 1) // {VAD_FRAME} AS BIGINT) AS f,
+                   SUM(ord(substring(d.text, CAST(p.i AS INTEGER), 1)))
+                       AS energy
+            FROM pos p JOIN documents d ON d.doc_id = p.doc_id
+            GROUP BY p.doc_id, CAST((p.i - 1) // {VAD_FRAME} AS BIGINT)),
+        active AS (
+            SELECT doc_id, f,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                       AS island
+            FROM frames WHERE energy > {VAD_THRESH})
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY min(f)) AS BIGINT)
+                   AS segment_id,
+               CAST(min(f) AS BIGINT) AS start_frame,
+               CAST(max(f) AS BIGINT) AS end_frame,
+               CAST(count(*) AS BIGINT) AS n_frames
+        FROM active GROUP BY doc_id, island
+    """,
+    tags=("multimodal", "window", "session"),
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over an audio-like signal:
+    the payload byte stream is framed (VAD_FRAME bytes/frame), each
+    frame's ENERGY is the exact byte-value sum, frames above the gate
+    are 'speech', and consecutive active frames merge into segments via
+    gaps-and-islands — the standard VAD → segment pipeline every speech
+    corpus builder runs before transcription. Payload bytes derive
+    deterministically from documents.text (the module's codec-seam
+    convention: a real PCM decoder drops into the frame-energy step —
+    multimodal/binary_ops.decode_media — without touching the
+    segmentation algebra).
+
+    Scale: the per-byte explode is the one data-scale stage (same shape
+    as token explode in text_*); it collapses immediately to |frames|
+    rows map-side. Segmentation shuffles once on doc_id; energies are
+    exact integers so segment boundaries are partition-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    )
+    frames = (
+        pos.select(
+            "doc_id",
+            ((F.col("i") - 1) / VAD_FRAME).cast("bigint").alias("f"),
+            F.ascii(F.col("text").substr(F.col("i"), F.lit(1))).alias("c"),
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.sum("c").alias("energy"))
+    )
+    from pyspark.sql import Window as W
+
+    active = frames.filter(F.col("energy") > VAD_THRESH).select(
+        "doc_id",
+        "f",
+        (F.col("f") - F.row_number().over(W.partitionBy("doc_id").orderBy("f"))).alias(
+            "island"
+        ),
+    )
+    seg = active.groupBy("doc_id", "island").agg(
+        F.min("f").alias("start_frame"),
+        F.max("f").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    return seg.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("start_frame"))
+        .cast("bigint")
+        .alias("segment_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+    )

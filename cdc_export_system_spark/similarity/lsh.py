@@ -315,3 +315,113 @@ def sim_search_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
         return lsh_topk(emb, query_vec_id=0)
+
+
+RECALL_K = 10
+RECALL_QUERY_PRED = "vec_id % 100 = 0"  # sampled offline query set
+
+_RECALL_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip(a.embedding, q.qe),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_RECALL_SQL_NORM_A = (
+    "sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_RECALL_SQL_NORM_Q = (
+    "sqrt(list_aggregate(list_transform(q.qe,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@register(
+    "sim_recall_at_k",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_sql_bucket("embedding")} AS qb
+            FROM embeddings WHERE {RECALL_QUERY_PRED}),
+        sims AS (
+            SELECT q.qid, a.vec_id,
+                   round({_RECALL_SQL_DOT}
+                         / ({_RECALL_SQL_NORM_A} * {_RECALL_SQL_NORM_Q}),
+                         {SIM_DECIMALS}) AS cs,
+                   (bit_count(CAST(xor(
+                        CAST({_sql_bucket("a.embedding")} AS BIGINT),
+                        CAST(q.qb AS BIGINT)) AS BIT)) <= 1) AS is_cand
+            FROM embeddings a, q WHERE a.vec_id <> q.qid),
+        ranked AS (
+            SELECT qid, is_cand,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cs DESC, vec_id) AS rk
+            FROM sims),
+        truth AS (
+            SELECT qid,
+                   CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits
+            FROM ranked WHERE rk <= {RECALL_K} GROUP BY qid),
+        cands AS (
+            SELECT qid,
+                   CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_candidates
+            FROM sims GROUP BY qid)
+        SELECT t.qid AS q_vec_id, c.n_candidates, t.hits,
+               floor(CAST(t.hits AS DOUBLE) / {RECALL_K} * 1000000 + 0.5)
+                   / 1000000 AS recall
+        FROM truth t JOIN cands c ON c.qid = t.qid
+    """,
+    tags=("similarity", "lsh", "quality", "ann"),
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH multi-probe candidate set against exact
+    cosine ground truth, per sampled query — THE quality gate every ANN
+    index deployment runs before trading brute force for buckets: how
+    many of the true top-k does the Hamming≤1 probe set still contain?
+
+    Ground truth is inherently O(|Q|·N) — this is the OFFLINE evaluation
+    pass over a sampled query set (1-in-100 here), not a serving-path
+    operator; the candidate flag rides the same scan, so the whole
+    measurement is one broadcast-NLJ pass (bounded query set broadcast,
+    corpus never shuffled — the sim_knn_join shape) plus a per-query
+    top-k window. Recall is an exact hits/k rational; similarity
+    rounding + vec_id tie-break keep ranks engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(RECALL_QUERY_PRED)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        bucket_id(F.col("embedding")).alias("qb"),
+    )
+    a = emb.select(
+        "vec_id", "embedding", bucket_id(F.col("embedding")).alias("ab")
+    )
+    sims = a.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias("cs"),
+        (
+            F.bit_count(
+                F.col("ab").cast("bigint").bitwiseXOR(F.col("qb").cast("bigint"))
+            )
+            <= 1
+        ).alias("is_cand"),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id"))
+    ranked = sims.select("qid", "is_cand", rk.alias("rk"))
+    truth = (
+        ranked.filter(F.col("rk") <= RECALL_K)
+        .groupBy("qid")
+        .agg(F.sum(F.col("is_cand").cast("bigint")).alias("hits"))
+    )
+    cands = sims.groupBy("qid").agg(
+        F.sum(F.col("is_cand").cast("bigint")).alias("n_candidates")
+    )
+    return truth.join(cands, "qid").select(
+        F.col("qid").alias("q_vec_id"),
+        "n_candidates",
+        "hits",
+        (F.floor(F.col("hits").cast("double") / RECALL_K * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "recall"
+        ),
+    )

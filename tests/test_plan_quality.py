@@ -104,6 +104,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "cluster_kmeans_assign",  # k=8 centroid model vs every vector
     "cluster_kmeans_iterate",
     "sim_knn_join",  # bounded probe set broadcast; corpus never shuffles
+    "sim_recall_at_k",  # offline eval: sampled query set broadcast vs corpus
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
     "rfm_segmentation",  # 1-row global-max broadcast onto the |users| aggregate
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
