@@ -766,3 +766,85 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_stopword_rate"
         ),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, CAST(r.i AS BIGINT) AS pos, t.toks[r.i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) t,
+                 unnest(range(1, len(t.toks) + 1)) AS r(i)
+            WHERE t.toks[r.i] <> ''),
+        bg AS (
+            SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM tok a JOIN tok b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        uc AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+        v AS (SELECT count(DISTINCT w) AS vsize FROM tok),
+        lp AS (
+            SELECT g.doc_id,
+                   CAST(floor((ln(bc.c2 + 1.0)
+                               - ln(CAST(uc.c1 + v.vsize AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS lp_micro
+            FROM bg g
+            JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+            JOIN uc ON uc.w1 = g.w1
+            CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+               floor(-CAST(SUM(lp_micro) AS DOUBLE) / count(*) + 0.5)
+                   / 1000000 AS avg_nll
+        FROM lp GROUP BY doc_id
+    """,
+    tags=("text", "ml"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own add-one-smoothed BIGRAM LM — the next step up from
+    text_unigram_logprob in the perplexity-filter ladder (captures word
+    order: scrambled boilerplate scores badly here while the unigram
+    model can't tell). p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V); each bigram's
+    ln-term is rounded to integer micro-units before the per-doc sum
+    (the ml_naive_bayes determinism discipline), so scores are exact
+    integer sums divided once.
+
+    Scale: bigrams form via a self-join on (doc_id, pos+1) — one keyed
+    shuffle of the token stream; the bigram/unigram count tables are
+    vocabulary-sized (min-df capped at web scale) and broadcast back
+    onto the stream. The per-doc rollup is the only other shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "w")
+    ).filter(F.col("w") != "").select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "w"
+    )
+    a = tok.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    bg = a.join(b, ["doc_id", "pos"]).select("doc_id", "w1", "w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed("w", "w1")
+    vsize = tok.select("w").distinct().count()  # driver scalar, exact int
+    lp_micro = F.floor(
+        (
+            F.log(F.col("c2") + F.lit(1.0))
+            - F.log((F.col("c1") + F.lit(vsize)).cast("double"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    lp = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .select("doc_id", lp_micro.alias("lp_micro"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.floor(
+                -F.sum("lp_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("avg_nll"),
+    )
