@@ -60,6 +60,16 @@ _PRIORITY = [
     "dedup_incremental_batch", "corpus_decontaminate_bloom",
     "dedup_embedding_lsh", "sim_search_lsh_pruned", "agg_freq_items_mg",
     "text_compression_quality",
+    # round-3 additions: queued behind the block above, so they lead the
+    # round-4 prefix once the driver greens the entries ahead of them
+    "ml_linear_regression", "ml_naive_bayes", "ml_kfold_cv",
+    "ml_logistic_regression_gd", "ml_ridge_normal_eq",
+    "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
+    "ts_resample_ohlc", "ts_autocorrelation", "ts_changepoint_cusum",
+    "window_percent_rank_cume", "feat_target_encode", "graph_shortest_hops",
+    "agg_countmin_sketch", "sink_parquet_partitioned",
+    "corpus_token_budget_sample", "multimodal_audio_vad_segments",
+    "sim_recall_at_k", "text_bigram_logprob",
 ]
 
 

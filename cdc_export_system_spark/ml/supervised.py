@@ -576,3 +576,83 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("a")).alias("intercept"),
         r6(F.sqrt(F.greatest(sse, F.lit(0.0)) / dd("tn"))).alias("test_rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_confusion_matrix
+# ---------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+    WITH nb AS ({_NB_ORACLE}),
+    per_actual AS (
+        SELECT lang_actual AS lang,
+               CAST(count(*) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM nb GROUP BY lang_actual),
+    per_pred AS (
+        SELECT lang_pred AS lang, CAST(count(*) AS BIGINT) AS predicted
+        FROM nb WHERE lang_pred IS NOT NULL GROUP BY lang_pred)
+    SELECT a.lang, a.support, a.tp,
+           COALESCE(p.predicted, 0) - a.tp AS fp,
+           a.support - a.tp AS fn,
+           CASE WHEN COALESCE(p.predicted, 0) = 0 THEN NULL
+                ELSE floor(CAST(a.tp AS DOUBLE) / p.predicted * 1000000 + 0.5)
+                     / 1000000 END AS precision,
+           floor(CAST(a.tp AS DOUBLE) / a.support * 1000000 + 0.5)
+               / 1000000 AS recall,
+           CASE WHEN COALESCE(p.predicted, 0) = 0 THEN NULL
+                ELSE floor(2.0 * a.tp
+                           / (p.predicted + a.support) * 1000000 + 0.5)
+                     / 1000000 END AS f1
+    FROM per_actual a LEFT JOIN per_pred p ON p.lang = a.lang
+"""
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=_CONFUSION_ORACLE,
+    tags=("ml", "stats", "quality"),
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the ml_naive_bayes held-out predictions:
+    support, true/false positives, false negatives, precision, recall,
+    and F1 (computed as 2·tp/(predicted+support) — the harmonic-mean
+    identity that avoids compounding two rounded ratios). Classes with
+    zero predictions get NULL precision/F1 rather than a fake 0. The
+    whole evaluation is |classes|² integer algebra over the prediction
+    frame — the standard model-eval closing step, in-engine.
+
+    Scale: inherits ml_naive_bayes's shape; the confusion rollup adds
+    two |classes|-row aggregates and one broadcast join."""
+    nb = ml_naive_bayes(spark, sf_dir)
+    per_actual = nb.groupBy(F.col("lang_actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+        F.sum(
+            (F.col("lang_pred") == F.col("lang_actual")).cast("int")
+        ).cast("bigint").alias("tp"),
+    )
+    per_pred = (
+        nb.filter(F.col("lang_pred").isNotNull())
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("predicted"))
+    )
+    j = per_actual.join(F.broadcast(per_pred), "lang", "left")
+    pred0 = F.coalesce(F.col("predicted"), F.lit(0))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "lang",
+        "support",
+        "tp",
+        (pred0 - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+        F.when(pred0 == 0, F.lit(None).cast("double"))
+        .otherwise(r6(F.col("tp").cast("double") / F.col("predicted")))
+        .alias("precision"),
+        r6(F.col("tp").cast("double") / F.col("support")).alias("recall"),
+        F.when(pred0 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            r6(2.0 * F.col("tp") / (F.col("predicted") + F.col("support")))
+        )
+        .alias("f1"),
+    )

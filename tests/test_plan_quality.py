@@ -114,6 +114,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
+    "ml_confusion_matrix",  # inherits ml_naive_bayes's model-dim broadcast
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
