@@ -82,7 +82,17 @@ def test_hostile_session_timezone_still_matches_oracle(spark, duck):
     duck_register(duck, SF_DIR)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        for name in ("agg_by_month", "sessionize_batch", "fn_ts_isoformat"):
+        for name in (
+            "agg_by_month",
+            "sessionize_batch",
+            "fn_ts_isoformat",
+            # round-3 timestamp-bearing ops: hour-of-day features and
+            # hour/day truncations must survive a poisoned session zone
+            "ml_linear_regression",
+            "ts_resample_ohlc",
+            "ts_changepoint_cusum",
+            "stats_chi2_independence",
+        ):
             spec = reg[name]
             r = compare(spec.fn(spark, SF_DIR), duck, spec.oracle)
             assert r["match"], f"{name} under hostile TZ: {r['detail']}"
