@@ -522,3 +522,131 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum"),
         (F.col("rk") == 1).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_linear
+# ---------------------------------------------------------------------------
+
+FORECAST_DAYS = 7
+Z95 = 1.959963984540054  # two-sided 95% normal quantile
+
+
+_FORECAST_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS t,
+               CAST(count(*) AS HUGEINT) AS y
+        FROM events GROUP BY date_trunc('day', ts)),
+    s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, SUM(t) AS sx, SUM(y) AS sy,
+               SUM(CAST(t AS HUGEINT) * t) AS sxx,
+               SUM(CAST(t AS HUGEINT) * y) AS sxy,
+               SUM(y * y) AS syy, MAX(t) AS tmax
+        FROM daily),
+    co AS (
+        SELECT n, sx, sxx, tmax,
+               CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS b,
+               (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS a,
+               (CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+               / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 2) AS s2
+        FROM s),
+    h AS (SELECT unnest(range(1, {FORECAST_DAYS} + 1)) AS h),
+    f AS (
+        SELECT h.h, co.tmax + h.h AS t,
+               co.a + co.b * (co.tmax + h.h) AS yhat,
+               sqrt(co.s2 * (1 + 1 / CAST(CAST(co.n AS VARCHAR) AS DOUBLE)
+                    + (CAST(co.tmax + h.h AS DOUBLE)
+                       - CAST(CAST(co.sx AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(co.n AS VARCHAR) AS DOUBLE))
+                      * (CAST(co.tmax + h.h AS DOUBLE)
+                         - CAST(CAST(co.sx AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(co.n AS VARCHAR) AS DOUBLE))
+                      / (CAST(CAST(co.sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(co.sx AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(co.sx AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(co.n AS VARCHAR) AS DOUBLE))))
+                   AS se
+        FROM h CROSS JOIN co)
+    SELECT CAST(h AS BIGINT) AS horizon,
+           CAST(to_timestamp(t * 86400) AS TIMESTAMP) AS day,
+           floor(yhat * 1000000 + 0.5) / 1000000 AS yhat,
+           floor((yhat - {Z95!r} * se) * 1000000 + 0.5) / 1000000 AS lo95,
+           floor((yhat + {Z95!r} * se) * 1000000 + 0.5) / 1000000 AS hi95
+    FROM f
+"""
+
+
+@register(
+    "ts_forecast_linear",
+    oracle=_FORECAST_ORACLE,
+    tags=("timeseries", "ml", "stats"),
+)
+def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST_DAYS-ahead linear-trend forecast of the daily event
+    count with 95% prediction intervals: OLS on (epoch-day, count) from
+    exact integer sufficient statistics, ŷ = a + b·t, and the standard
+    out-of-sample interval se² = s²(1 + 1/n + (t−x̄)²/Sxx) with
+    s² = SSE/(n−2). Every input to the float expressions is an exact
+    integer; both engines evaluate the identical tree, rounded at 1e-6
+    (z-multiplier constant, so no distribution functions needed).
+
+    Scale: the corpus collapses to one row per day, the 1-row suffstat
+    scalar broadcasts onto the FORECAST_DAYS-row horizon spine — the
+    whole forecast is O(horizon) algebra after one map-side-combined
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).select((F.unix_timestamp("d") / 86400).cast("bigint").alias("t"), "y")
+    d38 = "decimal(38,0)"
+    s = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("t").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast(d38).alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+        F.max("t").alias("tmax"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    nc = F.col("n")
+    s_num = (nc * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    s_den = (nc * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b = s_num / s_den
+    a = (dd("sy") - b * dd("sx")) / dd("n")
+    s2 = (
+        ((nc * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+         - s_num * s_num / s_den)
+        / dd("n")
+        / (dd("n") - 2)
+    )
+    co = s.select(
+        "n", "sx", "sxx", "tmax", b.alias("b"), a.alias("a"), s2.alias("s2")
+    )
+    h = spark.range(1, FORECAST_DAYS + 1).select(F.col("id").alias("h"))
+    f = h.crossJoin(F.broadcast(co))
+    t = F.col("tmax") + F.col("h")
+    xbar = dd("sx") / dd("n")
+    sxx_c = dd("sxx") - dd("sx") * dd("sx") / dd("n")
+    yhat = F.col("a") + F.col("b") * t
+    se = F.sqrt(
+        F.col("s2")
+        * (1 + 1 / dd("n") + (t.cast("double") - xbar) * (t.cast("double") - xbar) / sxx_c)
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return f.select(
+        F.col("h").cast("bigint").alias("horizon"),
+        F.to_timestamp(F.from_unixtime(t * 86400)).alias("day"),
+        r6(yhat).alias("yhat"),
+        r6(yhat - F.lit(Z95) * se).alias("lo95"),
+        r6(yhat + F.lit(Z95) * se).alias("hi95"),
+    )

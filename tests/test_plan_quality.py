@@ -120,6 +120,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
     "stats_ks_test",  # 1-row (nA, nB) totals broadcast onto the value axis
     "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
+    "ts_forecast_linear",  # 1-row suffstat scalar onto the horizon spine
     "ts_changepoint_cusum",  # 1-row (n, Σx) totals broadcast onto |days| axis
 }
 
@@ -349,6 +350,7 @@ _SINGLE_PARTITION_OK = {
     "stats_mann_whitney": "tiny",  # prefix-sum range-offset table + 1-row final
     "ts_autocorrelation": "scalar",  # 1-row global (n, S, Q) stats
     "ts_changepoint_cusum": "tiny",  # prefix sum + peak rank over |days| axis
+    "ts_forecast_linear": "scalar",  # 1-row OLS suffstat final
     "ts_seasonal_decompose": "tiny",  # trend MA over the |hours| axis (8.8k/yr)
     "sql_scalar_subquery": "scalar",
     "text_pack_chunks": "tiny",  # block-offset prefix table
