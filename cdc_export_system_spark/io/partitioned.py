@@ -87,6 +87,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (timestamps keep microseconds; the derived partition column
     round-trips as a real DATE)."""
     base = _materialize(spark, sf_dir)
+    if not any(d.startswith("event_date=") for d in os.listdir(base)):
+        # zero-row source: the writer leaves only _SUCCESS, and a
+        # parquet read of a partitionless dir cannot infer a schema
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
     back = spark.read.parquet(base)
     return (
         back.filter(
