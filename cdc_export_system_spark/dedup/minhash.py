@@ -434,3 +434,80 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       y -> named_struct('doc_a', x, 'doc_b', y))))) t AS p
         """
     )
+
+
+_ACC_EST_SQL = (
+    "(" + " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+    ) + f") / CAST({NUM_PERM} AS DOUBLE)"
+)
+
+
+@register(
+    "dedup_minhash_accuracy",
+    oracle=f"""
+        WITH {_sql_signature_cte()},
+        bands AS ({_sql_band_exprs()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+        acc AS (
+            SELECT c.doc_a, c.doc_b,
+                   {_ACC_EST_SQL} AS est,
+                   CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                     / (len(ta.shingles) + len(tb.shingles)
+                        - len(list_intersect(ta.shingles, tb.shingles))) AS exact
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b,
+               floor(est * 1000000 + 0.5) / 1000000 AS est_jaccard,
+               floor(exact * 1000000 + 0.5) / 1000000 AS exact_jaccard,
+               floor(abs(est - exact) * 1000000 + 0.5) / 1000000 AS abs_err
+        FROM acc
+    """,
+    tags=("dedup", "minhash", "quality", "sketch"),
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash accuracy audit: the signature-agreement
+    Jaccard ESTIMATE (matching components / NUM_PERM — the unbiased
+    MinHash estimator) beside the EXACT shingle-set Jaccard, with the
+    absolute error — the sketch-accuracy gate for the dedup family, the
+    sibling of sim_recall_at_k on the ANN side (E[err] ~ 1/√NUM_PERM ≈
+    0.18 at 32 permutations; raising NUM_PERM buys √-rate accuracy for
+    linear signature cost — this op is how a deployment measures that
+    trade on ITS corpus before committing a threshold).
+
+    Scale: candidates come from the banded LSH join (never all pairs);
+    the estimate is row-local zip_with algebra over the two 32-long
+    signatures; the exact Jaccard joins the shingle arrays for candidate
+    pairs only — the same bounded verify cost dedup_minhash_verified
+    already pays."""
+    src = _fanned_docs_view(spark, sf_dir)
+    inter = "size(array_intersect(ta.shingles, tb.shingles))"
+    est = (
+        "cast(size(filter(zip_with(sa.ms, sb.ms, (x, y) -> x = y), b -> b)) as double)"
+        f" / {NUM_PERM}"
+    )
+    return spark.sql(
+        f"""
+        WITH {_spark_sig_cte(src)}, {_spark_bands_cte()}
+        SELECT doc_a, doc_b,
+               floor(est * 1000000 + 0.5) / 1000000 AS est_jaccard,
+               floor(exact * 1000000 + 0.5) / 1000000 AS exact_jaccard,
+               floor(abs(est - exact) * 1000000 + 0.5) / 1000000 AS abs_err
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   {est} AS est,
+                   cast({inter} as double)
+                     / (size(ta.shingles) + size(tb.shingles) - {inter}) AS exact
+            FROM cand c
+            JOIN sigf sa ON sa.doc_id = c.doc_a
+            JOIN sigf sb ON sb.doc_id = c.doc_b
+            JOIN shg ta ON ta.doc_id = c.doc_a
+            JOIN shg tb ON tb.doc_id = c.doc_b)
+        """
+    )
