@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The external correctness driver verifies a ~50-entry prefix of
 # ``queries()`` per round, so the dict is ordered to rotate hard driver
-# coverage across the whole 237-query registry over successive rounds:
+# coverage across the whole registry (297 queries as of round 3) over
+# successive rounds:
 # (1) this round's priority block — previously hash-FAILed queries
 # (retry) plus never-driver-checked representatives of every north-star
 # family (dedup / similarity / text / multimodal / analytics /
