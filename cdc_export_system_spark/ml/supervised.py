@@ -656,3 +656,241 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump
+# ---------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+    WITH s AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+    f AS (
+        SELECT 'quantity' AS feature, q AS v, y FROM s
+        UNION ALL
+        SELECT 'discount' AS feature, d AS v, y FROM s),
+    pv AS (
+        SELECT feature, v, CAST(count(*) AS HUGEINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS n1
+        FROM f GROUP BY feature, v),
+    tot AS (
+        SELECT feature, SUM(n) AS tn, SUM(n1) AS tn1
+        FROM pv GROUP BY feature),
+    cum AS (
+        SELECT feature, v,
+               SUM(n) OVER w AS nl, SUM(n1) OVER w AS nl1
+        FROM pv
+        WINDOW w AS (PARTITION BY feature ORDER BY v
+                     ROWS UNBOUNDED PRECEDING)),
+    g AS (
+        SELECT c.feature, c.v AS threshold,
+               c.nl, t.tn - c.nl AS nr,
+               c.nl1, t.tn1 - c.nl1 AS nr1, t.tn AS tn
+        FROM cum c JOIN tot t USING (feature)
+        WHERE c.nl > 0 AND t.tn - c.nl > 0),
+    gi AS (
+        SELECT feature, threshold, nl, nr,
+               CAST(floor((
+                 (CAST(CAST(nl AS VARCHAR) AS DOUBLE)
+                  - (CAST(CAST(nl1 * nl1 AS VARCHAR) AS DOUBLE)
+                     + CAST(CAST((nl - nl1) * (nl - nl1) AS VARCHAR) AS DOUBLE))
+                    / CAST(CAST(nl AS VARCHAR) AS DOUBLE))
+                 + (CAST(CAST(nr AS VARCHAR) AS DOUBLE)
+                    - (CAST(CAST(nr1 * nr1 AS VARCHAR) AS DOUBLE)
+                       + CAST(CAST((nr - nr1) * (nr - nr1) AS VARCHAR) AS DOUBLE))
+                      / CAST(CAST(nr AS VARCHAR) AS DOUBLE))
+               ) / CAST(CAST(tn AS VARCHAR) AS DOUBLE) * 1000000000 + 0.5)
+               AS BIGINT) AS gini_nano,
+               CASE WHEN 2 * nl1 > nl THEN 1 ELSE 0 END AS pred_left,
+               CASE WHEN 2 * nr1 > nr THEN 1 ELSE 0 END AS pred_right
+        FROM g),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY feature
+                                     ORDER BY gini_nano, threshold) AS r
+        FROM gi)
+    SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+           CAST(gini_nano AS DOUBLE) / 1000000000 AS gini,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(pred_left AS INT) AS pred_left,
+           CAST(pred_right AS INT) AS pred_right
+    FROM rk WHERE r = 1
+"""
+
+
+@register(
+    "ml_decision_stump",
+    oracle=_STUMP_ORACLE,
+    tags=("ml", "agg", "window"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive best-split search for a depth-1 decision tree (the
+    boosting/random-forest inner loop, in-engine): for each feature the
+    per-value class counts collapse first, cumulative prefix sums give
+    every threshold's left/right class totals in one window pass, and
+    weighted Gini impurity picks the best threshold per feature
+    (tie-break: lowest threshold). Gini is evaluated once in doubles
+    from exact integer counts and rounded to 1e-9 BEFORE the argmin, so
+    the chosen split is partition-invariant.
+
+    Scale: the only data-scale stage is the (feature, value) count
+    aggregate (map-side combined); the threshold scan runs on the
+    distinct-value axis — bounded here (integer domains), quantile-
+    binned first for continuous features at 100 TB (the standard
+    histogram-split approximation, feat_quantile_bucketize)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    f = s.select(F.lit("quantity").alias("feature"), F.col("q").alias("v"), "y").unionAll(
+        s.select(F.lit("discount").alias("feature"), F.col("d").alias("v"), "y")
+    )
+    pv = f.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("y").cast(D38).alias("n1"),
+    )
+    tot = pv.groupBy("feature").agg(
+        F.sum("n").alias("tn"), F.sum("n1").alias("tn1")
+    )
+    wc = W.partitionBy("feature").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = pv.select(
+        "feature",
+        "v",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("n1").over(wc).alias("nl1"),
+    )
+    g = (
+        cum.join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            "nl",
+            (F.col("tn") - F.col("nl")).alias("nr"),
+            "nl1",
+            (F.col("tn1") - F.col("nl1")).alias("nr1"),
+            "tn",
+        )
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    nl0 = F.col("nl") - F.col("nl1")
+    nr0 = F.col("nr") - F.col("nr1")
+    imp = (
+        dd("nl")
+        - ((F.col("nl1") * F.col("nl1")).cast("double") + (nl0 * nl0).cast("double"))
+        / dd("nl")
+    ) + (
+        dd("nr")
+        - ((F.col("nr1") * F.col("nr1")).cast("double") + (nr0 * nr0).cast("double"))
+        / dd("nr")
+    )
+    gi = g.select(
+        "feature",
+        "threshold",
+        "nl",
+        "nr",
+        F.floor(imp / dd("tn") * 1000000000 + F.lit(0.5)).cast("bigint").alias(
+            "gini_nano"
+        ),
+        (2 * F.col("nl1") > F.col("nl")).cast("int").alias("pred_left"),
+        (2 * F.col("nr1") > F.col("nr")).cast("int").alias("pred_right"),
+    )
+    rk = W.partitionBy("feature").orderBy("gini_nano", "threshold")
+    return (
+        gi.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") == 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("bigint").alias("threshold"),
+            (F.col("gini_nano").cast("double") / 1000000000).alias("gini"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            "pred_left",
+            "pred_right",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_roc
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+    WITH s AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+    v AS (
+        SELECT score, CAST(SUM(y) AS HUGEINT) AS cpos,
+               CAST(SUM(1 - y) AS HUGEINT) AS cneg
+        FROM s GROUP BY score),
+    w AS (
+        SELECT cpos, cneg, cpos + cneg AS t,
+               COALESCE(SUM(cpos + cneg) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM v),
+    agg AS (
+        SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg,
+               SUM(cpos * (2 * before + t + 1)) AS r2pos
+        FROM w)
+    SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           floor((CAST(CAST(r2pos - npos * (npos + 1) AS VARCHAR) AS DOUBLE) / 2)
+                 / CAST(CAST(npos * nneg AS VARCHAR) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS auc
+    FROM agg
+"""
+
+
+@register(
+    "ml_auc_roc",
+    oracle=_AUC_ORACLE,
+    tags=("ml", "stats", "quality"),
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the discount score against the returned-flag label via
+    the rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midrank
+    tie handling — the ranking-quality half of the model-eval pair
+    (ml_confusion_matrix is the classification half). Same exact-integer
+    2·R machinery as stats_mann_whitney (AUC IS the scaled U statistic):
+    scores collapse to the distinct-value axis, the pooled prefix count
+    rides the ranks.py two-level prefix sum, and the single divide
+    happens at the end (1e-6 round).
+
+    Scale: one map-side-combined aggregate to |distinct scores| rows,
+    one range-shuffled prefix sum, a 1-row final."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    v = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("cpos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("cneg"),
+    ).withColumn("t", F.col("cpos") + F.col("cneg"))
+    w = with_prefix_sum(v, [F.asc("score")], ["t"], suffix="_before")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = w.agg(
+        F.sum("cpos").cast(D38).alias("npos"),
+        F.sum("cneg").cast(D38).alias("nneg"),
+        F.sum(
+            d38(F.col("cpos"))
+            * (F.lit(2) * d38(F.col("t_before")) + d38(F.col("t")) + F.lit(1))
+        ).alias("r2pos"),
+    )
+    npos = F.col("npos")
+    auc = (
+        (F.col("r2pos") - npos * (npos + F.lit(1))).cast("double") / 2
+    ) / (npos * F.col("nneg")).cast("double")
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        npos.cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        r6(auc).alias("auc"),
+    )

@@ -344,6 +344,7 @@ _SINGLE_PARTITION_OK = {
     "rfm_segmentation": "tiny",  # 3x range-offset tables (+ their totals)
     "skyline_pareto_front": "tiny",  # prefix-max range-offset table
     "corpus_token_budget_sample": "tiny",  # prefix-sum range-offset table
+    "ml_auc_roc": "tiny",  # prefix-sum range-offset table + 1-row final
     "ml_kfold_cv": "scalar",  # 1-row suffstat total
     "stats_chi2_independence": "scalar",  # 1-row chi2 final
     "stats_ks_test": "tiny",  # prefix-sum range-offset table + 1-row final
