@@ -894,3 +894,55 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nneg").cast("bigint").alias("n_neg"),
         r6(auc).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_eval_report
+# ---------------------------------------------------------------------------
+
+_EVAL_REPORT_ORACLE = f"""
+    WITH nb AS ({_NB_ORACLE}),
+    cm AS ({_CONFUSION_ORACLE}),
+    auc AS ({_AUC_ORACLE})
+    SELECT 'nb_accuracy' AS metric,
+           floor(CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS value
+    FROM nb
+    UNION ALL
+    SELECT 'nb_macro_f1' AS metric,
+           floor(AVG(f1) * 1000000 + 0.5) / 1000000 AS value
+    FROM cm
+    UNION ALL
+    SELECT 'auc_discount_returnflag' AS metric, auc AS value FROM auc
+"""
+
+
+@register(
+    "ml_eval_report",
+    oracle=_EVAL_REPORT_ORACLE,
+    tags=("ml", "quality", "pipeline"),
+)
+def ml_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-eval scorecard as one query: held-out naive-Bayes
+    accuracy, macro-averaged F1 (classes with no predictions excluded,
+    matching AVG's null semantics in both engines), and the ROC AUC of
+    the discount→returnflag ranking — the composed (metric, value)
+    table a training pipeline logs per run. Each leg inherits its
+    component's exactness discipline; the composition adds only 1-row
+    aggregates and a 3-row union."""
+    nb = ml_naive_bayes(spark, sf_dir)
+    cm = ml_confusion_matrix(spark, sf_dir)
+    auc = ml_auc_roc(spark, sf_dir)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    acc = nb.agg(
+        r6(
+            F.sum(F.col("correct").cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("value")
+    ).select(F.lit("nb_accuracy").alias("metric"), "value")
+    macro = cm.agg(r6(F.avg("f1")).alias("value")).select(
+        F.lit("nb_macro_f1").alias("metric"), "value"
+    )
+    auc_row = auc.select(
+        F.lit("auc_discount_returnflag").alias("metric"), F.col("auc").alias("value")
+    )
+    return acc.unionAll(macro).unionAll(auc_row)

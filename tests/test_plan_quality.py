@@ -115,6 +115,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_confusion_matrix",  # inherits ml_naive_bayes's model-dim broadcast
+    "ml_eval_report",  # composes ml_naive_bayes/_confusion_matrix legs
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
@@ -345,6 +346,7 @@ _SINGLE_PARTITION_OK = {
     "skyline_pareto_front": "tiny",  # prefix-max range-offset table
     "corpus_token_budget_sample": "tiny",  # prefix-sum range-offset table
     "ml_auc_roc": "tiny",  # prefix-sum range-offset table + 1-row final
+    "ml_eval_report": "scalar",  # three 1-row metric finals unioned
     "ml_kfold_cv": "scalar",  # 1-row suffstat total
     "stats_chi2_independence": "scalar",  # 1-row chi2 final
     "stats_ks_test": "tiny",  # prefix-sum range-offset table + 1-row final
