@@ -70,7 +70,9 @@ _PRIORITY = [
     "window_percent_rank_cume", "feat_target_encode", "graph_shortest_hops",
     "agg_countmin_sketch", "sink_parquet_partitioned",
     "corpus_token_budget_sample", "multimodal_audio_vad_segments",
-    "sim_recall_at_k", "text_bigram_logprob",
+    "sim_recall_at_k", "text_bigram_logprob", "dedup_minhash_accuracy",
+    "ts_forecast_linear", "ml_confusion_matrix", "ml_decision_stump",
+    "ml_auc_roc", "ml_eval_report",
 ]
 
 
