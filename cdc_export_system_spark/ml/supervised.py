@@ -946,3 +946,108 @@ def ml_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("auc_discount_returnflag").alias("metric"), F.col("auc").alias("value")
     )
     return acc.unionAll(macro).unionAll(auc_row)
+
+
+# ---------------------------------------------------------------------------
+# ml_knn_classifier
+# ---------------------------------------------------------------------------
+
+KNN_CLF_K = 5
+KNN_CLF_TEST_PRED = "vec_id % 50 = 0"  # 1-in-50 held out, matching sim_knn_join
+
+_KNN_CLF_DOT = (
+    "list_aggregate(list_transform(list_zip(a.embedding, q.qe),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_KNN_CLF_NORM_A = (
+    "sqrt(list_aggregate(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+_KNN_CLF_NORM_Q = (
+    "sqrt(list_aggregate(list_transform(q.qe,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+_KNN_CLF_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS label_actual, embedding AS qe
+        FROM embeddings WHERE {KNN_CLF_TEST_PRED}),
+    sims AS (
+        SELECT q.qid, q.label_actual, a.label,
+               round({_KNN_CLF_DOT} / ({_KNN_CLF_NORM_A} * {_KNN_CLF_NORM_Q}), 9)
+                   AS cs,
+               a.vec_id
+        FROM embeddings a, q
+        WHERE NOT (a.vec_id % 50 = 0)),
+    topk AS (
+        SELECT qid, label_actual, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cs DESC, vec_id) AS rk
+        FROM sims),
+    votes AS (
+        SELECT qid, label_actual, label, count(*) AS n
+        FROM topk WHERE rk <= {KNN_CLF_K}
+        GROUP BY qid, label_actual, label),
+    win AS (
+        SELECT qid, label_actual, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY n DESC, label) AS vr
+        FROM votes)
+    SELECT qid AS vec_id, CAST(label_actual AS INT) AS label_actual,
+           CAST(label AS INT) AS label_pred,
+           (label = label_actual) AS correct
+    FROM win WHERE vr = 1
+"""
+
+
+@register(
+    "ml_knn_classifier",
+    oracle=_KNN_CLF_ORACLE,
+    tags=("ml", "similarity", "quality"),
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over the embeddings: each held-out
+    vector (1-in-50) takes the majority label of its KNN_CLF_K nearest
+    training vectors by cosine (rank ties → lowest vec_id, vote ties →
+    lowest label) — the lazy-learner baseline every embedding-quality
+    evaluation starts with, and the direct measure of whether the
+    embedding space clusters by label at all.
+
+    Scale: the sim_knn_join shape — the bounded held-out set broadcasts,
+    the training corpus is scanned once and never shuffled; the top-k
+    rank and the vote both run per-query on k-bounded rows. Similarity
+    rounding at 1e-9 + total tie-breaks keep the votes engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from cdc_export_system_spark.similarity.queries import cosine
+
+    q = emb.filter(F.expr(KNN_CLF_TEST_PRED)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("label_actual"),
+        F.col("embedding").alias("qe"),
+    )
+    train = emb.filter(~F.expr(KNN_CLF_TEST_PRED))
+    sims = train.join(F.broadcast(q), F.lit(True)).select(
+        "qid",
+        "label_actual",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 9).alias("cs"),
+        "vec_id",
+    )
+    rk = W.partitionBy("qid").orderBy(F.col("cs").desc(), "vec_id")
+    topk = sims.withColumn("rk", F.row_number().over(rk)).filter(
+        F.col("rk") <= KNN_CLF_K
+    )
+    votes = topk.groupBy("qid", "label_actual", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vr = W.partitionBy("qid").orderBy(F.col("n").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vr))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label_actual").cast("int").alias("label_actual"),
+            F.col("label").cast("int").alias("label_pred"),
+            (F.col("label") == F.col("label_actual")).alias("correct"),
+        )
+    )

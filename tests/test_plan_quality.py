@@ -116,6 +116,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_confusion_matrix",  # inherits ml_naive_bayes's model-dim broadcast
     "ml_eval_report",  # composes ml_naive_bayes/_confusion_matrix legs
+    "ml_knn_classifier",  # bounded held-out set broadcast vs corpus scan
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
