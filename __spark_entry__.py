@@ -72,7 +72,7 @@ _PRIORITY = [
     "corpus_token_budget_sample", "multimodal_audio_vad_segments",
     "sim_recall_at_k", "text_bigram_logprob", "dedup_minhash_accuracy",
     "ts_forecast_linear", "ml_confusion_matrix", "ml_decision_stump",
-    "ml_auc_roc", "ml_eval_report",
+    "ml_auc_roc", "ml_eval_report", "ml_knn_classifier",
 ]
 
 
