@@ -501,6 +501,7 @@ _KFOLD_ORACLE = f"""
 @register(
     "ml_kfold_cv",
     oracle=_KFOLD_ORACLE,
+    headline=True,
     tags=("ml", "stats", "agg"),
 )
 def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,6 +156,7 @@ _KS_ORACLE = f"""
 @register(
     "stats_ks_test",
     oracle=_KS_ORACLE,
+    headline=True,
     tags=("stats", "window", "analytics"),
 )
 def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
