@@ -531,6 +531,11 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast(D38).alias("syy"),
     )
+    # Materialize the K-row fold table so the corpus really is scanned
+    # ONCE: without this, Catalyst prunes syy out of the total's branch,
+    # the two suffstat subtrees stop being identical, exchange reuse is
+    # lost, and the plan re-scans events for the 1-row total.
+    pf = pf.localCheckpoint(eager=True)
     tot = pf.agg(
         *[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
     )
