@@ -235,12 +235,20 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame) -> DataFrame:
     ttok = train.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    counts = ttok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = ttok.select("token").distinct()
+    # ONE training-corpus token scan: the (lang, token) count table is
+    # model-sized and every other training statistic derives from it —
+    # without the checkpoint, vocab/vsize/ctot/model each re-scan and
+    # re-tokenize the corpus (14 scans at last audit)
+    counts = ttok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    vocab = counts.select("token").distinct()
     vsize = vocab.count()
-    n_train = train.count()
-    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    ctot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("tok_total"))
+    cls = train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).localCheckpoint(eager=True)  # one doc-level scan for priors + n_train
+    n_train = sum(r["n_docs"] for r in cls.collect())  # |classes| rows
+    ctot = counts.groupBy("lang").agg(F.sum("cnt").alias("tok_total"))
     micro = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     model = (
         vocab.crossJoin(F.broadcast(cls.join(ctot, "lang")))
@@ -752,13 +760,22 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
-    f = s.select(F.lit("quantity").alias("feature"), F.col("q").alias("v"), "y").unionAll(
-        s.select(F.lit("discount").alias("feature"), F.col("d").alias("v"), "y")
-    )
+    # one lineitem scan: explode each row into both feature branches
+    # (the UNION form scans the fact table once per feature), then
+    # materialize the <=|values| count table for the tot/cum branches
+    f = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("quantity").alias("feature"), F.col("q").alias("v")),
+                F.struct(F.lit("discount").alias("feature"), F.col("d").alias("v")),
+            )
+        ).alias("fv"),
+        "y",
+    ).select(F.col("fv.feature").alias("feature"), F.col("fv.v").alias("v"), "y")
     pv = f.groupBy("feature", "v").agg(
         F.count(F.lit(1)).cast(D38).alias("n"),
         F.sum("y").cast(D38).alias("n1"),
-    )
+    ).localCheckpoint(eager=True)
     tot = pv.groupBy("feature").agg(
         F.sum("n").alias("tn"), F.sum("n1").alias("tn1")
     )
@@ -880,6 +897,7 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("cpos"),
         F.sum(1 - F.col("y")).cast("bigint").alias("cneg"),
     ).withColumn("t", F.col("cpos") + F.col("cneg"))
+    v = v.localCheckpoint(eager=True)  # one lineitem scan
     w = with_prefix_sum(v, [F.asc("score")], ["t"], suffix="_before")
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = w.agg(

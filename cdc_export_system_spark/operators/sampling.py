@@ -227,6 +227,10 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
+    # one documents scan: the (id, count, hash) projection is a few
+    # bytes/doc; materializing it keeps the prefix-sum branches off the
+    # text column entirely
+    docs = docs.localCheckpoint(eager=True)
     c = with_prefix_sum(docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b")
     return (
         c.filter(F.col("n_tokens_b") < TOKEN_BUDGET)

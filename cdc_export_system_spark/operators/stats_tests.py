@@ -180,6 +180,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == ARM_B).cast("bigint")).alias("cb"),
         )
     )
+    # one events scan: totals + prefix branches read the materialized axis
+    v = v.localCheckpoint(eager=True)
     tot = v.agg(
         F.sum("ca").cast("decimal(38,0)").alias("na"),
         F.sum("cb").cast("decimal(38,0)").alias("nb"),
@@ -278,6 +280,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("t", F.col("ca") + F.col("cb"))
     )
+    v = v.localCheckpoint(eager=True)  # one events scan
     w = with_prefix_sum(v, [F.asc("value")], ["t"], suffix="_before")
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     s = w.agg(

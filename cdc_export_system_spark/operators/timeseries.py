@@ -393,6 +393,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.unix_timestamp("h") / 3600).cast("bigint").alias("t"), "x"
     )
+    # materialize the reduced |hours| axis once: the stats scalar and both
+    # join sides would otherwise each re-scan events (pruning-divergent
+    # subtrees defeat exchange reuse — same fix as ml_kfold_cv)
+    hourly = hourly.localCheckpoint(eager=True)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = hourly.agg(
         F.count(F.lit(1)).alias("n"),
@@ -491,7 +495,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).localCheckpoint(eager=True)  # one events scan for tot + prefix branches
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),
@@ -607,6 +611,7 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count(F.lit(1)).alias("y")
     ).select((F.unix_timestamp("d") / 86400).cast("bigint").alias("t"), "y")
+    daily = daily.localCheckpoint(eager=True)  # one events scan
     d38 = "decimal(38,0)"
     s = daily.agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
