@@ -45,11 +45,22 @@ def with_global_row_number(
     out: str = "rn",
     total_out: str | None = None,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add a 1-based global row number ``out`` over the total order given
     by ``order_cols`` (use F.asc/F.desc columns; include a unique
     tie-break). Optionally also attach the total row count as
-    ``total_out`` (free: it is the last range's offset + count)."""
+    ``total_out`` (free: it is the last range's offset + count).
+
+    ``materialize`` (default on) checkpoints the input first: the
+    construction consumes it through two pruning-divergent branches
+    (windowed rows + per-range counts), so without materialization the
+    whole upstream subtree evaluates twice — and chained constructions
+    (rfm_segmentation's three ranks) compound exponentially (16 source
+    scans at the round-3 audit). Callers passing an already-materialized
+    frame set it False."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -81,6 +92,7 @@ def with_prefix_max(
     value: str,
     out: str = "prefix_max",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add the EXCLUSIVE running max of ``value`` over the total order
     given by ``order_cols`` (NULL for the global first row) — the
@@ -97,8 +109,11 @@ def with_prefix_max(
     to be deterministic; for prefix-max specifically, ties in the order
     keys beyond ``value`` itself cannot change the result, since every
     ordering of equal keys yields the same running maximum once the
-    value column is part of the key set.
+    value column is part of the key set. ``materialize`` as in
+    :func:`with_global_row_number` — one upstream evaluation, not two.
     """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -149,6 +164,7 @@ def with_prefix_sum(
     values: list[str],
     suffix: str = "_cum",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add the EXCLUSIVE running sum of each column in ``values`` over
     the total order given by ``order_cols`` (0 for the global first
@@ -159,7 +175,10 @@ def with_prefix_sum(
     All ``values`` ride ONE range shuffle and ONE broadcast offset
     table (|ranges| rows × |values| sums). Sums are computed with
     ``sum`` as-is — callers needing exactness pass integer columns
-    (the engine's cents/micro-units discipline)."""
+    (the engine's cents/micro-units discipline). ``materialize`` as in
+    :func:`with_global_row_number`."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions

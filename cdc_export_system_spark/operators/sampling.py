@@ -231,7 +231,8 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes/doc; materializing it keeps the prefix-sum branches off the
     # text column entirely
     docs = docs.localCheckpoint(eager=True)
-    c = with_prefix_sum(docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b")
+    c = with_prefix_sum(docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b",
+                        materialize=False)
     return (
         c.filter(F.col("n_tokens_b") < TOKEN_BUDGET)
         .select(

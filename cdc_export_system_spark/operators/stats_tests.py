@@ -186,7 +186,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("decimal(38,0)").alias("na"),
         F.sum("cb").cast("decimal(38,0)").alias("nb"),
     )
-    c = with_prefix_sum(v, [F.asc("value")], ["ca", "cb"], suffix="_x")
+    c = with_prefix_sum(v, [F.asc("value")], ["ca", "cb"], suffix="_x", materialize=False)
     c = c.select(
         (F.col("ca_x") + F.col("ca")).alias("cuma"),
         (F.col("cb_x") + F.col("cb")).alias("cumb"),
@@ -281,7 +281,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.col("ca") + F.col("cb"))
     )
     v = v.localCheckpoint(eager=True)  # one events scan
-    w = with_prefix_sum(v, [F.asc("value")], ["t"], suffix="_before")
+    w = with_prefix_sum(v, [F.asc("value")], ["t"], suffix="_before", materialize=False)
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     s = w.agg(
         F.sum("ca").cast("decimal(38,0)").alias("na"),
