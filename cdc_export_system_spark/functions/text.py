@@ -9,7 +9,7 @@ pipeline with no Python in the hot path and no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
@@ -820,12 +820,26 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "").select(
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "w"
     )
-    a = tok.select("doc_id", "pos", F.col("w").alias("w1"))
-    b = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
-    bg = a.join(b, ["doc_id", "pos"]).select("doc_id", "w1", "w2")
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    uc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed("w", "w1")
-    vsize = tok.select("w").distinct().count()  # driver scalar, exact int
+    # bigrams via lead() — ONE doc_id shuffle of the token stream; the
+    # equivalent positional self-join shuffles it twice and re-scans the
+    # corpus per side (5 source scans at the round-3 audit)
+    wnext = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    bg = (
+        tok.select("doc_id", F.col("w").alias("w1"), wnext.alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    # model-sized count tables materialize once; unigram counts also
+    # provide the vocabulary, so no further corpus passes are needed
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint(
+        eager=True
+    )
+    uc = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .withColumnRenamed("w", "w1")
+        .localCheckpoint(eager=True)
+    )
+    vsize = uc.count()  # |vocab| from the materialized unigram table
     lp_micro = F.floor(
         (
             F.log(F.col("c2") + F.lit(1.0))

@@ -61,6 +61,12 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
         .select("pa", "pb")
+        # the |E|-row edge list is consumed 2-3x by every graph op
+        # (wedge sides, closing edges, degree union); materialize it so
+        # the lineitem pair-generation join runs ONCE per query, not
+        # once per consuming branch (6 source scans at the round-3
+        # audit of graph_triangle_count)
+        .localCheckpoint(eager=True)
     )
 
 

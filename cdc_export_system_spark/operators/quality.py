@@ -192,9 +192,9 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     cnt = docs.groupBy(F.col("source"), bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # one docs scan: grid/tot/ref all derive
     grid = (
-        docs.select("source")
+        cnt.select("source")
         .distinct()
         .select(
             "source",
