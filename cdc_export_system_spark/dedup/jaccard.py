@@ -22,6 +22,35 @@ from cdc_export_system_spark.registry import register
 MAX_SHINGLE_DF = 100
 
 
+
+
+def _shingle_postings(spark: SparkSession, sf_dir: str):
+    """(ex, sizes) for the inverted-index joins: df-capped postings keyed
+    on xxhash64 of the shingle (8-byte shuffle keys, the same accepted
+    2^-64 collision contract as corpus_decontaminate / the MinHash band
+    digest — the oracles keep the string form) plus per-doc set sizes.
+    The df cap rides a window over the hash partition (one shuffle, no
+    probe-back join), and both frames materialize once — before this,
+    every consuming branch re-scanned and re-shingled the corpus (5
+    source scans at the round-3 audit)."""
+    from pyspark.sql import Window as W
+
+    sh = shingles_df(load_table(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("gh")
+    )
+    ex = (
+        ex.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("gh")))
+        .filter(F.col("c") <= MAX_SHINGLE_DF)
+        .select("doc_id", "gh")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n")).localCheckpoint(
+        eager=True
+    )
+    return ex, sizes
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -46,15 +75,11 @@ MAX_SHINGLE_DF = 100
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard pairs >= 0.5 via inverted-index join."""
-    sh = shingles_df(load_table(spark, sf_dir, "documents"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    keep = ex.groupBy("sh").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("sh")
-    ex = ex.join(keep, "sh")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    ex, sizes = _shingle_postings(spark, sf_dir)
+    a = ex.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "gh")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -107,15 +132,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ever meet; directed pairs, so both containment directions
     emerge from one join), normalized by the CONTAINED side's shingle
     count only."""
-    sh = shingles_df(load_table(spark, sf_dir, "documents"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    keep = ex.groupBy("sh").count().filter(F.col("count") <= MAX_SHINGLE_DF).select("sh")
-    ex = ex.join(keep, "sh")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    ex, sizes = _shingle_postings(spark, sf_dir)
+    a = ex.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "gh")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "gh")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

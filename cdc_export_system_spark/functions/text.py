@@ -586,6 +586,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c_tok"))
+        .localCheckpoint(eager=True)  # vocab-sized; totals branch reuses it
     )
     pair_structs = F.expr(
         "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
@@ -598,6 +599,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)  # bigram-vocab-sized; totals reuse it
     )
     tot = uni.agg(F.sum("c_tok").alias("n_uni")).crossJoin(
         bi.agg(F.sum("c_ab").alias("n_bi"))

@@ -87,7 +87,9 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair list, never payloads."""
     docs = load_table(spark, sf_dir, "documents")
     ph = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
-    d = docs.select("doc_id", ph.alias("ph"))
+    # two longs per doc; bands + both verify sides read it — materialize
+    # so the payload hash computes once, not once per consuming branch
+    d = docs.select("doc_id", ph.alias("ph")).localCheckpoint(eager=True)
     mask = (1 << PHASH_BAND_BITS) - 1
     bands = d.select(
         "doc_id",

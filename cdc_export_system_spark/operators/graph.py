@@ -226,7 +226,9 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is a broadcast 1-row cross join. All ratios are single divides
     of exact integer counts composed identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint(eager=True)  # 16 B/row; 4 branches consume it
     n_baskets = op.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a = op.select("o", F.col("p").alias("pa"))
