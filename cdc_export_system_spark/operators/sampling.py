@@ -241,3 +241,75 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens_b") + F.col("n_tokens")).alias("cum_tokens"),
         )
     )
+
+
+# target token shares for the curated training mix; sources not listed
+# are excluded from the mix (the inner join below is the curation gate)
+MIX_TARGET_PERMILLE = {"src0": 400, "src1": 300, "src2": 200, "src3": 50, "src4": 50}
+
+
+@register(
+    "corpus_upsample_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source,
+                   SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS n_tokens
+            FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS total FROM tok),
+        tgt AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"('{s}', {p})" for s, p in sorted(MIX_TARGET_PERMILLE.items()))}
+            ) AS t(source, target_permille))
+        SELECT k.source, CAST(k.n_tokens AS BIGINT) AS n_tokens,
+               floor(CAST(CAST(k.n_tokens AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(t.total AS VARCHAR) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS natural_share,
+               CAST(g.target_permille AS DOUBLE) / 1000 AS target_share,
+               floor(CAST(g.target_permille AS DOUBLE) / 1000
+                     / (CAST(CAST(k.n_tokens AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(t.total AS VARCHAR) AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS weight
+        FROM tok k
+        JOIN tgt g ON g.source = k.source
+        CROSS JOIN tot t
+    """,
+    tags=("sampling", "text", "pipeline"),
+)
+def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source up/down-sampling weights that turn the corpus's natural
+    token mix into a TARGET mix — the number every data-mixing recipe
+    (epochs per source) is derived from: weight = target_share /
+    natural_share, so weight > 1 means the source repeats (epochs) and
+    weight < 1 means it subsamples. Token counts are exact integers;
+    shares and weights are single divides of exact ints rounded at 1e-6
+    with the identical expression tree in both engines.
+
+    Scale: ONE corpus scan reducing to |sources| rows of token totals
+    (map-side combined); the target table is a literal broadcast. The
+    weights feed sample_hash-style deterministic application (weight<1 ⇒
+    hash-threshold subsample; weight>1 ⇒ floor(w) epochs + fractional
+    hash-threshold tail) without ever re-scanning this rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("total"))
+    tgt = docs.sparkSession.createDataFrame(
+        sorted(MIX_TARGET_PERMILLE.items()), "source string, target_permille int"
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    nat = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    tshare = F.col("target_permille").cast("double") / 1000
+    return (
+        tok.join(F.broadcast(tgt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            r6(nat).alias("natural_share"),
+            tshare.alias("target_share"),
+            r6(tshare / nat).alias("weight"),
+        )
+    )
