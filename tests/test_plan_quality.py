@@ -113,6 +113,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
+    "corpus_upsample_weights",  # 1-row token-total broadcast onto |sources|
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_confusion_matrix",  # inherits ml_naive_bayes's model-dim broadcast
     "ml_eval_report",  # composes ml_naive_bayes/_confusion_matrix legs
@@ -336,6 +337,7 @@ _SINGLE_PARTITION_OK = {
     "basket_association_rules": "scalar",  # 1-row basket-count denominator
     "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
+    "corpus_upsample_weights": "scalar",  # 1-row corpus token total
     "feat_target_encode": "scalar",  # 1-row global (n, Σy) for the smoothing blend
     "funnel_conversion": "scalar",
     "graph_triangle_count": "scalar",
