@@ -73,6 +73,7 @@ _PRIORITY = [
     "sim_recall_at_k", "text_bigram_logprob", "dedup_minhash_accuracy",
     "ts_forecast_linear", "ml_confusion_matrix", "ml_decision_stump",
     "ml_auc_roc", "ml_eval_report", "ml_knn_classifier",
+    "corpus_upsample_weights",
 ]
 
 
