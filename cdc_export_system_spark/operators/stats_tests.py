@@ -84,6 +84,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = ev.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
     ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    cell = cell.localCheckpoint(eager=True)  # <=35 rows; margins derive from it
     rt = cell.groupBy("event_type").agg(F.sum("o").alias("rt"))
     ct = cell.groupBy("dow").agg(F.sum("o").alias("ct"))
     n = cell.agg(F.sum("o").alias("n"))

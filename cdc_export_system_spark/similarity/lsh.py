@@ -390,7 +390,7 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         bucket_id(F.col("embedding")).alias("qb"),
-    )
+    ).localCheckpoint(eager=True)  # bounded query set; several branches broadcast it
     a = emb.select(
         "vec_id", "embedding", bucket_id(F.col("embedding")).alias("ab")
     )
