@@ -29,8 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The external correctness driver verifies a ~50-entry prefix of
 # ``queries()`` per round, so the dict is ordered to rotate hard driver
-# coverage across the whole registry (297 queries as of round 3) over
-# successive rounds:
+# coverage across the whole registry (the exact count is
+# ``len(load_all())``; tests/test_entry_contract.py pins the rotation
+# invariants) over successive rounds:
 # (1) this round's priority block — previously hash-FAILed queries
 # (retry) plus never-driver-checked representatives of every north-star
 # family (dedup / similarity / text / multimodal / analytics /
@@ -38,42 +39,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # round-3 lead: the two UDF reps queued twice but cut off by the
-    # driver's ~50-entry prefix, plus the last-commit op from round 2
-    "udaf_grouped_pandas", "udtf_lateral_chunks", "udf_map_in_pandas",
-    "dedup_minhash_incremental",
-    # joins family — zero driver rows before round 3
-    "join_left", "join_semi", "join_anti", "join_range", "join_full_outer",
-    "join_null_safe", "join_state_lookup", "join_skew_salted",
-    "join_interval_overlap", "join_interval_bins", "join_bloom_prefilter",
-    "join_asof", "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
-    # windows family — zero driver rows before round 3
-    "window_latest_per_key", "window_lag_lead", "window_running_sum",
-    "window_topk_per_group", "window_range_interval", "window_first_last",
-    "window_gaps_islands", "window_mom_growth", "window_moving_avg",
-    "window_ewma", "window_rolling_median", "window_rolling_zscore",
-    # tpch suite — only q1/q3 driver-checked so far
-    "tpch_q4_like", "tpch_q5", "tpch_q6", "tpch_q7_like", "tpch_q8_like",
-    "tpch_q9_like", "tpch_q10_like", "tpch_q12_like", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16_like", "tpch_q17", "tpch_q18", "tpch_q19_like",
-    "tpch_q22_like",
-    # round-2 additions still driver-unverified
-    "dedup_incremental_batch", "corpus_decontaminate_bloom",
-    "dedup_embedding_lsh", "sim_search_lsh_pruned", "agg_freq_items_mg",
-    "text_compression_quality",
-    # round-3 additions: queued behind the block above, so they lead the
-    # round-4 prefix once the driver greens the entries ahead of them
+    # ROUND-4 LEAD: the reference's own core — the CDC export trio and
+    # every other cdc_* query. These are the semantics the repo exists
+    # to reproduce (reference app/services/exports.py:70-171) and after
+    # three rounds they still have zero external driver rows.
+    "cdc_full_snapshot", "cdc_incremental", "cdc_delta",
+    "cdc_point_in_time", "cdc_forget_users_audit", "cdc_scd2_history",
+    "cdc_merge_apply", "cdc_snapshot_diff", "cdc_incremental_agg",
+    "cdc_compact_changelog",
+    # fn_* suites — 24 oracle-carrying scalar-function batteries, never
+    # driver-checked (cheap, zero-risk, drains the largest backlog family)
+    "fn_ts_isoformat", "fn_ts_strftime_compact", "fn_str_replace",
+    "fn_ts_arith", "fn_bool_ts_eq", "fn_math_suite",
+    "fn_bitwise_conditional", "fn_try_suite", "fn_string_suite",
+    "fn_like_regexp", "fn_hash_suite", "fn_edit_distance", "fn_url_suite",
+    "fn_format_pad", "fn_base64_suite", "fn_date_extract",
+    "fn_date_trunc_diff", "fn_array_suite", "fn_array_fold",
+    "fn_explode_posexplode", "fn_map_suite", "fn_struct_suite",
+    "fn_null_handling", "fn_nondeterministic",
+    # sql_* single-statement forms — never driver-checked
+    "sql_scalar_subquery", "sql_cte_join", "sql_grouping_sets",
+    "sql_lateral_topk", "sql_lateral_topn", "sql_exists_correlated",
+    "sql_named_window", "sql_recursive_cte",
+    # source_* connectors — round-trip + pushdown + changefeed family
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "source_schema_evolution", "source_python_changefeed",
+    "source_python_changefeed_pushdown", "source_python_changefeed_stream",
+    # tail risk-buffer if the driver prefix runs longer than 49: the ml/
+    # stats/ts ops queued in r03 but cut off by the prefix
     "ml_linear_regression", "ml_naive_bayes", "ml_kfold_cv",
-    "ml_logistic_regression_gd", "ml_ridge_normal_eq",
     "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
-    "ts_resample_ohlc", "ts_autocorrelation", "ts_changepoint_cusum",
-    "window_percent_rank_cume", "feat_target_encode", "graph_shortest_hops",
-    "agg_countmin_sketch", "sink_parquet_partitioned",
-    "corpus_token_budget_sample", "multimodal_audio_vad_segments",
-    "sim_recall_at_k", "text_bigram_logprob", "dedup_minhash_accuracy",
-    "ts_forecast_linear", "ml_confusion_matrix", "ml_decision_stump",
-    "ml_auc_roc", "ml_eval_report", "ml_knn_classifier",
-    "corpus_upsample_weights",
+    "ts_resample_ohlc", "ts_forecast_linear",
 ]
 
 

@@ -780,9 +780,14 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  unnest(range(1, len(t.toks) + 1)) AS r(i)
             WHERE t.toks[r.i] <> ''),
         bg AS (
-            SELECT a.doc_id, a.w AS w1, b.w AS w2
-            FROM tok a JOIN tok b
-              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            -- lead() over the empty-filtered token stream: consecutive
+            -- surviving tokens pair even across a run of empty splits
+            -- (consecutive spaces), matching the Spark lead() semantics
+            SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tok) s
+            WHERE w2 IS NOT NULL),
         bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
         uc AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
         v AS (SELECT count(DISTINCT w) AS vsize FROM tok),

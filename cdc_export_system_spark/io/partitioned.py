@@ -28,7 +28,9 @@ is the documented refinement when one day outgrows a writer wave.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,11 +57,47 @@ def partitioned_write(df: DataFrame, path: str) -> None:
     )
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the events source (relpath/size/mtime of
+    every file): the cache key must change when the source parquet
+    changes, or a stale partitioned copy would silently serve both the
+    operator and the oracle comparison."""
+    src = os.path.join(sf_dir, "events.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"events.parquet:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _materialize(spark: SparkSession, sf_dir: str) -> str:
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = os.path.join(tempfile.gettempdir(), "cdc_spark_part", tag)
+    root = os.path.join(tempfile.gettempdir(), "cdc_spark_part")
+    base = os.path.join(root, f"{tag}-{_source_fingerprint(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        partitioned_write(load_table(spark, sf_dir, "events"), base)
+        # write-then-rename: the sink lands in a session-unique temp dir
+        # and moves into place atomically, so two concurrent sessions
+        # never interleave writers inside the same directory — the loser
+        # of the rename race just discards its copy
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f".{tag}-build-", dir=root)
+        staged = os.path.join(tmp, "data")
+        partitioned_write(load_table(spark, sf_dir, "events"), staged)
+        try:
+            os.rename(staged, base)
+        except OSError:
+            if not os.path.exists(os.path.join(base, "_SUCCESS")):
+                raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return base
 
 

@@ -101,11 +101,15 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").cast(D38).alias("sx"),
-            F.sum("y").cast(D38).alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).cast(D38).alias("syy"),
+            # cast the OPERAND before summing so the accumulator itself is
+            # DECIMAL(38,0) — a bigint accumulator would wrap silently
+            # around Σy² ≈ 2e10 rows at cents scale (oracle casts to
+            # HUGEINT before SUM for the same reason)
+            F.sum(F.col("x").cast(D38)).alias("sx"),
+            F.sum(F.col("y").cast(D38)).alias("sy"),
+            F.sum(F.col("x").cast(D38) * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast(D38) * F.col("y")).alias("sxy"),
+            F.sum(F.col("y").cast(D38) * F.col("y")).alias("syy"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -533,11 +537,13 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pf = s.groupBy("fold").agg(
         F.count(F.lit(1)).cast(D38).alias("n"),
-        F.sum("x").cast(D38).alias("sx"),
-        F.sum("y").cast(D38).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast(D38).alias("syy"),
+        # operand-first casts: DECIMAL(38,0) accumulators, not bigint
+        # (Σy² wraps silently around 2e10 rows at cents scale otherwise)
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(D38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(D38) * F.col("y")).alias("syy"),
     )
     # Materialize the K-row fold table so the corpus really is scanned
     # ONCE: without this, Catalyst prunes syy out of the total's branch,
@@ -642,8 +648,12 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = ml_naive_bayes(spark, sf_dir)
     per_actual = nb.groupBy(F.col("lang_actual").alias("lang")).agg(
         F.count(F.lit(1)).cast("bigint").alias("support"),
-        F.sum(
-            (F.col("lang_pred") == F.col("lang_actual")).cast("int")
+        # coalesce: if every prediction for a class is NULL (all held-out
+        # docs OOV) the sum of all-NULL indicators is NULL, but the
+        # oracle's CASE-based count is 0 — match the ELSE 0 semantics
+        F.coalesce(
+            F.sum((F.col("lang_pred") == F.col("lang_actual")).cast("int")),
+            F.lit(0),
         ).cast("bigint").alias("tp"),
     )
     per_pred = (
@@ -774,7 +784,7 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("fv.feature").alias("feature"), F.col("fv.v").alias("v"), "y")
     pv = f.groupBy("feature", "v").agg(
         F.count(F.lit(1)).cast(D38).alias("n"),
-        F.sum("y").cast(D38).alias("n1"),
+        F.sum(F.col("y").cast(D38)).alias("n1"),
     ).localCheckpoint(eager=True)
     tot = pv.groupBy("feature").agg(
         F.sum("n").alias("tn"), F.sum("n1").alias("tn1")
@@ -960,7 +970,10 @@ def ml_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     acc = nb.agg(
         r6(
-            F.sum(F.col("correct").cast("int")).cast("double") / F.count(F.lit(1))
+            # coalesce for the all-predictions-NULL corner (every held-out
+            # doc OOV): sum of all-NULL indicators is NULL, oracle says 0
+            F.coalesce(F.sum(F.col("correct").cast("int")), F.lit(0))
+            .cast("double") / F.count(F.lit(1))
         ).alias("value")
     ).select(F.lit("nb_accuracy").alias("metric"), "value")
     macro = cm.agg(r6(F.avg("f1")).alias("value")).select(

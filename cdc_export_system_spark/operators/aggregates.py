@@ -983,13 +983,16 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins back onto the feature frame at application time."""
     c = load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+    # operand-first casts: the Σcents accumulator is DECIMAL(38,0), not
+    # bigint (which would wrap silently ~9e16 rows at cents scale, well
+    # under the documented headroom; oracle sums over HUGEINT)
     g = c.agg(
         F.count(F.lit(1)).alias("ng"),
-        F.sum(cents).cast("decimal(38,0)").alias("sg"),
+        F.sum(cents.cast("decimal(38,0)")).alias("sg"),
     )
     seg = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(cents).cast("decimal(38,0)").alias("sy"),
+        F.sum(cents.cast("decimal(38,0)")).alias("sy"),
     )
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731

@@ -275,7 +275,10 @@ BFS_MAX_HOPS = 4
                 UNION ALL SELECT pb AS src, pa AS dst FROM e),
         seed AS (SELECT min(pa) AS s FROM e),
         walk AS (
-            SELECT s AS node, 0 AS hops FROM seed
+            -- s IS NOT NULL: a zero-edge graph yields min(pa) = NULL and
+            -- the scalar-aggregate seed still produces one row, so filter
+            -- it to match Spark's empty-DataFrame result on empty input
+            SELECT s AS node, 0 AS hops FROM seed WHERE s IS NOT NULL
             UNION ALL
             SELECT sym.dst, walk.hops + 1
             FROM walk JOIN sym ON sym.src = walk.node

@@ -291,8 +291,11 @@ def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-threshold tail) without ever re-scanning this rollup."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
-        .cast("decimal(38,0)")
+        # operand cast BEFORE the sum: DECIMAL(38,0) accumulator (token
+        # totals at 100 TB genuinely exceed what a bigint would hold only
+        # in pathological cases, but the oracle sums over HUGEINT and the
+        # documented contract is decimal headroom end-to-end)
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("decimal(38,0)"))
         .alias("n_tokens")
     )
     tot = tok.agg(F.sum("n_tokens").alias("total"))

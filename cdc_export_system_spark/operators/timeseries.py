@@ -400,8 +400,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = hourly.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
+        # operand-first casts keep the accumulator in DECIMAL(38,0); a
+        # bigint Σx² wraps silently long before the documented headroom
+        F.sum(d38(F.col("x"))).alias("s"),
+        F.sum(d38(F.col("x")) * F.col("x")).alias("q"),
     )
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = hourly.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
@@ -412,9 +414,9 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).alias("m"),
-            F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("p"),
-            F.sum("xa").cast("decimal(38,0)").alias("sa"),
-            F.sum("xb").cast("decimal(38,0)").alias("sb"),
+            F.sum(d38(F.col("xa")) * F.col("xb")).alias("p"),
+            F.sum(d38(F.col("xa"))).alias("sa"),
+            F.sum(d38(F.col("xb"))).alias("sb"),
         )
     )
     f = pairs.crossJoin(F.broadcast(stats)).select(
@@ -615,11 +617,13 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     s = daily.agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum("t").cast(d38).alias("sx"),
-        F.sum("y").cast(d38).alias("sy"),
-        F.sum(F.col("t") * F.col("t")).cast(d38).alias("sxx"),
-        F.sum(F.col("t") * F.col("y")).cast(d38).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+        # operand-first casts: DECIMAL(38,0) accumulators (the oracle
+        # sums over HUGEINT; a bigint Σy² would wrap silently first)
+        F.sum(F.col("t").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("t").cast(d38) * F.col("t")).alias("sxx"),
+        F.sum(F.col("t").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
         F.max("t").alias("tmax"),
     )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
