@@ -294,6 +294,49 @@ def _spark_bands_cte() -> str:
 _FANNED_VIEWS: set[tuple[int, str]] = set()
 
 
+def _sig_materialized_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (doc_id, shingles, ms) ONCE for this invocation and
+    expose it as a temp view — the deferred round-4 refactor from
+    docs/SCALING.md. The multi-reference consumers (verified, accuracy)
+    previously re-derived the shingle/signature CTE chain per reference
+    (Catalyst inlines WITH CTEs), re-scanning the corpus 3-5x per query;
+    at 100 TB that is 3-5 full corpus passes for one answer.
+
+    localCheckpoint(eager=True) cuts the lineage at the signature table
+    (NUM_PERM longs + shingle set per doc), so every downstream branch —
+    band generation, candidate joins, exact-Jaccard verify — reads the
+    materialized blocks instead of replaying the scan. This is the
+    production shape: signatures are computed once and STORED; dedup
+    passes join against the signature store. Deliberately NOT memoized
+    across invocations (unlike _fanned_docs_view, which is a pure
+    logical view): each call pays the one signature pass honestly."""
+    src = _fanned_docs_view(spark, sf_dir)
+    name = "__minhash_sig_" + "".join(c if c.isalnum() else "_" for c in sf_dir)
+    df = spark.sql(
+        f"""
+        WITH tok AS (SELECT doc_id, {_SPARK_TOKS} AS toks FROM {src}),
+        shg AS (SELECT doc_id, {_SPARK_SHINGLE_CASE} AS shingles FROM tok),
+        hsx AS (SELECT doc_id, shingles,
+                       transform(shingles, sh -> {_SPARK_H32}) AS hs FROM shg)
+        SELECT doc_id, shingles, {_sig_fold_sql()} AS ms FROM hsx
+        """
+    ).localCheckpoint(eager=True)
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _sig_cte_over_view(view: str) -> str:
+    """sig/sigf/shg CTEs re-expressed as projections of the materialized
+    signature view — same names the single-statement bodies already
+    reference, zero recomputation."""
+    mins = ", ".join(f"ms[{i}] AS m{i}" for i in range(NUM_PERM))
+    return f"""
+        shg AS (SELECT doc_id, shingles FROM {view}),
+        sigf AS (SELECT doc_id, ms FROM {view}),
+        sig AS (SELECT doc_id, {mins} FROM {view})
+    """
+
+
 def _fanned_docs_view(spark: SparkSession, sf_dir: str) -> str:
     """Register (once per session+sf_dir) a fanned documents temp view;
     the view name encodes the sf_dir so concurrent scales never collide."""
@@ -371,12 +414,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard >= 0.5 — the
-    full dedup pipeline's output (pairs to collapse)."""
-    src = _fanned_docs_view(spark, sf_dir)
+    full dedup pipeline's output (pairs to collapse).
+
+    The shingle/signature table materializes ONCE (_sig_materialized_view);
+    the candidate path and both verify-join sides read it back — one
+    corpus pass total, where the inlined-CTE form paid three."""
+    view = _sig_materialized_view(spark, sf_dir)
     inter = "size(array_intersect(ta.shingles, tb.shingles))"
     return spark.sql(
         f"""
-        WITH {_spark_sig_cte(src)}, {_spark_bands_cte()}
+        WITH {_sig_cte_over_view(view)}, {_spark_bands_cte()}
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT c.doc_a, c.doc_b,
                    floor(cast({inter} as double)
@@ -485,8 +532,13 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate is row-local zip_with algebra over the two 32-long
     signatures; the exact Jaccard joins the shingle arrays for candidate
     pairs only — the same bounded verify cost dedup_minhash_verified
-    already pays."""
-    src = _fanned_docs_view(spark, sf_dir)
+    already pays.
+
+    The shingle/signature table materializes ONCE (_sig_materialized_view)
+    and feeds all five references (candidate path, two signature sides,
+    two shingle sides) — one corpus pass where the inlined-CTE form paid
+    five."""
+    view = _sig_materialized_view(spark, sf_dir)
     inter = "size(array_intersect(ta.shingles, tb.shingles))"
     est = (
         "cast(size(filter(zip_with(sa.ms, sb.ms, (x, y) -> x = y), b -> b)) as double)"
@@ -494,7 +546,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         f"""
-        WITH {_spark_sig_cte(src)}, {_spark_bands_cte()}
+        WITH {_sig_cte_over_view(view)}, {_spark_bands_cte()}
         SELECT doc_a, doc_b,
                floor(est * 1000000 + 0.5) / 1000000 AS est_jaccard,
                floor(exact * 1000000 + 0.5) / 1000000 AS exact_jaccard,

@@ -488,3 +488,31 @@ def test_lateral_topn_decorrelates_to_rank_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_verified", "dedup_minhash_accuracy"])
+def test_minhash_multi_reference_reads_materialized_signatures(spark, name):
+    """The multi-reference MinHash consumers (verify joins back onto the
+    shingle/signature table 3-5x) must read the per-invocation
+    materialized signature view, never re-derive the shingle CTE chain:
+    ZERO parquet scans in the executed plan — the one corpus pass happens
+    inside _sig_materialized_view's eager checkpoint. Guards the round-4
+    refactor that closed the 3-5x corpus re-scan debt (docs/SCALING.md)."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan parquet" not in plan, name
+    assert "Scan ExistingRDD" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_signature", "dedup_minhash_lsh", "dedup_minhash_incremental"]
+)
+def test_minhash_single_pass_forms_stay_pure_plan(spark, name):
+    """The single-reference MinHash forms evaluate the shingle stream
+    exactly once already; they must STAY pure-plan (scans, no checkpoint
+    overhead). The fanned view splits the file once, so <=2 scan nodes ==
+    one logical corpus pass."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+    assert 1 <= scans <= 2, f"{name}: {scans} parquet scans"
