@@ -140,7 +140,7 @@ def stream_tws_event_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-if tws_available():  # pragma: no cover - container ships broken protobuf
+if tws_available():  # pragma: no cover - protobuf absent (docs/TWS_ENV.md)
     register(
         "stream_tws_event_ledger",
         oracle=_TWS_ORACLE,

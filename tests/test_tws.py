@@ -22,7 +22,7 @@ def test_processor_contract_shape():
     assert callable(p.init) and callable(p.handleInputRows) and callable(p.close)
 
 
-@pytest.mark.skipif(not tws_available(), reason="google.protobuf broken in container")
+@pytest.mark.skipif(not tws_available(), reason="google.protobuf absent from container (docs/TWS_ENV.md)")
 def test_tws_ledger_matches_batch_oracle(spark, duck):
     from cdc_export_system_spark.streaming.tws import _TWS_ORACLE
 
@@ -31,7 +31,7 @@ def test_tws_ledger_matches_batch_oracle(spark, duck):
     assert res["match"], res["detail"]
 
 
-@pytest.mark.skipif(not tws_available(), reason="google.protobuf broken in container")
+@pytest.mark.skipif(not tws_available(), reason="google.protobuf absent from container (docs/TWS_ENV.md)")
 def test_tws_stream_builds(spark):
     stream = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
