@@ -107,20 +107,21 @@ def shingles_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def _coeff_array_sql() -> str:
-    """The NUM_PERM (a, b) permutation coefficients as one array literal."""
+def _coeff_array_sql(num_perm: int = NUM_PERM) -> str:
+    """The num_perm (a, b) permutation coefficients as one array literal."""
+    coeffs = COEFFS if num_perm == NUM_PERM else _lcg_coeffs(num_perm)
     return "array(" + ", ".join(
         f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))"
-        for a, b in COEFFS
+        for a, b in coeffs
     ) + ")"
 
 
-def _sig_fold_sql() -> str:
-    """ONE aggregate() fold producing all NUM_PERM mins as an array:
+def _sig_fold_sql(num_perm: int = NUM_PERM) -> str:
+    """ONE aggregate() fold producing all num_perm mins as an array:
     per shingle hash, zip_with updates every permutation's running min.
-    Measurably faster than NUM_PERM separate aggregate() folds (each of
+    Measurably faster than num_perm separate aggregate() folds (each of
     which re-traverses the shingle-hash array), bit-identical output."""
-    coeffs = _coeff_array_sql()
+    coeffs = _coeff_array_sql(num_perm)
     return (
         f"aggregate(hs, transform({coeffs}, c -> cast({P} as bigint)), "
         f"(acc, h) -> zip_with(acc, {coeffs}, "
@@ -128,8 +129,11 @@ def _sig_fold_sql() -> str:
     )
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
-    """doc_id + m0..m{NUM_PERM-1} minhash signature columns.
+def minhash_signature(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """doc_id + m0..m{num_perm-1} minhash signature columns. ``num_perm``
+    is the accuracy knob (estimator stderr ~ 1/sqrt(num_perm), linear
+    signature cost); the registered queries bind the oracle-matched
+    default.
 
     All permutation mins come from ONE aggregate() fold over the hashed
     shingle array (_sig_fold_sql) — the signature stage is a shuffle-free
@@ -142,28 +146,36 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(f"transform(shingles, sh -> {_SPARK_H32})").alias("hs"),
     )
-    folded = hashed.select("doc_id", F.expr(_sig_fold_sql()).alias("ms"))
+    folded = hashed.select("doc_id", F.expr(_sig_fold_sql(num_perm)).alias("ms"))
     return folded.select(
-        "doc_id", *[F.col("ms")[i].alias(f"m{i}") for i in range(NUM_PERM)]
+        "doc_id", *[F.col("ms")[i].alias(f"m{i}") for i in range(num_perm)]
     )
 
 
-def _band_digest(band: int) -> Column:
+def _band_digest(band: int, rows_per_band: int = ROWS_PER_BAND) -> Column:
     """Pack the band's signature rows into ONE bigint: with m < P < 2^31
-    and ROWS_PER_BAND = 2, m_a * P + m_b < 2^62 — a lossless (injective)
+    and rows_per_band = 2, m_a * P + m_b < 2^62 — a lossless (injective)
     digest, so bucket membership is EXACTLY row-equality, and the bucket
     shuffle keys on 8 bytes instead of a 32-byte md5 hex string (which
     also cost one md5 per doc-band). The digest never leaves the plan —
     the op's output is candidate pairs — so the oracle's md5 form and
     this packed form group identically."""
-    assert ROWS_PER_BAND == 2, "64-bit packing holds for 2 rows/band"
-    a = F.col(f"m{band * ROWS_PER_BAND}")
-    b = F.col(f"m{band * ROWS_PER_BAND + 1}")
+    assert rows_per_band == 2, "64-bit packing holds for 2 rows/band"
+    a = F.col(f"m{band * rows_per_band}")
+    b = F.col(f"m{band * rows_per_band + 1}")
     return a * F.lit(P).cast("bigint") + b
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def lsh_candidates(
+    sig: DataFrame,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band digest.
+    ``num_bands``/``rows_per_band`` tune the LSH S-curve (more bands =
+    higher recall at lower precision); the registered queries bind the
+    oracle-matched defaults (the signature must carry
+    num_bands * rows_per_band columns).
 
     Pairs are generated inside each (band, digest) bucket — groupBy +
     collect_set + in-array combination — instead of self-joining the band
@@ -177,8 +189,11 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band"), _band_digest(b).alias("digest"))
-                for b in range(NUM_BANDS)
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_digest(b, rows_per_band).alias("digest"),
+                )
+                for b in range(num_bands)
             ])
         ).alias("bd"),
     ).select("doc_id", "bd.band", "bd.digest")

@@ -42,8 +42,48 @@ from cdc_export_system_spark.registry import register
 
 # Minimum duplicated-run length (tokens) the seeds can detect; 50 in the
 # paper's byte-level setting, 8 here to exercise the operator on the
-# short synthetic documents.
+# short synthetic documents. The registered queries bind this default
+# (their oracles are generated from it); deployments turn the knob via
+# the ``seed_len`` parameter on the operator functions below.
 SEED_LEN = 8
+
+
+def _covered_positions(docs: DataFrame, seed_len: int) -> DataFrame:
+    """(doc_id, p) token positions covered by some corpus-duplicated
+    seed_len-gram — the shared front of both substring ops: gram build,
+    the single xxhash64(gram) shuffle, the partition-only duplicated-seed
+    window, and the seed→position fan-out."""
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    n = F.size("t")
+    # overlapping seed grams; docs shorter than seed_len yield none
+    gram_arr = F.when(
+        n >= seed_len,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(seed_len) + F.lit(1)),
+            lambda i: F.array_join(F.slice("t", i, seed_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("g").alias("gh"),  # 8-byte shuffle key, see module doc
+        )
+    )
+    # one shuffle on gh: per-gram occurrence counts via a partition-only
+    # window, instead of a count groupBy plus a probe-back join (which
+    # would rebuild and re-shuffle the gram stream a second time)
+    w_g = W.partitionBy("gh")
+    seeds = (
+        grams.withColumn("c", F.count(F.lit(1)).over(w_g))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    return seeds.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + seed_len - 1)).alias("p"),
+    )
 
 
 @register(
@@ -72,50 +112,24 @@ SEED_LEN = 8
     headline=True,
     tags=("dedup", "text", "substring"),
 )
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, seed_len: int = SEED_LEN
+) -> DataFrame:
     """Per-document maximal duplicated token spans: (doc_id, span_start,
     span_end, span_len), positions 1-based, a span being a maximal run
-    of positions covered by some corpus-duplicated SEED_LEN-gram."""
+    of positions covered by some corpus-duplicated seed_len-gram.
+    ``seed_len`` is the detection floor / precision knob (50 in the
+    paper's setting; default 8 matches the registered oracle)."""
     # fanned: a small single-row-group scan would otherwise run the
     # whole gram build on one core (no-op at warehouse scale)
     docs = load_table_fanned(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-    n = F.size("t")
-    # overlapping seed grams; docs shorter than SEED_LEN yield none
-    gram_arr = F.when(
-        n >= SEED_LEN,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(SEED_LEN) + F.lit(1)),
-            lambda i: F.array_join(F.slice("t", i, SEED_LEN), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.xxhash64("g").alias("gh"),  # 8-byte shuffle key, see module doc
-        )
-    )
-    # one shuffle on gh: per-gram occurrence counts via a partition-only
-    # window, instead of a count groupBy plus a probe-back join (which
-    # would rebuild and re-shuffle the gram stream a second time)
-    w_g = W.partitionBy("gh")
-    seeds = (
-        grams.withColumn("c", F.count(F.lit(1)).over(w_g))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
-    )
+    cov = _covered_positions(docs, seed_len)
     # islands row-locally: ONE doc_id groupBy collects the (bounded-by-
     # doc-length) covered-position set; span extraction is a pure array
     # expression over the sorted positions — vs the distinct + window +
     # groupBy formulation, which costs three exchange stages for the
     # same answer. Positions inside an island are consecutive, so
     # span_len = end - start + 1.
-    cov = seeds.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + SEED_LEN - 1)).alias("p"),
-    )
     spans = (
         cov.groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("p")).alias("ps"))
@@ -176,38 +190,21 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "text", "substring", "cleaning"),
 )
-def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_substring_scrub(
+    spark: SparkSession, sf_dir: str, seed_len: int = SEED_LEN
+) -> DataFrame:
     """The actionable form of dedup_exact_substring: every document
     rebuilt with its duplicated spans REMOVED (conservative scrub — all
     copies go; keep-one-copy is a policy layer over the same span set),
     plus the removed-token count. Span derivation is shared with the
-    span query; the only additions are a per-doc covered-position set
-    (doc_id-keyed, bounded by doc length) and a row-local index-aware
-    filter/rejoin of the token array — no new corpus-wide shuffle
-    beyond the single gram-hash exchange."""
+    span query (_covered_positions, same seed_len knob); the only
+    additions are a per-doc covered-position set (doc_id-keyed, bounded
+    by doc length) and a row-local index-aware filter/rejoin of the
+    token array — no new corpus-wide shuffle beyond the single
+    gram-hash exchange."""
     docs = load_table_fanned(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-    n = F.size("t")
-    gram_arr = F.when(
-        n >= SEED_LEN,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(SEED_LEN) + F.lit(1)),
-            lambda i: F.array_join(F.slice("t", i, SEED_LEN), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("g").alias("gh")
-    )
-    w_g = W.partitionBy("gh")
-    seeds = (
-        grams.withColumn("c", F.count(F.lit(1)).over(w_g))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
-    )
-    cov = seeds.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + SEED_LEN - 1)).alias("p"),
-    ).distinct()
+    cov = _covered_positions(docs, seed_len)
     covl = cov.groupBy("doc_id").agg(F.collect_set("p").alias("ps"))
     joined = toks.join(covl, "doc_id", "left")
     keep = F.filter(

@@ -205,7 +205,9 @@ TOKEN_BUDGET = 3000  # greedy prefix budget for the registered demo
     """,
     tags=("sampling", "text", "pipeline"),
 )
-def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_token_budget_sample(
+    spark: SparkSession, sf_dir: str, token_budget: int = TOKEN_BUDGET
+) -> DataFrame:
     """Draw a corpus sample that hits a TOKEN budget, not a document
     count — the shape every pretraining data recipe needs ("give me
     3,000 tokens of this source"): documents are taken greedily in a
@@ -234,7 +236,7 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = with_prefix_sum(docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b",
                         materialize=False)
     return (
-        c.filter(F.col("n_tokens_b") < TOKEN_BUDGET)
+        c.filter(F.col("n_tokens_b") < token_budget)
         .select(
             "doc_id",
             "n_tokens",
@@ -275,7 +277,11 @@ MIX_TARGET_PERMILLE = {"src0": 400, "src1": 300, "src2": 200, "src3": 50, "src4"
     """,
     tags=("sampling", "text", "pipeline"),
 )
-def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_upsample_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    mix_target_permille: dict[str, int] | None = None,
+) -> DataFrame:
     """Per-source up/down-sampling weights that turn the corpus's natural
     token mix into a TARGET mix — the number every data-mixing recipe
     (epochs per source) is derived from: weight = target_share /
@@ -288,7 +294,13 @@ def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined); the target table is a literal broadcast. The
     weights feed sample_hash-style deterministic application (weight<1 ⇒
     hash-threshold subsample; weight>1 ⇒ floor(w) epochs + fractional
-    hash-threshold tail) without ever re-scanning this rollup."""
+    hash-threshold tail) without ever re-scanning this rollup.
+
+    ``mix_target_permille`` overrides the curated target mix (source ->
+    permille of the final token budget; unlisted sources are excluded);
+    the registered query binds the oracle-matched default table."""
+    if mix_target_permille is None:
+        mix_target_permille = MIX_TARGET_PERMILLE
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.groupBy("source").agg(
         # operand cast BEFORE the sum: DECIMAL(38,0) accumulator (token
@@ -300,7 +312,7 @@ def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = tok.agg(F.sum("n_tokens").alias("total"))
     tgt = docs.sparkSession.createDataFrame(
-        sorted(MIX_TARGET_PERMILLE.items()), "source string, target_permille int"
+        sorted(mix_target_permille.items()), "source string, target_permille int"
     )
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     nat = F.col("n_tokens").cast("double") / F.col("total").cast("double")

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from cdc_export_system_spark.dedup.substring import dedup_exact_substring
+from tests.conftest import SF_DIR
 from cdc_export_system_spark.operators.quality import corpus_drift_psi
 
 
@@ -204,3 +205,42 @@ def test_scrub_removes_exactly_the_duplicated_spans(spark, tmp_path):
         2: (tail_b, 10),
         3: (_w(15, "z"), 0),
     }
+
+
+def test_substring_seed_len_knob(spark):
+    """Non-default seed_len: a larger seed raises the detection floor, so
+    the span set shrinks (subset of covered positions) and every reported
+    span is at least seed_len long."""
+    from cdc_export_system_spark.dedup.substring import dedup_exact_substring
+
+    base = dedup_exact_substring(spark, SF_DIR)
+    wide = dedup_exact_substring(spark, SF_DIR, seed_len=12)
+    n_base, n_wide = base.count(), wide.count()
+    assert all(r.span_len >= 12 for r in wide.collect())
+    base_cov = base.selectExpr("sum(span_len) AS c").first()["c"] or 0
+    wide_cov = wide.selectExpr("sum(span_len) AS c").first()["c"] or 0
+    assert wide_cov <= base_cov  # higher floor never covers more
+
+
+def test_upsample_weights_mix_knob(spark):
+    """Non-default target mix: overriding the permille table changes
+    target_share/weight and the curation gate (unlisted sources drop)."""
+    from cdc_export_system_spark.operators.sampling import corpus_upsample_weights
+
+    df = corpus_upsample_weights(spark, SF_DIR, {"src0": 700, "src1": 300})
+    rows = {r.source: r for r in df.collect()}
+    assert set(rows) <= {"src0", "src1"}
+    if "src0" in rows:
+        assert abs(rows["src0"].target_share - 0.7) < 1e-9
+
+
+def test_token_budget_knob(spark):
+    """Non-default token budget: a smaller budget takes a prefix of the
+    same deterministic order."""
+    from cdc_export_system_spark.operators.sampling import corpus_token_budget_sample
+
+    small = corpus_token_budget_sample(spark, SF_DIR, token_budget=500)
+    big = corpus_token_budget_sample(spark, SF_DIR, token_budget=2000)
+    s_ids = {r.doc_id for r in small.collect()}
+    b_ids = {r.doc_id for r in big.collect()}
+    assert s_ids <= b_ids and len(s_ids) <= len(b_ids)
