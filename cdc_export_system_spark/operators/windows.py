@@ -645,6 +645,9 @@ ROLLZ_FRAME = 10  # trailing observations (excluding the current row)
         FROM w
         WHERE n > 1 AND CAST(n AS DOUBLE) * sq > CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
     """,
+    headline=True,  # the bench's pure-window representative: a
+    # single-partition regression in the window family would surface
+    # here first (round-4 headline addition per VERDICT r03)
     tags=("window", "stats"),
 )
 def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
