@@ -55,6 +55,12 @@ PQ_SUBDIM = EMBEDDING_DIM // PQ_M
 PQ_ITER = 3
 PQ_SHORTLIST = 5 * TOP_K  # ADC candidates fed to the exact re-rank
 PQ_DECIMALS = 6
+# Sampled-training knob: 1-in-N deterministic hash sample of the corpus
+# for codebook fitting (codebooks converge on ~100k vectors; the full
+# corpus only ever sees the frozen-model encode pass). N=4 at test scale
+# so the sample is a real strict subset while still covering every
+# subspace cell.
+PQ_TRAIN_SAMPLE_MOD = 4
 
 
 def _subvectors(emb: DataFrame) -> DataFrame:
@@ -85,17 +91,11 @@ def _assign_codes(sub: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
-def pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
-    """Train all M codebooks in one distributed Lloyd loop; returns the
-    (m, cid, centroid) model DataFrame (M x K rows, driver-held between
-    iterations like kmeans_fit)."""
-    spark = emb.sparkSession
-    sub = _subvectors(emb)
-    model = (
-        sub.filter(F.col("vec_id") < PQ_K)
-        .select("m", F.col("vec_id").cast("int").alias("cid"),
-                F.col("subvec").alias("centroid"))
-    )
+def _lloyd(spark, sub: DataFrame, model: DataFrame, n_iter: int) -> DataFrame:
+    """The shared distributed Lloyd loop: assign against the broadcast
+    model, recompute exact double means per (m, code, pos). Per
+    iteration one scan + one model-sized shuffle; only the M x K x
+    subdim model reaches the driver."""
     for _ in range(n_iter):
         codes = _assign_codes(sub, model)
         upd = (
@@ -118,6 +118,58 @@ def pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
     return model
 
 
+def pq_fit(emb: DataFrame, n_iter: int = PQ_ITER) -> DataFrame:
+    """Train all M codebooks in one distributed Lloyd loop; returns the
+    (m, cid, centroid) model DataFrame (M x K rows, driver-held between
+    iterations like kmeans_fit)."""
+    sub = _subvectors(emb)
+    model = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").cast("int").alias("cid"),
+                F.col("subvec").alias("centroid"))
+    )
+    return _lloyd(emb.sparkSession, sub, model, n_iter)
+
+
+def pq_fit_sampled(
+    emb: DataFrame, sample_mod: int = PQ_TRAIN_SAMPLE_MOD, n_iter: int = PQ_ITER
+) -> DataFrame:
+    """The 100-TB training path made explicit: fit the codebooks on a
+    BOUNDED deterministic sample — vectors whose xxhash64(vec_id) falls
+    in hash class 0 of ``sample_mod`` — and let the caller encode the
+    full corpus with the frozen model (pq_encode is already exactly the
+    frozen-model pass). The sample is a hash filter, not a sort/limit:
+    one predicate on the scan, no global ordering, no extra shuffle,
+    reproducible across runs and partitionings. Codebooks need ~100k
+    vectors to converge; at corpus scale pick sample_mod ≈
+    corpus_rows / 100k.
+
+    Centroid init: the PQ_K lowest sampled vec_ids, mapped to cids by
+    rank via a broadcast literal map (pq_fit's vec_id<K trick is not
+    available — the sample need not contain those ids)."""
+    sample = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0)
+    sub = _subvectors(sample)
+    init_ids = [
+        r["vec_id"]
+        for r in sample.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    model = (
+        sub.filter(F.col("vec_id").isin(init_ids))
+        .select(
+            "m",
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(v) for v in init_ids]),
+                    F.array(*[F.lit(i) for i in range(len(init_ids))]),
+                ),
+                F.col("vec_id"),
+            ).cast("int").alias("cid"),
+            F.col("subvec").alias("centroid"),
+        )
+    )
+    return _lloyd(emb.sparkSession, sub, model, n_iter)
+
+
 def pq_encode(emb: DataFrame, model: DataFrame) -> DataFrame:
     """(vec_id, codes array<int>[M]): the 8-byte-per-vector corpus
     representation. One broadcast assign + one vec_id groupBy."""
@@ -130,19 +182,9 @@ def pq_encode(emb: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_search_pq",
-    oracle=None,  # iterative codebook fit: rows-only; recall pinned in tests
-    tags=("similarity", "ann", "pq"),
-)
-def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via product quantization: the 8-byte-code corpus is
-    scanned with asymmetric distance (fold of M table lookups — pure
-    codegen, no join), a PQ_SHORTLIST-sized candidate set survives, and
-    those candidates alone are re-ranked exactly against their
-    full-precision vectors. vec_id=0 models the serving request (as in
-    sim_search_lsh_pruned) and is excluded from the results. Recall vs
-    the exact scan is pinned in tests/test_similarity_quality.py."""
+def _pq_search(spark: SparkSession, sf_dir: str, sample_mod: int | None) -> DataFrame:
+    """Shared two-stage PQ serving pipeline; ``sample_mod`` selects full
+    (None) vs sampled codebook training — encode/ADC/re-rank identical."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -152,7 +194,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.lit(0.0).alias("l2_dist")
         ).filter(F.lit(False))
 
-    model = pq_fit(emb)
+    model = pq_fit(emb) if sample_mod is None else pq_fit_sampled(emb, sample_mod)
     codes = pq_encode(emb.filter(F.col("vec_id") != 0), model)
 
     # driver-side M x K squared-distance table for the query vector
@@ -197,3 +239,36 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+@register(
+    "sim_search_pq",
+    oracle=None,  # iterative codebook fit: rows-only; recall pinned in tests
+    tags=("similarity", "ann", "pq"),
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization: the 8-byte-code corpus is
+    scanned with asymmetric distance (fold of M table lookups — pure
+    codegen, no join), a PQ_SHORTLIST-sized candidate set survives, and
+    those candidates alone are re-ranked exactly against their
+    full-precision vectors. vec_id=0 models the serving request (as in
+    sim_search_lsh_pruned) and is excluded from the results. Recall vs
+    the exact scan is pinned in tests/test_similarity_quality.py."""
+    return _pq_search(spark, sf_dir, None)
+
+
+@register(
+    "sim_search_pq_sampled",
+    oracle=None,  # iterative codebook fit: rows-only; recall pinned in tests
+    tags=("similarity", "ann", "pq", "sampling"),
+)
+def sim_search_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_search_pq with the honest-at-scale training path: codebooks
+    fit on a 1-in-PQ_TRAIN_SAMPLE_MOD deterministic hash sample
+    (pq_fit_sampled), then the FULL corpus is encoded with the frozen
+    model and served identically (ADC scan + exact re-rank). At 100 TB
+    this is the only viable shape — training touches a bounded sample,
+    the corpus only ever sees the one frozen-model encode pass. The
+    sampled-training recall gate lives beside the full-fit pin in
+    tests/test_similarity_quality.py."""
+    return _pq_search(spark, sf_dir, PQ_TRAIN_SAMPLE_MOD)

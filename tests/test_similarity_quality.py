@@ -231,3 +231,55 @@ def test_pq_codes_are_compact(spark):
     for r in codes[:50]:
         assert len(r["codes"]) == PQ_M
         assert all(0 <= c < PQ_K for c in r["codes"])
+
+
+def test_pq_sampled_training_recall_vs_exact(spark):
+    """The 100-TB training path (codebooks fit on a 1-in-N hash sample,
+    full corpus encoded with the frozen model) must stay within the same
+    recall gate as the full fit, with the same exact-distance guarantee
+    from the re-rank stage — pins that bounded-sample training is a safe
+    default, not a quality cliff."""
+    import numpy as np
+
+    from cdc_export_system_spark.registry import load_all
+    from cdc_export_system_spark.similarity.queries import TOP_K
+
+    got = load_all()["sim_search_pq_sampled"].fn(spark, SF_DIR).collect()
+    assert len(got) == TOP_K
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    q = vecs[0]
+    exact = sorted(
+        (float(np.sum((v - q) ** 2)), vid) for vid, v in vecs.items() if vid != 0
+    )
+    exact_ids = [vid for _, vid in exact[:TOP_K]]
+    recall = len({r["vec_id"] for r in got} & set(exact_ids)) / TOP_K
+    assert recall >= 0.6, f"sampled-PQ recall@{TOP_K} = {recall}"
+    exact_d = dict((vid, d) for d, vid in exact)
+    for r in got:
+        assert abs(r["l2_dist"] - exact_d[r["vec_id"]]) < 1e-4, r
+
+
+def test_pq_sampled_trains_on_strict_subset(spark):
+    """pq_fit_sampled's training filter must select a strict, non-empty
+    subset of the corpus (the whole point of the path), and the frozen
+    model must still cover all M subspaces with valid centroids."""
+    from cdc_export_system_spark.io.sources import load_table as lt
+    from cdc_export_system_spark.similarity.pq import (
+        PQ_K, PQ_M, PQ_TRAIN_SAMPLE_MOD, pq_fit_sampled,
+    )
+    from pyspark.sql import functions as F
+
+    emb = lt(spark, SF_DIR, "embeddings")
+    n_total = emb.count()
+    n_sample = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(PQ_TRAIN_SAMPLE_MOD)) == 0
+    ).count()
+    assert 0 < n_sample < n_total
+    model = pq_fit_sampled(emb, n_iter=1)
+    rows = model.collect()
+    assert {r["m"] for r in rows} == set(range(PQ_M))
+    assert all(0 <= r["cid"] < PQ_K for r in rows)
