@@ -366,3 +366,59 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("batch_copies"),
         )
     )
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle="""
+        WITH fps AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS fp, source
+            FROM documents),
+        pairs AS (
+            SELECT a.fp, a.source AS source_a, b.source AS source_b
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source)
+        SELECT source_a, source_b, count(*) AS n_shared_fps
+        FROM pairs GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "pipeline", "quality"),
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct content fingerprints appear in BOTH — the first
+    question a data-mixing recipe asks (double-counting a crawl that
+    two sources both ingested silently upweights it; the overlap matrix
+    is what you weight against, and it is the cross-SOURCE sibling of
+    corpus_decontaminate's train/eval gate).
+
+    Scale: one fingerprint-only shuffle (the text never moves after the
+    row-local md5), sources collapse to a bounded set per fingerprint
+    (≤|sources|), and pairs expand inside each group — the corpus is
+    never self-joined (the oracle's fps×fps join is the DuckDB check,
+    not the plan). Output is |sources|² rows at most."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "source")
+        .distinct()
+    )
+    buckets = (
+        d.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ss, (x, i) ->
+                    transform(slice(ss, i + 2, size(ss) - i - 1),
+                              y -> struct(x AS source_a, y AS source_b))))
+                """
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )

@@ -869,3 +869,70 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                        w -> w <> '')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                        s -> trim(s) <> '')) AS BIGINT) AS n_sents,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syll
+            FROM documents)
+        SELECT doc_id, n_words, n_sents, n_syll,
+               floor((206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                      - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000 AS flesch
+        FROM f WHERE n_words > 0 AND n_sents > 0
+    """,
+    tags=("text", "quality"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three integer counts —
+    words (non-empty whitespace splits), sentences (non-empty [.!?]+
+    segments), and syllables approximated as vowel-group runs (the
+    standard cheap proxy; exact syllabification needs a dictionary).
+    A quality-filter feature alongside text_stats' ratios: boilerplate
+    and OCR noise score far off the prose band. The score is one float
+    expression over the three exact ints, evaluated identically in both
+    engines, 1e-6 floor-rounded; zero-word/zero-sentence docs are
+    excluded rather than scored on a division by zero.
+
+    Scale: all three counts are row-local regex/split expressions in
+    whole-stage codegen — a pure map over the corpus, no shuffle at
+    all until a consumer aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    ).cast("bigint")
+    n_sents = F.size(
+        F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    f = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+    )
+    return f.filter((F.col("n_words") > 0) & (F.col("n_sents") > 0)).select(
+        "doc_id", "n_words", "n_sents", "n_syll", r6(flesch).alias("flesch")
+    )

@@ -931,6 +931,95 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ml_pr_curve
+# ---------------------------------------------------------------------------
+
+_PR_CURVE_ORACLE = """
+    WITH s AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+    v AS (
+        SELECT score, CAST(SUM(y) AS HUGEINT) AS cpos,
+               CAST(SUM(1 - y) AS HUGEINT) AS cneg
+        FROM s GROUP BY score),
+    w AS (
+        SELECT score, cpos, cneg,
+               COALESCE(SUM(cpos) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + cpos AS cum_pos,
+               COALESCE(SUM(cpos + cneg) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + cpos + cneg AS cum_n
+        FROM v),
+    tot AS (SELECT SUM(cpos) AS npos FROM v)
+    SELECT w.score AS threshold,
+           CAST(w.cum_pos AS BIGINT) AS tp,
+           CAST(w.cum_n - w.cum_pos AS BIGINT) AS fp,
+           floor(CAST(CAST(w.cum_pos AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(w.cum_n AS VARCHAR) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS prec,
+           floor(CAST(CAST(w.cum_pos AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(t.npos AS VARCHAR) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall
+    FROM w CROSS JOIN tot t
+"""
+
+
+@register(
+    "ml_pr_curve",
+    oracle=_PR_CURVE_ORACLE,
+    tags=("ml", "stats", "quality"),
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve of the discount score against the
+    returned-flag label: one (threshold, tp, fp, prec, recall) row per
+    distinct score, scanning thresholds from the highest score down —
+    the ranking-eval companion to ml_auc_roc (PR is the view that
+    matters under class imbalance, where ROC flatters). tp/fp at each
+    threshold are EXACT integers from the descending prefix sum over
+    the distinct-score axis; precision and recall are single divides of
+    those ints, 1e-6 floor-rounded with the identical expression tree
+    in both engines.
+
+    Scale: same shape as ml_auc_roc — one map-side-combined aggregate
+    to |distinct scores| rows, one range-shuffled prefix sum
+    (ranks.py two-level construction, no single-partition sort of the
+    event stream), a 1-row total broadcast back."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    v = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("cpos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("cneg"),
+    ).withColumn("t", F.col("cpos") + F.col("cneg"))
+    v = v.localCheckpoint(eager=True)  # one lineitem scan; two consumers
+    w = with_prefix_sum(
+        v, [F.desc("score")], ["cpos", "t"], suffix="_b", materialize=False
+    )
+    tot = v.agg(F.sum("cpos").alias("npos"))
+    cum_pos = F.col("cpos_b") + F.col("cpos")
+    cum_n = F.col("t_b") + F.col("t")
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            cum_pos.cast("bigint").alias("tp"),
+            (cum_n - cum_pos).cast("bigint").alias("fp"),
+            r6(cum_pos.cast("double") / cum_n.cast("double")).alias("prec"),
+            r6(cum_pos.cast("double") / F.col("npos").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # ml_eval_report
 # ---------------------------------------------------------------------------
 

@@ -328,3 +328,72 @@ def corpus_upsample_weights(
             r6(tshare / nat).alias("weight"),
         )
     )
+
+
+SHARD_TOKEN_BUDGET = 600  # tokens per output shard for the registered demo
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+            FROM d)
+        SELECT CAST(before // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM c GROUP BY before // {SHARD_TOKEN_BUDGET}
+    """,
+    tags=("sampling", "text", "pipeline", "layout"),
+)
+def corpus_shard_assignment(
+    spark: SparkSession, sf_dir: str, shard_token_budget: int = SHARD_TOKEN_BUDGET
+) -> DataFrame:
+    """Greedy contiguous token-balanced sharding: documents are laid out
+    in the deterministic hash order (md5 of doc_id — the same
+    engine-portable order as corpus_token_budget_sample) and cut into
+    shards of ~shard_token_budget tokens (shard = exclusive-prefix div
+    budget, so a document spanning a boundary belongs to the shard its
+    start falls in). This is the writer-side plan every training-data
+    exporter needs — equal-token shards, not equal-document shards, so
+    downstream readers get balanced work. Output is the per-shard
+    rollup (id, docs, exact token total); the row-level assignment is
+    the same frame before the rollup.
+
+    Scale: token counts are row-local; the running total rides the
+    ranks.py two-level prefix sum (range shuffle + broadcast offsets —
+    no single-partition sort); the rollup is map-side combined. The
+    hash order also means shard contents are reproducible across runs
+    and engines."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    docs = docs.localCheckpoint(eager=True)  # one scan; bytes/doc projection
+    c = with_prefix_sum(
+        docs, [F.asc("k"), F.asc("doc_id")], ["n_tokens"], suffix="_b",
+        materialize=False,
+    )
+    return (
+        c.select(
+            F.expr(f"n_tokens_b div {shard_token_budget}").alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+    )

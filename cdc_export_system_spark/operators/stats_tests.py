@@ -310,3 +310,107 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_a.alias("u_a"),
         r6(z).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_oneway
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+    WITH s AS (
+        SELECT event_type AS grp,
+               CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+        FROM events),
+    g AS (
+        SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+               SUM(c) AS sg, SUM(c * c) AS qg
+        FROM s GROUP BY grp),
+    t AS (
+        SELECT grp, n, sg, qg,
+               CAST(floor(CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                          * 1000 + 0.5) AS HUGEINT) AS gterm_milli
+        FROM g),
+    a AS (
+        SELECT CAST(count(*) AS HUGEINT) AS k, SUM(n) AS nn,
+               SUM(sg) AS ss, SUM(qg) AS qq,
+               SUM(gterm_milli) AS gsum_milli
+        FROM t)
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_rows,
+           floor((CAST(CAST(gsum_milli AS VARCHAR) AS DOUBLE) / 1000
+                  - CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(nn AS VARCHAR) AS DOUBLE))
+                 / 10000 * 1000000 + 0.5) / 1000000 AS ss_between,
+           floor((CAST(CAST(qq AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(gsum_milli AS VARCHAR) AS DOUBLE) / 1000)
+                 / 10000 * 1000000 + 0.5) / 1000000 AS ss_within,
+           floor(((CAST(CAST(gsum_milli AS VARCHAR) AS DOUBLE) / 1000
+                   - CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(nn AS VARCHAR) AS DOUBLE))
+                  / (CAST(CAST(k AS VARCHAR) AS DOUBLE) - 1))
+                 / ((CAST(CAST(qq AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(gsum_milli AS VARCHAR) AS DOUBLE) / 1000)
+                    / (CAST(CAST(nn AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(k AS VARCHAR) AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS f_stat
+    FROM a
+"""
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=_ANOVA_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value (exact cents) across event types:
+    F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ_g s_g²/n_g − S²/N and
+    SSW = Q − Σ_g s_g²/n_g — the k-group generalization of
+    ab_welch_ttest, i.e. 'did any arm move the metric' before pairwise
+    drill-down. Everything reduces to exact integer sufficient
+    statistics (n_g, Σc, Σc² per group, DECIMAL(38,0) accumulators);
+    each group's s_g²/n_g rational is evaluated once in doubles and
+    rounded to 1e-3 cents² BEFORE the cross-group sum, so partitioning
+    cannot move F (the chi-square micro-unit discipline). Sums of
+    squares are reported in dollars² (cents²/1e4), 1e-6-rounded.
+
+    Scale: one map-side-combined aggregate to |groups| rows, then
+    O(k) algebra and a 1-row final — the corpus is scanned once and
+    nothing data-sized ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    g = ev.select(F.col("event_type").alias("grp"), c.alias("c")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("c"))).alias("sg"),
+        F.sum(d38(F.col("c")) * F.col("c")).alias("qg"),
+    )
+    gterm_milli = F.floor(
+        F.col("sg").cast("double") * F.col("sg").cast("double")
+        / F.col("n").cast("double")
+        * 1000
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    t = g.select("grp", "n", "sg", "qg", gterm_milli.alias("gterm_milli"))
+    a = t.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sg").alias("ss"),
+        F.sum("qg").alias("qq"),
+        F.sum("gterm_milli").alias("gsum_milli"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    ssb = dd("gsum_milli") / 1000 - dd("ss") * dd("ss") / dd("nn")
+    ssw = dd("qq") - dd("gsum_milli") / 1000
+    f_stat = (ssb / (dd("k") - 1)) / (ssw / (dd("nn") - dd("k")))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return a.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n_rows"),
+        r6(ssb / 10000).alias("ss_between"),
+        r6(ssw / 10000).alias("ss_within"),
+        r6(f_stat).alias("f_stat"),
+    )

@@ -659,3 +659,63 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(yhat - F.lit(Z95) * se).alias("lo95"),
         r6(yhat + F.lit(Z95) * se).alias("hi95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_dow_hour_profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_dow_hour_profile",
+    oracle="""
+        WITH cell AS (
+            -- +1: DuckDB dayofweek is 0-based (Sunday=0); Spark's is
+            -- 1-based (Sunday=1) and the dow value SURFACES here
+            -- (stats_chi2_independence only aggregates over it)
+            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                        AS DOUBLE) AS total_value
+            FROM events GROUP BY dayofweek(ts), hour(ts)),
+        tot AS (SELECT SUM(n_events) AS n FROM cell)
+        SELECT c.dow, c.hr, c.n_events, c.total_value,
+               floor(CAST(c.n_events AS DOUBLE) / CAST(t.n AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS share
+        FROM cell c CROSS JOIN tot t
+    """,
+    tags=("timeseries", "analytics", "agg"),
+)
+def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity grid: event count, exact value total,
+    and each cell's share of all traffic — the seasonality fingerprint
+    behind load forecasting and anomaly baselines (a cell's share is the
+    expected rate its live counterpart is compared against). Counts and
+    value totals are exact (cents-summed); share is one divide of exact
+    ints, 1e-6-rounded identically in both engines.
+
+    Scale: ONE map-side-combined aggregate to the ≤168-row grid; the
+    1-row total broadcasts back. Nothing data-sized shuffles."""
+    from cdc_export_system_spark.registry import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
+    cell = cell.localCheckpoint(eager=True)  # <=168 rows; total derives from it
+    tot = cell.agg(F.sum("n_events").alias("n"))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n_events",
+        "total_value",
+        r6(F.col("n_events").cast("double") / F.col("n").cast("double")).alias(
+            "share"
+        ),
+    )

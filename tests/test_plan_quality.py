@@ -125,6 +125,8 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
     "ts_forecast_linear",  # 1-row suffstat scalar onto the horizon spine
     "ts_changepoint_cusum",  # 1-row (n, Σx) totals broadcast onto |days| axis
+    "ml_pr_curve",  # 1-row positives-total broadcast onto the score axis
+    "ts_dow_hour_profile",  # 1-row traffic total broadcast onto the <=168 grid
 }
 
 
@@ -369,6 +371,10 @@ _SINGLE_PARTITION_OK = {
     "tpch_q6": "scalar",
     "window_mom_growth": "tiny",  # lag over the |months| aggregate
     "window_pareto_share": "tiny",  # window over the TakeOrdered top-100
+    "ml_pr_curve": "tiny",  # prefix-sum range-offset table + 1-row total
+    "corpus_shard_assignment": "tiny",  # prefix-sum range-offset table
+    "stats_anova_oneway": "scalar",  # 1-row cross-group suffstat final
+    "ts_dow_hour_profile": "scalar",  # 1-row traffic total over the <=168 grid
 }
 
 
