@@ -422,3 +422,55 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
+
+
+@register(
+    "corpus_decontaminate_report",
+    oracle=f"""
+        WITH hits AS ({_DECON_ORACLE}),
+        train AS (
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE})
+        SELECT t.source,
+               count(*) AS n_train_docs,
+               CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_hits,
+               floor(CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS flag_rate
+        FROM train t LEFT JOIN hits h USING (doc_id)
+        GROUP BY t.source
+    """,
+    tags=("dedup", "pipeline", "text", "quality"),
+)
+def corpus_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run-report over corpus_decontaminate: per SOURCE, how many
+    training documents exist, how many are contamination-flagged, the
+    total n-gram hit count, and the flag rate — the one-page answer to
+    'which ingest is leaking the benchmark' that decides whether a
+    source is dropped or scrubbed. Composes the flagged set with the
+    doc→source dimension and rolls up; sources with zero flags still
+    report (LEFT join, CASE-counted).
+
+    Scale: inherits corpus_decontaminate's broadcast-probe shape; the
+    additional join keys on doc_id against the flagged set (bounded by
+    contamination, typically tiny) and the rollup is |sources| rows."""
+    from cdc_export_system_spark.io.sources import load_table as _lt
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    flagged = corpus_decontaminate(spark, sf_dir)
+    train = (
+        _lt(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter((F.col("doc_id") * F.lit(KNUTH)) % 1000 >= DECON_EVAL_PERMILLE)
+    )
+    j = train.join(flagged, "doc_id", "left")
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    flagged_n = F.sum(F.col("n_hits").isNotNull().cast("int"))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        flagged_n.cast("bigint").alias("n_flagged"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
+        r6(flagged_n.cast("double") / F.count(F.lit(1))).alias("flag_rate"),
+    )

@@ -1007,3 +1007,65 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("encoded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_value_histogram
+# ---------------------------------------------------------------------------
+
+HIST_BIN_CENTS = 5000  # $50 fixed-width bins for the registered demo
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              / {HIST_BIN_CENTS}) AS BIGINT) AS bin_id,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1),
+        tot AS (SELECT SUM(n) AS total FROM b)
+        SELECT CAST(b.bin_id AS BIGINT) AS bin_id,
+               CAST(b.bin_id * {HIST_BIN_CENTS} AS DOUBLE) / 100 AS bin_lo,
+               CAST((b.bin_id + 1) * {HIST_BIN_CENTS} AS DOUBLE) / 100 AS bin_hi,
+               b.n AS n_events,
+               floor(CAST(b.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS share
+        FROM b CROSS JOIN tot t
+    """,
+    tags=("agg", "analytics", "quality"),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width exact histogram of the event value distribution ($50
+    bins on exact cents): bin bounds, count, and share — the
+    distribution fingerprint behind drift checks (corpus_drift_psi bins
+    the same way) and storage/skew planning. Bin assignment is integer
+    division of exact cents, so the histogram is bit-stable across
+    engines and partitionings; share is one divide, 1e-6-rounded.
+
+    Scale: ONE map-side-combined aggregate to |bins| rows; the 1-row
+    total broadcasts back. The classic distributed histogram — nothing
+    data-sized shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    # floor(c / W) as a double expression: a per-ROW cent value is far
+    # below 2^53, so the division is exact, and floor semantics (not
+    # truncate-toward-zero) keep negative values in the right bin —
+    # identical expression in the oracle
+    bin_id = F.floor(cents / F.lit(HIST_BIN_CENTS)).cast("bigint")
+    b = ev.select(bin_id.alias("bin_id")).groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = b.localCheckpoint(eager=True)  # |bins| rows; total derives from it
+    tot = b.agg(F.sum("n").alias("total"))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        ((F.col("bin_id") * HIST_BIN_CENTS).cast("double") / 100).alias("bin_lo"),
+        (((F.col("bin_id") + 1) * HIST_BIN_CENTS).cast("double") / 100).alias(
+            "bin_hi"
+        ),
+        F.col("n").alias("n_events"),
+        r6(F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+    )

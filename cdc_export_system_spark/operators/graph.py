@@ -337,3 +337,66 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         return visited.select("partkey", F.col("hops").cast("bigint").alias("hops"))
     finally:
         sym.unpersist()
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+        WITH {_DUCK_EDGES},
+        sym AS (SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb AS src, pa AS dst FROM e),
+        adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS ns
+                FROM sym GROUP BY src)
+        SELECT e.pa, e.pb,
+               CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common,
+               CAST(len(a.ns) AS BIGINT) AS deg_a,
+               CAST(len(b.ns) AS BIGINT) AS deg_b,
+               floor(CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
+                     / (len(a.ns) + len(b.ns)
+                        - len(list_intersect(a.ns, b.ns)))
+                     * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM e JOIN adj a ON a.src = e.pa
+               JOIN adj b ON b.src = e.pb
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor count and neighborhood Jaccard for every edge of
+    the co-purchase graph — the classic link-strength / link-prediction
+    feature pair ('how embedded is this relationship'): an edge whose
+    endpoints share most of their neighborhoods is a community-internal
+    tie; one with none is a bridge. Counts are exact set-intersection
+    integers; Jaccard is one divide, 1e-6-rounded identically in both
+    engines.
+
+    Scale: adjacency lists materialize once per node (one groupBy on
+    the support-thresholded edge list, whose degree is bounded by the
+    MIN_SUPPORT co-occurrence filter — the same density argument as
+    graph_triangle_count); each edge then probes two adjacency rows and
+    the intersection is row-local array algebra. The quadratic
+    neighbor-pair explosion never materializes."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    )
+    adj = sym.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("ns"))
+    a = adj.select(F.col("src").alias("pa"), F.col("ns").alias("ns_a"))
+    b = adj.select(F.col("src").alias("pb"), F.col("ns").alias("ns_b"))
+    inter = F.size(F.array_intersect("ns_a", "ns_b"))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        e.join(a, "pa")
+        .join(b, "pb")
+        .select(
+            "pa",
+            "pb",
+            inter.cast("bigint").alias("n_common"),
+            F.size("ns_a").cast("bigint").alias("deg_a"),
+            F.size("ns_b").cast("bigint").alias("deg_b"),
+            r6(
+                inter.cast("double")
+                / (F.size("ns_a") + F.size("ns_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -771,3 +771,79 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.cume_dist().over(w)).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_decay_score
+# ---------------------------------------------------------------------------
+
+DECAY_LAMBDA = 0.95  # per-day retention of past activity
+
+
+@register(
+    "window_decay_score",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                       AS d,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id, date_trunc('day', ts)),
+        anchor AS (SELECT MAX(d) AS d1 FROM daily),
+        terms AS (
+            SELECT user_id,
+                   CAST(floor(CAST(cents AS DOUBLE)
+                              * power({DECAY_LAMBDA}, a.d1 - d)
+                              * 1000 + 0.5) AS BIGINT) AS t_milli
+            FROM daily CROSS JOIN anchor a)
+        SELECT user_id, count(*) AS n_days,
+               floor(CAST(SUM(t_milli) AS DOUBLE) / 1000 + 0.5) / 100
+                   AS decay_score
+        FROM terms GROUP BY user_id
+    """,
+    tags=("window", "analytics", "ml"),
+)
+def window_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed spend score anchored at the
+    corpus's last active day: score = Σ_d cents_d · λ^(age_d), the
+    recency-weighted engagement feature every churn/propensity model
+    starts from (yesterday's dollar counts ~20x a two-month-old one at
+    λ=0.95/day). Each day's decayed term is computed ONCE in doubles
+    from exact integer cents and an integer age, rounded to milli-cents,
+    and the per-user sum runs over those integers — order-independent,
+    so partitioning cannot move the score; one final divide to dollars.
+
+    Scale: events reduce to (user, day) exact cents first (map-side
+    combined); the 1-row anchor broadcasts back; the score rollup is a
+    second keyed aggregate. Nothing data-sized shuffles twice, no
+    window over the raw stream at all."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    daily = daily.localCheckpoint(eager=True)  # one events scan; two consumers
+    anchor = daily.agg(F.max("d").alias("d1"))
+    t_milli = F.floor(
+        F.col("cents").cast("double")
+        * F.pow(F.lit(DECAY_LAMBDA), (F.col("d1") - F.col("d")).cast("double"))
+        * 1000
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = daily.crossJoin(F.broadcast(anchor)).select(
+        "user_id", t_milli.alias("t_milli")
+    )
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.floor(F.sum("t_milli").cast("double") / 1000 + F.lit(0.5)) / 100
+        ).alias("decay_score"),
+    )

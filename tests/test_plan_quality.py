@@ -127,6 +127,8 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_changepoint_cusum",  # 1-row (n, Σx) totals broadcast onto |days| axis
     "ml_pr_curve",  # 1-row positives-total broadcast onto the score axis
     "ts_dow_hour_profile",  # 1-row traffic total broadcast onto the <=168 grid
+    "agg_value_histogram",  # 1-row total broadcast onto the |bins| table
+    "window_decay_score",  # 1-row anchor-day broadcast onto the (user, day) axis
 }
 
 
@@ -375,6 +377,8 @@ _SINGLE_PARTITION_OK = {
     "corpus_shard_assignment": "tiny",  # prefix-sum range-offset table
     "stats_anova_oneway": "scalar",  # 1-row cross-group suffstat final
     "ts_dow_hour_profile": "scalar",  # 1-row traffic total over the <=168 grid
+    "agg_value_histogram": "scalar",  # 1-row grand total over the |bins| table
+    "window_decay_score": "scalar",  # 1-row anchor (max day) scalar
 }
 
 
