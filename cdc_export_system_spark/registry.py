@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.streaming.event_windows",
     "cdc_export_system_spark.streaming.joins",
     "cdc_export_system_spark.streaming.tws",
+    "cdc_export_system_spark.streaming.export_stream",
     "cdc_export_system_spark.cdc.diff",
     "cdc_export_system_spark.operators.recursive",
     "cdc_export_system_spark.operators.timeseries",

@@ -538,3 +538,46 @@ def test_stream_dedup_watermark_drops_cross_batch_redelivery(spark, tmp_path):
     }
     assert got == {(1, "a"), (2, "b"), (3, "c")}
     assert len(glob.glob(f"{src_dir}/*.parquet")) >= 2  # really two batches
+
+
+def test_stream_export_csv_bytes_match_batch_export(spark):
+    """The continuous CSV export must ship exactly the batch-export row
+    set under the byte contract: the union of all per-batch CSVs equals
+    the one-shot strictly-after-seed query (ISO timestamps, no
+    pre-watermark leak, no empty files), and each CSV is internally
+    ordered by event time."""
+    import csv as _csv
+    import glob as _glob
+    import tempfile
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.streaming.export_stream import (
+        EXPORT_SEED_WM, stream_export_csv,
+    )
+    from tests.conftest import SF_DIR
+
+    summary = stream_export_csv(spark, SF_DIR).first()
+    tag = f"{abs(hash((spark.sparkContext.applicationId, SF_DIR, 'csvexp'))):x}"
+    out_dir = os.path.join(tempfile.gettempdir(), f"stream_csvexp_{tag}", "exports")
+    files = sorted(_glob.glob(os.path.join(out_dir, "export_*.csv")))
+    assert len(files) == summary["n_csv_files"]
+
+    got = []
+    for path in files:
+        with open(path, newline="") as f:
+            rows = list(_csv.DictReader(f))
+        assert rows, f"empty CSV written: {path}"  # empty batch => no file
+        assert rows == sorted(rows, key=lambda r: (r["ts"], int(r["event_id"])))
+        got.extend(rows)
+    assert len(got) == summary["rows_exported"]
+
+    from cdc_export_system_spark.functions.scalars import iso_utc
+
+    expect = {
+        (str(r["event_id"]), r["iso"])
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("ts") > F.lit(EXPORT_SEED_WM).cast("timestamp"))
+        .select("event_id", iso_utc(F.col("ts")).alias("iso"))
+        .collect()
+    }
+    assert {(r["event_id"], r["ts"]) for r in got} == expect
