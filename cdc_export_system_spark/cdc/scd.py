@@ -124,3 +124,62 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("value").alias("value"),
     )
     return merged.filter(F.col("event_type") != "error")
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, event_id AS dim_event_id, value AS dim_value,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT f.event_id, f.user_id, f.ts, d.dim_event_id, d.dim_value
+        FROM f LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    tags=("cdc", "join", "window"),
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join against an SCD2 history — the
+    consumption side of cdc_scd2_history: every click event is enriched
+    with the purchase-state version VALID AT ITS TIMESTAMP ([valid_from,
+    valid_to) containment; facts before the key's first version join
+    NULL). This is the textbook type-2 lookup a warehouse runs on every
+    fact load, and the interval-containment dual of join_asof (same
+    answer, but driven by the maintained history table instead of a
+    sort-merge backward search). Zero-width intervals (two same-ts
+    versions, event_id-tiebroken) are skipped by the half-open
+    containment, so each fact matches at most one version
+    deterministically.
+
+    Scale: the join is equi-keyed on user_id — one co-partitioned
+    shuffle of facts and the (much smaller) version table; the interval
+    predicate evaluates inside the join, and versions-per-key is
+    bounded by change frequency, so no fact ever fans out."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("dim_event_id"),
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    f = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    cond = (
+        (f["user_id"] == dim["user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"]))
+    )
+    return f.join(dim, cond, "left").select(
+        f["event_id"], f["user_id"], f["ts"], "dim_event_id", "dim_value"
+    )
