@@ -214,3 +214,83 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         "end_frame",
         "n_frames",
     )
+
+
+TILE = 256  # tile edge (px)
+BPP = 3  # bytes per pixel for the raw-RGB byte estimate
+
+
+@register(
+    "multimodal_tile_plan",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   256 + (doc_id * 2654435761) % 1792 AS w,
+                   256 + ((doc_id + 7) * 2654435761) % 1792 AS h
+            FROM documents),
+        t AS (
+            SELECT doc_id, w, h, tx.i AS tile_x, ty.j AS tile_y
+            FROM dims,
+                 unnest(range(0, CAST(ceil(CAST(w AS DOUBLE) / {TILE}) AS BIGINT)))
+                     AS tx(i),
+                 unnest(range(0, CAST(ceil(CAST(h AS DOUBLE) / {TILE}) AS BIGINT)))
+                     AS ty(j))
+        SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x,
+               CAST(tile_y AS BIGINT) AS tile_y,
+               CAST(tile_x * {TILE} AS BIGINT) AS x0,
+               CAST(tile_y * {TILE} AS BIGINT) AS y0,
+               CAST(least((tile_x + 1) * {TILE}, w) AS BIGINT) AS x1,
+               CAST(least((tile_y + 1) * {TILE}, h) AS BIGINT) AS y1,
+               CAST((least((tile_x + 1) * {TILE}, w) - tile_x * {TILE})
+                    * (least((tile_y + 1) * {TILE}, h) - tile_y * {TILE})
+                    * {BPP} AS BIGINT) AS tile_bytes
+        FROM t
+    """,
+    tags=("multimodal", "layout"),
+)
+def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven image TILING PLAN: split each image into
+    TILE×TILE pixel tiles and emit one work-item row per tile with its
+    clamped pixel bounds and raw-byte estimate — the map side of
+    distributed image preprocessing (each tile is an independent decode/
+    augment task; the plan is what the scheduler packs into executor
+    batches). Dimensions derive deterministically from doc_id (the
+    Knuth-hash synthetic stand-in for a real metadata column, same
+    convention as the sampling family), so the plan is oracle-checkable
+    end to end; with real metadata the expressions are identical.
+
+    Scale: pure row-local integer arithmetic + a bounded explode (≤64
+    tiles per image here) — no shuffle at all; the plan inherits the
+    scan's partitioning, which is exactly what a tile-work generator
+    should do before a repartition-by-cost."""
+    from cdc_export_system_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dims = docs.select(
+        "doc_id",
+        (F.lit(256) + (F.col("doc_id") * KNUTH) % 1792).alias("w"),
+        (F.lit(256) + ((F.col("doc_id") + 7) * KNUTH) % 1792).alias("h"),
+    )
+    ntx = F.ceil(F.col("w").cast("double") / TILE).cast("bigint")
+    nty = F.ceil(F.col("h").cast("double") / TILE).cast("bigint")
+    t = dims.select(
+        "doc_id", "w", "h",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), ntx - 1)).alias("tile_x"),
+    ).select(
+        "doc_id", "w", "h", "tile_x",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), nty - 1)).alias("tile_y"),
+    )
+    x1 = F.least((F.col("tile_x") + 1) * TILE, F.col("w"))
+    y1 = F.least((F.col("tile_y") + 1) * TILE, F.col("h"))
+    return t.select(
+        "doc_id",
+        "tile_x",
+        "tile_y",
+        (F.col("tile_x") * TILE).cast("bigint").alias("x0"),
+        (F.col("tile_y") * TILE).cast("bigint").alias("y0"),
+        x1.cast("bigint").alias("x1"),
+        y1.cast("bigint").alias("y1"),
+        (
+            (x1 - F.col("tile_x") * TILE) * (y1 - F.col("tile_y") * TILE) * BPP
+        ).cast("bigint").alias("tile_bytes"),
+    )

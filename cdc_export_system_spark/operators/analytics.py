@@ -1176,3 +1176,50 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "metric_event_type_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        pairs AS (
+            SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type)
+        SELECT type_a, type_b, count(*) AS n_users_both
+        FROM pairs GROUP BY type_a, type_b
+    """,
+    tags=("analytics", "agg"),
+)
+def metric_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral overlap matrix: for every event-type pair, how many
+    distinct users perform BOTH — the co-engagement table behind
+    cross-feature funnels and cannibalization checks (the user-behavior
+    sibling of dedup_cross_source_overlap, same bounded-set expansion).
+
+    Scale: one (user, type) distinct shuffle; types collapse to a
+    bounded set per user (≤|event types|) and pairs expand inside each
+    user group — never a users×users or events×events join (the
+    oracle's ut×ut self-join is the DuckDB check, not the plan). Output
+    is |types|² rows at most."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sets = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ts, (x, i) ->
+                    transform(slice(ts, i + 2, size(ts) - i - 1),
+                              y -> struct(x AS type_a, y AS type_b))))
+                """
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+    )
