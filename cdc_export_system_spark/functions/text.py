@@ -936,3 +936,71 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.filter((F.col("n_words") > 0) & (F.col("n_sents") > 0)).select(
         "doc_id", "n_words", "n_sents", "n_syll", r6(flesch).alias("flesch")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_novelty_score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_novelty_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+        bg AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS g
+            FROM toks, unnest(range(1, len(t))) AS r(i)),
+        firsts AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY g)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               floor(CAST(SUM(CASE WHEN f.first_doc = b.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+        FROM bg b JOIN firsts f USING (g)
+        GROUP BY b.doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NOVELTY under ingestion order (doc_id): the
+    fraction of a doc's distinct bigrams whose FIRST corpus occurrence
+    is this doc — the contribution score a curation pipeline uses to
+    rank near-redundant continuations ('this page adds 3% new phrasing')
+    where binary dedup only says keep/drop. Counts are exact set
+    integers; novelty is one divide, 1e-6-rounded.
+
+    Scale: distinct (doc, bigram) pairs shuffle once on the bigram to
+    compute first-occurrence attribution (min doc_id — map-side
+    combined), then once more joining the attribution back; the rollup
+    is doc-keyed. At 100 TB the bigram key would ride xxhash64 longs
+    exactly like corpus_decontaminate's probe (the string form here
+    keeps the oracle engine-portable at test scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, ' ', t[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = bg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = bg.join(firsts, "g")
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        novel.cast("bigint").alias("n_novel"),
+        r6(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
