@@ -1223,3 +1223,121 @@ def metric_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users_both"))
     )
+
+
+SPIKE_RATIO = 1.5  # day-over-day rate change that counts as a spike/drop
+
+
+@register(
+    "anomaly_rate_spike",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('day', ts)),
+        w AS (
+            SELECT event_type, day, n,
+                   lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+            FROM d)
+        SELECT event_type, day, n, prev,
+               floor(CAST(n AS DOUBLE) / CAST(prev AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS ratio,
+               (CAST(n AS DOUBLE) >= CAST(prev AS DOUBLE) * {SPIKE_RATIO})
+                   AS is_spike
+        FROM w
+        WHERE prev IS NOT NULL
+          AND (CAST(n AS DOUBLE) >= CAST(prev AS DOUBLE) * {SPIKE_RATIO}
+               OR CAST(n AS DOUBLE) * {SPIKE_RATIO} <= CAST(prev AS DOUBLE))
+    """,
+    tags=("analytics", "anomaly", "timeseries"),
+)
+def anomaly_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume anomalies per event type: days whose count
+    jumped to ≥1.5× or fell to ≤1/1.5× of the previous active day —
+    the first-line ops alarm on any ingest ('did a producer die or
+    double-fire overnight'), complementing the value-level detectors
+    (anomaly_zscore/anomaly_mad watch the metric, this watches the
+    RATE). The spike predicate compares exact integers scaled by the
+    ratio constant; the reported ratio is one divide, 1e-6-rounded.
+
+    Scale: events collapse to the (type, day) axis first (map-side
+    combined, ≤|types|×|days| rows); the lag window runs on that
+    reduced axis partitioned by type — never on the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    t = d.select(
+        "event_type", "day", "n", F.lag("n").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    nd, pd_ = F.col("n").cast("double"), F.col("prev").cast("double")
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return t.filter(
+        (nd >= pd_ * SPIKE_RATIO) | (nd * SPIKE_RATIO <= pd_)
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "prev",
+        r6(nd / pd_).alias("ratio"),
+        (nd >= pd_ * SPIKE_RATIO).alias("is_spike"),
+    )
+
+
+@register(
+    "event_dwell_time",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events),
+        g AS (
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST(SUM(CAST(gap_us AS HUGEINT)) AS HUGEINT) AS total_us,
+                   CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+            FROM s WHERE gap_us IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n_gaps,
+               floor(CAST(CAST(total_us AS VARCHAR) AS DOUBLE)
+                     / CAST(n_gaps AS DOUBLE) / 1000000
+                     * 1000000 + 0.5) / 1000000 AS mean_gap_sec,
+               CAST(max_gap_us AS DOUBLE) / 1000000 AS max_gap_sec
+        FROM g
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell time per event type: for each event, the gap
+    since the SAME USER's previous event (any type), aggregated to
+    count / exact mean / max per the type of the later event — the
+    engagement-cadence profile ('how long do users sit before a
+    purchase vs a click'). Gap sums accumulate exact integer
+    microseconds in DECIMAL(38,0); the mean is one divide at the end,
+    1e-6-rounded.
+
+    Scale: one user_id-keyed window shuffle for the lag (the sessionize
+    family's exchange), then a map-side-combined rollup to |types|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).alias("gap_us")
+    s = ev.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("total_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.select(
+        "event_type",
+        "n_gaps",
+        r6(
+            F.col("total_us").cast("double")
+            / F.col("n_gaps").cast("double")
+            / 1000000
+        ).alias("mean_gap_sec"),
+        (F.col("max_gap_us").cast("double") / 1000000).alias("max_gap_sec"),
+    )
