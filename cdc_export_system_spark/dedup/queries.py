@@ -474,3 +474,125 @@ def corpus_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
         r6(flagged_n.cast("double") / F.count(F.lit(1))).alias("flag_rate"),
     )
+
+
+@register(
+    "pipeline_dedup_funnel",
+    oracle=None,  # composed below at import (needs minhash CTE strings)
+    tags=("pipeline", "dedup", "minhash", "quality"),
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL report: corpus size after each attrition stage —
+    raw → exact dedup (first-wins by content fingerprint) → near-dup
+    removal (MinHash-verified pairs, keep the lower doc_id) — as
+    (stage, n_docs, n_tokens, pct_docs_of_raw) rows. This is the
+    one-page number every dedup run is judged by ('we dropped 12% exact
+    and another 7% near'), composing dedup_exact and
+    dedup_minhash_verified into the accounting view.
+
+    Near-dup drop rule: any doc appearing as doc_b of a verified pair
+    (pairs are canonical doc_a < doc_b) is dropped — deterministic,
+    keep-lowest, and exactly cluster-keep-min on transitively-closed
+    pair sets. Scale: inherits the component shapes (fingerprint-only
+    shuffle; banded LSH + bounded verify via the materialized signature
+    table); the funnel adds three 1-row aggregates and a broadcast of
+    the raw total."""
+    from cdc_export_system_spark.dedup.minhash import dedup_minhash_verified
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    docs = docs.localCheckpoint(eager=True)  # one scan; three stage consumers
+    keep_exact = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    ex = docs.join(keep_exact, "doc_id").select("doc_id", "n_tok")
+    drop_near = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nr = ex.join(drop_near, "doc_id", "left_anti")
+
+    def stage(df, ord_, label):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    funnel = (
+        stage(docs, 0, "raw")
+        .unionAll(stage(ex, 1, "exact_dedup"))
+        .unionAll(stage(nr, 2, "near_dedup"))
+    )
+    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return funnel.crossJoin(F.broadcast(raw)).select(
+        "stage_ord",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        r6(F.col("n_docs").cast("double") / F.col("n_raw").cast("double")).alias(
+            "pct_docs_of_raw"
+        ),
+    )
+
+
+def _funnel_oracle() -> str:
+    from cdc_export_system_spark.dedup.minhash import (
+        JACCARD_THRESHOLD, _sql_band_exprs, _sql_signature_cte,
+    )
+
+    return f"""
+        WITH {_sql_signature_cte()},
+        bands AS ({_sql_band_exprs()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+        jac AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b
+            WHERE CAST(len(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                  / (len(ta.shingles) + len(tb.shingles)
+                     - len(list_intersect(ta.shingles, tb.shingles)))
+                  >= {JACCARD_THRESHOLD}),
+        dropn AS (SELECT DISTINCT doc_b AS doc_id FROM jac),
+        dtok AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+        fp AS (SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep
+               FROM documents GROUP BY md5(lower(trim(text)))),
+        exd AS (SELECT d.doc_id, d.n_tok FROM dtok d
+               JOIN fp ON fp.keep = d.doc_id),
+        nr AS (SELECT e.doc_id, e.n_tok FROM exd e
+               LEFT JOIN dropn dr ON dr.doc_id = e.doc_id
+               WHERE dr.doc_id IS NULL),
+        raw AS (SELECT count(*) AS n_raw FROM dtok),
+        f AS (
+            SELECT 0 AS stage_ord, 'raw' AS stage, count(*) AS n_docs,
+                   CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens
+            FROM dtok
+            UNION ALL
+            SELECT 1, 'exact_dedup', count(*),
+                   CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM exd
+            UNION ALL
+            SELECT 2, 'near_dedup', count(*),
+                   CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM nr)
+        SELECT CAST(f.stage_ord AS INTEGER) AS stage_ord, f.stage, f.n_docs,
+               f.n_tokens,
+               floor(CAST(f.n_docs AS DOUBLE) / CAST(r.n_raw AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS pct_docs_of_raw
+        FROM f CROSS JOIN raw r
+    """
+
+
+# bind the composed oracle post-definition (the minhash CTE builders are
+# import-time siblings; registering inline would create an import cycle)
+REGISTRY["pipeline_dedup_funnel"].oracle = _funnel_oracle()

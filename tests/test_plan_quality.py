@@ -129,6 +129,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_dow_hour_profile",  # 1-row traffic total broadcast onto the <=168 grid
     "agg_value_histogram",  # 1-row total broadcast onto the |bins| table
     "window_decay_score",  # 1-row anchor-day broadcast onto the (user, day) axis
+    "pipeline_dedup_funnel",  # 1-row raw-total broadcast onto the 3 stage rows
 }
 
 
@@ -379,6 +380,7 @@ _SINGLE_PARTITION_OK = {
     "ts_dow_hour_profile": "scalar",  # 1-row traffic total over the <=168 grid
     "agg_value_histogram": "scalar",  # 1-row grand total over the |bins| table
     "window_decay_score": "scalar",  # 1-row anchor (max day) scalar
+    "pipeline_dedup_funnel": "scalar",  # three 1-row stage aggregates + raw total
 }
 
 
