@@ -1,0 +1,207 @@
+"""Semantic pins for the round-4 operators: hand-built micro-datasets
+where the right answer is computable independently (NumPy or by eye).
+The DuckDB oracle sweep proves Spark and DuckDB AGREE; these prove the
+agreed answer is the CORRECT one — the defense against a formula bug
+shipped identically to both engines."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _events_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_anova_matches_numpy(spark, tmp_path):
+    """stats_anova_oneway's F on a 3-group micro-table equals the
+    textbook computation (scipy-free: direct sum-of-squares algebra on
+    the same cents-exact values)."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.operators.stats_tests import stats_anova_oneway
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0, 8.0], "c": [10.0, 20.0]}
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, 1, g, datetime(2024, 1, 1, eid % 24), v))
+            eid += 1
+    d = _events_dir(spark, tmp_path, rows)
+    got = stats_anova_oneway(spark, d).first()
+
+    cents = {g: np.array([round(v * 100) for v in vs]) for g, vs in groups.items()}
+    allv = np.concatenate(list(cents.values()))
+    gmean = allv.mean()
+    ssb = sum(len(v) * (v.mean() - gmean) ** 2 for v in cents.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in cents.values())
+    k, n = len(cents), len(allv)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n_groups"] == k and got["n_rows"] == n
+    assert abs(got["f_stat"] - f_ref) < 1e-4
+    assert abs(got["ss_between"] - ssb / 10000) < 1e-3  # cents² -> dollars²
+    assert abs(got["ss_within"] - ssw / 10000) < 1e-3
+
+
+def test_pr_curve_matches_manual(spark):
+    """ml_pr_curve's rows on the real table satisfy the defining
+    identities against an independent NumPy recomputation: tp/fp are the
+    descending cumulative label counts, precision = tp/(tp+fp),
+    recall = tp/P, recall is monotone nondecreasing as the threshold
+    falls, and the final recall is 1."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.ml.supervised import ml_pr_curve
+
+    got = {r["threshold"]: r for r in ml_pr_curve(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    ).collect()
+    s = np.array([r["s"] for r in li])
+    y = np.array([r["y"] for r in li])
+    P = int(y.sum())
+    for t, row in got.items():
+        tp = int(y[s >= t].sum())
+        fp = int((s >= t).sum()) - tp
+        assert row["tp"] == tp and row["fp"] == fp, t
+        assert abs(row["prec"] - tp / (tp + fp)) < 1e-5
+        assert abs(row["recall"] - tp / P) < 1e-5
+    recs = [r["recall"] for _, r in sorted(got.items(), reverse=True)]
+    assert recs == sorted(recs) and abs(recs[-1] - 1.0) < 1e-9
+
+
+def test_decay_score_matches_manual(spark, tmp_path):
+    """window_decay_score on a 2-user micro-series equals the hand
+    computation: anchor = last active day, score = Σ cents·0.95^age
+    (each day's term rounded to milli-cents first)."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.operators.windows import (
+        DECAY_LAMBDA, window_decay_score,
+    )
+
+    rows = [
+        (1, 10, "click", datetime(2024, 1, 1), 10.00),
+        (2, 10, "click", datetime(2024, 1, 1), 5.00),   # same day, sums first
+        (3, 10, "click", datetime(2024, 1, 11), 2.00),  # age 0 at anchor
+        (4, 20, "click", datetime(2024, 1, 6), 100.00),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {r["user_id"]: r for r in window_decay_score(spark, d).collect()}
+
+    def term(cents, age):
+        return math.floor(cents * (DECAY_LAMBDA ** age) * 1000 + 0.5)
+
+    # anchor day = 2024-01-11 (global max)
+    u10 = term(1500, 10) + term(200, 0)
+    u20 = term(10000, 5)
+    for uid, milli, ndays in ((10, u10, 2), (20, u20, 1)):
+        exp = math.floor(milli / 1000 + 0.5) / 100
+        assert got[uid]["n_days"] == ndays
+        assert abs(got[uid]["decay_score"] - exp) < 1e-9, uid
+
+
+def test_readability_matches_manual(spark, tmp_path):
+    """text_readability on a hand-counted document: 8 words, 2
+    sentences, syllables = vowel-group runs, Flesch plugged directly
+    into the formula."""
+    from cdc_export_system_spark.functions.text import text_readability
+
+    text = "the cat sat on a mat. it was happy!"
+    d = _docs_dir(spark, tmp_path, [(1, text, "en", "src0", len(text))])
+    got = text_readability(spark, d).first()
+    # words: the cat sat on a mat. it was happy!  -> 9 tokens
+    words = 9
+    sents = 2
+    # vowel groups in lower(text): e,a,a,o,a,a,i,a,a  (by regex [aeiouy]+)
+    import re
+
+    syll = len(re.findall(r"[aeiouy]+", text.lower()))
+    f_ref = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+    assert got["n_words"] == words
+    assert got["n_sents"] == sents
+    assert got["n_syll"] == syll
+    assert abs(got["flesch"] - math.floor(f_ref * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_value_histogram_bins_are_exact(spark, tmp_path):
+    """agg_value_histogram bin assignment on boundary values: exactly
+    $50.00 lands in bin 1 ([50, 100)), $49.99 in bin 0."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.operators.aggregates import agg_value_histogram
+
+    rows = [
+        (1, 1, "a", datetime(2024, 1, 1), 49.99),
+        (2, 1, "a", datetime(2024, 1, 1), 50.00),
+        (3, 1, "a", datetime(2024, 1, 1), 0.00),
+        (4, 1, "a", datetime(2024, 1, 1), 149.99),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {r["bin_id"]: r for r in agg_value_histogram(spark, d).collect()}
+    assert got[0]["n_events"] == 2 and got[0]["bin_lo"] == 0.0 and got[0]["bin_hi"] == 50.0
+    assert got[1]["n_events"] == 1
+    assert got[2]["n_events"] == 1
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_funnel_stages_are_monotone(spark):
+    """pipeline_dedup_funnel invariants on the real corpus: stages only
+    shrink, raw pct is 1, and the exact-dedup stage equals the distinct
+    fingerprint count."""
+    from cdc_export_system_spark.dedup.queries import pipeline_dedup_funnel
+    from cdc_export_system_spark.io.sources import load_table
+
+    rows = {r["stage"]: r for r in pipeline_dedup_funnel(spark, SF_DIR).collect()}
+    assert rows["raw"]["pct_docs_of_raw"] == 1.0
+    assert rows["raw"]["n_docs"] >= rows["exact_dedup"]["n_docs"] >= rows["near_dedup"]["n_docs"]
+    n_fp = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert rows["exact_dedup"]["n_docs"] == n_fp
+
+
+def test_scd2_pointintime_matches_manual(spark, tmp_path):
+    """join_scd2_pointintime on a hand-built history: clicks before the
+    first purchase join NULL; at/after a purchase timestamp they join
+    that version until the next purchase."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.cdc.scd import join_scd2_pointintime
+
+    t = lambda d, h: datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (1, 1, "click", t(1, 0), 0.0),      # before any purchase -> NULL
+        (2, 1, "purchase", t(2, 0), 10.0),  # version A
+        (3, 1, "click", t(2, 0), 0.0),      # exactly at A's valid_from -> A
+        (4, 1, "click", t(3, 0), 0.0),      # inside A -> A
+        (5, 1, "purchase", t(4, 0), 20.0),  # version B
+        (6, 1, "click", t(5, 0), 0.0),      # after B -> B
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {r["event_id"]: r for r in join_scd2_pointintime(spark, d).collect()}
+    assert got[1]["dim_event_id"] is None
+    assert got[3]["dim_event_id"] == 2 and got[3]["dim_value"] == 10.0
+    assert got[4]["dim_event_id"] == 2
+    assert got[6]["dim_event_id"] == 5 and got[6]["dim_value"] == 20.0
