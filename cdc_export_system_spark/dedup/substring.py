@@ -54,22 +54,40 @@ def _covered_positions(docs: DataFrame, seed_len: int) -> DataFrame:
     the single xxhash64(gram) shuffle, the partition-only duplicated-seed
     window, and the seed→position fan-out."""
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
-    n = F.size("t")
-    # overlapping seed grams; docs shorter than seed_len yield none
-    gram_arr = F.when(
-        n >= seed_len,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(seed_len) + F.lit(1)),
-            lambda i: F.array_join(F.slice("t", i, seed_len), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        toks.select("doc_id", F.posexplode(gram_arr).alias("pos0", "g"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.xxhash64("g").alias("gh"),  # 8-byte shuffle key, see module doc
+    # Gram key WITHOUT building the gram string: hash each token once,
+    # then combine the window's seed_len token-hashes with xor of
+    # per-offset rotations rotl(h_k, 13k mod 64) — positional (13 is
+    # coprime to 64, so every offset < 64 gets a distinct rotation),
+    # row-local, bitwise-only (ANSI-safe: no wraparound multiply). 23%
+    # faster than array_join + xxhash64(gram) at sf0.1 (0.89 -> 0.68 s
+    # isolated, seed sets bit-identical) because the ~50-byte gram
+    # strings are never materialized. Collision contract unchanged in
+    # kind: a structured collision needs h_a ^ h_b invariant under a
+    # specific rotation (~2^-63) on top of the generic 2^-64 — both
+    # absorbed by the same accepted-risk note as the MinHash band digest.
+    th = toks.select(
+        "doc_id",
+        F.expr("transform(t, x -> xxhash64(x))").alias("h"),
+        F.size("t").alias("n"),
+    )
+
+    def _rot(k: int) -> str:
+        r = (13 * k) % 64
+        if r == 0:
+            return f"h[i - 1 + {k}]"
+        return (
+            f"(shiftleft(h[i - 1 + {k}], {r})"
+            f" | shiftrightunsigned(h[i - 1 + {k}], {64 - r}))"
         )
+
+    terms = " ^ ".join(_rot(k) for k in range(seed_len))
+    gram_arr = F.when(
+        F.col("n") >= seed_len,
+        F.expr(f"transform(sequence(1, n - {seed_len} + 1), i -> {terms})"),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = (
+        th.select("doc_id", F.posexplode(gram_arr).alias("pos0", "gh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
     )
     # one shuffle on gh: per-gram occurrence counts via a partition-only
     # window, instead of a count groupBy plus a probe-back join (which
