@@ -462,8 +462,9 @@ def test_decontaminate_bloom_never_broadcasts_eval_set(spark):
     assert probe_filters, p[:2000]
     # filters sit below exchanges in every Catalyst plan; presence of the
     # probe Filter plus a shuffled join implies only survivors reach the
-    # exchange. Exactly two keyed exchanges feed the join (both sides by g).
-    assert len(re.findall(r"hashpartitioning\(g#", p)) >= 2, p[:2000]
+    # exchange. Exactly two keyed exchanges feed the join (both sides by
+    # the hashed-gram key gh).
+    assert len(re.findall(r"hashpartitioning\(gh#", p)) >= 2, p[:2000]
 
 
 def test_inverted_index_collapses_before_postings(spark):
