@@ -1069,3 +1069,51 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         r6(F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_user_type_bitmask
+# ---------------------------------------------------------------------------
+
+# stable bit assignment for the event-type engagement bitmask
+TYPE_BITS = {"click": 0, "view": 1, "purchase": 2, "signup": 3, "error": 4}
+
+
+@register(
+    "agg_user_type_bitmask",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id,
+                   bit_or(CASE event_type
+                          {" ".join(f"WHEN '{t}' THEN {1 << b}" for t, b in sorted(TYPE_BITS.items()))}
+                          ELSE 0 END) AS mask
+            FROM events GROUP BY user_id)
+        SELECT CAST(mask AS BIGINT) AS mask,
+               count(*) AS n_users,
+               CAST(bit_count(CAST(mask AS BIGINT)) AS INTEGER) AS n_types
+        FROM m GROUP BY mask
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_user_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-bitmask segmentation: each user collapses to ONE long
+    whose bits mark which event types they ever performed (bit_or
+    aggregate), then users are counted per distinct mask — the compact
+    form of 'which behavior combinations exist and how common is each'
+    that would otherwise take 2^|types| correlated EXISTS subqueries.
+    Bitmask aggregation is also the engine's bit_or/bit_count coverage
+    (the scalar bitwise battery is fn_bitwise_conditional).
+
+    Scale: two map-side-combined aggregates — user axis then the
+    ≤2^|types| mask axis; a bitmask is the cheapest possible per-user
+    state (8 bytes, merge = OR), which is exactly why roaring-bitmap
+    engagement stores use this shape at warehouse scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for t, b in sorted(TYPE_BITS.items()):
+        bit = F.when(F.col("event_type") == t, F.lit(1 << b)).otherwise(bit)
+    m = ev.groupBy("user_id").agg(F.bit_or(bit.cast("bigint")).alias("mask"))
+    return m.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.bit_count(F.col("mask")).alias("n_types"),
+    )
