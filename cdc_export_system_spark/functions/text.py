@@ -1004,3 +1004,42 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         r6(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_stop_count(STOPWORDS['en'])} AS sc_en,
+                   {_sql_stop_count(STOPWORDS['de'])} AS sc_de,
+                   {_sql_stop_count(STOPWORDS['es'])} AS sc_es,
+                   {_sql_stop_count(STOPWORDS['fr'])} AS sc_fr
+            FROM documents),
+        pred AS (
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'und'
+                        WHEN sc_en >= greatest(sc_de, sc_es, sc_fr) THEN 'en'
+                        WHEN sc_de >= greatest(sc_es, sc_fr) THEN 'de'
+                        WHEN sc_es >= sc_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM scored)
+        SELECT lang, lang_pred, count(*) AS n_docs
+        FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text", "ml", "quality"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion rollup: (labeled lang, predicted lang,
+    count) over the whole corpus — the quality gate on text_lang_id
+    itself, and the per-language error budget a filtering pipeline
+    monitors before trusting the heuristic at a new corpus mix (the
+    langid sibling of ml_confusion_matrix's per-class table).
+
+    Scale: the per-doc prediction is row-local stopword counting
+    (text_lang_id's exact expressions); the rollup is one
+    map-side-combined aggregate to ≤|langs|² rows."""
+    pred = text_lang_id(spark, sf_dir)
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

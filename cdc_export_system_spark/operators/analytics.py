@@ -1341,3 +1341,100 @@ def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_sec"),
         (F.col("max_gap_us").cast("double") / 1000000).alias("max_gap_sec"),
     )
+
+
+@register(
+    "metric_new_vs_returning",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events),
+        first AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id)
+        SELECT a.day,
+               count(*) AS n_active,
+               CAST(SUM(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN f.first_day = a.day THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_returning
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY a.day
+    """,
+    tags=("analytics", "metric", "agg"),
+)
+def metric_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting curve
+    every product dashboard leads with (is today's traffic acquisition
+    or retention?). A user is 'new' on their first active day, counted
+    by attributing each (user, day) activity row against the user's
+    min(day).
+
+    Scale: events collapse to distinct (user, day) first; first-seen
+    days are a user-keyed aggregate joined back on user_id (both sides
+    already reduced); the rollup is |days| rows. The raw stream is
+    touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    act = act.localCheckpoint(eager=True)  # one events scan; two consumers
+    first = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_flag = (F.col("first_day") == F.col("day")).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(new_flag).cast("bigint").alias("n_new"),
+            F.sum(1 - new_flag).cast("bigint").alias("n_returning"),
+        )
+    )
+
+
+BACKLOG_ASOF = "1998-08-02"  # TPC-H's canonical as-of date
+AGING_BUCKET_DAYS = 180
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=f"""
+        SELECT CAST(floor(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                          DATE '{BACKLOG_ASOF}') AS DOUBLE)
+                          / {AGING_BUCKET_DAYS}) AS BIGINT) AS age_bucket,
+               count(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) AS open_value
+        FROM orders
+        WHERE o_orderstatus = 'O' AND CAST(o_orderdate AS DATE) <= DATE '{BACKLOG_ASOF}'
+        GROUP BY 1
+    """,
+    tags=("analytics", "agg", "filter"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aged into {AGING_BUCKET_DAYS}-day buckets at a
+    fixed as-of date: how much open value is how stale — the
+    accounts-receivable/fulfillment aging report, the operational
+    sibling of metric_open_orders_sweep's time series. Bucket assignment
+    is exact integer day arithmetic; open value is the exact-cents sum.
+
+    Scale: a scan-side status+date filter (pushed to parquet) feeding
+    one map-side-combined aggregate to the handful of age buckets."""
+    o = load_table(spark, sf_dir, "orders")
+    age = F.datediff(F.lit(BACKLOG_ASOF).cast("date"), F.col("o_orderdate"))
+    from cdc_export_system_spark.registry import dsum
+
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") <= F.lit(BACKLOG_ASOF).cast("date"))
+        )
+        .groupBy(
+            F.floor(age.cast("double") / AGING_BUCKET_DAYS)
+            .cast("bigint")
+            .alias("age_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "open_value"),
+        )
+    )
