@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
-from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.registry import REGISTRY, register
 
 MIN_SUPPORT = 2  # an edge needs >=2 co-purchases: one co-occurrence is noise
 
@@ -419,3 +419,111 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+PAGERANK_EXACT_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # micro-unit fixed point: rank mass in 1e-12 units
+
+
+def _pr_exact_oracle() -> str:
+    """DuckDB mirror of the exact-integer power iteration: the fixed
+    iteration count unrolls into chained CTEs (no recursion needed), and
+    every step is integer div / exact sum / one double multiply by the
+    damping constant floored back to integers — bit-identical across
+    engines."""
+    its = []
+    prev = "it0"
+    for k in range(1, PAGERANK_EXACT_ITERS + 1):
+        its.append(f"""
+        it{k} AS (
+            SELECT s.dst AS node,
+                   kv.k + CAST(floor(0.85 * SUM(i.r // d.deg)) AS BIGINT) AS r
+            FROM {prev} i
+            JOIN deg d ON d.src = i.node
+            JOIN sym s ON s.src = i.node
+            CROSS JOIN kv
+            GROUP BY s.dst, kv.k)""")
+        prev = f"it{k}"
+    return f"""
+        WITH {_DUCK_EDGES},
+        sym AS (SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb AS src, pa AS dst FROM e),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM sym GROUP BY src),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        kv AS (SELECT CAST(floor(0.15 * {PR_SCALE} / n) AS BIGINT) AS k FROM nv),
+        it0 AS (SELECT d.src AS node, {PR_SCALE} // nv.n AS r
+                FROM deg d CROSS JOIN nv),
+        {", ".join(its)}
+        SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
+        FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_exact",
+    oracle=None,  # bound post-definition (oracle builder shares module CTEs)
+    tags=("graph", "ml", "iterative"),
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank as EXACT fixed-point arithmetic — the oracle-checkable
+    form of graph_pagerank: rank mass lives in integer 1e-12 units, each
+    iteration distributes r div deg along edges (integer division),
+    sums exactly, and applies damping as one floored double multiply
+    (0.85·S < 2^53, so the multiply is exact in both engines). Float
+    PageRank can never hash-match across engines (summation order);
+    this variant trades ~1e-12 of mass per node per iteration (the
+    div/floor remainders) for bit-identical distributed results — the
+    standard determinism trick for iterative fixpoints in this engine
+    (cf. ml_naive_bayes micro-unit scores). graph_pagerank keeps the
+    float form with its NumPy pin; both rank the same nodes.
+
+    Scale: identical plan shape per round as graph_pagerank — one
+    |E|-row join of the edge list against the |V|-row rank table, one
+    map-side-combined sum by destination; the persisted edge list and
+    degree table are loop-invariant."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    try:
+        n = deg.count()
+        if n == 0:
+            return deg.select(
+                F.col("src").alias("partkey"),
+                F.lit(0).cast("bigint").alias("rank_micro"),
+            )
+        k_const = int(0.15 * PR_SCALE / n)  # floor of the teleport term
+        ranks = deg.select(
+            F.col("src").alias("node"),
+            F.lit(PR_SCALE // n).cast("bigint").alias("r"),
+        )
+        for _ in range(PAGERANK_EXACT_ITERS):
+            contribs = (
+                sym.join(deg, "src")
+                .join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("c"),
+                )
+            )
+            ranks = contribs.groupBy("node").agg(
+                (
+                    F.lit(k_const)
+                    + F.floor(F.lit(0.85) * F.sum("c").cast("double")).cast(
+                        "bigint"
+                    )
+                ).alias("r")
+            )
+        return ranks.select(
+            F.col("node").alias("partkey"), F.col("r").alias("rank_micro")
+        )
+    finally:
+        sym.unpersist()
+        deg.unpersist()
+
+
+REGISTRY["graph_pagerank_exact"].oracle = _pr_exact_oracle()

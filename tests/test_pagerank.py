@@ -54,3 +54,34 @@ def test_pagerank_mass_conserved(spark, edges_np):
     # with no dangling nodes total rank mass stays ~1
     got = graph_pagerank(spark, SF_DIR).collect()
     assert abs(sum(r.rank for r in got) - 1.0) < 1e-6
+
+
+def test_exact_pagerank_agrees_with_float_ranks(spark):
+    """The integer fixed-point variant must induce the same ranking as
+    the float power iteration (it drops only div/floor remainders of
+    ~1e-12 mass): identical node set, mass conserved to within
+    n_nodes * iters units, and the same top-10 by rank."""
+    from cdc_export_system_spark.operators.graph import (
+        PAGERANK_EXACT_ITERS, PR_SCALE, graph_pagerank, graph_pagerank_exact,
+    )
+    from tests.conftest import SF_DIR
+
+    fl = {r["node"]: r["rank"] for r in graph_pagerank(spark, SF_DIR).collect()}
+    ex = {
+        r["partkey"]: r["rank_micro"]
+        for r in graph_pagerank_exact(spark, SF_DIR).collect()
+    }
+    assert set(fl) == set(ex)
+    # each iteration loses <1 unit per directed edge (r div deg
+    # remainder) plus <2 per node (damping + teleport floors): bound the
+    # total leaked mass by iters * (|E_directed| + 2n), i.e. ~1e-8 of
+    # the 1e12 fixed-point mass on this graph
+    from cdc_export_system_spark.operators.graph import _edges
+
+    n_directed = 2 * _edges(spark, SF_DIR).count()
+    total = sum(ex.values())
+    leak_bound = PAGERANK_EXACT_ITERS * (n_directed + 2 * len(ex))
+    assert 0 <= PR_SCALE - total <= leak_bound
+    top_f = [n for n, _ in sorted(fl.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    top_e = [n for n, _ in sorted(ex.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert top_f == top_e
