@@ -847,3 +847,56 @@ def window_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("t_milli").cast("double") / 1000 + F.lit(0.5)) / 100
         ).alias("decay_score"),
     )
+
+
+@register(
+    "window_global_deciles",
+    oracle="""
+        WITH r AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders)
+        SELECT CAST(decile AS INTEGER) AS decile,
+               count(*) AS n_orders,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) AS decile_value
+        FROM r GROUP BY decile
+    """,
+    tags=("window", "analytics", "agg"),
+)
+def window_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL decile table of order value — bucket bounds, counts, and
+    exact value per decile — the revenue-concentration cut ('the top
+    decile carries X% of value') that naive SQL writes as a
+    partition-less ntile(10), i.e. an Exchange SinglePartition sorting
+    the whole table on one task. Here the global rank rides the
+    ranks.py two-level range construction (range shuffle + broadcast
+    offsets, every stage parallel) and the decile comes from
+    ntile_from_rank's exact SQL-standard bucket algebra — identical
+    buckets to the oracle's ntile(10), no single-partition stage over
+    data (the offset table is |ranges| rows, allowlisted).
+
+    Scale: two shuffles of (price, key) pairs + a 10-row rollup; the
+    same construction rfm_segmentation already runs three of."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_row_number(
+        o,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        out="rn",
+        total_out="n_total",
+    )
+    from cdc_export_system_spark.operators.ranks import ntile_from_rank
+
+    d = ranked.select(
+        "o_totalprice",
+        ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum(F.col("o_totalprice"), "decile_value"),
+    )

@@ -381,6 +381,7 @@ _SINGLE_PARTITION_OK = {
     "agg_value_histogram": "scalar",  # 1-row grand total over the |bins| table
     "window_decay_score": "scalar",  # 1-row anchor (max day) scalar
     "pipeline_dedup_funnel": "scalar",  # three 1-row stage aggregates + raw total
+    "window_global_deciles": "tiny",  # rank-construction range-offset table
 }
 
 
