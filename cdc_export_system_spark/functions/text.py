@@ -1043,3 +1043,140 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_pair_counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+        wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks WHERE w <> '' GROUP BY w),
+        pairs AS (
+            SELECT w, cnt, substr(w, i, 2) AS pair
+            FROM wc, unnest(range(1, length(w))) AS r(i)
+            WHERE length(w) >= 2)
+        SELECT pair,
+               CAST(SUM(cnt) AS BIGINT) AS pair_count,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair ASC LIMIT 50
+    """,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop as one distributed query: corpus-wide
+    frequencies of ADJACENT CHARACTER PAIRS within words, weighted by
+    word occurrence count — exactly the candidate table a byte-pair
+    tokenizer trainer scans to pick its next merge (top pair first).
+    Counting pairs on the DISTINCT-word axis weighted by word frequency
+    (instead of exploding pairs per token occurrence) is the standard
+    trainer optimization: the pair fan-out runs over |vocab| rows, not
+    |corpus| tokens. Counts are exact integers; top-50 carries a total
+    (count DESC, pair ASC) tie-break.
+
+    Scale: one token-occurrence shuffle to build word counts (map-side
+    combined), then the character-pair explode runs over the reduced
+    |vocab| axis only — at 100 TB the vocab table is millions of rows
+    while the corpus is trillions of tokens, so the quadratic-looking
+    pair fan-out costs ~nothing. TakeOrdered handles the top-50 without
+    a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").alias("pair_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_oov_rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+        occ AS (SELECT source, w FROM toks WHERE w <> ''),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, count(*) AS cnt FROM occ GROUP BY w
+                ORDER BY cnt DESC, w ASC LIMIT 100))
+        SELECT o.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               floor(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+                   AS oov_rate
+        FROM occ o LEFT JOIN vocab v USING (w)
+        GROUP BY o.source
+    """,
+    tags=("text", "tokenizer", "quality"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-100
+    token vocabulary — the tokenizer-coverage gate a pretraining
+    pipeline runs per data source before fixing a vocab: a source whose
+    OOV mass is high will fragment into unknown/byte-fallback tokens and
+    deserves either more vocab budget or exclusion. Vocabulary is the
+    exact top-K by occurrence count with a total (count DESC, token ASC)
+    tie-break so the cut is deterministic; the rate is one divide over
+    exact counts, 1e-6-rounded.
+
+    Scale: the vocab build is one token shuffle reduced to |vocab| rows
+    (map-side combined) + TakeOrdered; the membership probe is a
+    BROADCAST left join against the K-row vocab — the token stream
+    itself never reshuffles, and the final rollup is |sources| rows. At
+    a real 100 TB run K is 32k-256k — still broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        occ.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(100)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    j = occ.join(F.broadcast(vocab), "w", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        r6(oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )

@@ -414,3 +414,129 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(ssw / 10000).alias("ss_within"),
         r6(f_stat).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_benjamini_hochberg
+# ---------------------------------------------------------------------------
+
+_BH_ORACLE = """
+    WITH grp AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS HUGEINT) AS n,
+               SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT))
+                   AS s,
+               SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+        FROM events GROUP BY event_type, hour(ts)),
+    tot AS (SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq FROM grp),
+    scored AS (
+        SELECT g.event_type, g.hr, g.n,
+               CAST(floor(
+                   1.0 / (1.0
+                       + CAST(g.n AS DOUBLE)
+                         * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                            - CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                         * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+                            - CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                         / ((CAST(t.qq AS DOUBLE)
+                             - CAST(t.ss AS DOUBLE) * CAST(t.ss AS DOUBLE)
+                               / CAST(t.nn AS DOUBLE))
+                            / CAST(t.nn AS DOUBLE)))
+                   * 1000000000 + 0.5) AS BIGINT) AS p_nano
+        FROM grp g CROSS JOIN tot t),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER
+                    (ORDER BY p_nano, event_type, hr) AS BIGINT) AS p_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m_tests
+        FROM scored),
+    crit AS (
+        SELECT *,
+               max(CASE WHEN p_nano * 20 * m_tests <= p_rank * 1000000000
+                        THEN p_rank END) OVER () AS i_max
+        FROM ranked)
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n_events, p_nano, p_rank,
+           m_tests, p_rank <= COALESCE(i_max, 0) AS rejected
+    FROM crit
+"""
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=_BH_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of per-segment
+    tests: each (event_type, hour-of-day) segment is scored against the
+    global mean of the value metric, the scores are converted to a
+    monotone p-surrogate, and the BH step-up rule (q = 0.05) marks the
+    largest prefix of the p-ordered segments with p_(i) <= q*i/m as
+    rejections. This is the multiple-testing gate a metrics platform
+    needs the moment it monitors hundreds of segments at once — the
+    per-test alpha of stats_* siblings is wrong there by construction.
+    The p-surrogate 1/(1+z^2) (z^2 from exact cents suffstats) is
+    deliberately NOT a calibrated normal tail — calibrating needs erfc,
+    which neither engine evaluates portably; BH itself only consumes the
+    ORDER of p plus the q*i/m comparison, which runs in EXACT integers:
+    p is rounded once to 1e-9, and the step-up test is the bigint
+    inequality p_nano * 20 * m <= i * 1e9 (q = 1/20) — partitioning can
+    never flip a rejection.
+
+    Scale: one map-side-combined pass reduces the events stream to
+    |types| x 24 suffstat rows; everything after (global total, ranking,
+    step-up scan) is windows over that model-sized axis — the
+    single-partition stages are over <=|segments| rows, never data
+    (allowlisted 'tiny')."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    grp = (
+        ev.select("event_type", F.hour("ts").cast("bigint").alias("hr"), c.alias("c"))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(d38(F.col("c"))).alias("s"),
+            F.sum(d38(F.col("c")) * F.col("c")).alias("q"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss"), F.sum("q").alias("qq")
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    mean_diff = dd("s") / dd("n") - dd("ss") / dd("nn")
+    var = (dd("qq") - dd("ss") * dd("ss") / dd("nn")) / dd("nn")
+    z2 = dd("n") * mean_diff * mean_diff / var
+    p_nano = F.floor(F.lit(1.0) / (F.lit(1.0) + z2) * 1000000000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    scored = g.select("event_type", "hr", "n", p_nano.alias("p_nano"))
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy("p_nano", "event_type", "hr")
+    w_tot = Window.partitionBy()
+    ranked = scored.select(
+        "event_type",
+        "hr",
+        "n",
+        "p_nano",
+        F.row_number().over(w_all).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(w_tot).cast("bigint").alias("m_tests"),
+    )
+    step_up = F.when(
+        F.col("p_nano") * 20 * F.col("m_tests")
+        <= F.col("p_rank") * F.lit(1000000000),
+        F.col("p_rank"),
+    )
+    crit = ranked.withColumn("i_max", F.max(step_up).over(w_tot))
+    return crit.select(
+        "event_type",
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        "p_nano",
+        "p_rank",
+        "m_tests",
+        (F.col("p_rank") <= F.coalesce(F.col("i_max"), F.lit(0))).alias("rejected"),
+    )

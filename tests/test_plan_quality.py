@@ -120,6 +120,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ml_knn_classifier",  # bounded held-out set broadcast vs corpus scan
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
+    "stats_benjamini_hochberg",  # 1-row grand-total broadcast onto |segments|
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
     "stats_ks_test",  # 1-row (nA, nB) totals broadcast onto the value axis
     "ts_autocorrelation",  # 1-row global mean/variance stats broadcast
@@ -364,6 +365,7 @@ _SINGLE_PARTITION_OK = {
     "ts_forecast_linear": "scalar",  # 1-row OLS suffstat final
     "ts_seasonal_decompose": "tiny",  # trend MA over the |hours| axis (8.8k/yr)
     "sql_scalar_subquery": "scalar",
+    "stats_benjamini_hochberg": "tiny",  # rank/step-up windows over |segments|
     "text_pack_chunks": "tiny",  # block-offset prefix table
     "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count
     "tpch_q14": "scalar",
