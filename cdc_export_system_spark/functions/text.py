@@ -1180,3 +1180,69 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         r6(oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_char_ngram_lang_profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_ngram_lang_profile",
+    oracle="""
+        WITH body AS (
+            SELECT lang, lower(trim(text)) AS b FROM documents),
+        tri AS (
+            SELECT lang, substr(b, i, 3) AS tri
+            FROM body, unnest(range(1, length(b) - 1)) AS r(i)
+            WHERE length(b) >= 3),
+        cnt AS (
+            SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+            FROM tri GROUP BY lang, tri),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER
+                           (PARTITION BY lang ORDER BY n DESC, tri ASC)
+                      AS BIGINT) AS rnk
+            FROM cnt)
+        SELECT lang, tri, n, rnk FROM ranked WHERE rnk <= 10
+    """,
+    tags=("text", "ml"),
+)
+def text_char_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile: the top-10 char 3-grams
+    by frequency for each labeled language — the model-build side of
+    character-n-gram language ID (Cavnar-Trenkle out-of-place ranking
+    profiles; text_lang_id is the stopword-heuristic *apply* side, this
+    is what training the detector on the corpus itself looks like as a
+    query). Counts are exact; the per-language rank carries a total
+    (count DESC, trigram ASC) tie-break so the profile is deterministic.
+
+    Scale: the trigram explode is row-local (no shuffle), one map-side-
+    combined aggregate reduces the char stream to the (lang, trigram)
+    axis, and the rank window is PARTITIONED BY lang over that reduced
+    axis — nothing data-sized crosses a single partition. At 100 TB the
+    (lang, trigram) axis is |langs|·|alphabet|³ — model-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = docs.select("lang", F.lower(F.trim(F.col("text"))).alias("b"))
+    tri = (
+        body.filter(F.length("b") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(b) - 2),"
+                    " i -> substring(b, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    return (
+        cnt.select(
+            "lang", "tri", "n", F.row_number().over(w).cast("bigint").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 10)
+    )

@@ -1117,3 +1117,70 @@ def agg_user_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.bit_count(F.col("mask")).alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feat_woe_iv
+# ---------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+    WITH cat AS (
+        SELECT o_orderpriority AS category,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neg
+        FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM cat)
+    SELECT category, n_pos, n_neg,
+           floor(ln((CAST(n_pos AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                    / (CAST(n_neg AS DOUBLE) / CAST(t.tn AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS woe,
+           floor((CAST(n_pos AS DOUBLE) / CAST(t.tp AS DOUBLE)
+                  - CAST(n_neg AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                 * ln((CAST(n_pos AS DOUBLE) / CAST(t.tp AS DOUBLE))
+                      / (CAST(n_neg AS DOUBLE) / CAST(t.tn AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS iv_term
+    FROM cat CROSS JOIN tot t
+"""
+
+
+@register(
+    "feat_woe_iv",
+    oracle=_WOE_ORACLE,
+    tags=("feat", "ml", "agg"),
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per category — the
+    credit-scoring / feature-selection classic: for each level of a
+    categorical feature (order priority) against a binary target
+    (order finalized, o_orderstatus = 'F'), WoE = ln((pos_i/pos_tot) /
+    (neg_i/neg_tot)) and IV_i = (pos_i/pos_tot − neg_i/neg_tot)·WoE_i;
+    Σ IV_i ranks features before a model ever trains. Counts are exact
+    integers; WoE/IV are one ln-bearing double tree over the four exact
+    counts, evaluated identically in both engines and 1e-6-rounded.
+
+    Scale: one map-side-combined aggregate reduces the fact table to
+    |categories| rows; the totals row joins back as a broadcast scalar.
+    Zero-count levels (ln(0)) are the caller's binning problem — the
+    standard fix is coarser bins, not engine-side fudge constants."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = (F.col("o_orderstatus") == "F").cast("int")
+    cat = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(pos).alias("n_pos"),
+        F.sum(F.lit(1) - pos).alias("n_neg"),
+    )
+    tot = cat.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    j = cat.crossJoin(F.broadcast(tot))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    pr = dd("n_pos") / dd("tp")
+    nr = dd("n_neg") / dd("tn")
+    woe = F.log(pr / nr)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "category",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        r6(woe).alias("woe"),
+        r6((pr - nr) * woe).alias("iv_term"),
+    )

@@ -540,3 +540,110 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_tests",
         (F.col("p_rank") <= F.coalesce(F.col("i_max"), F.lit(0))).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_effect_sizes
+# ---------------------------------------------------------------------------
+
+_EFFECT_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('{ARM_A}', '{ARM_B}')),
+    s AS (
+        SELECT
+            SUM(CASE WHEN event_type = '{ARM_A}' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN event_type = '{ARM_B}' THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN event_type = '{ARM_A}'
+                     THEN CAST(c AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN event_type = '{ARM_B}'
+                     THEN CAST(c AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN event_type = '{ARM_A}'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS qa,
+            SUM(CASE WHEN event_type = '{ARM_B}'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS qb
+        FROM c),
+    d AS (
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100 AS mean_diff,
+               sqrt(((CAST(qa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                        / CAST(na AS DOUBLE))
+                     + (CAST(qb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(nb AS DOUBLE)))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)) / 100
+                   AS s_pooled
+        FROM s)
+    SELECT n_a, n_b,
+           floor(mean_diff * 1000000 + 0.5) / 1000000 AS mean_diff,
+           floor(mean_diff / s_pooled * 1000000 + 0.5) / 1000000 AS cohens_d,
+           floor(mean_diff / s_pooled
+                 * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                        + CAST(n_b AS DOUBLE)) - 9.0))
+                 * 1000000 + 0.5) / 1000000 AS hedges_g
+    FROM d
+"""
+
+
+@register(
+    "stats_effect_sizes",
+    oracle=_EFFECT_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes between the two A/B arms: Cohen's d =
+    (mean_A − mean_B)/s_pooled on the pooled-variance scale, and Hedges'
+    g = d·(1 − 3/(4(n_A+n_B)−9)), the small-sample bias correction. The
+    significance siblings (ab_welch_ttest, stats_mann_whitney) answer
+    'is there an effect'; this answers 'how big is it in units a PM can
+    compare across metrics' — the number an experimentation platform
+    actually reports next to the p-value. All moments reduce to exact
+    integer cents suffstats (DECIMAL(38,0) accumulators, operand-first
+    casts); d and g are one double expression tree over the six exact
+    scalars, 1e-6-rounded, so partitioning cannot move them.
+
+    Scale: one filtered map-side-combined aggregate to a single 6-column
+    suffstat row; the finals are O(1) algebra on that row (allowlisted
+    scalar)."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    arms = ev.filter(F.col("event_type").isin(ARM_A, ARM_B)).select(
+        "event_type", c.alias("c")
+    )
+    is_a = F.col("event_type") == ARM_A
+    s = arms.agg(
+        F.sum(is_a.cast("int")).alias("na"),
+        F.sum((~is_a).cast("int")).alias("nb"),
+        F.sum(F.when(is_a, d38(F.col("c"))).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~is_a, d38(F.col("c"))).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(is_a, d38(F.col("c")) * F.col("c")).otherwise(F.lit(0))).alias(
+            "qa"
+        ),
+        F.sum(F.when(~is_a, d38(F.col("c")) * F.col("c")).otherwise(F.lit(0))).alias(
+            "qb"
+        ),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    mean_diff = (dd("sa") / dd("na") - dd("sb") / dd("nb")) / 100
+    s_pooled = (
+        F.sqrt(
+            (
+                (dd("qa") - dd("sa") * dd("sa") / dd("na"))
+                + (dd("qb") - dd("sb") * dd("sb") / dd("nb"))
+            )
+            / (dd("na") + dd("nb") - 2)
+        )
+        / 100
+    )
+    g_corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (dd("na") + dd("nb")) - 9.0)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r6(mean_diff).alias("mean_diff"),
+        r6(mean_diff / s_pooled).alias("cohens_d"),
+        r6(mean_diff / s_pooled * g_corr).alias("hedges_g"),
+    )

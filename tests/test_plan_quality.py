@@ -120,6 +120,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ml_knn_classifier",  # bounded held-out set broadcast vs corpus scan
     "ml_naive_bayes",  # |classes|-row (5) model dim broadcast onto the vocab
     "ml_kfold_cv",  # 1-row suffstat total broadcast onto the K-row fold table
+    "feat_woe_iv",  # 1-row class-totals broadcast onto |categories|
     "stats_benjamini_hochberg",  # 1-row grand-total broadcast onto |segments|
     "stats_chi2_independence",  # 1-row grand-total broadcast onto <=35 cells
     "stats_ks_test",  # 1-row (nA, nB) totals broadcast onto the value axis
@@ -345,6 +346,7 @@ _SINGLE_PARTITION_OK = {
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
     "corpus_upsample_weights": "scalar",  # 1-row corpus token total
     "feat_target_encode": "scalar",  # 1-row global (n, Σy) for the smoothing blend
+    "feat_woe_iv": "scalar",  # 1-row class-totals final
     "funnel_conversion": "scalar",
     "graph_triangle_count": "scalar",
     "metric_open_orders_sweep": "tiny",  # running sum over the |days| axis
@@ -366,6 +368,7 @@ _SINGLE_PARTITION_OK = {
     "ts_seasonal_decompose": "tiny",  # trend MA over the |hours| axis (8.8k/yr)
     "sql_scalar_subquery": "scalar",
     "stats_benjamini_hochberg": "tiny",  # rank/step-up windows over |segments|
+    "stats_effect_sizes": "scalar",  # 1-row suffstat final
     "text_pack_chunks": "tiny",  # block-offset prefix table
     "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count
     "tpch_q14": "scalar",
