@@ -205,3 +205,167 @@ def test_scd2_pointintime_matches_manual(spark, tmp_path):
     assert got[3]["dim_event_id"] == 2 and got[3]["dim_value"] == 10.0
     assert got[4]["dim_event_id"] == 2
     assert got[6]["dim_event_id"] == 5 and got[6]["dim_value"] == 20.0
+
+
+def test_effect_sizes_match_numpy(spark, tmp_path):
+    """stats_effect_sizes' d and g on a micro-table equal the textbook
+    pooled-variance computation on the same cents-exact values."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.operators.stats_tests import (
+        ARM_A, ARM_B, stats_effect_sizes,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    rows, eid = [], 0
+    for arm, vals in ((ARM_A, a), (ARM_B, b)):
+        for v in vals:
+            rows.append((eid, 1, arm, datetime(2024, 1, 1, eid % 24), v))
+            eid += 1
+    # a decoy arm that must be excluded
+    rows.append((eid, 1, "decoy", datetime(2024, 1, 1), 999.0))
+    d = _events_dir(spark, tmp_path, rows)
+    got = stats_effect_sizes(spark, d).first()
+
+    ca = np.array([round(v * 100) for v in a], dtype=float)
+    cb = np.array([round(v * 100) for v in b], dtype=float)
+    na, nb = len(ca), len(cb)
+    mean_diff = (ca.mean() - cb.mean()) / 100
+    sp = math.sqrt(
+        (((ca - ca.mean()) ** 2).sum() + ((cb - cb.mean()) ** 2).sum())
+        / (na + nb - 2)
+    ) / 100
+    d_ref = mean_diff / sp
+    g_ref = d_ref * (1 - 3 / (4 * (na + nb) - 9))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["mean_diff"] - mean_diff) < 1e-6
+    assert abs(got["cohens_d"] - d_ref) < 1e-4
+    assert abs(got["hedges_g"] - g_ref) < 1e-4
+
+
+def test_benjamini_hochberg_matches_numpy(spark):
+    """stats_benjamini_hochberg's rejection set on the real table equals
+    an independent NumPy BH step-up run on the op's own p-surrogates
+    (and those p-surrogates equal 1/(1+z²) recomputed from raw values)."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.stats_tests import (
+        stats_benjamini_hochberg,
+    )
+
+    got = stats_benjamini_hochberg(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    ).collect()
+    c = np.array([r["c"] for r in ev], dtype=float)
+    keys = [(r["event_type"], r["hr"]) for r in ev]
+    gmean, gvar = c.mean(), c.var()  # population variance, matching the op
+    p_ref = {}
+    for k in set(keys):
+        gc = np.array([v for kk, v in zip(keys, c) if kk == k])
+        z2 = len(gc) * (gc.mean() - gmean) ** 2 / gvar
+        p_ref[k] = round(1.0 / (1.0 + z2) * 1e9)
+    # independent BH step-up at q = 0.05 on the reference p-values
+    order = sorted(p_ref, key=lambda k: (p_ref[k], k))
+    m = len(order)
+    i_max = max(
+        (i for i, k in enumerate(order, 1) if p_ref[k] * 20 * m <= i * 10**9),
+        default=0,
+    )
+    rejected_ref = set(order[:i_max])
+    assert len(got) == m
+    for r in got:
+        k = (r["event_type"], r["hr"])
+        assert r["p_nano"] == p_ref[k], k
+        assert r["rejected"] == (k in rejected_ref), k
+
+
+def test_woe_iv_matches_numpy(spark):
+    """feat_woe_iv on the real table equals the direct WoE/IV formulas
+    recomputed from raw per-category class counts."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.aggregates import feat_woe_iv
+
+    got = {r["category"]: r for r in feat_woe_iv(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    from collections import Counter
+
+    pos, neg = Counter(), Counter()
+    for r in orders:
+        (pos if r["o_orderstatus"] == "F" else neg)[r["o_orderpriority"]] += 1
+    tp, tn = sum(pos.values()), sum(neg.values())
+    assert set(got) == set(pos) | set(neg)
+    for cat, r in got.items():
+        assert r["n_pos"] == pos[cat] and r["n_neg"] == neg[cat]
+        woe = math.log((pos[cat] / tp) / (neg[cat] / tn))
+        assert abs(r["woe"] - woe) < 1e-6
+        assert abs(r["iv_term"] - (pos[cat] / tp - neg[cat] / tn) * woe) < 1e-6
+
+
+def test_bpe_pair_counts_match_python(spark, tmp_path):
+    """text_bpe_pair_counts on a micro-corpus equals a by-hand pair
+    count: pairs weighted by word occurrences, positions overlapping."""
+    from cdc_export_system_spark.functions.text import text_bpe_pair_counts
+
+    rows = [
+        (0, "aaa ab", "en", "s", 6),   # aaa -> aa twice (overlap), ab -> ab
+        (1, "ab aaa x", "en", "s", 8),  # single-char word contributes nothing
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {r["pair"]: (r["pair_count"], r["n_words"]) for r in
+           text_bpe_pair_counts(spark, d).collect()}
+    # word counts: aaa x2, ab x2, x x1
+    assert got == {"aa": (4, 1), "ab": (2, 1)}
+
+
+def test_oov_rate_matches_python(spark):
+    """text_oov_rate on the real table equals a pure-Python top-100
+    vocab + per-source OOV recount."""
+    from collections import Counter
+
+    from cdc_export_system_spark.functions.text import text_oov_rate
+    from cdc_export_system_spark.io.sources import load_table
+
+    got = {r["source"]: r for r in text_oov_rate(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    occ = [(r["source"], w) for r in docs
+           for w in r["text"].strip().lower().split() if w]
+    cnt = Counter(w for _, w in occ)
+    vocab = {w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]}
+    per = {}
+    for s, w in occ:
+        n, o = per.get(s, (0, 0))
+        per[s] = (n + 1, o + (w not in vocab))
+    assert set(got) == set(per)
+    for s, (n, o) in per.items():
+        assert got[s]["n_tokens"] == n and got[s]["n_oov"] == o
+        assert abs(got[s]["oov_rate"] - o / n) < 1e-6
+
+
+def test_char_ngram_profile_matches_python(spark):
+    """text_char_ngram_lang_profile equals a pure-Python trigram count
+    + rank over the same normalization."""
+    from collections import Counter, defaultdict
+
+    from cdc_export_system_spark.functions.text import (
+        text_char_ngram_lang_profile,
+    )
+    from cdc_export_system_spark.io.sources import load_table
+
+    got = defaultdict(dict)
+    for r in text_char_ngram_lang_profile(spark, SF_DIR).collect():
+        got[r["lang"]][r["rnk"]] = (r["tri"], r["n"])
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "text").collect()
+    cnt = defaultdict(Counter)
+    for r in docs:
+        b = r["text"].strip().lower()
+        for i in range(len(b) - 2):
+            cnt[r["lang"]][b[i:i + 3]] += 1
+    for lang, c in cnt.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        ref = {i + 1: kv for i, kv in enumerate(top)}
+        assert got[lang] == ref, lang
