@@ -70,14 +70,22 @@ def test_operation_classification_total_and_exclusive(spark, rows):
             assert r["operation"] == "UPDATE"
 
 
+_EXAMPLE_SEQ = iter(range(10**9))
+
+
 @PROP_SETTINGS
 @given(rows=rows_st, wm_off=st.integers(0, 1800))
 def test_incremental_is_strictly_greater_and_live_only(spark, tmp_path, rows, wm_off):
+    # tmp_path is function-scoped while @given runs many examples inside
+    # one call — paths keyed only on the drawn values collide between
+    # examples (a prior example's CSV breaks a later empty-batch
+    # assertion), so every example gets a fresh sequence number.
+    seq = next(_EXAMPLE_SEQ)
     users = make_users(spark, rows)
-    store = WatermarkStore(spark, str(tmp_path / f"s{wm_off}_{len(rows)}"))
+    store = WatermarkStore(spark, str(tmp_path / f"s{seq}"))
     wm = BASE + timedelta(seconds=wm_off)
     store.upsert("c", wm)
-    out = str(tmp_path / f"o{wm_off}_{len(rows)}.csv")
+    out = str(tmp_path / f"o{seq}.csv")
     n, new_wm = run_incremental_export(users, store, "c", out)
     want = [
         (i, c, lag)
