@@ -1246,3 +1246,84 @@ def text_char_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+        WITH occ AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+        cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                FROM occ WHERE w <> '' GROUP BY w),
+        cum AS (
+            SELECT w, cnt,
+                   COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, w ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cnt_cum
+            FROM cnt),
+        tot AS (SELECT SUM(cnt) AS t FROM cnt),
+        tgt AS (SELECT CAST(unnest([500, 900, 950, 990]) AS BIGINT)
+                    AS target_permille)
+        SELECT target_permille,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(max(cnt_cum + cnt) AS BIGINT) AS covered_tokens,
+               floor(CAST(max(cnt_cum + cnt) AS DOUBLE) / CAST(t AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS covered_share
+        FROM cum CROSS JOIN tot
+        JOIN tgt ON cnt_cum * 1000 < target_permille * t
+        GROUP BY target_permille, t
+    """,
+    tags=("text", "tokenizer", "agg"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the number of top-frequency tokens
+    needed to cover 50 / 90 / 95 / 99 per-cent of corpus token mass —
+    the vocab-SIZING tool that precedes text_oov_rate's fixed-K audit
+    (pick K off this curve, then monitor OOV per source against it).
+    For each target p the answer is rank-free exact integer algebra:
+    vocab_size = |{tokens whose EXCLUSIVE cumulative mass·1000 < p·T}|
+    (exactly the first rank whose inclusive mass crosses the target,
+    with the (count DESC, token ASC) total tie-break), covered_tokens =
+    the max inclusive mass among them; shares are one divide,
+    1e-6-rounded.
+
+    Scale: one token shuffle reduces the corpus to the |vocab| axis;
+    the cumulative mass rides the two-level range construction
+    (operators/ranks.with_prefix_sum — no single-partition sort over
+    the vocab); the 1-row total and the 4-row target spine broadcast
+    onto it, and the final is a 4-row rollup."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = with_prefix_sum(cnt, [F.col("cnt").desc(), F.col("w").asc()], ["cnt"])
+    tot = cnt.agg(F.sum("cnt").alias("t"))
+    tgt = spark.createDataFrame(
+        [(500,), (900,), (950,), (990,)], "target_permille long"
+    )
+    j = cum.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(tgt),
+        F.col("cnt_cum") * 1000 < F.col("target_permille") * F.col("t"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    covered = F.max(F.col("cnt_cum") + F.col("cnt"))
+    return (
+        j.groupBy("target_permille", "t")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            covered.cast("bigint").alias("covered_tokens"),
+            r6(covered.cast("double") / F.col("t").cast("double")).alias(
+                "covered_share"
+            ),
+        )
+        .drop("t")
+    )

@@ -111,6 +111,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "sim_search_lsh",  # 1-row query-vector broadcast (scalar-subquery analogue)
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
+    "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
     "corpus_upsample_weights",  # 1-row token-total broadcast onto |sources|
@@ -370,6 +371,7 @@ _SINGLE_PARTITION_OK = {
     "stats_benjamini_hochberg": "tiny",  # rank/step-up windows over |segments|
     "stats_effect_sizes": "scalar",  # 1-row suffstat final
     "text_pack_chunks": "tiny",  # block-offset prefix table
+    "text_vocab_coverage": "tiny",  # prefix-sum range-offset table + 1-row total
     "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count
     "tpch_q14": "scalar",
     "tpch_q15": "scalar",  # max(total_revenue) scalar subquery

@@ -369,3 +369,28 @@ def test_char_ngram_profile_matches_python(spark):
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         ref = {i + 1: kv for i, kv in enumerate(top)}
         assert got[lang] == ref, lang
+
+
+def test_vocab_coverage_matches_python(spark):
+    """text_vocab_coverage equals a pure-Python sort + cumulative-mass
+    recount at every target."""
+    from collections import Counter
+
+    from cdc_export_system_spark.functions.text import text_vocab_coverage
+    from cdc_export_system_spark.io.sources import load_table
+
+    got = {r["target_permille"]: r for r in
+           text_vocab_coverage(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    cnt = Counter(w for r in docs for w in r["text"].strip().lower().split() if w)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = sum(cnt.values())
+    for p in (500, 900, 950, 990):
+        cum = 0
+        for k, (_, c) in enumerate(ordered, 1):
+            cum += c
+            if cum * 1000 >= p * t:
+                break
+        assert got[p]["vocab_size"] == k, p
+        assert got[p]["covered_tokens"] == cum, p
+        assert abs(got[p]["covered_share"] - cum / t) < 1e-6, p
