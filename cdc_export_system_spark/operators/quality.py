@@ -226,3 +226,191 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000000.0)
         ).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders),
+        cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                FROM d GROUP BY digit),
+        tot AS (SELECT SUM(n_obs) AS n FROM cnt)
+        SELECT digit, n_obs,
+               floor(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS share,
+               floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                     * 1000000 + 0.5) / 1000000 AS benford_expected,
+               floor((CAST(n_obs AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+                     * (CAST(n_obs AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                          * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+                     / (CAST(n AS DOUBLE)
+                        * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+                     * 1000000 + 0.5) / 1000000 AS chi2_term
+        FROM cnt CROSS JOIN tot
+    """,
+    tags=("quality", "stats"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the order amounts: observed
+    leading-digit shares vs the log10(1+1/d) law, with a per-digit
+    chi-square contribution — the classic forensic data-quality screen
+    for fabricated or truncated monetary columns (a capped or generated
+    amount column bends the digit curve long before range checks fire).
+    The leading digit is taken from the EXACT integer part (string head
+    of the floored bigint — no float log tricks), counts are exact, and
+    the expected-share/chi-square expressions are the identical double
+    tree in both engines, 1e-6-rounded per digit row.
+
+    Scale: one scan reduced map-side to <=9 digit rows; the 1-row total
+    broadcasts back (allowlisted scalar). Nothing else moves."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    cnt = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = cnt.agg(F.sum("n_obs").alias("n"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / dd("digit")) / F.log(F.lit(10.0))
+    exp_n = dd("n") * expected
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "digit",
+        "n_obs",
+        r6(dd("n_obs") / dd("n")).alias("share"),
+        r6(expected).alias("benford_expected"),
+        r6((dd("n_obs") - exp_n) * (dd("n_obs") - exp_n) / exp_n).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_js_divergence
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = f"""
+    WITH occ AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+    cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM occ WHERE w <> '' GROUP BY source, w),
+    tots AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+    ref AS (SELECT w, c AS cq FROM cnt WHERE source = '{PSI_REF_SOURCE}'),
+    reftot AS (SELECT SUM(cq) AS totq FROM ref),
+    srcs AS (SELECT DISTINCT source FROM cnt
+             WHERE source <> '{PSI_REF_SOURCE}'),
+    pairs AS (
+        SELECT s.source, r.w, 0 AS c, r.cq
+        FROM srcs s CROSS JOIN ref r
+        WHERE NOT EXISTS (SELECT 1 FROM cnt c2
+                          WHERE c2.source = s.source AND c2.w = r.w)
+        UNION ALL
+        SELECT c.source, c.w, c.c, COALESCE(r.cq, 0) AS cq
+        FROM cnt c LEFT JOIN ref r USING (w)
+        WHERE c.source <> '{PSI_REF_SOURCE}'),
+    term AS (
+        SELECT p.source,
+               CAST(floor(
+                   (0.5 * (CASE WHEN p.c > 0 THEN
+                       (CAST(p.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                       * ln((CAST(p.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                            / ((CAST(p.c AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                                + CAST(p.cq AS DOUBLE) / CAST(rt.totq AS DOUBLE))
+                               / 2.0)) ELSE 0.0 END)
+                    + 0.5 * (CASE WHEN p.cq > 0 THEN
+                       (CAST(p.cq AS DOUBLE) / CAST(rt.totq AS DOUBLE))
+                       * ln((CAST(p.cq AS DOUBLE) / CAST(rt.totq AS DOUBLE))
+                            / ((CAST(p.c AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                                + CAST(p.cq AS DOUBLE) / CAST(rt.totq AS DOUBLE))
+                               / 2.0)) ELSE 0.0 END))
+                   * 1000000000 + 0.5) AS BIGINT) AS t_nano
+        FROM pairs p
+        JOIN tots t USING (source)
+        CROSS JOIN reftot rt)
+    SELECT source,
+           floor(CAST(SUM(t_nano) AS DOUBLE) / 1000 + 0.5) / 1000000
+               AS js_divergence
+    FROM term GROUP BY source
+"""
+
+
+@register(
+    "corpus_js_divergence",
+    oracle=_JS_ORACLE,
+    tags=("quality", "stats", "drift", "text"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of every source's TOKEN distribution
+    against the reference source — the vocabulary-level drift gate that
+    complements corpus_drift_psi's length-histogram view (PSI sees a
+    crawl slice getting longer; JS sees it changing WHAT IT SAYS). JS =
+    ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2, bounded in [0, ln 2], no
+    smoothing needed: a token absent from one side contributes its
+    finite ½p·ln2 mass through the other. Each token's term is one
+    double expression over exact counts, rounded to 1e-9 BEFORE the
+    per-source sum (the chi-square micro-unit discipline), so the float
+    fold is order-free integers and partitioning cannot move the score.
+
+    Scale: one token shuffle to (source, token) counts; the reference
+    distribution joins on the token axis (token-keyed shuffle join —
+    the ref side is vocab-sized, NOT broadcast, because a real corpus
+    vocabulary outgrows a broadcast); tokens the source is missing come
+    from a |sources|×|ref-vocab| anti-join grid on the same reduced
+    axis. Finals are |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = (
+        occ.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # one docs scan: ref/tots/grid derive
+    )
+    tots = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    ref = cnt.filter(F.col("source") == PSI_REF_SOURCE).select(
+        "w", F.col("c").alias("cq")
+    )
+    reftot = ref.agg(F.sum("cq").alias("totq"))
+    others = cnt.filter(F.col("source") != PSI_REF_SOURCE)
+    srcs = others.select("source").distinct()
+    missing = (
+        srcs.crossJoin(ref)
+        .join(others.select("source", "w"), ["source", "w"], "left_anti")
+        .select("source", "w", F.lit(0).cast("bigint").alias("c"), "cq")
+    )
+    present = others.join(ref, "w", "left").select(
+        "source", "w", "c", F.coalesce(F.col("cq"), F.lit(0)).alias("cq")
+    )
+    pairs = present.unionByName(missing)
+    j = pairs.join(tots, "source").crossJoin(F.broadcast(reftot))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    p = dd("c") / dd("tot")
+    q = dd("cq") / dd("totq")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.lit(0.5) * F.when(F.col("cq") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    t_nano = F.floor(term * 1000000000 + F.lit(0.5)).cast("bigint")
+    return (
+        j.select("source", t_nano.alias("t_nano"))
+        .groupBy("source")
+        .agg(
+            (
+                F.floor(F.sum("t_nano").cast("double") / 1000 + F.lit(0.5)) / 1000000
+            ).alias("js_divergence")
+        )
+    )

@@ -114,7 +114,9 @@ INTENTIONAL_BROADCAST_NLJ = {
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
     "agg_freq_items_mg",  # 1-row merged-total broadcast for the support threshold
+    "corpus_js_divergence",  # 1-row ref-total + |sources|-row spine onto ref vocab
     "corpus_upsample_weights",  # 1-row token-total broadcast onto |sources|
+    "dq_benford_digits",  # 1-row digit-total broadcast onto <=9 rows
     "feat_target_encode",  # 1-row global-mean broadcast onto |categories|
     "ml_confusion_matrix",  # inherits ml_naive_bayes's model-dim broadcast
     "ml_eval_report",  # composes ml_naive_bayes/_confusion_matrix legs
@@ -343,6 +345,8 @@ _SINGLE_PARTITION_OK = {
     "agg_max_ts": "scalar",
     "agg_min_max_ts": "scalar",
     "basket_association_rules": "scalar",  # 1-row basket-count denominator
+    "corpus_js_divergence": "scalar",  # 1-row reference token total
+    "dq_benford_digits": "scalar",  # 1-row digit total
     "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
     "corpus_upsample_weights": "scalar",  # 1-row corpus token total

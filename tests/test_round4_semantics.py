@@ -394,3 +394,61 @@ def test_vocab_coverage_matches_python(spark):
         assert got[p]["vocab_size"] == k, p
         assert got[p]["covered_tokens"] == cum, p
         assert abs(got[p]["covered_share"] - cum / t) < 1e-6, p
+
+
+def test_benford_digits_match_python(spark):
+    """dq_benford_digits equals a pure-Python digit recount and the
+    closed-form Benford shares."""
+    from collections import Counter
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.quality import dq_benford_digits
+
+    got = {r["digit"]: r for r in dq_benford_digits(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    cnt = Counter(int(str(int(math.floor(r["o_totalprice"])))[0]) for r in orders)
+    n = sum(cnt.values())
+    assert set(got) == set(cnt)
+    for d, c in cnt.items():
+        e = math.log10(1 + 1 / d)
+        assert got[d]["n_obs"] == c
+        assert abs(got[d]["share"] - c / n) < 1e-6
+        assert abs(got[d]["benford_expected"] - e) < 1e-6
+        assert abs(got[d]["chi2_term"] - (c - n * e) ** 2 / (n * e)) < 1e-4
+
+
+def test_js_divergence_matches_python(spark):
+    """corpus_js_divergence equals a pure-Python two-distribution JS
+    computation per source, and is bounded by [0, ln 2]."""
+    from collections import Counter
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.quality import (
+        PSI_REF_SOURCE, corpus_js_divergence,
+    )
+
+    got = {r["source"]: r["js_divergence"] for r in
+           corpus_js_divergence(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    cnt = {}
+    for r in docs:
+        c = cnt.setdefault(r["source"], Counter())
+        for w in r["text"].strip().lower().split():
+            if w:
+                c[w] += 1
+    q = cnt[PSI_REF_SOURCE]
+    tq = sum(q.values())
+    for s, p in cnt.items():
+        if s == PSI_REF_SOURCE:
+            continue
+        tp = sum(p.values())
+        js = 0.0
+        for w in set(p) | set(q):
+            pi, qi = p.get(w, 0) / tp, q.get(w, 0) / tq
+            mi = (pi + qi) / 2
+            if pi:
+                js += 0.5 * pi * math.log(pi / mi)
+            if qi:
+                js += 0.5 * qi * math.log(qi / mi)
+        assert abs(got[s] - js) < 1e-5, s
+        assert -1e-9 <= got[s] <= math.log(2) + 1e-9
