@@ -647,3 +647,110 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(mean_diff / s_pooled).alias("cohens_d"),
         r6(mean_diff / s_pooled * g_corr).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_power_analysis
+# ---------------------------------------------------------------------------
+
+Z_ALPHA_2 = 1.959964  # two-sided alpha = 0.05
+Z_BETA = 0.841621  # power = 0.80
+
+_POWER_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('{ARM_A}', '{ARM_B}')),
+    s AS (
+        SELECT
+            SUM(CASE WHEN event_type = '{ARM_A}' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN event_type = '{ARM_B}' THEN 1 ELSE 0 END) AS nb,
+            SUM(CASE WHEN event_type = '{ARM_A}'
+                     THEN CAST(c AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN event_type = '{ARM_B}'
+                     THEN CAST(c AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN event_type = '{ARM_A}'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS qa,
+            SUM(CASE WHEN event_type = '{ARM_B}'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS qb
+        FROM c),
+    d AS (
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100 AS mean_diff,
+               ((CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                + (CAST(qb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                     / CAST(nb AS DOUBLE)))
+               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) / 10000
+                   AS var_pooled
+        FROM s)
+    SELECT n_a, n_b,
+           floor(mean_diff * 1000000 + 0.5) / 1000000 AS mean_diff,
+           floor(var_pooled * 1000000 + 0.5) / 1000000 AS var_pooled,
+           CAST(ceil(2.0 * ({Z_ALPHA_2} + {Z_BETA}) * ({Z_ALPHA_2} + {Z_BETA})
+                     * var_pooled / (mean_diff * mean_diff)) AS BIGINT)
+               AS n_required_per_arm
+    FROM d
+"""
+
+
+@register(
+    "stats_power_analysis",
+    oracle=_POWER_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning from observed data: the per-arm n
+    required to detect the currently-observed mean difference at
+    two-sided alpha = 0.05 with power 0.80, n = 2(z_a/2+z_b)^2 sigma^2 /
+    delta^2 on the pooled variance — the third leg of the experiment
+    toolkit (ab_welch_ttest decides, stats_effect_sizes sizes the
+    effect, this plans the NEXT experiment). The z quantiles are fixed
+    literals (1.959964, 0.841621) in both engines, everything else is
+    the exact-cents suffstat algebra of the siblings; n_required is a
+    ceil over the identical double tree, so it is the same integer on
+    any partitioning.
+
+    Scale: one filtered map-side-combined aggregate to a single 6-column
+    suffstat row; the final is O(1) algebra (allowlisted scalar)."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    arms = ev.filter(F.col("event_type").isin(ARM_A, ARM_B)).select(
+        "event_type", c.alias("c")
+    )
+    is_a = F.col("event_type") == ARM_A
+    s = arms.agg(
+        F.sum(is_a.cast("int")).alias("na"),
+        F.sum((~is_a).cast("int")).alias("nb"),
+        F.sum(F.when(is_a, d38(F.col("c"))).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~is_a, d38(F.col("c"))).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(is_a, d38(F.col("c")) * F.col("c")).otherwise(F.lit(0))).alias(
+            "qa"
+        ),
+        F.sum(F.when(~is_a, d38(F.col("c")) * F.col("c")).otherwise(F.lit(0))).alias(
+            "qb"
+        ),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    mean_diff = (dd("sa") / dd("na") - dd("sb") / dd("nb")) / 100
+    var_pooled = (
+        (
+            (dd("qa") - dd("sa") * dd("sa") / dd("na"))
+            + (dd("qb") - dd("sb") * dd("sb") / dd("nb"))
+        )
+        / (dd("na") + dd("nb") - 2)
+        / 10000
+    )
+    zsum = F.lit(Z_ALPHA_2 + Z_BETA)
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r6(mean_diff).alias("mean_diff"),
+        r6(var_pooled).alias("var_pooled"),
+        F.ceil(F.lit(2.0) * zsum * zsum * var_pooled / (mean_diff * mean_diff))
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )

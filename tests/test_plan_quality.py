@@ -374,6 +374,7 @@ _SINGLE_PARTITION_OK = {
     "sql_scalar_subquery": "scalar",
     "stats_benjamini_hochberg": "tiny",  # rank/step-up windows over |segments|
     "stats_effect_sizes": "scalar",  # 1-row suffstat final
+    "stats_power_analysis": "scalar",  # 1-row suffstat final
     "text_pack_chunks": "tiny",  # block-offset prefix table
     "text_vocab_coverage": "tiny",  # prefix-sum range-offset table + 1-row total
     "text_pmi_collocations": "scalar",  # 1-row corpus-total bigram count

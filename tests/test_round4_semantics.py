@@ -452,3 +452,27 @@ def test_js_divergence_matches_python(spark):
                 js += 0.5 * qi * math.log(qi / mi)
         assert abs(got[s] - js) < 1e-5, s
         assert -1e-9 <= got[s] <= math.log(2) + 1e-9
+
+
+def test_power_analysis_matches_numpy(spark):
+    """stats_power_analysis equals the closed-form sample-size formula
+    recomputed from raw cents values."""
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.stats_tests import (
+        ARM_A, ARM_B, Z_ALPHA_2, Z_BETA, stats_power_analysis,
+    )
+
+    got = stats_power_analysis(spark, SF_DIR).first()
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    a = np.array([round(r["value"] * 100) for r in ev
+                  if r["event_type"] == ARM_A], dtype=float)
+    b = np.array([round(r["value"] * 100) for r in ev
+                  if r["event_type"] == ARM_B], dtype=float)
+    mean_diff = (a.mean() - b.mean()) / 100
+    var_pooled = (((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()) \
+        / (len(a) + len(b) - 2) / 10000
+    n_ref = math.ceil(2 * (Z_ALPHA_2 + Z_BETA) ** 2 * var_pooled / mean_diff ** 2)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["mean_diff"] - mean_diff) < 1e-6
+    assert abs(got["var_pooled"] - var_pooled) < 1e-4
+    assert got["n_required_per_arm"] == n_ref
