@@ -158,6 +158,103 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_DAYS = 3  # conversion deadline measured from the funnel entry
+
+
+@register(
+    "funnel_time_window",
+    oracle=f"""
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                      AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+               WHERE e.event_type = 'view' GROUP BY e.user_id, s1.t1),
+        s3 AS (SELECT e.user_id, s2.t1, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                      AND e.ts <= s2.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+               WHERE e.event_type = 'click' GROUP BY e.user_id, s2.t1),
+        s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+                      AND e.ts <= s3.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(1 AS INT) AS step, 'signup' AS step_name,
+               (SELECT count(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    """,
+    tags=("analytics",),
+)
+def funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel (ClickHouse ``windowFunnel`` semantics, anchored):
+    signup→view→click→purchase with strictly increasing timestamps where
+    every later stage must land within FUNNEL_WINDOW_DAYS of the user's
+    funnel ENTRY (earliest signup) — the standard product-analytics
+    "converted within N days" metric, versus funnel_conversion's
+    unbounded-horizon chain.
+
+    Same single-shuffle fold as funnel_conversion — the accumulator
+    additionally carries the anchor timestamp, and the advance guard
+    adds the deadline test. Greedy earliest-match within a fixed
+    deadline is optimal by the usual exchange argument, so the fold is
+    provably equal to the oracle's chain of deadline-bounded sequential
+    mins. One shuffle on user_id; no joins; the per-user event array is
+    bounded by that user's event count (heavy users are the skew unit,
+    identical to funnel_conversion)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(FUNNEL_STEPS)
+    )
+    steps_arr = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    events_arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("timestamp").alias("t"),
+        F.lit(None).cast("timestamp").alias("deadline"),
+    )
+
+    def advance(acc, x):
+        expected = F.get(steps_arr, acc["stage"])  # 0-based, null past the end
+        ok = (
+            (acc["stage"] < len(FUNNEL_STEPS))
+            & (x["event_type"] == expected)
+            & (
+                (acc["stage"] == 0)
+                | ((x["ts"] > acc["t"]) & (x["ts"] <= acc["deadline"]))
+            )
+        )
+        nxt = F.struct(
+            (acc["stage"] + 1).cast("int").alias("stage"),
+            x["ts"].alias("t"),
+            F.coalesce(
+                acc["deadline"],
+                x["ts"] + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS"),
+            ).alias("deadline"),
+        )
+        return F.when(ok, nxt).otherwise(acc)
+
+    per_user = ev.groupBy("user_id").agg(
+        F.aggregate(events_arr, init, advance)["stage"].alias("stage")
+    )
+    reached = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("stage") >= k).cast("bigint")), F.lit(0).cast("bigint")
+            ).alias(f"s{k}")
+            for k in range(1, len(FUNNEL_STEPS) + 1)
+        ]
+    )
+    names = {k: FUNNEL_STEPS[k - 1] for k in range(1, len(FUNNEL_STEPS) + 1)}
+    stack_args = ", ".join(
+        f"CAST({k} AS INT), '{names[k]}', s{k}" for k in range(1, len(FUNNEL_STEPS) + 1)
+    )
+    return reached.selectExpr(
+        f"stack({len(FUNNEL_STEPS)}, {stack_args}) AS (step, step_name, users)"
+    )
+
+
 @register(
     "cohort_retention",
     oracle="""

@@ -754,3 +754,113 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+BOOT_R = 100  # bootstrap replicates
+BOOT_SALT = 1000003  # decorrelates replicate hashes (prime, > any key stride)
+_KNUTH = 2654435761  # Knuth multiplicative hash, same constant as sampling.py
+# Inverse-CDF thresholds for Poisson(1) on a 1e4 grid: P(X<=k) * 1e4 for
+# k = 0..4; a uniform draw u in [0, 1e4) maps to the smallest bucket whose
+# threshold exceeds it (mass beyond 5 is folded into 5; total error 1e-4).
+_POIS1_CDF = (3679, 7358, 9197, 9810, 9963)
+
+
+def _poisson_cnt_sql(u: str) -> str:
+    """CASE expression mapping a uniform 0..9999 draw to a Poisson(1) count
+    — identical text in Spark SQL and DuckDB so both engines agree."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+        WITH fan AS (
+            SELECT t.r,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN t.r = -1 THEN 1 ELSE {_poisson_cnt_sql(
+                       f"((o_orderkey + (t.r + 1) * {BOOT_SALT}) * {_KNUTH}) % 10000"
+                   )} END AS cnt
+            FROM orders, range(-1, {BOOT_R}) AS t(r)),
+        reps AS (
+            SELECT r,
+                   CAST(SUM(CAST(cnt * cents AS HUGEINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(cnt AS HUGEINT)) AS DOUBLE) / 100 AS mean_r
+            FROM fan GROUP BY r)
+        SELECT round(max(CASE WHEN r = -1 THEN mean_r END), 6) AS point_mean,
+               round(quantile_cont(CASE WHEN r >= 0 THEN mean_r END, 0.025), 6)
+                   AS ci_lo,
+               round(quantile_cont(CASE WHEN r >= 0 THEN mean_r END, 0.5), 6)
+                   AS ci_median,
+               round(quantile_cont(CASE WHEN r >= 0 THEN mean_r END, 0.975), 6)
+                   AS ci_hi,
+               CAST({BOOT_R} AS INT) AS n_replicates
+        FROM reps
+    """,
+    tags=("stats", "sampling"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order value — the one-pass
+    streaming bootstrap of Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams" (Google, 2012): instead of resampling n rows
+    with replacement R times (R full shuffles), each row draws its own
+    per-replicate multiplicity cnt_r ~ Poisson(1), so ALL R resamples
+    are materialized in a single scan. Here the draws are DETERMINISTIC
+    (a Knuth-hash uniform fed through the Poisson(1) inverse CDF), which
+    makes the whole estimator reproducible and oracle-checkable — the
+    same discipline as sample_hash/sample_split_train_test. The point
+    estimate rides along as pseudo-replicate r = -1 with cnt = 1, so one
+    scan yields estimate + CI.
+
+    Scale: the only wide exchange carries (R+1) x num_tasks partial-sum
+    rows (map-side combine folds the per-row fanout immediately);
+    the replicate table is R+1 rows — model-sized — and the final
+    percentile runs over those, never over data ("tiny" single-partition
+    allowlist). Accumulation is DECIMAL(38,0) on cent-integers, exact
+    and order-independent at any scale. At 100 TB the multiplicative
+    hash would be swapped for xxhash64 (the oracle-parity form must
+    avoid engine-specific hashes); everything else is unchanged."""
+    R = BOOT_R
+    orders = load_table(spark, sf_dir, "orders")
+    D38 = "decimal(38,0)"
+    fan = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            F.col("o_orderkey"),
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(-1), F.lit(R - 1))))
+        .withColumn(
+            "u",
+            ((F.col("o_orderkey") + (F.col("r") + 1) * BOOT_SALT) * F.lit(_KNUTH))
+            % 10000,
+        )
+        .withColumn(
+            "cnt",
+            F.when(F.col("r") == -1, F.lit(1)).otherwise(
+                F.expr(_poisson_cnt_sql("u"))
+            ),
+        )
+    )
+    reps = fan.groupBy("r").agg(
+        (
+            F.sum((F.col("cnt") * F.col("cents")).cast(D38)).cast("double")
+            / F.sum(F.col("cnt").cast(D38)).cast("double")
+            / 100
+        ).alias("mean_r")
+    )
+    boot = F.when(F.col("r") >= 0, F.col("mean_r"))
+    return reps.agg(
+        F.round(F.max(F.when(F.col("r") == -1, F.col("mean_r"))), 6).alias(
+            "point_mean"
+        ),
+        F.round(F.percentile(boot, F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile(boot, F.lit(0.5)), 6).alias("ci_median"),
+        F.round(F.percentile(boot, F.lit(0.975)), 6).alias("ci_hi"),
+        F.lit(R).cast("int").alias("n_replicates"),
+    )

@@ -353,6 +353,8 @@ _SINGLE_PARTITION_OK = {
     "feat_target_encode": "scalar",  # 1-row global (n, Σy) for the smoothing blend
     "feat_woe_iv": "scalar",  # 1-row class-totals final
     "funnel_conversion": "scalar",
+    "funnel_time_window": "scalar",  # 4-row step rollup, same as funnel_conversion
+    "stats_bootstrap_ci": "tiny",  # percentile over the (R+1)-row replicate table
     "graph_triangle_count": "scalar",
     "metric_open_orders_sweep": "tiny",  # running sum over the |days| axis
     "plan_cached_reuse": "scalar",  # two 1-row scalar aggs over the cached slice
