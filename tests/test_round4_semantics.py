@@ -476,3 +476,109 @@ def test_power_analysis_matches_numpy(spark):
     assert abs(got["mean_diff"] - mean_diff) < 1e-6
     assert abs(got["var_pooled"] - var_pooled) < 1e-4
     assert got["n_required_per_arm"] == n_ref
+
+
+def _orders_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return d
+
+
+def test_bootstrap_ci_matches_numpy(spark, tmp_path):
+    """stats_bootstrap_ci's deterministic Poisson draws, replicate means,
+    and interpolated CI bounds reproduced independently in NumPy from
+    the published hash recipe — pins the resampling itself, not just
+    Spark/DuckDB agreement."""
+    from datetime import datetime
+
+    from cdc_export_system_spark.operators.stats_tests import (
+        BOOT_R,
+        BOOT_SALT,
+        _KNUTH,
+        _POIS1_CDF,
+        stats_bootstrap_ci,
+    )
+
+    prices = [101.37, 250.00, 999.99, 12.01, 55.55, 730.25, 480.10, 63.49]
+    rows = [
+        (k + 1, 1, "O", p, datetime(2024, 1, 1), "1-URGENT")
+        for k, p in enumerate(prices)
+    ]
+    d = _orders_dir(spark, tmp_path, rows)
+    got = stats_bootstrap_ci(spark, d).first()
+
+    cents = np.array([round(p * 100) for p in prices], dtype=np.int64)
+    keys = np.arange(1, len(prices) + 1, dtype=np.int64)
+
+    def cnt(k: int, r: int) -> int:
+        u = ((k + (r + 1) * BOOT_SALT) * _KNUTH) % 10000
+        for i, t in enumerate(_POIS1_CDF):
+            if u < t:
+                return i
+        return 5
+
+    means = []
+    for r in range(BOOT_R):
+        w = np.array([cnt(int(k), r) for k in keys], dtype=np.int64)
+        if w.sum() > 0:
+            means.append((w * cents).sum() / w.sum() / 100)
+    lo, med, hi = np.percentile(np.array(means), [2.5, 50, 97.5])
+
+    assert got["n_replicates"] == BOOT_R
+    assert abs(got["point_mean"] - cents.mean() / 100) < 1e-4
+    assert abs(got["ci_lo"] - lo) < 1e-4
+    assert abs(got["ci_median"] - med) < 1e-4
+    assert abs(got["ci_hi"] - hi) < 1e-4
+    # the CI must bracket the point estimate on this well-behaved sample
+    assert got["ci_lo"] < got["point_mean"] < got["ci_hi"]
+
+
+def test_funnel_time_window_deadline_semantics(spark, tmp_path):
+    """Hand-built users exercising every deadline edge: full conversion
+    inside the window, a purchase just past the deadline, out-of-order
+    steps, and an event exactly AT the deadline (inclusive)."""
+    from datetime import datetime, timedelta
+
+    from cdc_export_system_spark.operators.analytics import (
+        FUNNEL_WINDOW_DAYS,
+        funnel_time_window,
+    )
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    win = timedelta(days=FUNNEL_WINDOW_DAYS)
+    rows = []
+    eid = [0]
+
+    def ev(user, etype, ts):
+        eid[0] += 1
+        rows.append((eid[0], user, etype, ts, 1.0))
+
+    # user 1: all four steps inside the window -> depth 4
+    ev(1, "signup", t0)
+    ev(1, "view", t0 + timedelta(hours=1))
+    ev(1, "click", t0 + timedelta(hours=2))
+    ev(1, "purchase", t0 + timedelta(days=1))
+    # user 2: purchase 1s past the deadline -> depth 3
+    ev(2, "signup", t0)
+    ev(2, "view", t0 + timedelta(hours=1))
+    ev(2, "click", t0 + timedelta(hours=2))
+    ev(2, "purchase", t0 + win + timedelta(seconds=1))
+    # user 3: view BEFORE signup only -> depth 1 (strict ordering)
+    ev(3, "view", t0 - timedelta(hours=1))
+    ev(3, "signup", t0)
+    # user 4: view exactly AT the deadline -> counts (inclusive bound)
+    ev(4, "signup", t0)
+    ev(4, "view", t0 + win)
+    # user 5: no signup at all -> depth 0, in no step count
+    ev(5, "view", t0)
+    ev(5, "purchase", t0 + timedelta(hours=1))
+
+    d = _events_dir(spark, tmp_path, rows)
+    got = {
+        r["step_name"]: r["users"] for r in funnel_time_window(spark, d).collect()
+    }
+    assert got == {"signup": 4, "view": 3, "click": 2, "purchase": 1}
