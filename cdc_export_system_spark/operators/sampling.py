@@ -397,3 +397,142 @@ def corpus_shard_assignment(
             F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_importance_resample (DSIR)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET = "src0"  # the target-domain slice the selection aims to match
+DSIR_K = 100  # documents to select
+DSIR_SALT = 60013  # decorrelates the Gumbel hash from every other sampling op
+
+
+@register(
+    "corpus_importance_resample",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        t AS (SELECT * FROM tok WHERE token <> ''),
+        vocab AS (
+            SELECT token,
+                   SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS tf_t,
+                   SUM(CASE WHEN source <> '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS tf_c
+            FROM t GROUP BY token),
+        tot AS (
+            SELECT SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS nt,
+                   SUM(CASE WHEN source <> '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS nc,
+                   (SELECT count(*) FROM vocab) AS v
+            FROM t),
+        term AS (
+            SELECT t.doc_id, t.pos,
+                   ln(CAST(vocab.tf_t + 1 AS DOUBLE))
+                   - ln(CAST(vocab.tf_c + 1 AS DOUBLE)) AS term
+            FROM t JOIN vocab ON t.token = vocab.token
+            WHERE t.source <> '{DSIR_TARGET}'),
+        d AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   list_aggregate(list(term ORDER BY pos), 'sum') AS s
+            FROM term GROUP BY doc_id),
+        keyed AS (
+            SELECT d.doc_id, d.n_tokens,
+                   d.s + CAST(d.n_tokens AS DOUBLE)
+                         * (ln(CAST(tot.nc + tot.v AS DOUBLE))
+                            - ln(CAST(tot.nt + tot.v AS DOUBLE))) AS log_w,
+                   -ln(-ln((((d.doc_id + {DSIR_SALT}) * {KNUTH}) % 10000 + 0.5)
+                           / 10000)) AS g
+            FROM d CROSS JOIN tot)
+        SELECT doc_id, n_tokens,
+               floor(log_w * 1000000000 + 0.5) / 1000000000 AS log_w,
+               floor((log_w + g) * 1000000000 + 0.5) / 1000000000 AS sel_key
+        FROM keyed
+        ORDER BY log_w + g DESC, doc_id
+        LIMIT {DSIR_K}
+    """,
+    tags=("sampling", "pipeline", "text"),
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    pick the K out-of-domain documents whose token distribution best
+    matches a target domain, by importance weight under add-one-smoothed
+    unigram LMs of target vs corpus, sampled without replacement via the
+    Gumbel-top-k trick. The Gumbel noise here is DETERMINISTIC (the
+    repo's Knuth-hash uniform fed through -ln(-ln(u))), which makes the
+    selection a pure function of the data — reproducible across
+    reshards and oracle-checkable, the same discipline as sample_hash.
+
+    Exactness: tf/N/V are exact ints; each token's term is
+    ln(tf_t+1)-ln(tf_c+1) (bit-identical across engines); the per-doc
+    sum folds in TOKEN-POSITION order (array_sort fold here, list(ORDER
+    BY pos) there) pinning float accumulation order; the top-k carries a
+    doc_id tiebreak.
+
+    Scale: one |vocab| aggregate (map-side combined), vocab broadcast
+    back onto the token stream, one |tokens|->|docs| keyed reduce, then
+    a distributed TakeOrderedAndProject for the top-k — no global sort,
+    no all-pairs, nothing driver-side beyond the 3 scalar totals. This
+    is the n-gram-hash variant of the DSIR paper's pipeline (their
+    hashed-ngram features; unigrams here) and the natural pretraining
+    data-mixing companion to corpus_token_budget_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    is_t = F.col("source") == DSIR_TARGET
+    vocab = tok.groupBy("token").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("tf_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("tf_c"),
+    )
+    totals = vocab.agg(
+        F.sum("tf_t").alias("nt"), F.sum("tf_c").alias("nc"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    nt, nc, v = int(totals["nt"]), int(totals["nc"]), int(totals["v"])
+
+    term = (
+        tok.filter(~is_t)
+        .join(F.broadcast(vocab), "token")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.log((F.col("tf_t") + 1).cast("double"))
+                - F.log((F.col("tf_c") + 1).cast("double"))
+            ).alias("term"),
+        )
+    )
+    d = term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("s"),
+    )
+    log_w = F.col("s") + F.col("n_tokens").cast("double") * (
+        F.log(F.lit(float(nc + v))) - F.log(F.lit(float(nt + v)))
+    )
+    u01 = (((F.col("doc_id") + DSIR_SALT) * F.lit(KNUTH)) % 10000 + 0.5) / 10000
+    g = -F.log(-F.log(u01))
+    keyed = d.select(
+        "doc_id",
+        "n_tokens",
+        log_w.alias("log_w_raw"),
+        (log_w + g).alias("key_raw"),
+    )
+    r9 = lambda c: F.floor(c * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000  # noqa: E731
+    return (
+        keyed.orderBy(F.col("key_raw").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            r9(F.col("log_w_raw")).alias("log_w"),
+            r9(F.col("key_raw")).alias("sel_key"),
+        )
+    )

@@ -582,3 +582,48 @@ def test_funnel_time_window_deadline_semantics(spark, tmp_path):
         r["step_name"]: r["users"] for r in funnel_time_window(spark, d).collect()
     }
     assert got == {"signup": 4, "view": 3, "click": 2, "purchase": 1}
+
+
+def test_dsir_importance_resample_matches_numpy(spark, tmp_path):
+    """corpus_importance_resample's log importance weights recomputed
+    independently (NumPy, add-one smoothed unigram LMs) on a micro-corpus
+    — and the doc written in the target's vocabulary must out-weigh the
+    doc written off-vocabulary."""
+    from cdc_export_system_spark.operators.sampling import (
+        DSIR_SALT,
+        DSIR_TARGET,
+        KNUTH,
+        corpus_importance_resample,
+    )
+
+    # target domain speaks {aa bb}; candidate 10 mimics it, candidate 11
+    # speaks {zz ww} which the target has never seen
+    rows = [
+        (1, "aa bb aa bb", "en", DSIR_TARGET, 11),
+        (2, "bb aa aa", "en", DSIR_TARGET, 8),
+        (10, "aa bb bb", "en", "srcX", 8),
+        (11, "zz ww zz", "en", "srcX", 8),
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in corpus_importance_resample(spark, d).collect()}
+    assert set(got) == {10, 11}
+
+    # independent recomputation
+    import collections
+
+    docs = {i: txt.split() for i, txt, *_ in rows}
+    tgt = [t for i in (1, 2) for t in docs[i]]
+    cand = [t for i in (10, 11) for t in docs[i]]
+    tf_t, tf_c = collections.Counter(tgt), collections.Counter(cand)
+    vocab = set(tf_t) | set(tf_c)
+    nt, nc, v = len(tgt), len(cand), len(vocab)
+    for i in (10, 11):
+        lw = sum(
+            math.log((tf_t[t] + 1) / (nt + v)) - math.log((tf_c[t] + 1) / (nc + v))
+            for t in docs[i]
+        )
+        assert abs(got[i]["log_w"] - lw) < 1e-6, (i, got[i]["log_w"], lw)
+        u = (((i + DSIR_SALT) * KNUTH) % 10000 + 0.5) / 10000
+        gumbel = -math.log(-math.log(u))
+        assert abs(got[i]["sel_key"] - (lw + gumbel)) < 1e-6
+    assert got[10]["log_w"] > got[11]["log_w"]
