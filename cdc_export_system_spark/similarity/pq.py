@@ -272,3 +272,142 @@ def sim_search_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled-training recall gate lives beside the full-fit pin in
     tests/test_similarity_quality.py."""
     return _pq_search(spark, sf_dir, PQ_TRAIN_SAMPLE_MOD)
+
+
+# ---------------------------------------------------------------------------
+# sim_search_ivf_pq — the composed FAISS-style IVFADC pipeline
+# ---------------------------------------------------------------------------
+
+IVFPQ_NLIST = 8  # coarse cells (small so every cell is populated at sf0.001)
+IVFPQ_NPROBE = 3  # cells scanned per query
+
+
+@register(
+    "sim_search_ivf_pq",
+    tags=("similarity", "ann"),
+)
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — the billion-scale serving
+    architecture composed from the repo's two ANN halves: a coarse
+    k-means quantizer prunes the corpus to nprobe of nlist inverted
+    lists, and within the surviving lists an 8-byte-per-vector PQ code
+    over the RESIDUAL (x - coarse_centroid) is scanned with asymmetric
+    distance. Residual encoding is what distinguishes real IVFADC from
+    IVF + flat PQ: the residual distribution is much tighter than the
+    raw corpus, so the same 8 bytes quantize it far more accurately.
+
+    Query pipeline (all JVM-side except the model-sized driver tables):
+    rank the nlist driver-resident centroids, take nprobe cells; build
+    ONE M x K ADC table PER PROBED CELL from that cell's query residual
+    (q - c) — nprobe * M * K doubles, broadcast-joined on cluster_id;
+    fold each code against its cell's table (whole-stage codegen, no
+    Python); TakeOrdered shortlist; exact re-rank of |shortlist| rows
+    against full-precision vectors.
+
+    Scale: at 100 TB the codes table is written partitioned by
+    cluster_id (the directory layout IS the inverted file), so the
+    cluster_id filter below is partition pruning — the ADC scan reads
+    nprobe/nlist of an already-32x-compressed corpus, and only
+    |shortlist| full vectors are ever touched. Training reads the
+    corpus (bounded-sample path: pq_fit_sampled / KMeans sampling);
+    everything query-time is pruned-scan -> codegen fold ->
+    TakeOrdered. Approximate (rows-only driver check); recall vs the
+    exact scan and run-to-run determinism are pinned in
+    tests/test_similarity_quality.py."""
+    import numpy as np
+
+    from cdc_export_system_spark.similarity.ivf import ivf_assign, _rank_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("l2_dist")
+        ).filter(F.lit(False))
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+
+    assigned, centroids = ivf_assign(emb, n_clusters=IVFPQ_NLIST)
+    # L2 coarse ranking (ADC is an L2 pipeline; ivf's cosine ranker is
+    # for its cosine output contract)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: (float(np.sum((q - np.asarray(centroids[i])) ** 2)), i),
+    )
+    probe = order[:IVFPQ_NPROBE]
+
+    # residuals: x - centroid[cell], via a broadcast (cluster_id, centroid)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, cent array<double>",
+    )
+    resid = (
+        assigned.join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cent"),
+                lambda a, b: (a - b).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    # PQ codebooks trained on ALL residuals (offline); codes materialized
+    # only for the probed cells (the pruned-scan serving shape — offline
+    # encode would cover every cell and land in cluster_id partitions)
+    model = pq_fit(resid.drop("cluster_id"))
+    probed = resid.filter(F.col("cluster_id").isin(probe)).filter(
+        F.col("vec_id") != 0
+    )
+    codes = pq_encode(probed.drop("cluster_id"), model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+
+    # per-probed-cell ADC tables from the cell's query residual
+    cent_arr = {(r["m"], r["cid"]): np.asarray(r["centroid"], dtype=np.float64)
+                for r in model.collect()}
+    tbl_rows = []
+    for cell in probe:
+        qr = q - np.asarray(centroids[cell], dtype=np.float64)
+        tbl = [
+            [
+                float(np.sum(
+                    (qr[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] - cent_arr[(m, c)]) ** 2
+                )) if (m, c) in cent_arr else float("inf")
+                for c in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+        tbl_rows.append((cell, tbl))
+    tbl_df = spark.createDataFrame(
+        tbl_rows, "cluster_id int, tbl array<array<double>>"
+    )
+
+    shortlist = (
+        codes.join(F.broadcast(tbl_df), "cluster_id")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("tbl"),
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]]).cast("array<float>")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(sq_dist(F.col("embedding"), qlit), PQ_DECIMALS).alias("l2_dist"),
+        )
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

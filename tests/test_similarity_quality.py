@@ -283,3 +283,40 @@ def test_pq_sampled_trains_on_strict_subset(spark):
     rows = model.collect()
     assert {r["m"] for r in rows} == set(range(PQ_M))
     assert all(0 <= r["cid"] < PQ_K for r in rows)
+
+
+def test_ivf_pq_recall_vs_exact_and_deterministic(spark):
+    """IVFADC (coarse prune -> residual-PQ ADC -> exact re-rank): the
+    composed pipeline must keep decent recall vs the exact L2 top-k even
+    though it scans only nprobe/nlist of the corpus, every surviving
+    distance must be the exact full-precision one, and a second run must
+    reproduce the first bit-for-bit (seeded k-means + deterministic
+    Lloyd + total tie-breaks everywhere)."""
+    import numpy as np
+
+    from cdc_export_system_spark.registry import load_all
+    from cdc_export_system_spark.similarity.queries import TOP_K
+
+    fn = load_all()["sim_search_ivf_pq"].fn
+    got = fn(spark, SF_DIR).collect()
+    assert len(got) == TOP_K
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    q = vecs[0]
+    exact = sorted(
+        (float(np.sum((v - q) ** 2)), vid) for vid, v in vecs.items() if vid != 0
+    )
+    exact_ids = [vid for _, vid in exact[:TOP_K]]
+    recall = len({r["vec_id"] for r in got} & set(exact_ids)) / TOP_K
+    assert recall >= 0.5, f"IVF-PQ recall@{TOP_K} = {recall}"
+    exact_d = dict((vid, d) for d, vid in exact)
+    for r in got:
+        assert abs(r["l2_dist"] - exact_d[r["vec_id"]]) < 1e-4, r
+    ds = [r["l2_dist"] for r in got]
+    assert ds == sorted(ds)
+
+    again = fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
