@@ -516,9 +516,13 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_verified into the accounting view.
 
     Near-dup drop rule: any doc appearing as doc_b of a verified pair
-    (pairs are canonical doc_a < doc_b) is dropped — deterministic,
-    keep-lowest, and exactly cluster-keep-min on transitively-closed
-    pair sets. Scale: inherits the component shapes (fingerprint-only
+    (pairs are canonical doc_a < doc_b) is dropped — a deterministic
+    per-pair keep-lowest rule. Note this is NOT cluster-keep-min on
+    transitively-closed components: a non-min member that only ever
+    appears as doc_a survives (pairs (2,4),(3,4) keep both 2 and 3,
+    where dedup_cluster_cc's keep-min would keep only 2), so the
+    reported near-dup attrition is a lower bound on what the
+    component-level policy removes. Scale: inherits the component shapes (fingerprint-only
     shuffle; banded LSH + bounded verify via the materialized signature
     table); the funnel adds three 1-row aggregates and a broadcast of
     the raw total."""

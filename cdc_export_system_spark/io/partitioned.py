@@ -66,6 +66,7 @@ def _source_fingerprint(sf_dir: str) -> str:
     parts: list[str] = []
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):
+            _dirs.sort()  # deterministic walk order across filesystems
             for fn in sorted(files):
                 p = os.path.join(root, fn)
                 st = os.stat(p)
@@ -98,6 +99,17 @@ def _materialize(spark: SparkSession, sf_dir: str) -> str:
                 raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        # prune superseded copies: same source tag, older fingerprint —
+        # without this every source change leaks a full partitioned copy
+        prefix = f"{tag}-"
+        for entry in os.listdir(root):
+            stale = os.path.join(root, entry)
+            if (
+                entry.startswith(prefix)
+                and stale != base
+                and not entry.startswith(".")
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
     return base
 
 

@@ -1508,7 +1508,7 @@ AGING_BUCKET_DAYS = 180
     tags=("analytics", "agg", "filter"),
 )
 def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-order backlog aged into {AGING_BUCKET_DAYS}-day buckets at a
+    """Open-order backlog aged into 180-day (AGING_BUCKET_DAYS) buckets at a
     fixed as-of date: how much open value is how stale — the
     accounts-receivable/fulfillment aging report, the operational
     sibling of metric_open_orders_sweep's time series. Bucket assignment

@@ -492,7 +492,19 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf_t").alias("nt"), F.sum("tf_c").alias("nc"),
         F.count(F.lit(1)).alias("v"),
     ).first()
-    nt, nc, v = int(totals["nt"]), int(totals["nc"]), int(totals["v"])
+    # Empty corpus: the sums are NULL and v == 0 — every downstream frame
+    # is already empty, so only the scalar coercion needs the guard.
+    nt = int(totals["nt"] or 0)
+    nc = int(totals["nc"] or 0)
+    v = int(totals["v"] or 0)
+    if v == 0:
+        # log(nt+v) would be log(0); short-circuit to the (empty) keyed shape.
+        return tok.select(
+            F.col("doc_id"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("log_w"),
+            F.lit(0.0).alias("sel_key"),
+        ).limit(0)
 
     term = (
         tok.filter(~is_t)

@@ -792,7 +792,8 @@ def _poisson_cnt_sql(u: str) -> str:
             SELECT r,
                    CAST(SUM(CAST(cnt * cents AS HUGEINT)) AS DOUBLE)
                    / CAST(SUM(CAST(cnt AS HUGEINT)) AS DOUBLE) / 100 AS mean_r
-            FROM fan GROUP BY r)
+            FROM fan GROUP BY r
+            HAVING SUM(CAST(cnt AS HUGEINT)) > 0)
         SELECT round(max(CASE WHEN r = -1 THEN mean_r END), 6) AS point_mean,
                round(quantile_cont(CASE WHEN r >= 0 THEN mean_r END, 0.025), 6)
                    AS ci_lo,
@@ -847,12 +848,24 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    reps = fan.groupBy("r").agg(
-        (
-            F.sum((F.col("cnt") * F.col("cents")).cast(D38)).cast("double")
-            / F.sum(F.col("cnt").cast(D38)).cast("double")
-            / 100
-        ).alias("mean_r")
+    # HAVING SUM(cnt) > 0 mirrors the oracle: an all-zero Poisson replicate
+    # (probability e^-n — real only for micro fixtures) would divide by zero,
+    # where Spark (NULL) and DuckDB disagree; both engines drop it instead.
+    reps = (
+        fan.groupBy("r")
+        .agg(
+            F.sum((F.col("cnt") * F.col("cents")).cast(D38)).alias("sum_cc"),
+            F.sum(F.col("cnt").cast(D38)).alias("sum_c"),
+        )
+        .filter(F.col("sum_c") > 0)
+        .select(
+            "r",
+            (
+                F.col("sum_cc").cast("double")
+                / F.col("sum_c").cast("double")
+                / 100
+            ).alias("mean_r"),
+        )
     )
     boot = F.when(F.col("r") >= 0, F.col("mean_r"))
     return reps.agg(

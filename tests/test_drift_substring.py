@@ -215,7 +215,6 @@ def test_substring_seed_len_knob(spark):
 
     base = dedup_exact_substring(spark, SF_DIR)
     wide = dedup_exact_substring(spark, SF_DIR, seed_len=12)
-    n_base, n_wide = base.count(), wide.count()
     assert all(r.span_len >= 12 for r in wide.collect())
     base_cov = base.selectExpr("sum(span_len) AS c").first()["c"] or 0
     wide_cov = wide.selectExpr("sum(span_len) AS c").first()["c"] or 0
