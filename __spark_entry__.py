@@ -39,37 +39,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # ROUND-4 LEAD: the reference's own core — the CDC export trio and
-    # every other cdc_* query. These are the semantics the repo exists
-    # to reproduce (reference app/services/exports.py:70-171) and after
-    # three rounds they still have zero external driver rows.
-    "cdc_full_snapshot", "cdc_incremental", "cdc_delta",
-    "cdc_point_in_time", "cdc_forget_users_audit", "cdc_scd2_history",
-    "cdc_merge_apply", "cdc_snapshot_diff", "cdc_incremental_agg",
-    "cdc_compact_changelog",
-    # fn_* suites — 24 oracle-carrying scalar-function batteries, never
-    # driver-checked (cheap, zero-risk, drains the largest backlog family)
-    "fn_ts_isoformat", "fn_ts_strftime_compact", "fn_str_replace",
-    "fn_ts_arith", "fn_bool_ts_eq", "fn_math_suite",
-    "fn_bitwise_conditional", "fn_try_suite", "fn_string_suite",
-    "fn_like_regexp", "fn_hash_suite", "fn_edit_distance", "fn_url_suite",
-    "fn_format_pad", "fn_base64_suite", "fn_date_extract",
-    "fn_date_trunc_diff", "fn_array_suite", "fn_array_fold",
-    "fn_explode_posexplode", "fn_map_suite", "fn_struct_suite",
-    "fn_null_handling", "fn_nondeterministic",
-    # sql_* single-statement forms — never driver-checked
-    "sql_scalar_subquery", "sql_cte_join", "sql_grouping_sets",
-    "sql_lateral_topk", "sql_lateral_topn", "sql_exists_correlated",
-    "sql_named_window", "sql_recursive_cte",
-    # source_* connectors — round-trip + pushdown + changefeed family
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "source_schema_evolution", "source_python_changefeed",
-    "source_python_changefeed_pushdown", "source_python_changefeed_stream",
-    # tail risk-buffer if the driver prefix runs longer than 49: the ml/
-    # stats/ts ops queued in r03 but cut off by the prefix
-    "ml_linear_regression", "ml_naive_bayes", "ml_kfold_cv",
+    # ROUND-5 LEAD: the stream_* family — the Structured-Streaming heart
+    # of the north star ("Structured Streaming for CDC"), 6 real
+    # micro-batch queries that have never had an external row.
+    "stream_stateful_profile", "stream_dedup_watermark", "stream_cdc_scd2",
+    "stream_session_window", "stream_static_enrich", "stream_export_csv",
+    # text_* — the largest zero-external-row north-star family (20)
+    "text_lang_id", "text_ngram_freq", "text_tfidf", "text_chunk_dedup",
+    "text_hash_embedding", "text_unigram_logprob", "text_repetition_score",
+    "text_pmi_collocations", "text_bigram_logprob", "text_readability",
+    "text_novelty_score", "text_langid_confusion", "text_bpe_pair_counts",
+    "text_oov_rate", "text_char_ngram_lang_profile", "text_vocab_coverage",
+    "text_clean_normalize", "text_pii_scrub", "text_term_freq",
+    "text_compression_quality",
+    # sim_* / cluster_* — the ANN + clustering stack (11), incl. the
+    # billion-scale IVF-PQ composite (rows-only, recall-pinned)
+    "sim_pairwise_by_label", "sim_range_search", "sim_mmr_rerank",
+    "sim_search_lsh_pruned", "sim_recall_at_k", "sim_search_ivf",
+    "sim_search_pq", "sim_search_pq_sampled", "sim_search_ivf_pq",
+    "cluster_kmeans_assign", "cluster_kmeans_iterate",
+    # graph_* (6)
+    "graph_triangle_count", "graph_degree_topk", "graph_pagerank",
+    "graph_shortest_hops", "graph_common_neighbors", "graph_pagerank_exact",
+    # ts_* (8)
+    "ts_gapfill_interpolate", "ts_time_weighted_avg", "ts_seasonal_decompose",
+    "ts_resample_ohlc", "ts_autocorrelation", "ts_changepoint_cusum",
+    "ts_forecast_linear", "ts_dow_hour_profile",
+    # stats_* (8) — incl. the round-5 zero-replicate guard fix
     "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
-    "ts_resample_ohlc", "ts_forecast_linear",
+    "stats_anova_oneway", "stats_benjamini_hochberg", "stats_effect_sizes",
+    "stats_power_analysis", "stats_bootstrap_ci",
+    # tail risk-buffer if the driver prefix runs past 59: ml_* +
+    # metric/analytics representatives
+    "ml_naive_bayes", "ml_kfold_cv", "ml_confusion_matrix", "ml_auc_roc",
+    "metric_dau_mau", "metric_rolling_wau", "funnel_conversion",
+    "sessionize_batch",
 ]
 
 

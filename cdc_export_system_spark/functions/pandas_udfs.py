@@ -110,7 +110,7 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
     # decimal->double, then IEEE divide; 0-row input => no mean to subtract
-    mean = float(stats["s"]) / stats["n"] if stats["n"] else 0.0
+    mean = float(stats["s"] or 0) / stats["n"] if stats["n"] else 0.0
 
     def _center(batches):
         for pdf in batches:
