@@ -284,6 +284,8 @@ IVFPQ_NPROBE = 3  # cells scanned per query
 
 @register(
     "sim_search_ivf_pq",
+    headline=True,  # the billion-scale ANN composite — benched alongside
+    # the exact sim_search_topk so the bench shows both serving regimes
     tags=("similarity", "ann"),
 )
 def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
