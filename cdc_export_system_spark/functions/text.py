@@ -1327,3 +1327,110 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_gopher_filter — the per-document composite quality GATE
+# ---------------------------------------------------------------------------
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1), adapted to the
+# synthetic corpus's ranges so every rule has real variance here. All five
+# comparisons are evaluated in cross-multiplied INTEGER form, so the flags
+# are bit-identical across engines — no float threshold can sit on a tie.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 5_000
+GOPHER_MIN_MEAN_WL = 3  # mean word length lower bound (chars/word)
+GOPHER_MAX_MEAN_WL = 10
+GOPHER_MIN_DISTINCT_PERMILLE = 350  # distinct-token ratio > 0.35
+GOPHER_MAX_TOP_SHARE_PERMILLE = 120  # most-frequent-token share <= 0.12
+GOPHER_MIN_STOPWORD_HITS = 2  # >= 2 English stopword occurrences
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "corpus_gopher_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        d AS (
+            SELECT doc_id,
+                   SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS mc,
+                   SUM(length(tok) * c) AS ch,
+                   SUM(CASE WHEN tok IN ({_GOPHER_SW}) THEN c ELSE 0 END) AS sw
+            FROM tf GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               CAST(n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+                    AS INT) AS ok_len,
+               CAST(ch >= {GOPHER_MIN_MEAN_WL} * n
+                    AND ch <= {GOPHER_MAX_MEAN_WL} * n AS INT) AS ok_mean_wl,
+               CAST(1000 * nd > {GOPHER_MIN_DISTINCT_PERMILLE} * n
+                    AS INT) AS ok_distinct,
+               CAST(1000 * mc <= {GOPHER_MAX_TOP_SHARE_PERMILLE} * n
+                    AS INT) AS ok_top_share,
+               CAST(sw >= {GOPHER_MIN_STOPWORD_HITS} AS INT) AS ok_stopwords,
+               CAST(n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+                    AND ch >= {GOPHER_MIN_MEAN_WL} * n
+                    AND ch <= {GOPHER_MAX_MEAN_WL} * n
+                    AND 1000 * nd > {GOPHER_MIN_DISTINCT_PERMILLE} * n
+                    AND 1000 * mc <= {GOPHER_MAX_TOP_SHARE_PERMILLE} * n
+                    AND sw >= {GOPHER_MIN_STOPWORD_HITS} AS INT) AS keep
+        FROM d
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document composite quality GATE in the Gopher-rules style
+    (Rae et al. 2021): word-count bounds, mean-word-length bounds,
+    distinct-token ratio, most-frequent-token share, and stopword
+    presence — each emitted as its own 0/1 flag plus the conjunctive
+    ``keep`` decision. corpus_quality_report is the per-SOURCE health
+    dashboard; this is the row-level admit/reject step a pretraining
+    pipeline actually applies before dedup (the natural front of
+    pipeline_pretraining_corpus).
+
+    Exactness: every feature is an exact integer (token multiset counts,
+    character sums), and every threshold comparison is cross-multiplied
+    into integer form (e.g. ``1000*nd > 350*n`` instead of
+    ``nd/n > 0.35``) so no flag can disagree across engines by an ulp.
+
+    Scale: one explode of the token stream, one (doc_id, token) combine,
+    one doc_id reduce — identical exchange shape to
+    text_repetition_score; per-doc group cardinality is bounded by doc
+    length, flags are pure codegen on the reduced row. No self-joins,
+    no windows, nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    d = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("mc"),
+        F.sum(F.length("tok") * F.col("c")).alias("ch"),
+        F.sum(
+            F.when(F.col("tok").isin(STOPWORDS["en"]), F.col("c")).otherwise(0)
+        ).alias("sw"),
+    )
+    ok_len = (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS)
+    ok_mwl = (F.col("ch") >= GOPHER_MIN_MEAN_WL * F.col("n")) & (
+        F.col("ch") <= GOPHER_MAX_MEAN_WL * F.col("n")
+    )
+    ok_dis = 1000 * F.col("nd") > GOPHER_MIN_DISTINCT_PERMILLE * F.col("n")
+    ok_top = 1000 * F.col("mc") <= GOPHER_MAX_TOP_SHARE_PERMILLE * F.col("n")
+    ok_sw = F.col("sw") >= GOPHER_MIN_STOPWORD_HITS
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        ok_len.cast("int").alias("ok_len"),
+        ok_mwl.cast("int").alias("ok_mean_wl"),
+        ok_dis.cast("int").alias("ok_distinct"),
+        ok_top.cast("int").alias("ok_top_share"),
+        ok_sw.cast("int").alias("ok_stopwords"),
+        (ok_len & ok_mwl & ok_dis & ok_top & ok_sw).cast("int").alias("keep"),
+    )

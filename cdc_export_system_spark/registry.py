@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.dedup.simhash",
     "cdc_export_system_spark.dedup.substring",
     "cdc_export_system_spark.dedup.jaccard",
+    "cdc_export_system_spark.dedup.semantic",
     "cdc_export_system_spark.similarity.queries",
     "cdc_export_system_spark.similarity.ivf",
     "cdc_export_system_spark.similarity.pq",

@@ -103,6 +103,8 @@ def test_cohort_retention_two_exchanges(spark):
 INTENTIONAL_BROADCAST_NLJ = {
     "cluster_kmeans_assign",  # k=8 centroid model vs every vector
     "cluster_kmeans_iterate",
+    "dedup_semantic_semdedup",  # inherits kmeans_fit's centroid-model NLJ;
+    # the pair stage itself is an equi-join on cluster_id (pinned below)
     "sim_knn_join",  # bounded probe set broadcast; corpus never shuffles
     "sim_recall_at_k",  # offline eval: sampled query set broadcast vs corpus
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
@@ -544,3 +546,15 @@ def test_minhash_single_pass_forms_stay_pure_plan(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
     assert 1 <= scans <= 2, f"{name}: {scans} parquet scans"
+
+
+def test_semdedup_pair_stage_is_cluster_equijoin(spark):
+    # SemDeDup's quadratic stage must be blocked by the k-means cluster id
+    # (an equi-join), never a corpus self-cross; the only NLJ in the tree
+    # is kmeans_fit's model-sized centroid broadcast (allowlisted above).
+    p = plan_of(spark, "dedup_semantic_semdedup")
+    assert "CartesianProduct" not in p, p
+    import re
+    assert re.search(r"Join \[cl_a#\d+L?\], \[cl_b#\d+L?\]", p) or (
+        "cl_a" in p and "cl_b" in p
+    ), "within-cluster pair join key missing from the physical plan"
