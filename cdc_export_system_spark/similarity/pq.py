@@ -282,6 +282,99 @@ IVFPQ_NLIST = 8  # coarse cells (small so every cell is populated at sf0.001)
 IVFPQ_NPROBE = 3  # cells scanned per query
 
 
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the IVF-PQ INDEX — the offline artifact every real ANN
+    deployment builds once and serves forever (ensure_lsh_bucketed is the
+    same trade for the sign-LSH path):
+
+    * ``<codes>`` — (vec_id, codes array<int>[M], cluster_id), written
+      PARTITIONED BY cluster_id: the directory layout IS the inverted
+      file, so a serving probe's ``cluster_id IN (...)`` is partition
+      pruning at the scan, reading nprobe/nlist of an already-
+      32x-compressed corpus.
+    * ``<model>`` — the coarse centroids ('coarse' rows, nlist x dim) and
+      residual-PQ codebooks ('pq' rows, M x K x subdim) in one tiny table.
+
+    Training: seeded k-means coarse quantizer (ivf_assign), then PQ
+    codebooks fit on the RESIDUALS (x - coarse centroid) — residual
+    encoding is what distinguishes real IVFADC from IVF + flat PQ.
+    Idempotent per sf_dir; deterministic end to end, so a rebuild
+    reproduces the same index bit-for-bit."""
+    from cdc_export_system_spark.io.bucketed import _table_name
+    from cdc_export_system_spark.similarity.ivf import ivf_assign
+
+    codes_tbl = _table_name(sf_dir, "emb_ivfpq_codes")
+    model_tbl = _table_name(sf_dir, "emb_ivfpq_model")
+    if not (
+        spark.catalog.tableExists(codes_tbl)
+        and spark.catalog.tableExists(model_tbl)
+    ):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for tbl in (codes_tbl, model_tbl):
+            stale = os.path.join(warehouse, tbl.lower())
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        assigned, centroids = ivf_assign(emb, n_clusters=IVFPQ_NLIST)
+        # the assignment feeds the residual build AND the codes join-back;
+        # materialize once instead of re-running the quantizer transform
+        assigned = assigned.localCheckpoint(eager=True)
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster_id int, cent array<double>",
+        )
+        resid = (
+            assigned.join(F.broadcast(cent_df), "cluster_id")
+            .select(
+                "vec_id",
+                "cluster_id",
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("cent"),
+                    lambda a, b: (a - b).cast("float"),
+                ).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)  # consumed by 2*PQ_ITER fit passes + encode
+        )
+        model = pq_fit(resid.drop("cluster_id"))
+        codes = pq_encode(resid.select("vec_id", "embedding"), model).join(
+            assigned.select("vec_id", "cluster_id"), "vec_id"
+        )
+        (
+            codes.repartition(F.col("cluster_id"))  # one writer per cell
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .format("parquet")
+            .saveAsTable(codes_tbl)
+        )
+        (
+            model.select(
+                F.lit("pq").alias("kind"),
+                "m",
+                "cid",
+                F.col("centroid").cast("array<double>").alias("centroid"),
+            )
+            .unionAll(
+                cent_df.select(
+                    F.lit("coarse").alias("kind"),
+                    F.lit(None).cast("int").alias("m"),
+                    F.col("cluster_id").alias("cid"),
+                    F.col("cent").alias("centroid"),
+                )
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(model_tbl)
+        )
+    return codes_tbl, model_tbl
+
+
 @register(
     "sim_search_ivf_pq",
     headline=True,  # the billion-scale ANN composite — benched alongside
