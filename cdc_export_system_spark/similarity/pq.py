@@ -399,19 +399,17 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python); TakeOrdered shortlist; exact re-rank of |shortlist| rows
     against full-precision vectors.
 
-    Scale: at 100 TB the codes table is written partitioned by
-    cluster_id (the directory layout IS the inverted file), so the
-    cluster_id filter below is partition pruning — the ADC scan reads
-    nprobe/nlist of an already-32x-compressed corpus, and only
-    |shortlist| full vectors are ever touched. Training reads the
-    corpus (bounded-sample path: pq_fit_sampled / KMeans sampling);
-    everything query-time is pruned-scan -> codegen fold ->
-    TakeOrdered. Approximate (rows-only driver check); recall vs the
-    exact scan and run-to-run determinism are pinned in
-    tests/test_similarity_quality.py."""
+    Serving reads the MATERIALIZED index (ensure_ivfpq_index): the codes
+    table is written PARTITIONED BY cluster_id, so the ``cluster_id IN
+    (probe)`` filter below is partition pruning at the scan — the ADC
+    pass reads nprobe/nlist of an already-32x-compressed corpus, no
+    training work on the query path, and only |shortlist| full vectors
+    are ever touched. Training (one-time, offline) reads the corpus
+    once (bounded-sample path: pq_fit_sampled / KMeans sampling).
+    Approximate (rows-only driver check); recall vs the exact scan,
+    run-to-run determinism, and the partition-pruned scan shape are
+    pinned in tests/test_similarity_quality.py."""
     import numpy as np
-
-    from cdc_export_system_spark.similarity.ivf import ivf_assign, _rank_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -421,46 +419,29 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.lit(False))
     q = np.asarray(qrow["embedding"], dtype=np.float64)
 
-    assigned, centroids = ivf_assign(emb, n_clusters=IVFPQ_NLIST)
+    codes_tbl, model_tbl = ensure_ivfpq_index(spark, sf_dir)
+    model_rows = spark.table(model_tbl).collect()  # nlist + M*K rows
+    centroids = {
+        r["cid"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in model_rows
+        if r["kind"] == "coarse"
+    }
     # L2 coarse ranking (ADC is an L2 pipeline; ivf's cosine ranker is
     # for its cosine output contract)
     order = sorted(
-        range(len(centroids)),
-        key=lambda i: (float(np.sum((q - np.asarray(centroids[i])) ** 2)), i),
+        centroids, key=lambda i: (float(np.sum((q - centroids[i]) ** 2)), i)
     )
     probe = order[:IVFPQ_NPROBE]
 
-    # residuals: x - centroid[cell], via a broadcast (cluster_id, centroid)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster_id int, cent array<double>",
-    )
-    resid = (
-        assigned.join(F.broadcast(cent_df), "cluster_id")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("cent"),
-                lambda a, b: (a - b).cast("float"),
-            ).alias("embedding"),
-        )
-    )
-    # PQ codebooks trained on ALL residuals (offline); codes materialized
-    # only for the probed cells (the pruned-scan serving shape — offline
-    # encode would cover every cell and land in cluster_id partitions)
-    model = pq_fit(resid.drop("cluster_id"))
-    probed = resid.filter(F.col("cluster_id").isin(probe)).filter(
-        F.col("vec_id") != 0
-    )
-    codes = pq_encode(probed.drop("cluster_id"), model).join(
-        assigned.select("vec_id", "cluster_id"), "vec_id"
-    )
+    # pruned scan of the inverted file: cluster_id is the partition
+    # column, so this reads only the nprobe probed directories
+    codes = spark.table(codes_tbl).filter(
+        F.col("cluster_id").isin(probe)
+    ).filter(F.col("vec_id") != 0)
 
     # per-probed-cell ADC tables from the cell's query residual
     cent_arr = {(r["m"], r["cid"]): np.asarray(r["centroid"], dtype=np.float64)
-                for r in model.collect()}
+                for r in model_rows if r["kind"] == "pq"}
     tbl_rows = []
     for cell in probe:
         qr = q - np.asarray(centroids[cell], dtype=np.float64)

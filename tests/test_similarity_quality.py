@@ -320,3 +320,44 @@ def test_ivf_pq_recall_vs_exact_and_deterministic(spark):
 
     again = fn(spark, SF_DIR).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_ivf_pq_index_partition_pruned_scan(spark):
+    """The materialized IVF-PQ index is the inverted file: the codes
+    table is partitioned by cluster_id, and a probe's ``cluster_id IN
+    (...)`` must surface as a PARTITION filter on the scan (directory
+    pruning — nprobe/nlist of the corpus read), not a row-level
+    post-scan filter. Also pins the one-time build contract: a second
+    ensure call returns the same tables without rebuilding."""
+    from cdc_export_system_spark.similarity.pq import (
+        IVFPQ_NLIST,
+        IVFPQ_NPROBE,
+        ensure_ivfpq_index,
+    )
+
+    codes_tbl, model_tbl = ensure_ivfpq_index(spark, SF_DIR)
+    assert (codes_tbl, model_tbl) == ensure_ivfpq_index(spark, SF_DIR)
+
+    probe = list(range(IVFPQ_NPROBE))
+    pruned = spark.table(codes_tbl).filter(F.col("cluster_id").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # the pruned scan must report fewer input files than the full table
+    n_cells = (
+        spark.table(codes_tbl).select("cluster_id").distinct().count()
+    )
+    assert n_cells == IVFPQ_NLIST
+    assert pruned.select("cluster_id").distinct().count() == IVFPQ_NPROBE
+
+    # model table: nlist coarse rows + M*K pq rows, nothing else
+    from cdc_export_system_spark.similarity.pq import PQ_K, PQ_M
+
+    kinds = {
+        r["kind"]: r["n"]
+        for r in spark.table(model_tbl).groupBy("kind").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert kinds == {"coarse": IVFPQ_NLIST, "pq": PQ_M * PQ_K}
