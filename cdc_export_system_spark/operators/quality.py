@@ -414,3 +414,153 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("js_divergence")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_fk_orphans — referential-integrity audit of the whole star schema
+# ---------------------------------------------------------------------------
+
+# (edge label, child table, fk column, parent table, pk column). The
+# lineitem edges share one child scan below; the list is the schema's
+# complete FK graph (reference seeds the same star via app/seeds).
+_FK_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS edge,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(count(*) FILTER (WHERE {fk} IS NULL) AS BIGINT) AS n_null_fk,
+           CAST(count(*) FILTER (WHERE {fk} IS NOT NULL
+                AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+               AS n_orphans
+    FROM {child}"""
+    for label, child, fk, parent, pk in _FK_EDGES
+)
+
+
+@register(
+    "dq_fk_orphans",
+    oracle=_FK_ORACLE,
+    tags=("quality", "join", "anti"),
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of EVERY foreign-key edge in the star
+    schema: per edge, the child row count, NULL-FK count, and orphan
+    count (non-NULL FK with no parent row) — the one report that tells
+    an ingest pipeline which upstream extract dropped rows. dq_checks
+    spot-checks one edge as a CI rule; this is the schema-wide audit.
+
+    Scale: each child table is scanned ONCE per edge group — the three
+    lineitem edges share a single scan with three left joins (part /
+    supplier broadcast; orders co-keyed SMJ under AQE). Orphan detection
+    is a LEFT join + count_if(parent IS NULL), so the parent side
+    reduces to its distinct key column before the join and only
+    |edges| counter rows ever reach the driver."""
+    out = None
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    for label, child, fk, parent, pk in _FK_EDGES:
+        by_child.setdefault(child, []).append((label, fk, parent, pk))
+    for child, edges in by_child.items():
+        df = load_table(spark, sf_dir, child)
+        aggs = []
+        for i, (label, fk, parent, pk) in enumerate(edges):
+            pdf = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            df = df.join(
+                F.broadcast(pdf) if parent != "orders" else pdf,
+                F.col(fk) == F.col(f"__pk{i}"),
+                "left",
+            )
+            aggs.append((label, fk, f"__pk{i}"))
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.count_if(F.col(fk).isNull()).alias(f"null{i}")
+                for i, (_, fk, _pk) in enumerate(aggs)
+            ],
+            *[
+                F.count_if(F.col(fk).isNotNull() & F.col(pk).isNull()).alias(
+                    f"orph{i}"
+                )
+                for i, (_, fk, pk) in enumerate(aggs)
+            ],
+        )
+        args = ", ".join(
+            f"'{label}', n_child, CAST(null{i} AS BIGINT), CAST(orph{i} AS BIGINT)"
+            for i, (label, _fk, _pk) in enumerate(aggs)
+        )
+        rows = stats.selectExpr(
+            f"stack({len(aggs)}, {args}) AS (edge, n_child, n_null_fk, n_orphans)"
+        )
+        out = rows if out is None else out.unionAll(rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dq_null_profile — long-form per-column completeness / cardinality profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_NULL_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CASE WHEN count(*) = 0 THEN 0.0
+                ELSE floor(CAST(count(*) FILTER (WHERE {c} IS NULL) AS DOUBLE)
+                           / count(*) * 1000000 + 0.5) / 1000000
+           END AS pct_null
+    FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "dq_null_profile",
+    oracle=_NULL_PROFILE_ORACLE,
+    tags=("quality", "agg", "profile"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness + cardinality profile of the events
+    stream in LONG form — (column_name, n_rows, n_nulls, n_distinct,
+    pct_null) — the per-ingest snapshot a data catalog stores per
+    column (profile_table is the wide 1-row cousin over orders). NULL
+    share is 1e-6-rounded from exact counts.
+
+    Scale: one aggregate over one scan. The six exact count-distincts
+    expand map-side (Spark's multi-distinct Expand multiplies the scan
+    rows by |columns| before the partial aggregate); at 100 TB swap
+    them for approx_count_distinct — same call shape, sketch-mergeable,
+    no Expand (agg_approx_distinct is the registered accuracy-pinned
+    variant of that trade)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count_if(F.col(c).isNull()).alias(f"nn_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.countDistinct(F.col(c)).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    args = ", ".join(
+        f"'{c}', n_rows, CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
+        # empty-table guard: 0/0 is an ANSI divide-by-zero error
+        f"CASE WHEN n_rows = 0 THEN 0.0 ELSE "
+        f"floor(CAST(nn_{c} AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000 END"
+        for c in _PROFILE_COLS
+    )
+    return stats.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {args}) "
+        "AS (column_name, n_rows, n_nulls, n_distinct, pct_null)"
+    )
