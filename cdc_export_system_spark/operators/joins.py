@@ -14,7 +14,7 @@ physical strategy notes on each op are the 100 TB design intent:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table, star_view
 from cdc_export_system_spark.registry import dsum, register, spark_dsum, sql_dsum
@@ -384,4 +384,137 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(seg.c_custkey, hi.o_custkey).alias("custkey"),
         "c_mktsegment",
         "n_big",
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_interval_bucketed — big-big interval-overlap join via bucket blocking
+# ---------------------------------------------------------------------------
+
+IVL_GAP_S = 30 * 60  # session gap (matches analytics.SESSION_GAP_S)
+IVL_WIN_S = 30 * 60  # incident half-window around each error event
+IVL_BUCKET_S = 3600  # blocking bucket width; >= max interval span / few
+
+
+@register(
+    "join_interval_bucketed",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            <= {IVL_GAP_S} * 1000000
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events),
+        s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_no
+            FROM g),
+        sess AS (
+            SELECT user_id, session_no,
+                   min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+            FROM s GROUP BY user_id, session_no),
+        win AS (
+            SELECT event_id AS incident_id, user_id AS err_user,
+                   epoch_us(ts) - {IVL_WIN_S} * 1000000 AS w_start,
+                   epoch_us(ts) + {IVL_WIN_S} * 1000000 AS w_end
+            FROM events WHERE event_type = 'error'),
+        hits AS (
+            SELECT sess.user_id, sess.session_no,
+                   count(DISTINCT win.incident_id) AS n_incidents
+            FROM sess JOIN win
+              ON sess.s_start <= win.w_end AND win.w_start <= sess.s_end
+                 AND win.err_user <> sess.user_id
+            GROUP BY sess.user_id, sess.session_no)
+        SELECT sess.user_id, sess.session_no,
+               CAST(sess.s_start AS BIGINT) AS s_start_us,
+               COALESCE(hits.n_incidents, 0) AS n_incidents
+        FROM sess LEFT JOIN hits
+          ON sess.user_id = hits.user_id AND sess.session_no = hits.session_no
+    """,
+    tags=("join", "interval", "analytics"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big INTERVAL-OVERLAP join with no equi key, made scalable by
+    bucket blocking: for every user session (gap-sessionized, same rule
+    as sessionize_batch), count the distinct platform incident windows
+    (±30 min around every OTHER user's error event) it overlapped — the
+    incident-exposure metric an SRE review joins against conversion.
+
+    A naive interval join is a broadcast-nested-loop (quadratic, and
+    BNLJ only broadcasts); the scalable plan blocks both sides into the
+    fixed-width time buckets each interval SPANS (explode a bounded
+    sequence — sessions and windows both span <= 2 one-hour buckets
+    here), equi-joins on the bucket id, re-checks the exact overlap
+    predicate, and de-duplicates pairs found in multiple shared buckets
+    via the count-DISTINCT. This is the interval-join strategy genomics
+    engines and Databricks' range-join hint implement natively; Spark
+    OSS lacks it, so the engine composes it from explode + hash join.
+
+    Scale: the bucket equi-join shuffles both sides once on a key whose
+    cardinality grows with the time span (no corpus self-join, no
+    broadcast of a data-sized side). A bucket holding a disproportionate
+    share of intervals (flash incident) is ordinary join skew — AQE
+    skew-join splits it; the residual predicate keeps correctness
+    independent of the blocking. Zero-overlap sessions are restored by a
+    left join on the session key (same partitioning as the rollup, no
+    extra exchange shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us <= IVL_GAP_S * 1_000_000, F.lit(0)).otherwise(F.lit(1))
+    sess = (
+        ev.withColumn("session_no", F.sum(new_sess).over(w).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("s_start"),
+            F.max(F.unix_micros(F.col("ts"))).alias("s_end"),
+        )
+    )
+    bucket_us = IVL_BUCKET_S * 1_000_000
+    sess_b = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / bucket_us),
+                F.floor(F.col("s_end") / bucket_us),
+            )
+        ),
+    )
+    win = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("err_user"),
+        (F.unix_micros(F.col("ts")) - IVL_WIN_S * 1_000_000).alias("w_start"),
+        (F.unix_micros(F.col("ts")) + IVL_WIN_S * 1_000_000).alias("w_end"),
+    )
+    win_b = win.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_start") / bucket_us),
+                F.floor(F.col("w_end") / bucket_us),
+            )
+        ),
+    )
+    hits = (
+        sess_b.join(win_b, "bucket")
+        .filter(
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end"))
+            & (F.col("err_user") != F.col("user_id"))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.countDistinct("incident_id").alias("n_incidents"))
+    )
+    return (
+        sess.join(hits, ["user_id", "session_no"], "left")
+        .select(
+            "user_id",
+            "session_no",
+            F.col("s_start").alias("s_start_us"),
+            F.coalesce(F.col("n_incidents"), F.lit(0).cast("bigint")).alias(
+                "n_incidents"
+            ),
+        )
     )
