@@ -9,7 +9,7 @@ reference: seeds/001_schema.sql:11, app/services/exports.py:80-125).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table, star_view
 from cdc_export_system_spark.registry import register
@@ -517,3 +517,63 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE o_custkey = c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
     """)
+
+
+# ---------------------------------------------------------------------------
+# plan_compaction_bins — small-files compaction planning, computed distributively
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 800  # rows per compacted output unit (parameterized)
+
+
+@register(
+    "plan_compaction_bins",
+    oracle=f"""
+        WITH part AS (
+            SELECT CAST(ts AS DATE) AS event_date,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY CAST(ts AS DATE)),
+        pre AS (
+            SELECT event_date, n_rows,
+                   CAST(COALESCE(SUM(n_rows) OVER (ORDER BY event_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS prefix_rows
+            FROM part)
+        SELECT event_date, n_rows,
+               CAST(floor(prefix_rows / {COMPACT_TARGET_ROWS}) AS BIGINT)
+                   AS bin_id
+        FROM pre
+    """,
+    tags=("plan", "layout", "window"),
+)
+def plan_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLAN for a date-partitioned layout: assign each
+    event_date partition to a target-size output bin by start-offset
+    binning — bin_id = floor(prefix_rows / target) over the
+    date-ordered prefix sum — the planning computation behind Delta/
+    Iceberg OPTIMIZE-style small-file rewrites (sink_parquet_partitioned
+    is the layout this plans against; adjacent dates land in the same
+    bin until the target row budget fills).
+
+    Semantics pinned: deterministic date order, bins derived from the
+    EXCLUSIVE prefix sum so the result is a pure function of the
+    per-date counts (a greedy first-fit would depend on iteration
+    order). Scale: per-date counts are one map-side-combined aggregate
+    (the axis is |dates|, metadata-sized — 10^4 rows for a 30-year
+    table, NOT data-sized); the prefix sum rides a single-partition
+    window over that reduced axis, the same allowlisted model-axis
+    shape as the ranks construction. Nothing data-sized moves after
+    the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    part = ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = W.orderBy("event_date").rowsBetween(W.unboundedPreceding, -1)
+    return part.select(
+        "event_date",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / COMPACT_TARGET_ROWS
+        ).cast("bigint").alias("bin_id"),
+    )

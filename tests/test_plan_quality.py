@@ -398,6 +398,9 @@ _SINGLE_PARTITION_OK = {
     "window_decay_score": "scalar",  # 1-row anchor (max day) scalar
     "pipeline_dedup_funnel": "scalar",  # three 1-row stage aggregates + raw total
     "window_global_deciles": "tiny",  # rank-construction range-offset table
+    "plan_compaction_bins": "tiny",  # prefix sum over the |dates| metadata axis
+    "dq_fk_orphans": "scalar",  # per-child-table 1-row counter finals
+    "dq_null_profile": "scalar",  # 1-row profile suffstat final
 }
 
 
