@@ -1434,3 +1434,123 @@ def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sw.cast("int").alias("ok_stopwords"),
         (ok_len & ok_mwl & ok_dis & ok_top & ok_sw).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges
+# ---------------------------------------------------------------------------
+
+N_BPE_MERGES = 8
+
+
+def _bpe_apply_merge(syms, left: str, right: str):
+    """Replace non-overlapping (left, right) adjacent occurrences in a
+    symbol array left-to-right with the merged symbol — the BPE merge
+    step as a whole-stage-codegen aggregate fold (carry = last symbol
+    not yet committed), no Python in the loop."""
+    merged = left + right
+    empty = F.array().cast("array<string>")
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == left) & (s == right),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(empty.alias("out"), F.lit(None).cast("string").alias("carry")),
+        step,
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=None,  # iterative trainer loop — pinned against a pure-Python
+    # reference implementation in tests/test_round6_semantics.py
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """TRAIN a byte-pair-encoding tokenizer (Sennrich et al. 2016): the
+    full iterative merge loop whose single inner scan
+    text_bpe_pair_counts exposes. Each round counts adjacent symbol
+    pairs over the distinct-word vocabulary weighted by word frequency,
+    picks the most frequent pair (total tie-break: count DESC, left
+    ASC, right ASC — bit-stable across runs and partitionings), and
+    rewrites every word's symbol sequence with the merged token
+    (left-to-right non-overlapping, the standard BPE apply rule,
+    implemented as a codegen aggregate fold — no Python per row). No
+    end-of-word marker, matching text_bpe_pair_counts's pair axis, so
+    merge #1 here IS that query's top row.
+
+    Returns the ordered merge table (rank, left, right, pair_count) —
+    the model artifact a tokenizer ships. Driver holds only this
+    N-row table and the 1-row argmax per round.
+
+    Scale: ONE corpus token shuffle builds the (word, count) vocab;
+    every training round then runs on the |vocab| axis (millions of
+    rows at 100 TB vs trillions of corpus tokens — the standard
+    trainer optimization), checkpointed per round to keep lineage
+    flat. The argmax is a TakeOrdered(1), not a global sort. Stops
+    early when no pair occurs twice (count < 2 can never merge
+    usefully) or the vocab is exhausted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = wc.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, left, right, c))
+        vocab = vocab.select(
+            "cnt", _bpe_apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

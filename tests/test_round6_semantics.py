@@ -1,0 +1,172 @@
+"""Independent semantic pins for the round-6 operators: each checks the
+Spark implementation against a from-scratch pure-Python computation on
+the same data (not against the operator's own oracle SQL), so a shared
+misunderstanding between the Spark code and its oracle cannot hide.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+
+def _words(spark):
+    rows = load_table(spark, SF_DIR, "documents").select("text").collect()
+    out = []
+    for r in rows:
+        out.extend(w for w in r["text"].strip().lower().split() if w)
+    return out
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Textbook BPE trainer (Sennrich et al. 2016), no end-of-word
+    marker: count adjacent symbol pairs over the distinct-word vocab
+    weighted by word frequency, merge the (count DESC, left ASC,
+    right ASC) argmax left-to-right non-overlapping, repeat."""
+    vocab = collections.Counter(words)
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        counts: collections.Counter = collections.Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        merges.append((rank, left, right, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The distributed trainer's merge table must equal the textbook
+    single-machine trainer's, rank for rank, count for count — and a
+    second run must reproduce it bit-for-bit."""
+    fn = load_all()["text_bpe_train_merges"].fn
+    got = [tuple(r) for r in fn(spark, SF_DIR).orderBy("rank").collect()]
+    want = _ref_bpe(_words(spark), 8)
+    assert got == want
+    again = [tuple(r) for r in fn(spark, SF_DIR).orderBy("rank").collect()]
+    assert again == got
+
+
+def test_bpe_first_merge_is_pair_counts_top_row(spark):
+    """No end-of-word marker means merge #1 must be exactly
+    text_bpe_pair_counts' most-frequent pair."""
+    reg = load_all()
+    top = reg["text_bpe_pair_counts"].fn(spark, SF_DIR).first()
+    first = reg["text_bpe_train_merges"].fn(spark, SF_DIR).orderBy("rank").first()
+    assert first["left"] + first["right"] == top["pair"]
+    assert first["pair_count"] == top["pair_count"]
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """join_interval_bucketed vs an independent O(n^2) Python overlap
+    scan (sessionize + windows recomputed from scratch): bucketing and
+    multi-bucket dedup must not change any per-session count."""
+    fn = load_all()["join_interval_bucketed"].fn
+    got = {
+        (r["user_id"], r["session_no"]): r["n_incidents"]
+        for r in fn(spark, SF_DIR).collect()
+    }
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+        .collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    )
+    sessions: dict[tuple, list[int]] = {}
+    prev_user, prev_us, sess_no = None, None, 0
+    for r in ev:
+        if r["user_id"] != prev_user:
+            sess_no = 1
+        elif r["us"] - prev_us > 1800 * 1_000_000:
+            sess_no += 1
+        prev_user, prev_us = r["user_id"], r["us"]
+        sessions.setdefault((r["user_id"], sess_no), []).append(r["us"])
+    wins = [
+        (r["event_id"], r["user_id"], r["us"] - 1800 * 1_000_000,
+         r["us"] + 1800 * 1_000_000)
+        for r in ev
+        if r["event_type"] == "error"
+    ]
+    want = {}
+    for (uid, sno), uss in sessions.items():
+        a, b = min(uss), max(uss)
+        want[(uid, sno)] = sum(
+            1 for (_id, wu, ws, we) in wins if wu != uid and a <= we and ws <= b
+        )
+    assert got == want
+
+
+def test_compaction_bins_contract(spark):
+    """plan_compaction_bins: bins are contiguous in date order, each
+    bin's input starts strictly inside the target budget (start-offset
+    rule), and row counts reconcile with the raw table."""
+    from cdc_export_system_spark.operators.relational import COMPACT_TARGET_ROWS
+
+    rows = (
+        load_all()["plan_compaction_bins"].fn(spark, SF_DIR)
+        .orderBy("event_date")
+        .collect()
+    )
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    prefix = 0
+    for r in rows:
+        assert r["bin_id"] == prefix // COMPACT_TARGET_ROWS
+        prefix += r["n_rows"]
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)
+
+
+def test_fk_orphans_detects_planted_orphan(spark, tmp_path):
+    """A planted orphan FK and a planted NULL FK must show up in
+    exactly the right edge's counters (the audit is not vacuous)."""
+    import shutil
+
+    src = SF_DIR
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (CASE WHEN rowid = 0 THEN 999999999
+                                   WHEN rowid = 1 THEN NULL
+                                   ELSE o_custkey END AS o_custkey)
+            FROM (SELECT *, row_number() OVER (ORDER BY o_orderkey) - 1
+                      AS rowid FROM read_parquet('{src}/orders.parquet'))
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    got = {
+        r["edge"]: (r["n_null_fk"], r["n_orphans"])
+        for r in load_all()["dq_fk_orphans"].fn(spark, str(dst)).collect()
+    }
+    nulls, orphans = got["orders.o_custkey->customer"]
+    assert nulls >= 1 and orphans >= 1
+    # untouched edges stay clean
+    assert got["nation.n_regionkey->region"] == (0, 0)
