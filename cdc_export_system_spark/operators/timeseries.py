@@ -719,3 +719,76 @@ def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb
+# ---------------------------------------------------------------------------
+
+LTTB_THRESHOLD = 8  # points kept per series (first + last + 6 buckets)
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=None,  # sequential per-bucket selection — pinned against a
+    # pure-Python LTTB reference in tests/test_round6_semantics.py
+    tags=("ts", "pandas_udf", "downsample"),
+)
+def ts_downsample_lttb(
+    spark: SparkSession, sf_dir: str, threshold: int = LTTB_THRESHOLD
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    every user's value series to ``threshold`` visually-representative
+    points — the standard dashboard/monitoring downsampler: first and
+    last points always survive; the interior splits into threshold-2
+    equal-count buckets and each bucket keeps the point forming the
+    largest triangle with the PREVIOUSLY KEPT point and the next
+    bucket's centroid. Series at or under the threshold pass through
+    whole. Deterministic: ties on area keep the earliest point, so the
+    output is a pure function of the series.
+
+    Why not SQL: the kept point feeds the next bucket's area term — a
+    sequential dependency no window spec expresses. The distributed
+    shape is the honest one for per-key sequential algorithms: ONE
+    shuffle on user_id into Arrow-batched applyInPandas, NumPy inside,
+    each series processed where it lands (the same contract as
+    udaf_grouped_pandas). Per-task memory is bounded by the longest
+    single series — at 100 TB a series outgrowing one task is
+    pre-thinned by a coarse keyed rollup (e.g. ts_resample_ohlc's
+    buckets) before LTTB runs; the group key never concentrates more
+    than one user on an executor."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts"], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= threshold:
+            return pdf
+        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        keep = [0]
+        n_buckets = threshold - 2
+        # interior indices 1..n-2 split into equal-count buckets
+        edges = [1 + (n - 2) * b // n_buckets for b in range(n_buckets + 1)]
+        for b in range(n_buckets):
+            lo, hi = edges[b], edges[b + 1]
+            if lo >= hi:
+                continue
+            nlo, nhi = edges[b + 1], edges[b + 2] if b + 2 <= n_buckets else None
+            if b == n_buckets - 1:
+                cx, cy = x[n - 1], y[n - 1]
+            else:
+                cx = x[nlo:nhi].mean()
+                cy = y[nlo:nhi].mean()
+            ax, ay = x[keep[-1]], y[keep[-1]]
+            area = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            keep.append(lo + int(np.argmax(area)))  # argmax ties -> earliest
+        keep.append(n - 1)
+        return pdf.iloc[keep]
+
+    return ev.groupBy("user_id").applyInPandas(lttb, schema=ev.schema)

@@ -170,3 +170,63 @@ def test_fk_orphans_detects_planted_orphan(spark, tmp_path):
     assert nulls >= 1 and orphans >= 1
     # untouched edges stay clean
     assert got["nation.n_regionkey->region"] == (0, 0)
+
+
+def test_lttb_matches_reference_downsampler(spark):
+    """ts_downsample_lttb vs a from-scratch pure-Python LTTB (plain
+    loops, no pandas): identical kept-point sets per user, pass-through
+    for short series, endpoints always kept."""
+    from cdc_export_system_spark.operators.timeseries import LTTB_THRESHOLD
+
+    fn = load_all()["ts_downsample_lttb"].fn
+    got: dict = {}
+    for r in fn(spark, SF_DIR).collect():
+        got.setdefault(r["user_id"], set()).add((r["ts"], r["value"]))
+
+    series: dict = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "value", "event_id")
+        .collect()
+    ):
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["value"], r["event_id"])
+        )
+
+    def ref_lttb(pts, threshold):
+        pts = sorted(pts, key=lambda p: p[0])
+        n = len(pts)
+        if n <= threshold:
+            return {(p[0], p[1]) for p in pts}
+        x = [p[0].timestamp() * 1e9 for p in pts]
+        y = [p[1] for p in pts]
+        nb = threshold - 2
+        edges = [1 + (n - 2) * b // nb for b in range(nb + 1)]
+        keep = [0]
+        for b in range(nb):
+            lo, hi = edges[b], edges[b + 1]
+            if lo >= hi:
+                continue
+            if b == nb - 1:
+                cx, cy = x[n - 1], y[n - 1]
+            else:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+                cx = sum(x[nlo:nhi]) / (nhi - nlo)
+                cy = sum(y[nlo:nhi]) / (nhi - nlo)
+            ax, ay = x[keep[-1]], y[keep[-1]]
+            best, best_area = lo, -1.0
+            for i in range(lo, hi):
+                area = abs((ax - cx) * (y[i] - ay) - (ax - x[i]) * (cy - ay))
+                if area > best_area:
+                    best, best_area = i, area
+            keep.append(best)
+        keep.append(n - 1)
+        return {(pts[i][0], pts[i][1]) for i in keep}
+
+    assert set(got) == set(series)
+    for uid, pts in series.items():
+        want = ref_lttb(pts, LTTB_THRESHOLD)
+        assert got[uid] == want, f"user {uid}"
+        srt = sorted(pts, key=lambda p: p[0])
+        assert (srt[0][0], srt[0][1]) in got[uid]
+        assert (srt[-1][0], srt[-1][1]) in got[uid]
