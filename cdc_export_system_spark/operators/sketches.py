@@ -104,3 +104,181 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_cells(items)
     distinct_items = items.distinct()
     return cms_estimate(sketch, distinct_items)
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_setops — deterministic bottom-k (KMV) distinct sketch + set algebra
+# ---------------------------------------------------------------------------
+
+KMV_K = 32  # sketch size; relative error ~ 1/sqrt(k-2)
+_KMV_DENOM = 281474976710656.0  # 16^12 = 2^48: hv normalizer, exact in double
+
+
+@register(
+    "agg_kmv_setops",
+    oracle=f"""
+        WITH pv AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) AS hv
+            FROM events
+            WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL),
+        ka AS (SELECT hv FROM pv WHERE event_type = 'click'
+               ORDER BY hv LIMIT {KMV_K}),
+        kb AS (SELECT hv FROM pv WHERE event_type = 'purchase'
+               ORDER BY hv LIMIT {KMV_K}),
+        un AS (SELECT DISTINCT hv FROM (SELECT hv FROM ka
+                                        UNION ALL SELECT hv FROM kb)
+               ORDER BY hv LIMIT {KMV_K}),
+        sa AS (SELECT count(*) AS m, max(hv) AS kth FROM ka),
+        sb AS (SELECT count(*) AS m, max(hv) AS kth FROM kb),
+        su AS (SELECT count(*) AS m, max(hv) AS kth FROM un),
+        ic AS (SELECT count(*) AS c
+               FROM un
+               WHERE hv IN (SELECT hv FROM ka)
+                 AND hv IN (SELECT hv FROM kb)),
+        ex AS (SELECT count(DISTINCT user_id)
+                      FILTER (WHERE event_type = 'click') AS ea,
+                      count(DISTINCT user_id)
+                      FILTER (WHERE event_type = 'purchase') AS eb,
+                      count(DISTINCT user_id) AS eu
+               FROM events
+               WHERE event_type IN ('click', 'purchase')
+                 AND user_id IS NOT NULL)
+        SELECT 'click' AS segment,
+               floor(CASE WHEN sa.m < {KMV_K} THEN CAST(sa.m AS DOUBLE)
+                          ELSE ({KMV_K} - 1) * {_KMV_DENOM}
+                               / CAST(sa.kth AS DOUBLE) END
+                     * 1000000 + 0.5) / 1000000 AS est_distinct,
+               CAST(ex.ea AS BIGINT) AS exact_distinct
+        FROM sa, ex
+        UNION ALL
+        SELECT 'purchase',
+               floor(CASE WHEN sb.m < {KMV_K} THEN CAST(sb.m AS DOUBLE)
+                          ELSE ({KMV_K} - 1) * {_KMV_DENOM}
+                               / CAST(sb.kth AS DOUBLE) END
+                     * 1000000 + 0.5) / 1000000,
+               CAST(ex.eb AS BIGINT)
+        FROM sb, ex
+        UNION ALL
+        SELECT 'union',
+               floor(CASE WHEN su.m < {KMV_K} THEN CAST(su.m AS DOUBLE)
+                          ELSE ({KMV_K} - 1) * {_KMV_DENOM}
+                               / CAST(su.kth AS DOUBLE) END
+                     * 1000000 + 0.5) / 1000000,
+               CAST(ex.eu AS BIGINT)
+        FROM su, ex
+        UNION ALL
+        SELECT 'intersection',
+               floor(CASE WHEN su.m = 0 THEN 0.0
+                          ELSE (CAST(ic.c AS DOUBLE) / CAST(su.m AS DOUBLE))
+                               * (CASE WHEN su.m < {KMV_K}
+                                       THEN CAST(su.m AS DOUBLE)
+                                       ELSE ({KMV_K} - 1) * {_KMV_DENOM}
+                                            / CAST(su.kth AS DOUBLE) END) END
+                     * 1000000 + 0.5) / 1000000,
+               CAST(ex.ea + ex.eb - ex.eu AS BIGINT)
+        FROM su, ic, ex
+    """,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k (theta-style) distinct sketch with SET ALGEBRA —
+    the capability HLL lacks: distinct-user estimates for click,
+    purchase, their UNION (merge = bottom-k of merged sketches) and
+    their INTERSECTION (Jaccard over the union sketch x est_union),
+    each beside its exact count so the report is self-validating.
+    Deterministic BY CONSTRUCTION: the hash is the md5 hex head parsed
+    as a 48-bit integer — identical bytes in both engines — so unlike
+    the xxhash64 sketches this one is externally HASH-CHECKABLE
+    (estimate and all): est = (k-1)/U_k, exact when the set fits the
+    sketch (m < k).
+
+    Scale: the only data-sized work is one distinct-combine per side
+    and the exact-count aggregate kept for comparison (drop it at
+    100 TB — the sketch path alone reduces each side map-side to its
+    k smallest hashes; TakeOrdered, never a global sort); everything
+    downstream joins k-row tables. The sketch is mergeable
+    shard-by-shard exactly like the CMS cells: union partial bottom-k
+    lists, re-take bottom-k."""
+    k = KMV_K
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("user_id").isNotNull())
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    pv = ev.select("event_type", hv.alias("hv")).distinct()
+    pv = pv.localCheckpoint(eager=True)  # one events scan; 3 sketch readers
+    ka = pv.filter(F.col("event_type") == "click").select("hv").orderBy("hv").limit(k)
+    kb = (
+        pv.filter(F.col("event_type") == "purchase").select("hv").orderBy("hv").limit(k)
+    )
+    un = ka.unionAll(kb).distinct().orderBy("hv").limit(k)
+
+    def stat(sk: DataFrame, m: str, kth: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(m), F.max("hv").alias(kth)
+        )
+
+    sa, sb, su = stat(ka, "ma", "ka"), stat(kb, "mb", "kb"), stat(un, "mu", "ku")
+    ic = (
+        un.join(ka, "hv", "left_semi")
+        .join(kb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("ea"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("eb"),
+        F.countDistinct("user_id").alias("eu"),
+    )
+    one = (
+        sa.crossJoin(sb).crossJoin(su).crossJoin(ic).crossJoin(ex)
+    )  # five 1-row frames
+
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    def est(m: str, kth: str):
+        return F.when(
+            F.col(m) < k, F.col(m).cast("double")
+        ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DENOM) / F.col(kth).cast("double"))
+
+    est_u = est("mu", "ku")
+    rows = [
+        one.select(
+            F.lit("click").alias("segment"),
+            r6(est("ma", "ka")).alias("est_distinct"),
+            F.col("ea").cast("bigint").alias("exact_distinct"),
+        ),
+        one.select(
+            F.lit("purchase").alias("segment"),
+            r6(est("mb", "kb")).alias("est_distinct"),
+            F.col("eb").cast("bigint").alias("exact_distinct"),
+        ),
+        one.select(
+            F.lit("union").alias("segment"),
+            r6(est_u).alias("est_distinct"),
+            F.col("eu").cast("bigint").alias("exact_distinct"),
+        ),
+        one.select(
+            F.lit("intersection").alias("segment"),
+            r6(
+                F.when(F.col("mu") == 0, F.lit(0.0)).otherwise(
+                    (F.col("c").cast("double") / F.col("mu").cast("double")) * est_u
+                )
+            ).alias("est_distinct"),
+            (F.col("ea") + F.col("eb") - F.col("eu")).cast("bigint").alias(
+                "exact_distinct"
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -137,6 +137,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_value_histogram",  # 1-row total broadcast onto the |bins| table
     "window_decay_score",  # 1-row anchor-day broadcast onto the (user, day) axis
     "pipeline_dedup_funnel",  # 1-row raw-total broadcast onto the 3 stage rows
+    "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
 }
 
 
@@ -401,6 +402,7 @@ _SINGLE_PARTITION_OK = {
     "plan_compaction_bins": "tiny",  # prefix sum over the |dates| metadata axis
     "dq_fk_orphans": "scalar",  # per-child-table 1-row counter finals
     "dq_null_profile": "scalar",  # 1-row profile suffstat final
+    "agg_kmv_setops": "scalar",  # k-row sketches + 1-row stat finals
 }
 
 
