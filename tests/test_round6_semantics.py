@@ -230,3 +230,48 @@ def test_lttb_matches_reference_downsampler(spark):
         srt = sorted(pts, key=lambda p: p[0])
         assert (srt[0][0], srt[0][1]) in got[uid]
         assert (srt[-1][0], srt[-1][1]) in got[uid]
+
+
+def test_kmv_sketch_is_mergeable_and_bounded(spark):
+    """KMV's scale contract: per-shard bottom-k sketches merged
+    (union -> re-take bottom-k) must equal the sketch built directly
+    over the whole set, and the registered estimates must sit within
+    the theoretical relative-error envelope of the exact counts."""
+    from pyspark.sql import functions as F
+
+    from cdc_export_system_spark.operators.sketches import KMV_K
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("user_id").isNotNull())
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hvs = ev.select(hv.alias("hv")).distinct()
+    direct = [r["hv"] for r in hvs.orderBy("hv").limit(KMV_K).collect()]
+    shard_a = hvs.filter(F.col("hv") % 2 == 0).orderBy("hv").limit(KMV_K)
+    shard_b = hvs.filter(F.col("hv") % 2 == 1).orderBy("hv").limit(KMV_K)
+    merged = [
+        r["hv"]
+        for r in shard_a.unionAll(shard_b)
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .collect()
+    ]
+    assert merged == direct
+
+    rows = {
+        r["segment"]: r
+        for r in load_all()["agg_kmv_setops"].fn(spark, SF_DIR).collect()
+    }
+    for seg, r in rows.items():
+        exact = r["exact_distinct"]
+        if exact < KMV_K:
+            assert r["est_distinct"] == float(exact), seg
+        else:
+            # 5-sigma envelope of the (k-1)/U_k estimator
+            tol = 5 * exact / ((KMV_K - 2) ** 0.5)
+            assert abs(r["est_distinct"] - exact) <= tol, (seg, r)
