@@ -1554,3 +1554,70 @@ def text_bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_encode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bpe_encode",
+    oracle=None,  # the encoding depends on the trained merge table —
+    # pinned against the reference encoder in tests/test_round6_semantics.py
+    tags=("text", "tokenizer", "corpus"),
+)
+def corpus_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """ENCODE the corpus with the trained BPE model — the apply half of
+    text_bpe_train_merges, closing the tokenizer loop (train → encode →
+    budget): per document, the whitespace token count, the subword
+    token count under the learned merges, and the compression ratio —
+    the number a data pipeline actually bills by (token budget under
+    the production tokenizer, not under split-on-space).
+
+    Shape: the merge list is MODEL-SIZED (N rows) and drives N chained
+    codegen merge folds — applied once per DISTINCT word (the same
+    |vocab|-axis trick as training: encode millions of distinct words,
+    not trillions of token occurrences), then the per-word subword
+    count joins back to the (doc, word) occurrence stream on the token
+    axis and rolls up per document. Scale: one corpus token shuffle for
+    occurrences, one |vocab|-keyed join (word axis — deliberately NOT
+    broadcast: a real corpus vocabulary outgrows a broadcast), one
+    doc_id rollup. The train pass runs first (same session) and is
+    amortized across every consumer of the model."""
+    merges = [
+        (r["left"], r["right"])
+        for r in text_bpe_train_merges(spark, sf_dir, n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    words = occ.select("w").distinct()
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    for left, right in merges:
+        syms = _bpe_apply_merge(syms, left, right)
+    encoded = words.select("w", F.size(syms).alias("n_sub"))
+    per_doc = (
+        occ.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_ws"),
+            F.sum("n_sub").alias("n_tokens_bpe"),
+        )
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per_doc.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        r6(
+            F.col("n_tokens_bpe").cast("double")
+            / F.col("n_tokens_ws").cast("double")
+        ).alias("bpe_per_ws_token"),
+    )

@@ -275,3 +275,39 @@ def test_kmv_sketch_is_mergeable_and_bounded(spark):
             # 5-sigma envelope of the (k-1)/U_k estimator
             tol = 5 * exact / ((KMV_K - 2) ** 0.5)
             assert abs(r["est_distinct"] - exact) <= tol, (seg, r)
+
+
+def test_bpe_encode_matches_reference_encoder(spark):
+    """corpus_bpe_encode vs encoding every document with the reference
+    trainer's merge list applied rank-by-rank in pure Python."""
+    fn = load_all()["corpus_bpe_encode"].fn
+    got = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+
+    merges = _ref_bpe(_words(spark), 8)
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for _rank, left, right, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        ws = [w for w in r["text"].strip().lower().split() if w]
+        if ws:
+            want[r["doc_id"]] = (len(ws), sum(encode_len(w) for w in ws))
+    assert got == want
+    # compression must be real: strictly fewer BPE tokens than characters
+    for _doc, (n_ws, n_bpe) in got.items():
+        assert n_bpe >= n_ws  # a word is >= 1 subword
