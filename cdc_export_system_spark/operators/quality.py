@@ -564,3 +564,90 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {args}) "
         "AS (column_name, n_rows, n_nulls, n_distinct, pct_null)"
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_reconciliation — cross-table aggregate reconciliation audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                       AS li_cents
+            FROM lineitem GROUP BY l_orderkey),
+        d AS (
+            SELECT o.o_orderstatus,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       - li.li_cents AS delta_cents,
+                   li.l_orderkey IS NULL AS missing
+            FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE missing) AS BIGINT) AS n_no_lineitems,
+               CAST(count(*) FILTER (WHERE NOT missing
+                    AND abs(delta_cents) <= 1) AS BIGINT) AS n_reconciled,
+               CAST(COALESCE(SUM(delta_cents) FILTER (WHERE NOT missing), 0)
+                    AS BIGINT) AS sum_delta_cents,
+               CAST(COALESCE(MAX(abs(delta_cents)) FILTER (WHERE NOT missing), 0)
+                    AS BIGINT) AS max_abs_delta_cents
+        FROM d GROUP BY o_orderstatus
+    """,
+    tags=("quality", "join", "agg"),
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table AGGREGATE RECONCILIATION: does each order header's
+    total match its lineitem rollup (extendedprice x (1-discount) x
+    (1+tax))? The audit every finance-grade warehouse runs between a
+    summary table and its detail table after ingest — reported per
+    order status as counts of headerless/reconciled orders plus the
+    exact signed drift, so a broken extract shows up as a number, not
+    a hunch. All money flows through the exact-cents discipline
+    (identical floor(x*100+0.5) trees in both engines, bigint sums),
+    so the report hash-matches bit-for-bit.
+
+    Scale: one lineitem scan reduced map-side to |orders| rollup rows,
+    one co-keyed LEFT join (SMJ under AQE at warehouse scale), one
+    |statuses| rollup. Nothing else moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_cents = (
+        li.select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            ).cast("bigint").alias("c"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("c").alias("li_cents"))
+    )
+    d = o.join(li_cents, o.o_orderkey == li_cents.l_orderkey, "left").select(
+        "o_orderstatus",
+        (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            - F.col("li_cents")
+        ).alias("delta_cents"),
+        F.col("l_orderkey").isNull().alias("missing"),
+    )
+    not_missing = ~F.col("missing")
+    return d.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("missing")).alias("n_no_lineitems"),
+        F.count_if(not_missing & (F.abs(F.col("delta_cents")) <= 1)).alias(
+            "n_reconciled"
+        ),
+        F.coalesce(
+            F.sum(F.when(not_missing, F.col("delta_cents"))), F.lit(0)
+        ).cast("bigint").alias("sum_delta_cents"),
+        F.coalesce(
+            F.max(F.when(not_missing, F.abs(F.col("delta_cents")))), F.lit(0)
+        ).cast("bigint").alias("max_abs_delta_cents"),
+    )
