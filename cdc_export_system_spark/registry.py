@@ -95,6 +95,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.sketches",
     "cdc_export_system_spark.io.partitioned",
     "cdc_export_system_spark.operators.stats_tests",
+    "cdc_export_system_spark.ml.boosting",
 ]
 
 

@@ -311,3 +311,82 @@ def test_bpe_encode_matches_reference_encoder(spark):
     # compression must be real: strictly fewer BPE tokens than characters
     for _doc, (n_ws, n_bpe) in got.items():
         assert n_bpe >= n_ws  # a word is >= 1 subword
+
+
+def test_gbm_stumps_matches_reference_and_descends(spark):
+    """ml_gbm_stumps vs a from-scratch Python least-squares booster
+    using the same micro-unit discipline: identical model table
+    (feature, threshold, leaf values, SSE) round for round, and the
+    post-round train SSE must be non-increasing."""
+    import math
+
+    from cdc_export_system_spark.ml.boosting import (
+        GBM_ROUNDS,
+        GBM_SHRINKAGE,
+        _MICRO,
+    )
+
+    got = [
+        tuple(r)
+        for r in load_all()["ml_gbm_stumps"].fn(spark, SF_DIR).orderBy("round").collect()
+    ]
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(hour(ts) AS BIGINT) AS hour",
+            "CAST(dayofweek(ts) AS BIGINT) AS dow",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    data = [(r["hour"], r["dow"], r["cents"] * _MICRO) for r in rows]
+
+    def best_split(data):
+        cand = []
+        for fi, fname in ((0, "hour"), (1, "dow")):
+            stats = {}
+            for rec in data:
+                v, r = rec[fi], rec[2]
+                n, s = stats.get(v, (0, 0))
+                stats[v] = (n + 1, s + r)
+            vals = sorted(stats)
+            tn = sum(n for n, _ in stats.values())
+            ts = sum(s for _, s in stats.values())
+            nl = sl = 0
+            for v in vals:
+                nl += stats[v][0]
+                sl += stats[v][1]
+                nr, sr = tn - nl, ts - sl
+                if nl == 0 or nr == 0:
+                    continue
+                score = float(sl) * float(sl) / nl + float(sr) * float(sr) / nr
+                fixed = math.floor(score / 1e12 + 0.5)
+                cand.append((-fixed, fname, v, float(sl) / nl, float(sr) / nr))
+        if not cand:
+            return None
+        cand.sort(key=lambda c: (c[0], c[1], c[2]))
+        _neg, fname, thr, ml, mr = cand[0]
+        leaf_l = int(ml * GBM_SHRINKAGE + (0.5 if ml >= 0 else -0.5))
+        leaf_r = int(mr * GBM_SHRINKAGE + (0.5 if mr >= 0 else -0.5))
+        return fname, thr, leaf_l, leaf_r
+
+    want = []
+    cur = data
+    for rnd in range(GBM_ROUNDS):
+        sp = best_split(cur)
+        if sp is None:
+            break
+        fname, thr, leaf_l, leaf_r = sp
+        fi = 0 if fname == "hour" else 1
+        cur = [
+            (h, d, r - (leaf_l if (h, d)[fi] <= thr else leaf_r))
+            for h, d, r in cur
+        ]
+        sse = sum(r * r for _h, _d, r in cur) / (_MICRO * _MICRO)
+        sse = float(int(sse * 1e6 + 0.5)) / 1e6
+        want.append((rnd, fname, thr, leaf_l, leaf_r, sse))
+
+    assert got == want
+    sses = [g[5] for g in got]
+    assert all(a >= b for a, b in zip(sses, sses[1:]))
