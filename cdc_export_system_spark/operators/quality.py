@@ -458,11 +458,13 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spot-checks one edge as a CI rule; this is the schema-wide audit.
 
     Scale: each child table is scanned ONCE per edge group — the three
-    lineitem edges share a single scan with three left joins (part /
-    supplier broadcast; orders co-keyed SMJ under AQE). Orphan detection
-    is a LEFT join + count_if(parent IS NULL), so the parent side
-    reduces to its distinct key column before the join and only
+    lineitem edges share a single scan with three left joins (the true
+    dimensions region/nation/part/supplier broadcast; the data-sized
+    parents orders/customer join co-keyed SMJ under AQE). Orphan
+    detection is a LEFT join + count_if(parent IS NULL), so the parent
+    side reduces to its distinct key column before the join and only
     |edges| counter rows ever reach the driver."""
+    small_dims = {"region", "nation", "part", "supplier"}
     out = None
     by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for label, child, fk, parent, pk in _FK_EDGES:
@@ -477,7 +479,7 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
             df = df.join(
-                F.broadcast(pdf) if parent != "orders" else pdf,
+                F.broadcast(pdf) if parent in small_dims else pdf,
                 F.col(fk) == F.col(f"__pk{i}"),
                 "left",
             )
