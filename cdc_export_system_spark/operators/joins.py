@@ -471,6 +471,10 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros(F.col("ts"))).alias("s_start"),
             F.max(F.unix_micros(F.col("ts"))).alias("s_end"),
         )
+        # two consumers (bucket explode + the zero-restoring left join):
+        # materialize the reduced session table once instead of running
+        # the sessionize window twice
+        .localCheckpoint(eager=True)
     )
     bucket_us = IVL_BUCKET_S * 1_000_000
     sess_b = sess.withColumn(
