@@ -527,3 +527,63 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["graph_pagerank_exact"].oracle = _pr_exact_oracle()
+
+
+# ---------------------------------------------------------------------------
+# graph_k_core
+# ---------------------------------------------------------------------------
+
+K_CORE_K = 3
+K_CORE_MAX_ITERS = 20  # safety bound; peeling converges long before
+
+
+@register(
+    "graph_k_core",
+    oracle=None,  # iterative peeling to a data-dependent fixpoint —
+    # pinned against a pure-Python k-core in tests/test_round6_semantics.py
+    tags=("graph", "iterative"),
+)
+def graph_k_core(
+    spark: SparkSession, sf_dir: str, k: int = K_CORE_K
+) -> DataFrame:
+    """The k-CORE of the co-purchase graph: the maximal subgraph in
+    which every node keeps degree >= k — the classic cohesion screen
+    (recommender seeds, spam-farm detection, community pre-filter)
+    computed by iterative peeling: drop all nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint. The
+    result is ORDER-INDEPENDENT (the k-core is unique), so peeling in
+    whole rounds is both the parallel-friendly and the deterministic
+    schedule. Returns the surviving nodes with their in-core degree.
+
+    Scale: each round is one degree aggregate over the CURRENT edge
+    list plus two semi-joins that shrink it — the edge list only ever
+    loses rows, so the per-round cost is monotone decreasing; rounds
+    are O(peeling depth) (a handful in practice, bounded here).
+    Everything shuffles on node ids — |E| rows of two longs, never
+    payloads; the fixpoint test is a 1-row count."""
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    for _ in range(K_CORE_MAX_ITERS):
+        deg = (
+            e.select(F.col("pa").alias("n"))
+            .unionAll(e.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n").localCheckpoint(eager=True)
+        pruned = (
+            e.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == e.count():
+            e = pruned
+            break
+        e = pruned
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+    return deg

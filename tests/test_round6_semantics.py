@@ -390,3 +390,34 @@ def test_gbm_stumps_matches_reference_and_descends(spark):
     assert got == want
     sses = [g[5] for g in got]
     assert all(a >= b for a, b in zip(sses, sses[1:]))
+
+
+def test_k_core_matches_reference_peeling(spark):
+    """graph_k_core vs a pure-Python peeling on the same edge list: the
+    k-core is unique, so the surviving node set and in-core degrees
+    must match exactly; every survivor must have degree >= k."""
+    from cdc_export_system_spark.operators.graph import K_CORE_K, _edges
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in load_all()["graph_k_core"].fn(spark, SF_DIR).collect()
+    }
+
+    edges = {(r["pa"], r["pb"]) for r in _edges(spark, SF_DIR).collect()}
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= K_CORE_K}
+        pruned = {(a, b) for a, b in edges if a in keep and b in keep}
+        if pruned == edges:
+            break
+        edges = pruned
+    want: dict = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    want = {n: d for n, d in want.items() if d >= K_CORE_K}
+    assert got == want
+    assert all(d >= K_CORE_K for d in got.values())
