@@ -1535,3 +1535,120 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "open_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_position_based
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 3600  # lookback from each purchase (stream_join_attribution's 1h)
+
+
+@register(
+    "attribution_position_based",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts AS c_ts
+            FROM events WHERE event_type = 'click'),
+        t AS (
+            SELECT p.purchase_id, p.cents, c.click_id, c.c_ts,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY c.c_ts, c.click_id) AS pos,
+                   count(*) OVER (PARTITION BY p.purchase_id) AS n
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_ts < p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_S} SECONDS),
+        wgt AS (
+            SELECT purchase_id, cents, click_id, c_ts,
+                   CASE WHEN n = 1 THEN 1000000
+                        WHEN n = 2 THEN 500000
+                        WHEN pos = 1 OR pos = n THEN 400000
+                        ELSE 200000 // (n - 2)
+                             + CASE WHEN pos = 2
+                                    THEN 200000 % (n - 2) ELSE 0 END
+                   END AS w_ppm
+            FROM t)
+        SELECT CAST(hour(c_ts) AS BIGINT) AS click_hour,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               floor(CAST(SUM(cents * w_ppm) AS DOUBLE) / 100000000
+                     * 1000000 + 0.5) / 1000000 AS credited_dollars
+        FROM wgt GROUP BY hour(c_ts)
+    """,
+    tags=("analytics", "attribution", "window", "join"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-based) multi-touch attribution: each purchase
+    splits its value across the user's clicks in the preceding hour —
+    40% to the first touch, 40% to the last, 20% spread over the
+    middles (degenerate rules: a lone click takes 100%, a pair splits
+    50/50) — rolled up by click hour-of-day, the report a marketing
+    mix review reads next to attribution_last_touch's winner-takes-all
+    view. Weights are EXACT parts-per-million integers (the 20% middle
+    share distributes by integer division with the remainder pinned to
+    the first middle), credits are cents x ppm bigints, so the rollup
+    is order-free integer arithmetic and the report hash-matches.
+
+    Scale: one equi-join on user_id with the time bound as a residual
+    (the scalable attribution shape — state-bounded in the streaming
+    dual), one window over the per-purchase touch lists (bounded by
+    clicks-per-user-hour), one |hours| rollup. Nothing data-sized
+    moves twice."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    t = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECONDS")
+        ),
+    )
+    wp = W.partitionBy("purchase_id")
+    t = t.select(
+        "purchase_id",
+        "cents",
+        "click_id",
+        "c_ts",
+        F.row_number().over(wp.orderBy("c_ts", "click_id")).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    w_ppm = (
+        F.when(n == 1, F.lit(1000000))
+        .when(n == 2, F.lit(500000))
+        .when((pos == 1) | (pos == n), F.lit(400000))
+        .otherwise(
+            F.floor(F.lit(200000) / (n - 2)).cast("bigint")
+            + F.when(pos == 2, F.lit(200000) % (n - 2)).otherwise(F.lit(0))
+        )
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        t.select(
+            F.hour("c_ts").cast("bigint").alias("click_hour"),
+            (F.col("cents") * w_ppm).alias("credit_micro"),
+        )
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            r6(F.sum("credit_micro").cast("double") / F.lit(100000000.0)).alias(
+                "credited_dollars"
+            ),
+        )
+    )

@@ -421,3 +421,44 @@ def test_k_core_matches_reference_peeling(spark):
     want = {n: d for n, d in want.items() if d >= K_CORE_K}
     assert got == want
     assert all(d >= K_CORE_K for d in got.values())
+
+
+def test_position_attribution_conserves_value(spark):
+    """U-shaped weights must sum to exactly 1,000,000 ppm per purchase
+    (integer remainder pinned to the first middle), so attribution
+    conserves each converted purchase's value to the micro-unit: the
+    op's total credited micro-cents equal the exact cents x 1e6 of
+    every purchase with at least one in-window click."""
+    from pyspark.sql import functions as F
+
+    from cdc_export_system_spark.operators.analytics import ATTR_WINDOW_S
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_id", "user_id", "event_type", "unix_micros(ts) AS us",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    clicks = [(r["user_id"], r["us"]) for r in rows if r["event_type"] == "click"]
+    total_micro = 0
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        n = sum(
+            1
+            for (u, us) in clicks
+            if u == r["user_id"] and us < r["us"]
+            and us >= r["us"] - ATTR_WINDOW_S * 1_000_000
+        )
+        if n > 0:
+            total_micro += r["cents"] * 1_000_000
+
+    got = (
+        load_all()["attribution_position_based"].fn(spark, SF_DIR)
+        .agg(F.sum(F.col("credited_dollars") * 100 * 1_000_000))
+        .first()[0]
+    )
+    # per-hour 1e-6 rounding of dollars can move each bucket < 1 micro-cent
+    assert abs(got - total_micro) < 200, (got, total_micro)
