@@ -82,4 +82,12 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     # Python DataSource filter pushdown (io/python_source.py) is opt-in
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Right-size shuffle parallelism for a session left at the 200 default:
+    # results are partition-invariant (scripts/partition_sweep.py), but
+    # eagerly-materialized intermediates (localCheckpoint) bypass AQE
+    # coalescing, so the 200-task default costs pure scheduler overhead on
+    # the correctness driver's vanilla session. An explicit user setting is
+    # respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
