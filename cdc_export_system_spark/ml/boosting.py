@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
-from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.registry import REGISTRY, register
 
 GBM_ROUNDS = 4
 GBM_SHRINKAGE = 0.5  # learning rate nu
@@ -98,9 +98,11 @@ def ml_gbm_stumps(
     """Train the boosted-stump ensemble on events (target: exact value
     cents; features: hour-of-day and day-of-week) and return the model
     table (round, feature, threshold, leaf_left, leaf_right,
-    train_sse) — leaf values in micro-cents, train_sse the POST-update
-    residual sum of squares in cents^2 (1e-6-rounded), which must be
-    non-increasing round over round (pinned).
+    train_sse_cents2) — leaf values in micro-cents, train_sse_cents2
+    the POST-update residual sum of squares in whole cents^2 (exact
+    integer division — the magnitude outgrows double's 2^53 integer
+    range, so a float report could never hash-match), non-increasing
+    round over round (pinned).
 
     Scale: per round one map-side-combined (feature, value) suffstat
     aggregate over the bounded feature axes (<=31 distinct values),
@@ -141,12 +143,99 @@ def ml_gbm_stumps(
                 (F.col("r").cast("decimal(38,0)") * F.col("r")).cast("decimal(38,0)")
             ).alias("q")
         ).collect()[0]["q"]
-        # micro-cents^2 -> cents^2, 1e-6-rounded
-        sse = int(sse_micro2) / (_MICRO * _MICRO)
-        sse = float(int(sse * 1e6 + 0.5)) / 1e6
-        model.append((rnd, fname, thr, leaf_l, leaf_r, sse))
+        # micro-cents^2 -> whole cents^2 by exact integer division: the
+        # magnitude (~1e16 micro^2) is beyond double's 2^53 integer range,
+        # so any float-rounded report would be ulp-unstable across engines
+        sse_cents2 = int(sse_micro2) // (_MICRO * _MICRO)
+        model.append((rnd, fname, thr, leaf_l, leaf_r, sse_cents2))
     return spark.createDataFrame(
         model,
         "round int, feature string, threshold bigint, "
-        "leaf_left bigint, leaf_right bigint, train_sse double",
+        "leaf_left bigint, leaf_right bigint, train_sse_cents2 long",
     )
+
+
+def _gbm_oracle(n_rounds: int = GBM_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB oracle for the fixed-round trainer (the
+    graph_pagerank_exact construction): each round is a suffstat CTE, a
+    prefix-sum threshold scan, a LIMIT-1 argmax, and a residual-update
+    CTE referencing the argmax through scalar subqueries. Exactness
+    hinges on the same discipline as the Spark side: integer suffstats
+    (HUGEINT), the VARCHAR hop for exact int->double casts, the
+    score nano-fix before the argmax, and round-half-away-from-zero
+    leaf rounding (matching Python int(x +/- 0.5) truncation)."""
+    vh = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nu = GBM_SHRINKAGE
+    ctes = [
+        """r0 AS MATERIALIZED (
+            SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS r
+            FROM events)"""
+    ]
+    for t in range(n_rounds):
+        score = (
+            f"{vh('sl')} * {vh('sl')} / {vh('nl')}"
+            f" + {vh('sr')} * {vh('sr')} / {vh('nr')}"
+        )
+        ctes.append(f"""f{t} AS MATERIALIZED (
+            SELECT feature, v, CAST(count(*) AS HUGEINT) AS n,
+                   SUM(CAST(r AS HUGEINT)) AS s
+            FROM (SELECT 'hour' AS feature, hour AS v, r FROM r{t}
+                  UNION ALL SELECT 'dow', dow, r FROM r{t})
+            GROUP BY feature, v),
+        c{t} AS (
+            SELECT feature, v,
+                   SUM(n) OVER w AS nl, SUM(s) OVER w AS sl,
+                   SUM(n) OVER (PARTITION BY feature) AS tn,
+                   SUM(s) OVER (PARTITION BY feature) AS ts
+            FROM f{t}
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)),
+        g{t} AS (
+            SELECT feature, v AS threshold, nl, tn - nl AS nr,
+                   sl, ts - sl AS sr
+            FROM c{t} WHERE nl > 0 AND tn - nl > 0),
+        s{t} AS (
+            SELECT feature, threshold,
+                   CAST(floor(({score}) / 1e12 + 0.5) AS HUGEINT)
+                       AS score_fixed,
+                   {vh('sl')} / {vh('nl')} AS mean_l,
+                   {vh('sr')} / {vh('nr')} AS mean_r
+            FROM g{t}),
+        b{t} AS MATERIALIZED (
+            SELECT feature, threshold,
+                   CASE WHEN mean_l >= 0
+                        THEN CAST(floor(mean_l * {nu} + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(-mean_l * {nu} + 0.5) AS BIGINT)
+                   END AS leaf_l,
+                   CASE WHEN mean_r >= 0
+                        THEN CAST(floor(mean_r * {nu} + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(-mean_r * {nu} + 0.5) AS BIGINT)
+                   END AS leaf_r
+            FROM s{t}
+            ORDER BY score_fixed DESC, feature, threshold LIMIT 1),
+        r{t + 1} AS MATERIALIZED (
+            SELECT hour, dow,
+                   r - (CASE WHEN (SELECT feature FROM b{t}) = 'hour'
+                             THEN CASE WHEN hour <= (SELECT threshold FROM b{t})
+                                       THEN (SELECT leaf_l FROM b{t})
+                                       ELSE (SELECT leaf_r FROM b{t}) END
+                             ELSE CASE WHEN dow <= (SELECT threshold FROM b{t})
+                                       THEN (SELECT leaf_l FROM b{t})
+                                       ELSE (SELECT leaf_r FROM b{t}) END
+                        END) AS r
+            FROM r{t}),
+        q{t} AS MATERIALIZED (SELECT SUM(CAST(r AS HUGEINT) * r) AS sq FROM r{t + 1})""")
+    finals = "\n        UNION ALL ".join(
+        f"""SELECT {t} AS round, b{t}.feature,
+               CAST(b{t}.threshold AS BIGINT) AS threshold,
+               b{t}.leaf_l AS leaf_left, b{t}.leaf_r AS leaf_right,
+               CAST(q{t}.sq // 100000000 AS BIGINT) AS train_sse_cents2
+        FROM b{t}, q{t}"""
+        for t in range(n_rounds)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + finals
+
+
+REGISTRY["ml_gbm_stumps"].oracle = _gbm_oracle()

@@ -383,8 +383,7 @@ def test_gbm_stumps_matches_reference_and_descends(spark):
             (h, d, r - (leaf_l if (h, d)[fi] <= thr else leaf_r))
             for h, d, r in cur
         ]
-        sse = sum(r * r for _h, _d, r in cur) / (_MICRO * _MICRO)
-        sse = float(int(sse * 1e6 + 0.5)) / 1e6
+        sse = sum(r * r for _h, _d, r in cur) // (_MICRO * _MICRO)
         want.append((rnd, fname, thr, leaf_l, leaf_r, sse))
 
     assert got == want
