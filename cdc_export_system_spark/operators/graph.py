@@ -587,3 +587,34 @@ def graph_k_core(
         .filter(F.col("core_degree") >= k)
     )
     return deg
+
+
+def _k_core_oracle(k: int = K_CORE_K, rounds: int = K_CORE_MAX_ITERS) -> str:
+    """Unrolled-CTE DuckDB oracle for k-core peeling: the peeling map is
+    idempotent at its fixpoint, so unrolling the full safety bound of
+    rounds (even after convergence) computes exactly the k-core the
+    early-exiting Spark loop returns. MATERIALIZED stops DuckDB from
+    inlining the round chain exponentially."""
+    ctes = [f"""{_DUCK_EDGES.strip().rstrip()}, e0 AS MATERIALIZED (
+            SELECT pa, pb FROM e)"""]
+    for t in range(rounds):
+        ctes.append(f"""k{t} AS MATERIALIZED (
+            SELECT n FROM (
+                SELECT pa AS n FROM e{t} UNION ALL SELECT pb FROM e{t})
+            GROUP BY n HAVING count(*) >= {k}),
+        e{t + 1} AS MATERIALIZED (
+            SELECT pa, pb FROM e{t}
+            WHERE pa IN (SELECT n FROM k{t})
+              AND pb IN (SELECT n FROM k{t}))""")
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT node, core_degree FROM (
+            SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+            FROM (SELECT pa AS n FROM e{rounds}
+                  UNION ALL SELECT pb FROM e{rounds})
+            GROUP BY n)
+        WHERE core_degree >= {k}"""
+    )
+
+
+REGISTRY["graph_k_core"].oracle = _k_core_oracle()
