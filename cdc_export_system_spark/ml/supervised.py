@@ -1177,3 +1177,215 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("label_actual")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_ridge_exact
+# ---------------------------------------------------------------------------
+
+RIDGE_EXACT_LAMBDA = 1  # integer λ on the raw (bias, hour, dow) Gram diagonal
+
+_RIDGE_EXACT_ORACLE = f"""
+    WITH s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               SUM(CAST(h AS HUGEINT)) AS sh, SUM(CAST(d AS HUGEINT)) AS sd,
+               SUM(CAST(h AS HUGEINT) * h) AS shh,
+               SUM(CAST(h AS HUGEINT) * d) AS shd,
+               SUM(CAST(d AS HUGEINT) * d) AS sdd,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(h AS HUGEINT) * y) AS shy,
+               SUM(CAST(d AS HUGEINT) * y) AS sdy,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                     -- +1: DuckDB dayofweek is 0-based; Spark's is 1-based
+                     CAST(dayofweek(ts) + 1 AS BIGINT) AS d,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM events)
+        HAVING count(*) >= 1),
+    m AS (
+        SELECT n, sh, sd, shh, shd, sdd, sy, shy, sdy, syy,
+               n + {RIDGE_EXACT_LAMBDA} AS a11, sh AS a12, sd AS a13,
+               shh + {RIDGE_EXACT_LAMBDA} AS a22, shd AS a23,
+               sdd + {RIDGE_EXACT_LAMBDA} AS a33
+        FROM s),
+    dets AS (
+        SELECT m.*,
+               a11 * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det,
+               sy * (a22 * a33 - a23 * a23)
+               - a12 * (shy * a33 - a23 * sdy)
+               + a13 * (shy * a23 - a22 * sdy) AS det1,
+               a11 * (shy * a33 - a23 * sdy)
+               - sy * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * sdy - shy * a13) AS det2,
+               a11 * (a22 * sdy - shy * a23)
+               - a12 * (a12 * sdy - shy * a13)
+               + sy * (a12 * a23 - a22 * a13) AS det3
+        FROM m),
+    -- HUGEINT -> DOUBLE through VARCHAR: correctly-rounded decimal parse,
+    -- matching Spark's Decimal.toDouble (raw stats are < 2^53, so those
+    -- cast directly)
+    w AS (
+        SELECT CAST(n AS DOUBLE) AS n_d,
+               CAST(CAST(det1 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS w1,
+               CAST(CAST(det2 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS w2,
+               CAST(CAST(det3 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS w3,
+               CAST(sh AS DOUBLE) AS sh_d, CAST(sd AS DOUBLE) AS sd_d,
+               CAST(shh AS DOUBLE) AS shh_d, CAST(shd AS DOUBLE) AS shd_d,
+               CAST(sdd AS DOUBLE) AS sdd_d, CAST(sy AS DOUBLE) AS sy_d,
+               CAST(shy AS DOUBLE) AS shy_d, CAST(sdy AS DOUBLE) AS sdy_d,
+               CAST(syy AS DOUBLE) AS syy_d
+        FROM dets),
+    fin AS (
+        SELECT n_d, w1, w2, w3,
+               syy_d - 2.0 * (w1 * sy_d + w2 * shy_d + w3 * sdy_d)
+               + (w1 * (w1 * n_d + w2 * sh_d + w3 * sd_d)
+                  + w2 * (w1 * sh_d + w2 * shh_d + w3 * shd_d)
+                  + w3 * (w1 * sd_d + w2 * shd_d + w3 * sdd_d)) AS sse
+        FROM w)
+    SELECT 'n_rows' AS term, n_d AS value FROM fin
+    UNION ALL SELECT 'train_rmse',
+        floor(sqrt(greatest(sse, 0.0) / n_d) / 100 * 1000000 + 0.5) / 1000000
+        FROM fin
+    UNION ALL SELECT 'w_bias', floor(w1 / 100 * 1000000 + 0.5) / 1000000 FROM fin
+    UNION ALL SELECT 'w_dow', floor(w3 / 100 * 1000000 + 0.5) / 1000000 FROM fin
+    UNION ALL SELECT 'w_hour', floor(w2 / 100 * 1000000 + 0.5) / 1000000 FROM fin
+"""
+
+
+@register(
+    "ml_ridge_exact",
+    oracle=_RIDGE_EXACT_ORACLE,
+    tags=("ml", "agg"),
+)
+def ml_ridge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of event value (cents) on (bias, hour, dow),
+    solved EXACTLY in-plan — the oracle-checkable sibling of
+    ml_ridge_normal_eq: the corpus reduces to the ten Gram/moment sums
+    as DECIMAL(38,0) integers (one map-side-combined aggregate, exact
+    and order-independent), the 3x3 system (XtX + lambda*I) w = Xty is
+    solved by Cramer's rule IN INTEGER ARITHMETIC (determinants are
+    exact decimal products; magnitudes <= ~1e24 at sf0.1, 1e14 of
+    headroom to the 38-digit cap), and only the final three divides and
+    the RMSE readout run in double — written as the identical
+    expression tree in both engines, then 1e-6-rounded. No driver-side
+    solve, no NumPy: the whole model is one Catalyst plan.
+
+    Scale: one pass, |task| x 10-integer partials, a 1-row reduce —
+    the same sufficient-statistic shape as ml_linear_regression
+    (supervised.py:82); nothing row-scale leaves the executors."""
+    L = RIDGE_EXACT_LAMBDA
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.hour("ts").cast("bigint").alias("h"),
+        F.dayofweek("ts").cast("bigint").alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    a = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h").cast(D38)).alias("sh"),
+        F.sum(F.col("d").cast(D38)).alias("sd"),
+        F.sum(F.col("h").cast(D38) * F.col("h")).alias("shh"),
+        F.sum(F.col("h").cast(D38) * F.col("d")).alias("shd"),
+        F.sum(F.col("d").cast(D38) * F.col("d")).alias("sdd"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("h").cast(D38) * F.col("y")).alias("shy"),
+        F.sum(F.col("d").cast(D38) * F.col("y")).alias("sdy"),
+        F.sum(F.col("y").cast(D38) * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= 1)
+    lam = F.lit(L).cast(D38)
+    m = a.select(
+        "*",
+        (F.col("n").cast(D38) + lam).alias("a11"),
+        F.col("sh").alias("a12"),
+        F.col("sd").alias("a13"),
+        (F.col("shh") + lam).alias("a22"),
+        F.col("shd").alias("a23"),
+        (F.col("sdd") + lam).alias("a33"),
+    )
+    c = F.col
+    dets = m.select(
+        "*",
+        (
+            c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+            - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+            + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+        ).alias("det"),
+        (
+            c("sy") * (c("a22") * c("a33") - c("a23") * c("a23"))
+            - c("a12") * (c("shy") * c("a33") - c("a23") * c("sdy"))
+            + c("a13") * (c("shy") * c("a23") - c("a22") * c("sdy"))
+        ).alias("det1"),
+        (
+            c("a11") * (c("shy") * c("a33") - c("a23") * c("sdy"))
+            - c("sy") * (c("a12") * c("a33") - c("a23") * c("a13"))
+            + c("a13") * (c("a12") * c("sdy") - c("shy") * c("a13"))
+        ).alias("det2"),
+        (
+            c("a11") * (c("a22") * c("sdy") - c("shy") * c("a23"))
+            - c("a12") * (c("a12") * c("sdy") - c("shy") * c("a13"))
+            + c("sy") * (c("a12") * c("a23") - c("a22") * c("a13"))
+        ).alias("det3"),
+    )
+    dd = lambda name: c(name).cast("double")  # noqa: E731  (correctly rounded)
+    w = dets.select(
+        dd("n").alias("n_d"),
+        (dd("det1") / dd("det")).alias("w1"),
+        (dd("det2") / dd("det")).alias("w2"),
+        (dd("det3") / dd("det")).alias("w3"),
+        dd("sh").alias("sh_d"),
+        dd("sd").alias("sd_d"),
+        dd("shh").alias("shh_d"),
+        dd("shd").alias("shd_d"),
+        dd("sdd").alias("sdd_d"),
+        dd("sy").alias("sy_d"),
+        dd("shy").alias("shy_d"),
+        dd("sdy").alias("sdy_d"),
+        dd("syy").alias("syy_d"),
+    )
+    fin = w.select(
+        "n_d",
+        "w1",
+        "w2",
+        "w3",
+        (
+            c("syy_d")
+            - F.lit(2.0)
+            * (c("w1") * c("sy_d") + c("w2") * c("shy_d") + c("w3") * c("sdy_d"))
+            + (
+                c("w1")
+                * (c("w1") * c("n_d") + c("w2") * c("sh_d") + c("w3") * c("sd_d"))
+                + c("w2")
+                * (
+                    c("w1") * c("sh_d")
+                    + c("w2") * c("shh_d")
+                    + c("w3") * c("shd_d")
+                )
+                + c("w3")
+                * (
+                    c("w1") * c("sd_d")
+                    + c("w2") * c("shd_d")
+                    + c("w3") * c("sdd_d")
+                )
+            )
+        ).alias("sse"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    row = fin.select(
+        c("n_d").alias("n_rows"),
+        r6(
+            F.sqrt(F.greatest(c("sse"), F.lit(0.0)) / c("n_d")) / 100
+        ).alias("train_rmse"),
+        r6(c("w1") / 100).alias("w_bias"),
+        r6(c("w3") / 100).alias("w_dow"),
+        r6(c("w2") / 100).alias("w_hour"),
+    )
+    return row.selectExpr(
+        "stack(5, 'n_rows', n_rows, 'train_rmse', train_rmse,"
+        " 'w_bias', w_bias, 'w_dow', w_dow, 'w_hour', w_hour)"
+        " AS (term, value)"
+    )

@@ -154,3 +154,170 @@ def cluster_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_kmeans_exact
+# ---------------------------------------------------------------------------
+
+KM_EXACT_ITERS = 3
+KM_Q = 1_000_000  # 1e-6 coordinate quantization
+KM_OFF = 1_000_000  # shift into positive ints: truncating div == floor div
+
+
+def _km_exact_oracle(k: int = K, iters: int = KM_EXACT_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror of the fixed-point Lloyd loop: quantize
+    once, then per iteration one exact-integer argmin assignment and one
+    integer-division centroid update. MATERIALIZED stops DuckDB from
+    re-inlining the iteration chain."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {KM_Q} + 0.5) AS BIGINT)
+                       + {KM_OFF}) AS q
+            FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+            SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k})""",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+        d{t} AS (
+            SELECT e.vec_id, c.cid,
+                   list_aggregate(list_transform(list_zip(e.q, c.c),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+            FROM q e CROSS JOIN {prev} c)""")
+        ctes.append(f"""
+        a{t} AS MATERIALIZED (
+            SELECT vec_id, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn FROM d{t})
+            WHERE rn = 1)""")
+        if t <= iters:
+            ctes.append(f"""
+        c{t} AS MATERIALIZED (
+            SELECT cid, list(coord ORDER BY pos) AS c FROM (
+                SELECT cid, pos, SUM(val) // COUNT(*) AS coord FROM (
+                    SELECT a.cid, generate_subscripts(e.q, 1) AS pos,
+                           unnest(e.q) AS val
+                    FROM a{t} a JOIN q e USING (vec_id))
+                GROUP BY cid, pos)
+            GROUP BY cid)""")
+    last = iters + 1
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(a.dist) AS BIGINT) AS sse_q,
+               CAST(cs.s AS BIGINT) AS centroid_sum
+        FROM a{last} a
+        JOIN (SELECT cid, list_aggregate(c, 'sum') AS s FROM c{iters}) cs
+          USING (cid)
+        GROUP BY a.cid, cs.s
+    """
+
+
+def _q_dist(a, b):
+    """Exact squared L2 between two bigint arrays (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "cluster_kmeans_exact",
+    oracle=_km_exact_oracle(),
+    tags=("similarity", "ml", "iterative"),
+)
+def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means as EXACT fixed-point arithmetic — the oracle-checkable
+    sibling of cluster_kmeans_iterate (same Lloyd topology, same seed
+    centroids vec_id < K): coordinates quantize once to 1e-6 integer
+    units SHIFTED POSITIVE (so Spark's truncating `div` and DuckDB's
+    `//` agree with floor), every assignment argmin compares exact
+    bigint squared distances (ties to the lower centroid id), and every
+    centroid update is an integer-division mean. Float k-means can
+    never hash-match across engines (summation order); this variant
+    trades sub-1e-6 centroid drift per iteration for bit-identical
+    results under any partitioning — the graph_pagerank_exact
+    discipline applied to Lloyd iteration. A cluster that loses all
+    members simply drops out of the model in both engines.
+
+    Returns per surviving cluster: member count, exact within-cluster
+    SSE in quantized units, and the centroid coordinate checksum.
+
+    Scale: identical to cluster_kmeans_iterate — per iteration one scan
+    with a broadcast k x dim model and one |k x dim| map-side-combined
+    shuffle; only the model crosses the driver between rounds. Sums fit
+    bigint to ~1e5 dims x 1e6-unit coords; beyond that the update casts
+    to DECIMAL(38,0) like the ml suffstat operators."""
+    emb = load_table_fanned(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                F.floor(x.cast("double") * KM_Q + F.lit(0.5)) + KM_OFF
+            ).cast("bigint"),
+        ).alias("q"),
+    )
+    centroids = q.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = q.crossJoin(F.broadcast(cents))
+        d = _q_dist(F.col("q"), F.col("c"))
+        best = F.min_by(
+            F.struct(F.col("cid"), d.alias("d")),
+            F.struct(d.alias("d"), F.col("cid")),
+        )
+        return (
+            j.groupBy("vec_id")
+            .agg(best.alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cid"),
+                F.col("b.d").alias("dist"),
+            )
+        )
+
+    for _ in range(KM_EXACT_ITERS):
+        a = assign(centroids)
+        upd = (
+            a.join(q, "vec_id")
+            .select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(v) div count(*)").alias("coord"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+            .select(
+                "cid", F.transform(F.col("pc"), lambda s: s["coord"]).alias("c")
+            )
+        )
+        rows = upd.collect()  # k x dim model -> driver -> broadcast next round
+        centroids = spark.createDataFrame(rows, schema=upd.schema)
+
+    final = assign(centroids)
+    csum = centroids.select(
+        "cid",
+        F.aggregate(
+            F.col("c"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("centroid_sum"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("sse_q"),
+        )
+        .join(F.broadcast(csum), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            F.col("sse_q").cast("bigint").alias("sse_q"),
+            "centroid_sum",
+        )
+    )

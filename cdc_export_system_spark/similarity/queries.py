@@ -449,3 +449,142 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id bigint, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank_exact
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA_TENTHS = 7  # λ=0.7 as the exact integer pair (7, 3)
+
+
+def _mmr_exact_oracle(
+    top_k: int = TOP_K, k: int = MMR_K, lam: int = MMR_LAMBDA_TENTHS
+) -> str:
+    """Unrolled greedy MMR in DuckDB: quantize, exact-integer relevance
+    top-k pool, pairwise pool dots, then k argmax selection steps as
+    chained CTEs (LIMIT 1 with a total ORDER BY is the argmax)."""
+    co = 10 - lam
+    q = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+        s{t} AS (
+            SELECT c.vec_id, c.rel, {lam} * c.rel - {co} * max(d.dot) AS score10
+            FROM pool c
+            JOIN dots d ON d.va = c.vec_id
+            JOIN picked{t - 1} pk ON pk.vec_id = d.vb
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{t - 1})
+            GROUP BY c.vec_id, c.rel),
+        p{t} AS (SELECT vec_id, rel, score10 FROM s{t}
+                 ORDER BY score10 DESC, vec_id LIMIT 1),
+        picked{t} AS (SELECT * FROM picked{t - 1}
+                      UNION ALL SELECT vec_id, rel, score10, {t} FROM p{t})""")
+    return f"""
+        WITH qn AS MATERIALIZED (
+            SELECT vec_id, {q} AS q FROM embeddings),
+        qv AS (SELECT q FROM qn WHERE vec_id = {QUERY_VEC_ID}),
+        rel AS (
+            SELECT a.vec_id,
+                   CAST(list_aggregate(list_transform(list_zip(a.q, qv.q),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS rel
+            FROM qn a CROSS JOIN qv WHERE a.vec_id <> {QUERY_VEC_ID}),
+        pool AS MATERIALIZED (
+            SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {top_k}),
+        dots AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(list_aggregate(list_transform(list_zip(qa.q, qb.q),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS dot
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+            JOIN qn qa ON qa.vec_id = a.vec_id
+            JOIN qn qb ON qb.vec_id = b.vec_id),
+        p1 AS (SELECT vec_id, rel, {lam} * rel AS score10 FROM pool
+               ORDER BY {lam} * rel DESC, vec_id LIMIT 1),
+        picked1 AS (SELECT vec_id, rel, score10, 1 AS rank FROM p1),
+        {", ".join(steps)}
+        SELECT CAST(rank AS INT) AS rank, vec_id, rel AS rel_q, score10
+        FROM picked{k}
+    """
+
+
+@register(
+    "sim_mmr_rerank_exact",
+    oracle=_mmr_exact_oracle(),
+    tags=("similarity", "rerank"),
+)
+def sim_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank as EXACT integer arithmetic —
+    the oracle-checkable sibling of sim_mmr_rerank: coordinates quantize
+    to 1e-6 integer units, relevance and redundancy are exact bigint
+    DOT PRODUCTS (unnormalized — the determinism-first similarity
+    choice: no sqrt, no division, no float anywhere), and the greedy
+    objective is the integer score10 = 7·rel − 3·max_dot (λ=0.7 scaled
+    by 10). Every argmax compares exact integers, ties to the lower
+    vec_id, so the pick sequence is bit-identical across engines and
+    partitionings.
+
+    Stage 1 (distributed): quantized scan + exact-dot fold + TakeOrdered
+    top-TOP_K pool against the broadcast query vector — sim_search_topk's
+    plan in integer arithmetic. Stage 2 collects the k × dim pool (the
+    legitimate serving-model payload) and runs the inherently sequential
+    greedy selection driver-side in Python ints — exact, so it matches
+    the SQL unrolling of the same recurrence step for step.
+
+    Scale: the pool bound keeps stage 2 O(k²·d) on 20 vectors no matter
+    the corpus; stage 1 is one scan, no shuffle before the k-row
+    TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qn = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("q"),
+    )
+    qv = qn.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qe")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qe"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pool_df = (
+        qn.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv), F.lit(True))
+        .select("vec_id", "q", idot.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+    pool = pool_df.collect()  # k x dim serving model -> driver
+
+    lam, co = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    vecs = {r["vec_id"]: list(r["q"]) for r in pool}
+    rel = {r["vec_id"]: int(r["rel"]) for r in pool}
+
+    def pdot(i: int, j: int) -> int:
+        return sum(a * b for a, b in zip(vecs[i], vecs[j]))
+
+    remaining = set(vecs)
+    picked: list[tuple[int, int]] = []  # (vec_id, score10)
+    while remaining and len(picked) < MMR_K:
+        best = None
+        for vid in sorted(remaining):
+            red = max((pdot(vid, s) for s, _ in picked), default=0)
+            score = lam * rel[vid] - (co * red if picked else 0)
+            if best is None or score > best[1]:
+                best = (vid, score)
+        picked.append(best)
+        remaining.remove(best[0])
+
+    out = [
+        (i + 1, vid, rel[vid], score) for i, (vid, score) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, rel_q bigint, score10 bigint"
+    )
