@@ -6,8 +6,10 @@ COUNT), so this module is engine-surface extension, not parity: it widens
 the analytical coverage started in ``operators/tpch.py`` to the classic
 TPC-H shapes expressible with the driver testdata's column subset
 (TESTDATA.md — no partsupp table, no l_commitdate/l_receiptdate/
-l_shipmode, so Q2/Q11/Q20 are out and Q4/Q12/Q21 use shipdate-based
-variants).
+l_shipmode, so Q4/Q12/Q21 use shipdate-based variants and Q2/Q11/Q20
+reconstruct their partsupp facts from lineitem — supply cost as the
+minimum observed cents price, supply value/quantity as exact-integer
+sums — keeping every threshold an integer comparison).
 
 Every query follows the registry's exactness conventions (registry.py
 docstring): monetary sums via scaled-integer cents (``dsum``/``dmulsum``),
@@ -657,4 +659,227 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 likes: partsupp reconstructed from lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_like",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                       AS cost_c
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        sup AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        par AS (
+            SELECT p_partkey, p_type FROM part
+            WHERE p_size <= 5 AND p_type = 'LARGE'),
+        j AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost_c
+            FROM ps
+            JOIN par ON ps.pk = par.p_partkey
+            JOIN sup ON ps.sk = sup.s_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               CAST(cost_c AS DOUBLE) / 100 AS supplycost
+        FROM (SELECT *, MIN(cost_c) OVER (PARTITION BY p_partkey) AS mn
+              FROM j)
+        WHERE cost_c = mn
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "join", "window", "correlated-subquery"),
+)
+def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2) with partsupp reconstructed from
+    lineitem: supply cost of (part, supplier) is the minimum observed
+    extended price IN EXACT CENTS, so the correlated 'cost = min cost
+    for this part among region suppliers' comparison is an integer
+    equality. The correlated subquery decorrelates to a window MIN over
+    the part — what Catalyst's rewrite would produce — and every
+    dimension (part filter, supplier⋈nation⋈region) broadcasts; the
+    only shuffle is lineitem's (partkey, suppkey) aggregate.
+
+    Scale: |ps| ≈ distinct (part,supp) pairs, partial-agged map-side;
+    the window runs on the post-filter join output (region x filtered
+    parts), orders of magnitude smaller than the fact table."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_c"))
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    par = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    j = ps.join(F.broadcast(par), F.col("pk") == F.col("p_partkey")).join(
+        F.broadcast(sup), F.col("sk") == F.col("s_suppkey")
+    )
+    mn = F.min("cost_c").over(W.partitionBy("p_partkey"))
+    return (
+        j.withColumn("mn", mn)
+        .filter(F.col("cost_c") == F.col("mn"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("cost_c").cast("double") / 100).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q11_BASIS_POINTS = 12  # keep parts holding > 12bp (0.12%) of regional value
+
+
+@register(
+    "tpch_q11_like",
+    oracle=f"""
+        WITH sup AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+        v AS (
+            SELECT l_partkey,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+                       AS value_c,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+            GROUP BY l_partkey),
+        tot AS (SELECT SUM(value_c) AS total_c FROM v)
+        SELECT l_partkey, CAST(value_c AS DOUBLE) / 100 AS value,
+               n_lineitems
+        FROM v CROSS JOIN tot
+        WHERE value_c * 10000 > total_c * {Q11_BASIS_POINTS}
+    """,
+    tags=("tpch", "join", "agg", "having", "scalar-subquery"),
+)
+def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (Q11) with supply value
+    reconstructed from lineitem: per-part value supplied by ASIA-region
+    suppliers, keeping parts above Q11_BASIS_POINTS (12bp) of the regional
+    total. Value accumulates in exact cents and the HAVING threshold is
+    the INTEGER cross-multiplication value·10000 > total·bp — no
+    float ratio ever computed, so the cut is bit-identical at any
+    partitioning.
+
+    Scale: the supplier dim broadcasts into the scan; one |parts|-row
+    shuffle; the 1-row grand total broadcasts back (scalar-subquery
+    decorrelation). Cents accumulate in DECIMAL(38) headroom."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    v = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice")).cast("decimal(38,0)")).alias(
+            "value_c"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    tot = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.join(F.broadcast(tot), F.lit(True))
+        .filter(
+            F.col("value_c") * 10000 > F.col("total_c") * F.lit(Q11_BASIS_POINTS)
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_c").cast("double") / 100).alias("value"),
+            "n_lineitems",
+        )
+    )
+
+
+@register(
+    "tpch_q20_like",
+    oracle="""
+        WITH psq AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   SUM(CAST(l_quantity AS BIGINT)) AS q
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_partkey, l_suppkey),
+        pq AS (SELECT pk, SUM(q) AS tq FROM psq GROUP BY pk),
+        dom AS (SELECT DISTINCT sk FROM psq JOIN pq USING (pk)
+                WHERE 5 * q > tq)
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT sk FROM dom)
+    """,
+    tags=("tpch", "join", "semi-join", "subquery"),
+)
+def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier screen (Q20's exists-chain shape) with availqty
+    reconstructed from lineitem: ASIA-region suppliers who supply MORE
+    THAN A FIFTH of some 'small%' part's total shipped quantity. The
+    dominance test is the integer cross-multiplication 5·q > total — no
+    division — and the supplier qualification is a semi-join against
+    the distinct dominant-supplier set, mirroring Q20's IN-chain.
+
+    Scale: the part-name filter pushes into the broadcast join before
+    the (part,supp) aggregate; psq re-aggregates to per-part totals
+    (second, strictly smaller shuffle); the distinct supplier set is
+    dimension-sized and broadcasts into the supplier semi-join."""
+    par = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(par), F.col("l_partkey") == F.col("p_partkey")
+    )
+    psq = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    pq = psq.groupBy("pk").agg(F.sum("q").alias("tq"))
+    dom = (
+        psq.join(pq, "pk")
+        .filter(5 * F.col("q") > F.col("tq"))
+        .select("sk")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(dom),
+            F.col("s_suppkey") == F.col("sk"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
     )
