@@ -59,3 +59,28 @@ def test_distributed_fit_matches_numpy_reference(spark):
     total_var = ((x - ref_mean) ** 2).sum(axis=1).mean()
     explained = vals.sum()
     assert 0 < explained <= total_var + 1e-9
+
+
+def test_power_exact_matches_numpy_top_direction(spark):
+    """The exact-integer repeated-squaring direction aligns with NumPy's
+    top eigenvector (|cos| > 0.999) and the Rayleigh eigenvalue agrees
+    within the 1e-3 quantization error; the canonical sign convention
+    (largest-|loading| dim positive) holds."""
+    from cdc_export_system_spark.similarity.pca import feat_pca_power_exact
+
+    rows = feat_pca_power_exact(spark, SF_DIR).orderBy("pos").collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    x = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    xc = x - x.mean(axis=0)
+    w, v = np.linalg.eigh(xc.T @ xc)
+    top = v[:, -1]
+    mine = np.array([r["loading_q"] for r in rows], dtype=np.float64)
+    mine /= np.linalg.norm(mine)
+    assert abs(float(top @ mine)) > 0.999
+    assert abs(rows[0]["ev6"] / 1e6 - w[-1]) < 0.05 * w[-1]
+    assert mine[int(np.argmax(np.abs(mine)))] > 0  # canonical sign
