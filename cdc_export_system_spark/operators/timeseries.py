@@ -792,3 +792,191 @@ def ts_downsample_lttb(
         return pdf.iloc[keep]
 
     return ev.groupBy("user_id").applyInPandas(lttb, schema=ev.schema)
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb_exact
+# ---------------------------------------------------------------------------
+
+LTTB_NB = LTTB_THRESHOLD - 2  # interior buckets
+
+
+def _lttb_exact_oracle(nb: int = LTTB_NB) -> str:
+    """Unrolled-CTE DuckDB mirror of the exact-integer LTTB: the nb
+    sequential picks become nb chained argmax CTEs; the triangle-area
+    comparison is cross-multiplied by the centroid bucket size so no
+    division (and no float) ever happens."""
+    score = (
+        "abs((kp.ax * ct.kc - ct.sx) * (c.y - kp.ay)"
+        " - (kp.ax - c.x) * (ct.sy - kp.ay * ct.kc))"
+    )
+    picks = []
+    prev = "k0"
+    for b in range(nb):
+        picks.append(f"""
+        s{b} AS (
+            SELECT c.user_id, c.rn, c.x, c.y, {score} AS sc
+            FROM cand c
+            JOIN {prev} kp USING (user_id)
+            JOIN cent ct ON ct.user_id = c.user_id AND ct.b = {b}
+            WHERE c.b = {b}),
+        k{b + 1} AS MATERIALIZED (
+            SELECT user_id, rn, x AS ax, y AS ay FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                              ORDER BY sc DESC, rn) AS pr FROM s{b})
+            WHERE pr = 1)""")
+        prev = f"k{b + 1}"
+    kept_union = " UNION ALL ".join(
+        f"SELECT user_id, rn FROM k{b + 1}" for b in range(nb)
+    )
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT user_id, ts, value,
+                   CAST(floor(date_part('epoch', ts)) AS BIGINT) AS x,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events),
+        big AS (SELECT * FROM base WHERE n > {LTTB_THRESHOLD}),
+        cand AS MATERIALIZED (
+            SELECT user_id, rn, x, y,
+                   (rn - 2) * {nb} // (n - 2) AS b
+            FROM big WHERE rn >= 2 AND rn <= n - 1),
+        lastp AS (SELECT user_id, rn, x, y FROM big WHERE rn = n),
+        cent AS MATERIALIZED (
+            SELECT user_id, b - 1 AS b, CAST(count(*) AS BIGINT) AS kc,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+            FROM cand WHERE b >= 1 GROUP BY user_id, b
+            UNION ALL
+            SELECT user_id, {nb - 1} AS b, 1 AS kc, x AS sx, y AS sy
+            FROM lastp),
+        k0 AS (SELECT user_id, rn, x AS ax, y AS ay FROM big WHERE rn = 1),
+        {", ".join(picks)},
+        kept AS (
+            SELECT user_id, rn FROM k0
+            UNION ALL {kept_union}
+            UNION ALL SELECT user_id, rn FROM lastp)
+        SELECT b.user_id, b.ts, b.value
+        FROM base b JOIN kept USING (user_id, rn)
+        UNION ALL
+        SELECT user_id, ts, value FROM base WHERE n <= {LTTB_THRESHOLD}
+    """
+
+
+@register(
+    "ts_downsample_lttb_exact",
+    oracle=_lttb_exact_oracle(),
+    tags=("ts", "window", "downsample", "iterative"),
+)
+def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling as EXACT integer arithmetic, in pure DataFrame
+    ops — the oracle-checkable sibling of ts_downsample_lttb: x is
+    epoch seconds, y is cents, the series order is totalized by
+    (ts, event_id), interior points bucket by the integer map
+    (rn−2)·NB div (n−2), and the triangle-area argmax compares the
+    CROSS-MULTIPLIED integer score |(ax·k − Σx)(y − ay) − (ax − x)
+    (Σy − ay·k)| — the centroid division is eliminated by scaling
+    through the bucket size k, so every comparison is exact and the
+    pick sequence is bit-identical across engines (ties to the
+    earliest point). The fixed bucket count unrolls the sequential
+    dependency into NB chained pick stages, each one join + one
+    per-user window argmax — no Python, no applyInPandas, fully
+    whole-stage-codegen.
+
+    Scale: one shuffle on user_id establishes rn/n; each pick stage
+    joins the bucket-b candidates (|data|/NB rows) against two
+    model-thin per-user tables (previous pick, centroid) — AQE
+    broadcasts them once users ≪ data. Score magnitudes stay under
+    ~1e15 (k·span(x) × span(y_cents)), 1e3 of bigint headroom.
+
+    Reference: Steinarsson 2013 ("Downsampling Time Series for Visual
+    Representation"), §4.2."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    wu = W.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    ).localCheckpoint(eager=True)
+    big = base.filter(F.col("n") > LTTB_THRESHOLD)
+    small = base.filter(F.col("n") <= LTTB_THRESHOLD)
+    cand = (
+        big.filter((F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 1))
+        .select(
+            "user_id",
+            "rn",
+            "x",
+            "y",
+            F.expr(f"(rn - 2) * {LTTB_NB} div (n - 2)").alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lastp = big.filter(F.col("rn") == F.col("n")).select(
+        "user_id", "rn", "x", "y"
+    )
+    cent = (
+        cand.filter(F.col("b") >= 1)
+        .groupBy("user_id", (F.col("b") - 1).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("kc"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+        .unionByName(
+            lastp.select(
+                "user_id",
+                F.lit(LTTB_NB - 1).alias("b"),
+                F.lit(1).cast("bigint").alias("kc"),
+                F.col("x").alias("sx"),
+                F.col("y").alias("sy"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    kept_prev = big.filter(F.col("rn") == 1).select(
+        "user_id", "rn", F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    keeps = [kept_prev.select("user_id", "rn"), lastp.select("user_id", "rn")]
+    for b in range(LTTB_NB):
+        sc = F.abs(
+            (F.col("ax") * F.col("kc") - F.col("sx")) * (F.col("y") - F.col("ay"))
+            - (F.col("ax") - F.col("x")) * (F.col("sy") - F.col("ay") * F.col("kc"))
+        )
+        scored = (
+            cand.filter(F.col("b") == b)
+            .join(kept_prev.select("user_id", "ax", "ay"), "user_id")
+            .join(
+                cent.filter(F.col("b") == b).select(
+                    "user_id", "kc", "sx", "sy"
+                ),
+                "user_id",
+            )
+            .select("user_id", "rn", "x", "y", sc.alias("sc"))
+        )
+        pick = (
+            scored.withColumn(
+                "pr",
+                F.row_number().over(
+                    wu.orderBy(F.col("sc").desc(), "rn")
+                ),
+            )
+            .filter(F.col("pr") == 1)
+            .select(
+                "user_id", "rn", F.col("x").alias("ax"), F.col("y").alias("ay")
+            )
+            .localCheckpoint(eager=True)
+        )
+        keeps.append(pick.select("user_id", "rn"))
+        kept_prev = pick
+    kept = keeps[0]
+    for k in keeps[1:]:
+        kept = kept.unionByName(k)
+    out = base.join(kept, ["user_id", "rn"]).select("user_id", "ts", "value")
+    return out.unionByName(small.select("user_id", "ts", "value"))
