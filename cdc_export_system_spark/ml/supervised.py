@@ -1389,3 +1389,140 @@ def ml_ridge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'w_bias', w_bias, 'w_dow', w_dow, 'w_hour', w_hour)"
         " AS (term, value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_logistic_exact
+# ---------------------------------------------------------------------------
+
+LOGR_S = 1_000_000  # fixed-point scale for weights / sigmoid
+LOGR_ITERS = 3
+LOGR_LR_INV = 10  # step = gradient div (n * LOGR_LR_INV)
+
+
+def _logr_sig(z: str) -> str:
+    """Rational 'fast sigmoid' in S-units: S/2 + z·S div (2(S+|z|)) —
+    exact integer arithmetic, truncating division in both engines."""
+    return (
+        f"{LOGR_S // 2} + ({z} * {LOGR_S}) // (2 * ({LOGR_S} + abs({z})))"
+    )
+
+
+def _logr_oracle(iters: int = LOGR_ITERS) -> str:
+    grads = []
+    prev = "w0"
+    for t in range(1, iters + 1):
+        sig = _logr_sig("z")
+        grads.append(f"""
+        g{t} AS (
+            SELECT SUM(r) AS gb, SUM(h * r) AS gh, SUM(d * r) AS gd
+            FROM (SELECT h, d, ({sig}) - y * {LOGR_S} AS r
+                  FROM (SELECT h, d, y, wb + wh * h + wd * d AS z
+                        FROM s CROSS JOIN {prev}))),
+        w{t} AS (
+            SELECT p.wb - gb // (n * {LOGR_LR_INV}) AS wb,
+                   p.wh - gh // (n * {LOGR_LR_INV}) AS wh,
+                   p.wd - gd // (n * {LOGR_LR_INV}) AS wd
+            FROM g{t} CROSS JOIN nv CROSS JOIN {prev} p)""")
+        prev = f"w{t}"
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT CAST(extract(hour FROM ts) AS HUGEINT) AS h,
+                   CAST(dayofweek(ts) + 1 AS HUGEINT) AS d,
+                   CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS HUGEINT) AS y
+            FROM events),
+        nv AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM s HAVING count(*) >= 1),
+        w0 AS (SELECT CAST(0 AS HUGEINT) AS wb, CAST(0 AS HUGEINT) AS wh,
+                      CAST(0 AS HUGEINT) AS wd),
+        {", ".join(grads)},
+        acc AS (
+            SELECT SUM(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END) AS ok
+            FROM (SELECT y, wb + wh * h + wd * d AS z
+                  FROM s CROSS JOIN {prev})),
+        fin AS (SELECT CAST(n AS DOUBLE) AS n_d,
+                       CAST(wb AS DOUBLE) AS wb_d, CAST(wh AS DOUBLE) AS wh_d,
+                       CAST(wd AS DOUBLE) AS wd_d, CAST(ok AS DOUBLE) AS ok_d
+                FROM {prev} CROSS JOIN nv CROSS JOIN acc)
+        SELECT 'accuracy' AS term,
+               floor(ok_d / n_d * 1000000 + 0.5) / 1000000 AS value FROM fin
+        UNION ALL SELECT 'n_rows', n_d FROM fin
+        UNION ALL SELECT 'w_bias', wb_d / 1000000 FROM fin
+        UNION ALL SELECT 'w_dow', wd_d / 1000000 FROM fin
+        UNION ALL SELECT 'w_hour', wh_d / 1000000 FROM fin
+    """
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Python's // floors,
+    but Spark `div` and DuckDB `//` truncate; match them."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@register(
+    "ml_logistic_exact",
+    oracle=_logr_oracle(),
+    tags=("ml", "agg", "iterative"),
+)
+def ml_logistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-style classifier (is this a 'purchase' event?) trained
+    by EXACT fixed-point gradient descent — the oracle-checkable sibling
+    of ml_logistic_regression_gd: weights live in 1e-6 integer units,
+    the activation is the RATIONAL fast sigmoid σ̃(z) = 1/2 +
+    z/(2(1+|z|)) (Elliott 1993's sigmoid-shaped rational — no exp, so
+    no engine-specific libm anywhere), and each of the LOGR_ITERS
+    rounds is one aggregate of integer residuals followed by the
+    truncating-division step w ← w − g div (n·10). Every intermediate
+    is an exact integer, so the trained weights and the training
+    accuracy readout are bit-identical across engines and
+    partitionings.
+
+    Scale: per iteration ONE scan with map-side-combined 3-integer
+    gradient partials (the projected (h, d, y) table is checkpointed
+    once); the model is 3 integers on the driver between rounds — the
+    same topology as ml_logistic_regression_gd. Gradient magnitudes are
+    ≤ 23·S·n, riding DECIMAL(38,0)/HUGEINT headroom to ~1e25 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.hour("ts").cast("bigint").alias("h"),
+        F.dayofweek("ts").cast("bigint").alias("d"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    n = s.count()
+    if n == 0:
+        return spark.createDataFrame([], "term string, value double")
+    wb = wh = wd = 0
+    S = LOGR_S
+    for _ in range(LOGR_ITERS):
+        sig = F.lit(S // 2) + F.expr(
+            f"(({wb} + {wh} * h + {wd} * d) * {S})"
+            f" div (2 * ({S} + abs({wb} + {wh} * h + {wd} * d)))"
+        )
+        r = (sig - F.col("y") * S).cast(D38)
+        row = s.agg(
+            F.sum(r).alias("gb"),
+            F.sum(F.col("h") * r).alias("gh"),
+            F.sum(F.col("d") * r).alias("gd"),
+        ).first()
+        wb -= _tdiv(int(row["gb"] or 0), n * LOGR_LR_INV)
+        wh -= _tdiv(int(row["gh"] or 0), n * LOGR_LR_INV)
+        wd -= _tdiv(int(row["gd"] or 0), n * LOGR_LR_INV)
+    z = F.lit(wb) + F.lit(wh) * F.col("h") + F.lit(wd) * F.col("d")
+    ok = int(
+        s.agg(
+            F.sum(((z > 0) == (F.col("y") == 1)).cast("bigint")).alias("ok")
+        ).first()["ok"]
+        or 0
+    )
+    import math
+
+    r6v = lambda v: math.floor(v * 1000000 + 0.5) / 1000000  # noqa: E731
+    rows = [
+        ("accuracy", r6v(float(ok) / float(n))),
+        ("n_rows", float(n)),
+        ("w_bias", float(wb) / 1000000),
+        ("w_dow", float(wd) / 1000000),
+        ("w_hour", float(wh) / 1000000),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
