@@ -130,3 +130,104 @@ def sim_search_ivf(spark, sf_dir: str) -> DataFrame:
     exactness is pinned locally via the nprobe == n_clusters degeneracy."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb)
+
+
+# ---------------------------------------------------------------------------
+# sim_search_ivf_exact
+# ---------------------------------------------------------------------------
+
+N_PROBE_EXACT = 3
+
+
+def _ivf_exact_oracle() -> str:
+    """DuckDB mirror: the shared exact-Lloyd CTE chain trains the coarse
+    quantizer; probing ranks centroids by exact integer distance to the
+    query and the candidate top-k compares exact integer distances."""
+    from cdc_export_system_spark.similarity.kmeans import (
+        KM_EXACT_ITERS,
+        _km_exact_ctes,
+    )
+
+    last = KM_EXACT_ITERS + 1
+    idist = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    return f"""
+        WITH {_km_exact_ctes()},
+        qv AS (SELECT q FROM q WHERE vec_id = {QUERY_VEC_ID}),
+        pr AS (SELECT cid FROM (
+                   SELECT c.cid, {idist.format(a="c.c", b="qv.q")} AS d
+                   FROM c{KM_EXACT_ITERS} c CROSS JOIN qv)
+               ORDER BY d, cid LIMIT {N_PROBE_EXACT}),
+        cand AS (
+            SELECT a.vec_id, a.cid,
+                   CAST({idist.format(a="e.q", b="qv.q")} AS BIGINT) AS dist_q
+            FROM a{last} a
+            JOIN pr USING (cid)
+            JOIN q e USING (vec_id)
+            CROSS JOIN qv
+            WHERE a.vec_id <> {QUERY_VEC_ID})
+        SELECT cand.vec_id, emb.label, cand.cid AS cluster_id, cand.dist_q
+        FROM cand JOIN embeddings emb ON emb.vec_id = cand.vec_id
+        ORDER BY cand.dist_q, cand.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@register(
+    "sim_search_ivf_exact",
+    oracle=_ivf_exact_oracle(),
+    tags=("similarity", "ann"),
+)
+def sim_search_ivf_exact(spark, sf_dir: str) -> DataFrame:
+    """IVF ANN serving as EXACT integer arithmetic — the
+    oracle-checkable sibling of sim_search_ivf: the coarse quantizer is
+    the shared exact-Lloyd trainer (cluster_kmeans_exact's fixed-point
+    k-means — quantized coords, integer-division centroids), probing
+    ranks the K centroids by exact integer squared L2 to the query
+    (ties to the lower cluster id) and takes the N_PROBE_EXACT nearest
+    lists, and the candidate top-k compares exact integer distances
+    (ties to the lower vec_id). Approximate in RECALL exactly like any
+    IVF index — the probe set bounds the scan — but every number the
+    operator emits is bit-identical across engines and partitionings,
+    which is what lets an ANN serving path carry a hash oracle at all.
+
+    Scale: identical serving shape to sim_search_ivf — with the
+    inverted file laid out as cluster_id partitions, the probe filter
+    is partition pruning (scan nprobe/K of the corpus), then one
+    JVM-side integer fold per candidate and a k-row TakeOrdered; the
+    trained model is K×dim integers on the driver."""
+    from cdc_export_system_spark.similarity.kmeans import (
+        _q_dist,
+        km_exact_fit,
+    )
+
+    q, cents, assign = km_exact_fit(spark, sf_dir)
+    qv = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qe")
+    )
+    pr = (
+        cents.join(F.broadcast(qv), F.lit(True))
+        .select("cid", _q_dist(F.col("c"), F.col("qe")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(N_PROBE_EXACT)
+        .select("cid")
+    )
+    assigned = assign(cents)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        assigned.join(F.broadcast(pr), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(q, "vec_id")
+        .join(F.broadcast(qv), F.lit(True))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            _q_dist(F.col("q"), F.col("qe")).cast("bigint").alias("dist_q"),
+        )
+        .join(emb, "vec_id")
+        .select("vec_id", "label", "cluster_id", "dist_q")
+        .orderBy("dist_q", "vec_id")
+        .limit(TOP_K)
+    )

@@ -165,7 +165,7 @@ KM_Q = 1_000_000  # 1e-6 coordinate quantization
 KM_OFF = 1_000_000  # shift into positive ints: truncating div == floor div
 
 
-def _km_exact_oracle(k: int = K, iters: int = KM_EXACT_ITERS) -> str:
+def _km_exact_ctes(k: int = K, iters: int = KM_EXACT_ITERS) -> str:
     """Unrolled-CTE DuckDB mirror of the fixed-point Lloyd loop: quantize
     once, then per iteration one exact-integer argmin assignment and one
     integer-division centroid update. MATERIALIZED stops DuckDB from
@@ -204,9 +204,14 @@ def _km_exact_oracle(k: int = K, iters: int = KM_EXACT_ITERS) -> str:
                     FROM a{t} a JOIN q e USING (vec_id))
                 GROUP BY cid, pos)
             GROUP BY cid)""")
+    return ", ".join(ctes)
+
+
+def _km_exact_oracle(k: int = K, iters: int = KM_EXACT_ITERS) -> str:
+    """Final-readout wrapper over the shared Lloyd CTE chain."""
     last = iters + 1
     return f"""
-        WITH {", ".join(ctes)}
+        WITH {_km_exact_ctes(k, iters)}
         SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
                CAST(SUM(a.dist) AS BIGINT) AS sse_q,
                CAST(cs.s AS BIGINT) AS centroid_sum
@@ -226,33 +231,10 @@ def _q_dist(a, b):
     )
 
 
-@register(
-    "cluster_kmeans_exact",
-    oracle=_km_exact_oracle(),
-    tags=("similarity", "ml", "iterative"),
-)
-def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means as EXACT fixed-point arithmetic — the oracle-checkable
-    sibling of cluster_kmeans_iterate (same Lloyd topology, same seed
-    centroids vec_id < K): coordinates quantize once to 1e-6 integer
-    units SHIFTED POSITIVE (so Spark's truncating `div` and DuckDB's
-    `//` agree with floor), every assignment argmin compares exact
-    bigint squared distances (ties to the lower centroid id), and every
-    centroid update is an integer-division mean. Float k-means can
-    never hash-match across engines (summation order); this variant
-    trades sub-1e-6 centroid drift per iteration for bit-identical
-    results under any partitioning — the graph_pagerank_exact
-    discipline applied to Lloyd iteration. A cluster that loses all
-    members simply drops out of the model in both engines.
-
-    Returns per surviving cluster: member count, exact within-cluster
-    SSE in quantized units, and the centroid coordinate checksum.
-
-    Scale: identical to cluster_kmeans_iterate — per iteration one scan
-    with a broadcast k x dim model and one |k x dim| map-side-combined
-    shuffle; only the model crosses the driver between rounds. Sums fit
-    bigint to ~1e5 dims x 1e6-unit coords; beyond that the update casts
-    to DECIMAL(38,0) like the ml suffstat operators."""
+def km_exact_fit(spark: SparkSession, sf_dir: str):
+    """Shared exact-Lloyd trainer: returns (quantized table, trained
+    centroids, assign closure). The consumers are cluster_kmeans_exact
+    (cluster readout) and sim_search_ivf_exact (coarse quantizer)."""
     emb = load_table_fanned(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -299,7 +281,37 @@ def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = upd.collect()  # k x dim model -> driver -> broadcast next round
         centroids = spark.createDataFrame(rows, schema=upd.schema)
+    return q, centroids, assign
 
+
+@register(
+    "cluster_kmeans_exact",
+    oracle=_km_exact_oracle(),
+    tags=("similarity", "ml", "iterative"),
+)
+def cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means as EXACT fixed-point arithmetic — the oracle-checkable
+    sibling of cluster_kmeans_iterate (same Lloyd topology, same seed
+    centroids vec_id < K): coordinates quantize once to 1e-6 integer
+    units SHIFTED POSITIVE (so Spark's truncating `div` and DuckDB's
+    `//` agree with floor), every assignment argmin compares exact
+    bigint squared distances (ties to the lower centroid id), and every
+    centroid update is an integer-division mean. Float k-means can
+    never hash-match across engines (summation order); this variant
+    trades sub-1e-6 centroid drift per iteration for bit-identical
+    results under any partitioning — the graph_pagerank_exact
+    discipline applied to Lloyd iteration. A cluster that loses all
+    members simply drops out of the model in both engines.
+
+    Returns per surviving cluster: member count, exact within-cluster
+    SSE in quantized units, and the centroid coordinate checksum.
+
+    Scale: identical to cluster_kmeans_iterate — per iteration one scan
+    with a broadcast k x dim model and one |k x dim| map-side-combined
+    shuffle; only the model crosses the driver between rounds. Sums fit
+    bigint to ~1e5 dims x 1e6-unit coords; beyond that the update casts
+    to DECIMAL(38,0) like the ml suffstat operators."""
+    q, centroids, assign = km_exact_fit(spark, sf_dir)
     final = assign(centroids)
     csum = centroids.select(
         "cid",
