@@ -81,3 +81,132 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop rule is the repo's canonical deterministic keep-lowest
     (doc_b of every (a < b) duplicate pair drops)."""
     return semdedup_keep(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_exact
+# ---------------------------------------------------------------------------
+
+# τ = 0.35 as the exact rational 35/100: cos(a,b) >= τ  <=>
+# dot > 0 AND 10000·dot² >= 1225·|a|²·|b|²  — integer cross-multiplication.
+SEMDEDUP_TAU_NUM2 = 1225  # 35²
+SEMDEDUP_TAU_DEN2 = 10000  # 100²
+
+
+def _semdedup_exact_oracle() -> str:
+    from cdc_export_system_spark.similarity.kmeans import (
+        KM_EXACT_ITERS,
+        KM_OFF,
+        _km_exact_ctes,
+    )
+
+    last = KM_EXACT_ITERS + 1
+    idot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2]), 'sum')"
+    )
+    return f"""
+        WITH {_km_exact_ctes()},
+        qu AS MATERIALIZED (
+            SELECT q.vec_id, a.cid,
+                   list_transform(q.q, v -> v - {KM_OFF}) AS u,
+                   CAST({idot.format(
+                       a=f"list_transform(q.q, v -> v - {KM_OFF})",
+                       b=f"list_transform(q.q, v -> v - {KM_OFF})")}
+                        AS HUGEINT) AS n2
+            FROM q JOIN a{last} a USING (vec_id)),
+        drp AS (
+            SELECT DISTINCT b.vec_id
+            FROM qu a JOIN qu b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE CAST({idot.format(a="a.u", b="b.u")} AS HUGEINT) > 0
+              AND {SEMDEDUP_TAU_DEN2}
+                  * CAST({idot.format(a="a.u", b="b.u")} AS HUGEINT)
+                  * CAST({idot.format(a="a.u", b="b.u")} AS HUGEINT)
+                  >= {SEMDEDUP_TAU_NUM2} * a.n2 * b.n2)
+        SELECT e.vec_id, e.label, CAST(qu.cid AS BIGINT) AS cluster_id
+        FROM qu
+        JOIN embeddings e ON e.vec_id = qu.vec_id
+        WHERE qu.vec_id NOT IN (SELECT vec_id FROM drp)
+    """
+
+
+@register(
+    "dedup_semantic_exact",
+    oracle=_semdedup_exact_oracle(),
+    tags=("dedup", "similarity", "ml", "pipeline"),
+)
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in EXACT integer arithmetic — the oracle-checkable
+    sibling of dedup_semantic_semdedup: clusters come from the shared
+    exact-Lloyd trainer (cluster_kmeans_exact), and the within-cluster
+    duplicate gate cos(a,b) ≥ 0.35 is decided WITHOUT computing a
+    cosine: dot > 0 and 10000·dot² ≥ 1225·|a|²·|b|² — the threshold as
+    an exact rational, cross-multiplied so no division, sqrt, or float
+    touches the decision. Keep-lowest (every b of a duplicate (a < b)
+    pair drops), so the kept corpus is a pure function of the data,
+    bit-identical across engines and partitionings.
+
+    Scale: identical blocking shape to the float pipeline — k-means
+    bounds the pairwise scan to same-cluster pairs (k grows with the
+    corpus to pin expected cluster size); per-vector squared norms are
+    precomputed once; the drop set is a distinct vec_id stream anti-
+    joined back. Squared-dot magnitudes ride DECIMAL(38)/HUGEINT."""
+    from cdc_export_system_spark.similarity.kmeans import KM_OFF, km_exact_fit
+
+    q, cents, assign = km_exact_fit(spark, sf_dir)
+    assigned = assign(cents).select("vec_id", "cid")
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qu = (
+        q.join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            "cid",
+            F.transform(F.col("q"), lambda v: v - KM_OFF).alias("u"),
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "u",
+            idot(F.col("u"), F.col("u")).cast("decimal(38,0)").alias("n2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = qu.select(
+        F.col("cid").alias("cl_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("u").alias("ua"),
+        F.col("n2").alias("na2"),
+    )
+    b = qu.select(
+        F.col("cid").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("u").alias("ub"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = idot(F.col("ua"), F.col("ub")).cast("decimal(38,0)")
+    drop = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(
+            (dot > 0)
+            & (
+                F.lit(SEMDEDUP_TAU_DEN2) * dot * dot
+                >= F.lit(SEMDEDUP_TAU_NUM2) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        qu.join(drop, "vec_id", "left_anti")
+        .join(emb, "vec_id")
+        .select("vec_id", "label", F.col("cid").cast("bigint").alias("cluster_id"))
+    )
