@@ -487,3 +487,215 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_pq_exact
+# ---------------------------------------------------------------------------
+
+PQX_ITERS = 3
+PQX_SHORT = 100  # ADC shortlist fed to the exact re-rank
+
+
+def _pqx_oracle(iters: int = PQX_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror of the exact-integer PQ pipeline: all
+    M codebooks train simultaneously in the (vec_id, m) long form, every
+    Lloyd step is the kmeans-exact recipe keyed by subspace, and both
+    the ADC scan and the re-rank compare exact integers."""
+    from cdc_export_system_spark.similarity.kmeans import KM_OFF, KM_Q
+
+    idist = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    its = []
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        its.append(f"""
+        d{t} AS (
+            SELECT s.vec_id, s.m, c.cid, {idist.format(a="s.sv", b="c.c")} AS dist
+            FROM sv s JOIN {prev} c USING (m)),
+        a{t} AS MATERIALIZED (
+            SELECT vec_id, m, cid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, cid) AS rn FROM d{t})
+            WHERE rn = 1)""")
+        if t <= iters:
+            its.append(f"""
+        c{t} AS MATERIALIZED (
+            SELECT m, cid, list(coord ORDER BY pos) AS c FROM (
+                SELECT m, cid, pos, SUM(val) // COUNT(*) AS coord FROM (
+                    SELECT aa.m, aa.cid, generate_subscripts(s.sv, 1) AS pos,
+                           unnest(s.sv) AS val
+                    FROM a{t} aa JOIN sv s
+                      ON s.vec_id = aa.vec_id AND s.m = aa.m)
+                GROUP BY m, cid, pos)
+            GROUP BY m, cid)""")
+    last = iters + 1
+    return f"""
+        WITH qfull AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {KM_Q} + 0.5) AS BIGINT)
+                       + {KM_OFF}) AS q
+            FROM embeddings),
+        lf AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS p,
+                      unnest(q) AS v
+               FROM qfull),
+        sv AS MATERIALIZED (
+            SELECT vec_id, p // {PQ_SUBDIM} AS m,
+                   list(v ORDER BY p % {PQ_SUBDIM}) AS sv
+            FROM lf GROUP BY vec_id, p // {PQ_SUBDIM}),
+        c0 AS MATERIALIZED (
+            SELECT m, vec_id AS cid, sv AS c FROM sv WHERE vec_id < {PQ_K}),
+        {", ".join(its)},
+        dt AS (
+            SELECT c.m, c.cid, {idist.format(a="c.c", b="qs.sv")} AS dtq
+            FROM c{iters} c
+            JOIN (SELECT m, sv FROM sv WHERE vec_id = 0) qs USING (m)),
+        adc AS (
+            SELECT a.vec_id, SUM(dt.dtq) AS adc_q
+            FROM a{last} a JOIN dt ON dt.m = a.m AND dt.cid = a.cid
+            WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+        short AS (SELECT vec_id, adc_q FROM adc
+                  ORDER BY adc_q, vec_id LIMIT {PQX_SHORT}),
+        rr AS (
+            SELECT s.vec_id, CAST(s.adc_q AS BIGINT) AS adc_q,
+                   CAST({idist.format(a="q.q", b="qf.q")} AS BIGINT) AS dist_q
+            FROM short s
+            JOIN qfull q USING (vec_id)
+            CROSS JOIN (SELECT q FROM qfull WHERE vec_id = 0) qf)
+        SELECT rr.vec_id, e.label, rr.adc_q, rr.dist_q
+        FROM rr JOIN embeddings e USING (vec_id)
+        ORDER BY rr.dist_q, rr.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@register(
+    "sim_search_pq_exact",
+    oracle=_pqx_oracle(),
+    tags=("similarity", "ann", "pq"),
+)
+def sim_search_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving as EXACT integer arithmetic —
+    the oracle-checkable sibling of sim_search_pq. All M codebooks train
+    simultaneously in the (vec_id, m) long form with the exact-Lloyd
+    recipe (quantized shifted-positive subvectors, integer argmin ties
+    to the lower code, integer-division centroid means); encoding is the
+    final integer argmin; the ADC distance table (query subvector vs
+    every codeword) is exact integers, so the asymmetric scan
+    Σ_m dt[m][code_m], the shortlist cut, and the full-precision
+    integer re-rank are all bit-identical across engines and
+    partitionings. Approximate in RECALL exactly like any PQ index —
+    8-byte codes stand in for 256-byte vectors — but every emitted
+    number hash-matches the unrolled-CTE oracle.
+
+    Scale: the sim_search_pq story unchanged — train on a bounded
+    sample at corpus scale, one broadcast-assign encode pass, ADC scan
+    with no join wider than the M×K model, exact math only on the
+    |shortlist|. Subspace distances stay ≤ d/M·(Q·span)² ≈ 8e12 —
+    six orders of bigint headroom."""
+    from cdc_export_system_spark.similarity.kmeans import KM_OFF, KM_Q
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                F.floor(x.cast("double") * KM_Q + F.lit(0.5)) + KM_OFF
+            ).cast("bigint"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    lf = qfull.select("vec_id", F.posexplode("q").alias("p", "v"))
+    sv = (
+        lf.groupBy("vec_id", F.expr(f"p div {PQ_SUBDIM}").alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.expr(f"p % {PQ_SUBDIM}").alias("pos"), "v"))
+            ).alias("pv")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.transform(F.col("pv"), lambda s: s["v"]).alias("sv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cents = sv.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        j = sv.join(F.broadcast(cdf), "m")
+        d = idist(F.col("sv"), F.col("c"))
+        best = F.min_by(
+            F.struct(F.col("cid"), d.alias("d")),
+            F.struct(d.alias("d"), F.col("cid")),
+        )
+        return (
+            j.groupBy("vec_id", "m")
+            .agg(best.alias("b"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("b.cid").alias("cid"),
+                F.col("b.d").alias("dist"),
+            )
+        )
+
+    for _ in range(PQX_ITERS):
+        a = assign(cents)
+        upd = (
+            a.join(sv, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("coord"))
+            .groupBy("m", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+            .select(
+                "m",
+                "cid",
+                F.transform(F.col("pc"), lambda s: s["coord"]).alias("c"),
+            )
+        )
+        rows = upd.collect()  # M x K x subdim model -> driver -> broadcast
+        cents = spark.createDataFrame(rows, schema=upd.schema)
+
+    codes = assign(cents)
+    qs = sv.filter(F.col("vec_id") == 0).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    dt = cents.join(F.broadcast(qs), "m").select(
+        "m", "cid", idist(F.col("c"), F.col("qsv")).alias("dtq")
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dtq").cast("bigint").alias("adc_q"))
+    )
+    short = adc.orderBy("adc_q", "vec_id").limit(PQX_SHORT)
+    qf = qfull.filter(F.col("vec_id") == 0).select(F.col("q").alias("qe"))
+    rr = (
+        short.join(qfull, "vec_id")
+        .join(F.broadcast(qf), F.lit(True))
+        .select(
+            "vec_id",
+            "adc_q",
+            idist(F.col("q"), F.col("qe")).cast("bigint").alias("dist_q"),
+        )
+    )
+    lab = emb.select("vec_id", "label")
+    return (
+        rr.join(lab, "vec_id")
+        .select("vec_id", "label", "adc_q", "dist_q")
+        .orderBy("dist_q", "vec_id")
+        .limit(TOP_K)
+    )

@@ -141,3 +141,29 @@ def test_logistic_exact_beats_or_matches_majority(spark):
     majority = max(pos, 1 - pos)
     assert vals["accuracy"] >= majority - 1e-9
     assert vals["n_rows"] == ev.count()
+
+
+def test_pq_exact_recall_against_exact_integer_topk(spark):
+    """The 8-byte ADC scan + exact re-rank recovers most of the exact
+    integer-distance top-20 (the PQ recall contract on the exact path)."""
+    from cdc_export_system_spark.similarity.pq import sim_search_pq_exact
+    from cdc_export_system_spark.similarity.kmeans import km_exact_fit, _q_dist
+    from cdc_export_system_spark.similarity.queries import QUERY_VEC_ID, TOP_K
+
+    q, _, _ = km_exact_fit(spark, SF_DIR_MED)
+    qv = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qe")
+    )
+    brute = (
+        q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv), F.lit(True))
+        .select("vec_id", _q_dist(F.col("q"), F.col("qe")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+    )
+    truth = {r["vec_id"] for r in brute.collect()}
+    got = {
+        r["vec_id"] for r in sim_search_pq_exact(spark, SF_DIR_MED).collect()
+    }
+    assert len(got) == TOP_K
+    assert len(got & truth) >= 0.5 * TOP_K
