@@ -980,3 +980,98 @@ def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = kept.unionByName(k)
     out = base.join(kept, ["user_id", "rn"]).select("user_id", "ts", "value")
     return out.unionByName(small.select("user_id", "ts", "value"))
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_exact
+# ---------------------------------------------------------------------------
+
+# Holt's linear smoothing with α = β = 1/4 as exact rationals:
+#   l_t = (y_t + 3(l_{t-1} + b_{t-1})) div 4
+#   b_t = ((l_t - l_{t-1}) + 3 b_{t-1}) div 4
+# in cents, truncating division (identical in Spark-side Python ints via
+# _tdiv and DuckDB //).
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE s AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events),
+    r AS (
+        SELECT user_id, rn, n, y AS l, CAST(0 AS BIGINT) AS b
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, s.n,
+               (s.y + 3 * (r.l + r.b)) // 4 AS l,
+               (((s.y + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b) // 4 AS b
+        FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           CAST(l AS DOUBLE) / 100 AS level,
+           CAST(b AS DOUBLE) / 100 AS trend,
+           CAST(l + b AS DOUBLE) / 100 AS forecast1
+    FROM r WHERE rn = n
+"""
+
+
+@register(
+    "ts_holt_exact",
+    oracle=_HOLT_ORACLE,
+    tags=("ts", "timeseries", "window", "stateful"),
+)
+def ts_holt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) exponential smoothing per user
+    series, in EXACT integer arithmetic: α = β = 1/4 as exact
+    rationals, values in cents, every update a truncating integer
+    division — so the per-series recurrence is a pure function of the
+    data, bit-identical between the Arrow-batched Python loop here and
+    the DuckDB RECURSIVE CTE oracle (the recursion technique covers
+    arbitrary series lengths where the unrolled-CTE family needs a
+    fixed depth). Series order is totalized by (ts, event_id); output
+    is the final level/trend state and the one-step-ahead forecast
+    l + b — the standard streaming-forecast readout.
+
+    Why applyInPandas: the recurrence consumes its own previous output,
+    which no window spec expresses; the distributed shape is ONE
+    shuffle on user_id into grouped Arrow batches, integer state per
+    series, nothing driver-side (the ts_downsample_lttb contract). At
+    100 TB a series outgrowing one task is pre-thinned by a keyed
+    rollup first (ts_resample_ohlc), exactly like LTTB."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ys = [
+            int(v)
+            for v in (pdf["value"] * 100 + 0.5).map(lambda x: int(x // 1))
+        ]
+        lvl, tr = ys[0], 0
+        for y in ys[1:]:
+            nl = tdiv(y + 3 * (lvl + tr), 4)
+            tr = tdiv((nl - lvl) + 3 * tr, 4)
+            lvl = nl
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [len(ys)],
+                "level": [float(lvl) / 100],
+                "trend": [float(tr) / 100],
+                "forecast1": [float(lvl + tr) / 100],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        holt,
+        schema="user_id bigint, n_points bigint, level double,"
+        " trend double, forecast1 double",
+    )
