@@ -849,9 +849,10 @@ def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct dominant-supplier set, mirroring Q20's IN-chain.
 
     Scale: the part-name filter pushes into the broadcast join before
-    the (part,supp) aggregate; psq re-aggregates to per-part totals
-    (second, strictly smaller shuffle); the distinct supplier set is
-    dimension-sized and broadcasts into the supplier semi-join."""
+    the (part,supp) aggregate; the per-part total rides a window over
+    that aggregate's own partitioning (no re-aggregate, no sort-merge
+    join back); the distinct supplier set is dimension-sized and
+    broadcasts into the supplier semi-join."""
     par = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("small%"))
@@ -860,12 +861,15 @@ def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").join(
         F.broadcast(par), F.col("l_partkey") == F.col("p_partkey")
     )
+    from pyspark.sql import Window as W
+
     psq = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
-    pq = psq.groupBy("pk").agg(F.sum("q").alias("tq"))
+    # per-part total as a window over the SAME aggregate output — one
+    # shuffle fewer than a re-aggregate + sort-merge join back
     dom = (
-        psq.join(pq, "pk")
+        psq.withColumn("tq", F.sum("q").over(W.partitionBy("pk")))
         .filter(5 * F.col("q") > F.col("tq"))
         .select("sk")
         .distinct()
