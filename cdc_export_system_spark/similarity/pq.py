@@ -699,3 +699,261 @@ def sim_search_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_q", "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_ivf_pq_exact
+# ---------------------------------------------------------------------------
+
+IVFPQX_PROBE = 3
+
+
+def _ivfpqx_oracle(iters: int = PQX_ITERS) -> str:
+    """Unrolled-CTE DuckDB mirror of exact IVFADC: the shared coarse
+    exact-Lloyd chain (q/c*/a*), residual computation, the residual PQ
+    training chain (sv/pc*/pa*), per-probed-cell ADC tables, and the
+    exact re-rank. Residual coordinates are SIGNED — fine, because both
+    engines' integer division truncates toward zero identically."""
+    from cdc_export_system_spark.similarity.kmeans import (
+        KM_EXACT_ITERS,
+        _km_exact_ctes,
+    )
+
+    clast = KM_EXACT_ITERS + 1
+    idist = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    its = []
+    for t in range(1, iters + 2):
+        prev = f"pc{t - 1}"
+        its.append(f"""
+        pd{t} AS (
+            SELECT s.vec_id, s.m, c.pcid, {idist.format(a="s.sv", b="c.c")} AS dist
+            FROM sv s JOIN {prev} c USING (m)),
+        pa{t} AS MATERIALIZED (
+            SELECT vec_id, m, pcid, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, pcid) AS rn FROM pd{t})
+            WHERE rn = 1)""")
+        if t <= iters:
+            its.append(f"""
+        pc{t} AS MATERIALIZED (
+            SELECT m, pcid, list(coord ORDER BY pos) AS c FROM (
+                SELECT m, pcid, pos, SUM(val) // COUNT(*) AS coord FROM (
+                    SELECT aa.m, aa.pcid, generate_subscripts(s.sv, 1) AS pos,
+                           unnest(s.sv) AS val
+                    FROM pa{t} aa JOIN sv s
+                      ON s.vec_id = aa.vec_id AND s.m = aa.m)
+                GROUP BY m, pcid, pos)
+            GROUP BY m, pcid)""")
+    plast = iters + 1
+    return f"""
+        WITH {_km_exact_ctes()},
+        coar AS (SELECT cid, c FROM c{KM_EXACT_ITERS}),
+        res AS MATERIALIZED (
+            SELECT q.vec_id, a.cid,
+                   list_transform(list_zip(q.q, cc.c), p -> p[1] - p[2]) AS r
+            FROM q JOIN a{clast} a USING (vec_id)
+            JOIN coar cc ON cc.cid = a.cid),
+        rlf AS (SELECT vec_id, cid, generate_subscripts(r, 1) - 1 AS p,
+                       unnest(r) AS v
+                FROM res),
+        sv AS MATERIALIZED (
+            SELECT vec_id, p // {PQ_SUBDIM} AS m,
+                   list(v ORDER BY p % {PQ_SUBDIM}) AS sv
+            FROM rlf GROUP BY vec_id, p // {PQ_SUBDIM}),
+        pc0 AS MATERIALIZED (
+            SELECT m, vec_id AS pcid, sv AS c FROM sv WHERE vec_id < {PQ_K}),
+        {", ".join(its)},
+        qv AS (SELECT q FROM q WHERE vec_id = 0),
+        pr AS (SELECT cid FROM (
+                   SELECT cc.cid, {idist.format(a="cc.c", b="qv.q")} AS d
+                   FROM coar cc CROSS JOIN qv)
+               ORDER BY d, cid LIMIT {IVFPQX_PROBE}),
+        rq AS (
+            SELECT pr.cid,
+                   list_transform(list_zip(qv.q, cc.c), p -> p[1] - p[2]) AS r
+            FROM pr JOIN coar cc USING (cid) CROSS JOIN qv),
+        rqsv AS (
+            SELECT cid, p // {PQ_SUBDIM} AS m,
+                   list(v ORDER BY p % {PQ_SUBDIM}) AS sv
+            FROM (SELECT cid, generate_subscripts(r, 1) - 1 AS p,
+                         unnest(r) AS v
+                  FROM rq)
+            GROUP BY cid, p // {PQ_SUBDIM}),
+        dt AS (
+            SELECT rqsv.cid, pc.m, pc.pcid,
+                   {idist.format(a="pc.c", b="rqsv.sv")} AS dtq
+            FROM pc{iters} pc JOIN rqsv ON rqsv.m = pc.m),
+        adc AS (
+            SELECT pa.vec_id, SUM(dt.dtq) AS adc_q
+            FROM pa{plast} pa
+            JOIN res ON res.vec_id = pa.vec_id
+            JOIN dt ON dt.cid = res.cid AND dt.m = pa.m AND dt.pcid = pa.pcid
+            WHERE pa.vec_id <> 0
+            GROUP BY pa.vec_id),
+        short AS (SELECT vec_id, adc_q FROM adc
+                  ORDER BY adc_q, vec_id LIMIT {PQX_SHORT}),
+        rr AS (
+            SELECT s.vec_id, CAST(s.adc_q AS BIGINT) AS adc_q,
+                   CAST({idist.format(a="q.q", b="qf.q")} AS BIGINT) AS dist_q
+            FROM short s
+            JOIN q USING (vec_id)
+            CROSS JOIN (SELECT q FROM q WHERE vec_id = 0) qf)
+        SELECT rr.vec_id, e.label, rr.adc_q, rr.dist_q
+        FROM rr JOIN embeddings e USING (vec_id)
+        ORDER BY rr.dist_q, rr.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@register(
+    "sim_search_ivf_pq_exact",
+    oracle=_ivfpqx_oracle(),
+    tags=("similarity", "ann", "pq"),
+)
+def sim_search_ivf_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) as EXACT integer arithmetic — the
+    oracle-checkable sibling of sim_search_ivf_pq and the capstone of
+    the exact ANN family: the coarse quantizer is the shared exact-Lloyd
+    trainer, PQ codebooks train on the exact integer RESIDUALS
+    x − centroid (signed — safe, both engines' integer division
+    truncates toward zero identically), probing takes the
+    IVFPQX_PROBE nearest cells by exact integer distance, the ADC
+    table is computed per probed cell against the CELL's residual
+    query, and the shortlist re-ranks with exact full-precision integer
+    distances. Every emitted number hash-matches the unrolled-CTE
+    oracle; recall behaves like any IVFADC index.
+
+    Scale: the sim_search_ivf_pq serving story unchanged — codes
+    partitioned by cell make probing partition pruning; the ADC join is
+    against a |probe × M × K| model; exact math touches only the
+    shortlist. Residual-subspace distances ≤ d/M·(2Q·span)² ≈ 3e13,
+    five orders of bigint headroom."""
+    from cdc_export_system_spark.similarity.kmeans import km_exact_fit
+
+    idist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    q, coar, cassign = km_exact_fit(spark, sf_dir)
+    q = q.localCheckpoint(eager=True)
+    assigned = cassign(coar).select("vec_id", "cid")
+    res = (
+        q.join(assigned, "vec_id")
+        .join(F.broadcast(coar), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: a - b).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sv = (
+        res.select("vec_id", F.posexplode("r").alias("p", "v"))
+        .groupBy("vec_id", F.expr(f"p div {PQ_SUBDIM}").alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.expr(f"p % {PQ_SUBDIM}").alias("pos"), "v")
+                )
+            ).alias("pv")
+        )
+        .select(
+            "vec_id", "m", F.transform(F.col("pv"), lambda s: s["v"]).alias("sv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pcents = sv.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("pcid"), F.col("sv").alias("c")
+    )
+
+    def passign(cdf: DataFrame) -> DataFrame:
+        j = sv.join(F.broadcast(cdf), "m")
+        d = idist(F.col("sv"), F.col("c"))
+        best = F.min_by(
+            F.struct(F.col("pcid"), d.alias("d")),
+            F.struct(d.alias("d"), F.col("pcid")),
+        )
+        return (
+            j.groupBy("vec_id", "m")
+            .agg(best.alias("b"))
+            .select("vec_id", "m", F.col("b.pcid").alias("pcid"))
+        )
+
+    for _ in range(PQX_ITERS):
+        a = passign(pcents)
+        upd = (
+            a.join(sv, ["vec_id", "m"])
+            .select("m", "pcid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "pcid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("coord"))
+            .groupBy("m", "pcid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+            .select(
+                "m",
+                "pcid",
+                F.transform(F.col("pc"), lambda s: s["coord"]).alias("c"),
+            )
+        )
+        rows = upd.collect()  # M x K x subdim model -> driver -> broadcast
+        pcents = spark.createDataFrame(rows, schema=upd.schema)
+
+    codes = passign(pcents)
+    qv = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("qe"))
+    pr = (
+        coar.join(F.broadcast(qv), F.lit(True))
+        .select("cid", idist(F.col("c"), F.col("qe")).alias("d"))
+        .orderBy("d", "cid")
+        .limit(IVFPQX_PROBE)
+        .select("cid")
+    )
+    rqsv = (
+        pr.join(F.broadcast(coar), "cid")
+        .join(F.broadcast(qv), F.lit(True))
+        .select(
+            "cid",
+            F.zip_with(F.col("qe"), F.col("c"), lambda a, b: a - b).alias("r"),
+        )
+        .select("cid", F.posexplode("r").alias("p", "v"))
+        .groupBy("cid", F.expr(f"p div {PQ_SUBDIM}").alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.expr(f"p % {PQ_SUBDIM}").alias("pos"), "v")
+                )
+            ).alias("pv")
+        )
+        .select(
+            "cid", "m", F.transform(F.col("pv"), lambda s: s["v"]).alias("qsv")
+        )
+    )
+    dt = pcents.join(F.broadcast(rqsv), "m").select(
+        "cid", "m", "pcid", idist(F.col("c"), F.col("qsv")).alias("dtq")
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(res.select("vec_id", "cid"), "vec_id")
+        .join(F.broadcast(dt), ["cid", "m", "pcid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dtq").cast("bigint").alias("adc_q"))
+    )
+    short = adc.orderBy("adc_q", "vec_id").limit(PQX_SHORT)
+    rr = (
+        short.join(q, "vec_id")
+        .join(F.broadcast(qv), F.lit(True))
+        .select(
+            "vec_id",
+            "adc_q",
+            idist(F.col("q"), F.col("qe")).cast("bigint").alias("dist_q"),
+        )
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        rr.join(lab, "vec_id")
+        .select("vec_id", "label", "adc_q", "dist_q")
+        .orderBy("dist_q", "vec_id")
+        .limit(TOP_K)
+    )

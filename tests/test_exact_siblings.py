@@ -167,3 +167,30 @@ def test_pq_exact_recall_against_exact_integer_topk(spark):
     }
     assert len(got) == TOP_K
     assert len(got & truth) >= 0.5 * TOP_K
+
+
+def test_ivfpq_exact_recall_against_exact_integer_topk(spark):
+    """Exact IVFADC (3 of 8 cells probed, 8-byte residual codes)
+    recovers a meaningful share of the exact integer top-20."""
+    from cdc_export_system_spark.similarity.pq import sim_search_ivf_pq_exact
+    from cdc_export_system_spark.similarity.kmeans import km_exact_fit, _q_dist
+    from cdc_export_system_spark.similarity.queries import QUERY_VEC_ID, TOP_K
+
+    q, _, _ = km_exact_fit(spark, SF_DIR_MED)
+    qv = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qe")
+    )
+    brute = (
+        q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv), F.lit(True))
+        .select("vec_id", _q_dist(F.col("q"), F.col("qe")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(TOP_K)
+    )
+    truth = {r["vec_id"] for r in brute.collect()}
+    got = {
+        r["vec_id"]
+        for r in sim_search_ivf_pq_exact(spark, SF_DIR_MED).collect()
+    }
+    assert len(got) == TOP_K
+    assert len(got & truth) >= 0.4 * TOP_K
