@@ -196,3 +196,47 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+TRENDING_K = 3
+
+
+@register(
+    "stream_topk_trending",
+    oracle=f"""
+        SELECT window_start, event_type, n, rnk FROM (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                       ORDER BY count(*) DESC, event_type) AS rnk
+            FROM events GROUP BY date_trunc('hour', ts), event_type)
+        WHERE rnk <= {TRENDING_K}
+    """,
+    tags=("streaming", "window", "topk", "agg"),
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-{K} event types per tumbling 1-hour window — the
+    classic streaming leaderboard. Batch semantics equal the streaming
+    complete-mode output (windowed counts stream + rank over the sink),
+    so the batch plan is the oracle-checkable form; the readStream
+    variant producing identical rows is pinned in test_streaming.
+
+    Deterministic: rank ties break on event_type. Scale: one windowed
+    count (map-side combined, |windows × types| keys) and a rank window
+    over that aggregate's own output — the second exchange re-keys the
+    model-sized count table, never the events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rnk", rk.cast("bigint"))
+        .filter(F.col("rnk") <= TRENDING_K)
+    )

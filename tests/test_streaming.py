@@ -581,3 +581,38 @@ def test_stream_export_csv_bytes_match_batch_export(spark):
         .collect()
     }
     assert {(r["event_id"], r["ts"]) for r in got} == expect
+
+
+def test_topk_trending_stream_matches_batch(spark):
+    """Complete-mode windowed counts + rank over the sink output equals
+    the batch stream_topk_trending rows exactly."""
+    from pyspark.sql import Window as W
+    from cdc_export_system_spark.streaming.queries import (
+        TRENDING_K,
+        stream_topk_trending,
+    )
+
+    stream_df = windowed_counts_stream(spark, SF_DIR, watermark="10000 days")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("trend_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["rnk"])
+        for r in spark.table("trend_out")
+        .withColumn("rnk", rk)
+        .filter(F.col("rnk") <= TRENDING_K)
+        .collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n"], r["rnk"])
+        for r in stream_topk_trending(spark, SF_DIR).collect()
+    }
+    assert got == want and got
