@@ -1621,3 +1621,122 @@ def corpus_bpe_encode(
             / F.col("n_tokens_ws").cast("double")
         ).alias("bpe_per_ws_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 3
+_RAKE_STOPS = STOPWORDS["en"]
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   generate_subscripts(regexp_split_to_array(trim(lower(text)),
+                       '\\s+'), 1) - 1 AS pos,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents),
+        nw AS (
+            SELECT doc_id, pos, w,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY pos) AS run
+            FROM w WHERE w NOT IN ({_RAKE_STOPS_SQL})),
+        ph AS (SELECT doc_id, run, count(*) AS plen
+               FROM nw GROUP BY doc_id, run),
+        freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM nw GROUP BY w),
+        deg AS (SELECT nw.w, CAST(SUM(ph.plen) AS BIGINT) AS d
+                FROM nw JOIN ph USING (doc_id, run) GROUP BY nw.w),
+        ws AS (SELECT freq.w, (deg.d * 1000000) // freq.f AS wsc
+               FROM freq JOIN deg ON freq.w = deg.w),
+        scored AS (
+            SELECT nw.doc_id, nw.run,
+                   CAST(SUM(ws.wsc) AS BIGINT) AS score_micro,
+                   string_agg(nw.w, ' ' ORDER BY nw.pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM nw JOIN ws ON ws.w = nw.w
+            GROUP BY nw.doc_id, nw.run),
+        ded AS (
+            SELECT doc_id, phrase, score_micro, n_words,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM scored GROUP BY doc_id, phrase, score_micro, n_words)
+        SELECT doc_id, phrase, score_micro, n_words, n_occ, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_micro DESC, phrase) AS rnk
+            FROM ded)
+        WHERE rnk <= {RAKE_TOP_K}
+    """,
+    tags=("text", "agg", "window"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the documents
+    table: candidate phrases are maximal stopword-free word runs
+    (gaps-and-islands segmentation), word scores are deg(w)/freq(w)
+    with degree = Σ phrase-length over the word's occurrences, and the
+    phrase score is the sum of its words' scores. Scores are quantized
+    to exact integer MICRO-UNITS per word (deg·1e6 div freq — integer
+    division) BEFORE summation, so the per-phrase sum is
+    order-independent and the per-doc top-{RAKE_TOP_K} ranking
+    (ties to the lexicographically smaller phrase) hash-matches the
+    oracle under any partitioning.
+
+    Scale: one tokenize pass; freq/deg are |vocab|-keyed aggregates
+    (map-side combined) joined back by word — at corpus scale the
+    vocab tables broadcast, phrase assembly shuffles on (doc, run)
+    whose payload is the phrase itself, and the rank window runs on
+    the |phrases|-sized scored table, never the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    nw = (
+        w.filter(~F.col("w").isin(_RAKE_STOPS))
+        .withColumn(
+            "run",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ph = nw.groupBy("doc_id", "run").agg(F.count(F.lit(1)).alias("plen"))
+    freq = nw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    deg = (
+        nw.join(ph, ["doc_id", "run"])
+        .groupBy("w")
+        .agg(F.sum("plen").cast("bigint").alias("d"))
+    )
+    ws = freq.join(deg, "w").select(
+        "w", F.expr("(d * 1000000) div f").alias("wsc")
+    )
+    scored = (
+        nw.join(F.broadcast(ws), "w")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.sum("wsc").cast("bigint").alias("score_micro"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    ded = scored.groupBy("doc_id", "phrase", "score_micro", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "phrase")
+    )
+    return (
+        ded.withColumn("rnk", rk.cast("bigint"))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+    )
