@@ -1652,3 +1652,114 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_markov_stationary_exact
+# ---------------------------------------------------------------------------
+
+MARKOV_S = 1_000_000  # fixed-point scale for transition probabilities
+MARKOV_SQUARINGS = 10  # P^(2^10): rows of the power converge to π
+
+
+def _markov_oracle(squarings: int = MARKOV_SQUARINGS) -> str:
+    its = []
+    prev = "m0"
+    for t in range(1, squarings + 1):
+        its.append(f"""
+        m{t} AS MATERIALIZED (
+            SELECT a.i, b.j, SUM(a.p * b.p) // {MARKOV_S} AS p
+            FROM {prev} a JOIN {prev} b ON a.j = b.i
+            GROUP BY a.i, b.j)""")
+        prev = f"m{t}"
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events),
+        tr AS (
+            SELECT prev AS i, event_type AS j, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        rowtot AS (SELECT i, SUM(n) AS tot FROM tr GROUP BY i),
+        m0 AS MATERIALIZED (
+            SELECT tr.i, tr.j, (tr.n * {MARKOV_S}) // rowtot.tot AS p
+            FROM tr JOIN rowtot USING (i)),
+        {", ".join(its)},
+        anchor AS (SELECT min(i) AS i0 FROM m0)
+        SELECT m.j AS state, CAST(m.p AS BIGINT) AS pi_micro,
+               CAST(rowtot.tot AS BIGINT) AS n_out_transitions
+        FROM {prev} m
+        JOIN anchor ON m.i = anchor.i0
+        JOIN rowtot ON rowtot.i = m.j
+    """
+
+
+@register(
+    "event_markov_stationary_exact",
+    oracle=_markov_oracle(),
+    tags=("analytics", "graph", "iterative", "agg"),
+)
+def event_markov_stationary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain (the
+    long-run share of each event type a user session converges to) in
+    exact fixed-point arithmetic: transition counts come from the
+    lag-window sequence per user, the transition matrix quantizes to
+    1e-6 integer units, and the limit P^∞ is reached by REPEATED
+    SQUARING — 10 rounds give P^1024 with every entry an exact integer
+    (each squaring renormalizes by div S, truncating identically in
+    both engines). The emitted row is the anchor state's row of the
+    converged power, i.e. π up to the 1e-6 quantization — the
+    graph_pagerank_exact discipline applied to a dense 5-state chain
+    (cf. event_next_transitions for the raw one-step matrix).
+
+    Scale: one lag-window pass (single user_id shuffle) reduces the
+    corpus to a |states|² count table; the squarings are model-sized
+    (125-row joins). States beyond a handful would make the matrix
+    sparse — same plan, keyed joins instead of dense products."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    tr = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = tr.groupBy("i").agg(F.sum("n").alias("tot"))
+    m = (
+        tr.join(rowtot, "i")
+        .select(
+            "i",
+            "j",
+            F.expr(f"(n * {MARKOV_S}) div tot").alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MARKOV_SQUARINGS):
+        a, b = m.alias("a"), m.alias("b")
+        m = (
+            a.join(b, F.col("a.j") == F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+            .agg(
+                F.expr(f"sum(a.p * b.p) div {MARKOV_S}").alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+    anchor = m.agg(F.min("i").alias("i0"))
+    rt = rowtot.select(F.col("i").alias("state"), F.col("tot"))
+    return (
+        m.join(F.broadcast(anchor), m.i == F.col("i0"))
+        .select(F.col("j").alias("state"), F.col("p").cast("bigint").alias("pi_micro"))
+        .join(F.broadcast(rt), "state")
+        .select(
+            "state",
+            "pi_micro",
+            F.col("tot").cast("bigint").alias("n_out_transitions"),
+        )
+    )

@@ -900,3 +900,67 @@ def window_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         dsum(F.col("o_totalprice"), "decile_value"),
     )
+
+
+@register(
+    "window_drawdown",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events),
+        dd AS (
+            SELECT user_id, c,
+                   MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak,
+                   MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                       AS draw
+            FROM s)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(MAX(draw) AS DOUBLE) / 100 AS max_drawdown,
+               CAST(MAX(peak) AS DOUBLE) / 100 AS peak_value,
+               CAST(MIN(c) AS DOUBLE) / 100 AS min_value
+        FROM dd GROUP BY user_id
+    """,
+    tags=("window", "analytics", "frame"),
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user value series — the classic
+    running-peak-minus-current readout (finance's risk number, equally
+    the 'how far did this metric fall from its high' dashboard stat):
+    per user ordered by (ts, event_id), peak = running max, drawdown =
+    peak − value, reported as the series max together with the overall
+    peak and trough. Values ride exact cents through the whole window,
+    so the result is partition-invariant by construction.
+
+    Scale: ONE shuffle on user_id serves both the running-max frame and
+    the final per-user aggregate (same partitioning, Catalyst reuses
+    the sort); payload is two bigints per row."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = s.select(
+        "user_id",
+        "c",
+        F.max("c").over(frame).alias("peak"),
+        (F.max("c").over(frame) - F.col("c")).alias("draw"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.max("draw").cast("double") / 100).alias("max_drawdown"),
+        (F.max("peak").cast("double") / 100).alias("peak_value"),
+        (F.min("c").cast("double") / 100).alias("min_value"),
+    )

@@ -403,6 +403,7 @@ _SINGLE_PARTITION_OK = {
     "dq_fk_orphans": "scalar",  # per-child-table 1-row counter finals
     "dq_null_profile": "scalar",  # 1-row profile suffstat final
     "agg_kmv_setops": "scalar",  # k-row sketches + 1-row stat finals
+    "event_markov_stationary_exact": "scalar",  # 1-row anchor min over the |states|^2 matrix
 }
 
 
