@@ -877,3 +877,170 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(boot, F.lit(0.975)), 6).alias("ci_hi"),
         F.lit(R).cast("int").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_cuped
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+    u AS (
+        SELECT user_id,
+               SUM(CASE WHEN epoch_us(ts) <= b.mid
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN epoch_us(ts) > b.mid
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events, b GROUP BY user_id),
+    s AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM u GROUP BY 1),
+    p AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS nd,
+               CAST(CAST(SUM(sx) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(sy) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(sxy) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(sxx) AS VARCHAR) AS DOUBLE) AS sxx
+        FROM s),
+    m AS (
+        SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy
+        FROM s),
+    f AS (
+        SELECT m.variant, m.n,
+               m.sy / m.nd / 100 AS mean_y,
+               m.sx / m.nd / 100 AS mean_x,
+               (m.nd * m.sxy - m.sx * m.sy)
+                   / (m.nd * (m.nd - 1) * 10000.0) AS cov_v,
+               (m.nd * m.sxx - m.sx * m.sx)
+                   / (m.nd * (m.nd - 1) * 10000.0) AS vx_v,
+               (m.nd * m.syy - m.sy * m.sy)
+                   / (m.nd * (m.nd - 1) * 10000.0) AS vy_v,
+               (p.nd * p.sxy - p.sx * p.sy) / (p.nd * p.sxx - p.sx * p.sx)
+                   AS theta,
+               p.sx / p.nd / 100 AS mx_pool
+        FROM m CROSS JOIN p)
+    SELECT variant, n AS n_users,
+           floor(mean_y * 1000000 + 0.5) / 1000000 AS mean_y,
+           floor((mean_y - theta * (mean_x - mx_pool)) * 1000000 + 0.5)
+               / 1000000 AS mean_y_cuped,
+           floor(theta * 1000000000 + 0.5) / 1000000000 AS theta,
+           floor(vy_v * 1000000 + 0.5) / 1000000 AS var_y,
+           floor((vy_v - 2 * theta * cov_v + theta * theta * vx_v)
+                 * 1000000 + 0.5) / 1000000 AS var_y_cuped,
+           floor((1 - (vy_v - 2 * theta * cov_v + theta * theta * vx_v)
+                      / vy_v) * 1000000000 + 0.5) / 1000000000
+               AS var_reduction
+    FROM f
+"""
+
+
+@register(
+    "ab_cuped",
+    oracle=_CUPED_ORACLE,
+    tags=("stats", "analytics", "agg"),
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the standard
+    industrial A/B readout: each user's PRE-period spend (first half of
+    the data's time range) is the covariate X, the experiment-period
+    spend Y is adjusted to Y' = Y - theta*(X - mean(X)) with
+    theta = cov(X,Y)/var(X) pooled across arms (deterministic arm =
+    user_id parity). The per-arm adjusted mean and variance come from
+    SUFFSTAT ALGEBRA, never per-row double sums: mean(Y') = mean_y -
+    theta*(mean_x_arm - mean_x_pool) and var(Y') = var_y - 2*theta*cov
+    + theta^2*var_x, so the whole result is exact-integer sums (cents,
+    HUGEINT/DECIMAL(38) cross-products) finalized by one identical
+    double tree in both engines — partition-invariant by construction.
+
+    Scale: one user_id shuffle builds (x, y) per user; the arm suffstats
+    are a 2-row table and the pooled theta a 1-row broadcast — nothing
+    after the first aggregate is data-sized. The time-range midpoint is
+    a 1-row min/max scalar broadcast onto the scan (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us <= F.col("mid"), cents).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(us > F.col("mid"), cents).otherwise(F.lit(0))).alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    xd = x.cast("decimal(38,0)")
+    yd = y.cast("decimal(38,0)")
+    s = per_user.groupBy(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "variant"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * y).alias("sxy"),
+        F.sum(xd * x).alias("sxx"),
+        F.sum(yd * y).alias("syy"),
+    )
+    p = s.agg(
+        F.sum("n").cast("double").alias("p_nd"),
+        F.sum("sx").cast("double").alias("p_sx"),
+        F.sum("sy").cast("double").alias("p_sy"),
+        F.sum("sxy").cast("double").alias("p_sxy"),
+        F.sum("sxx").cast("double").alias("p_sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    denom = nd * (nd - F.lit(1)) * F.lit(10000.0)
+    f = s.crossJoin(F.broadcast(p)).select(
+        "variant",
+        "n",
+        (sy / nd / F.lit(100)).alias("mean_y"),
+        (sx / nd / F.lit(100)).alias("mean_x"),
+        ((nd * sxy - sx * sy) / denom).alias("cov_v"),
+        ((nd * sxx - sx * sx) / denom).alias("vx_v"),
+        ((nd * syy - sy * sy) / denom).alias("vy_v"),
+        (
+            (F.col("p_nd") * F.col("p_sxy") - F.col("p_sx") * F.col("p_sy"))
+            / (F.col("p_nd") * F.col("p_sxx") - F.col("p_sx") * F.col("p_sx"))
+        ).alias("theta"),
+        (F.col("p_sx") / F.col("p_nd") / F.lit(100)).alias("mx_pool"),
+    )
+    th = F.col("theta")
+    vy_c = (
+        F.col("vy_v") - F.lit(2) * th * F.col("cov_v") + th * th * F.col("vx_v")
+    )
+    mic = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    nano = lambda c: F.floor(c * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000  # noqa: E731
+    return f.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        mic(F.col("mean_y")).alias("mean_y"),
+        mic(F.col("mean_y") - th * (F.col("mean_x") - F.col("mx_pool"))).alias(
+            "mean_y_cuped"
+        ),
+        nano(th).alias("theta"),
+        mic(F.col("vy_v")).alias("var_y"),
+        mic(vy_c).alias("var_y_cuped"),
+        nano(F.lit(1) - vy_c / F.col("vy_v")).alias("var_reduction"),
+    )

@@ -112,6 +112,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
     "sim_search_lsh",  # 1-row query-vector broadcast (scalar-subquery analogue)
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
+    "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
@@ -404,6 +405,7 @@ _SINGLE_PARTITION_OK = {
     "dq_null_profile": "scalar",  # 1-row profile suffstat final
     "agg_kmv_setops": "scalar",  # k-row sketches + 1-row stat finals
     "event_markov_stationary_exact": "scalar",  # 1-row anchor min over the |states|^2 matrix
+    "ab_cuped": "scalar",  # 1-row ts-midpoint + pooled-theta suffstat finals
 }
 
 
