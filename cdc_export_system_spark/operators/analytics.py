@@ -1763,3 +1763,106 @@ def event_markov_stationary_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("tot").cast("bigint").alias("n_out_transitions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# anomaly_seasonal_residual
+# ---------------------------------------------------------------------------
+
+SEASONAL_MAD_K = 4  # flag hours whose |count - baseline| exceeds K * MAD
+
+
+@register(
+    "anomaly_seasonal_residual",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        g AS (
+            SELECT event_type, dayofweek(hr) AS dow, hour(hr) AS hod,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS med
+            FROM h GROUP BY event_type, dayofweek(hr), hour(hr)),
+        dev AS (
+            SELECT h.event_type, h.hr, h.n, g.med, abs(h.n - g.med) AS adev
+            FROM h JOIN g ON h.event_type = g.event_type
+                         AND dayofweek(h.hr) = g.dow AND hour(h.hr) = g.hod),
+        mad AS (
+            SELECT event_type, dayofweek(hr) AS dow, hour(hr) AS hod,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+            FROM dev GROUP BY event_type, dayofweek(hr), hour(hr))
+        SELECT d.event_type, d.hr, d.n AS n_events,
+               CAST(d.med AS BIGINT) AS baseline,
+               CAST(m.mad AS BIGINT) AS mad,
+               floor(CAST(d.adev AS DOUBLE) / m.mad * 1000000 + 0.5) / 1000000
+                   AS score
+        FROM dev d
+        JOIN mad m ON d.event_type = m.event_type
+                  AND dayofweek(d.hr) = m.dow AND hour(d.hr) = m.hod
+        WHERE m.mad > 0 AND d.adev > {SEASONAL_MAD_K} * m.mad
+    """,
+    tags=("analytics", "anomaly", "timeseries"),
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (event_type, hour) count
+    is compared against the MEDIAN count of its own (day-of-week,
+    hour-of-day) cell — the 'is this Tuesday 3pm weird for a Tuesday
+    3pm' readout that survives daily/weekly cycles where
+    anomaly_rate_spike's day-over-day ratio false-alarms every Monday.
+    Deviations are scored in robust MAD units per cell (50%-breakdown,
+    like anomaly_mad), and every statistic is percentile_disc over exact
+    integers, so membership and scores are partition-invariant.
+
+    Scale: the corpus collapses to the (type, hour) count series in ONE
+    shuffle; baselines and MADs are grids of at most |types|*168 cells
+    computed FROM that |hours|-sized series and broadcast back onto it —
+    the raw event stream is never rejoined."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # DuckDB dayofweek() is 0=Sunday; Spark dayofweek() is 1=Sunday. The
+    # cell key is materialized on the series once so the grid joins are
+    # plain equi-joins (no self-join ambiguity, no re-derivation).
+    h = h.select(
+        "event_type",
+        "hr",
+        "n",
+        (F.dayofweek("hr") - F.lit(1)).alias("dow"),
+        F.hour("hr").alias("hod"),
+    )
+    g = h.groupBy("event_type", "dow", "hod").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("med")
+    )
+    dev = h.join(F.broadcast(g), ["event_type", "dow", "hod"]).select(
+        "event_type",
+        "hr",
+        "dow",
+        "hod",
+        "n",
+        "med",
+        F.abs(F.col("n") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "dow", "hod").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "dow", "hod"])
+        .filter(
+            (F.col("mad") > 0) & (F.col("adev") > SEASONAL_MAD_K * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").alias("n_events"),
+            F.col("med").cast("bigint").alias("baseline"),
+            F.col("mad").cast("bigint").alias("mad"),
+            (
+                F.floor(
+                    F.col("adev").cast("double") / F.col("mad") * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("score"),
+        )
+    )
