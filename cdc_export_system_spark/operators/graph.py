@@ -618,3 +618,89 @@ def _k_core_oracle(k: int = K_CORE_K, rounds: int = K_CORE_MAX_ITERS) -> str:
 
 
 REGISTRY["graph_k_core"].oracle = _k_core_oracle()
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 6  # fixed synchronous rounds: deterministic, oracle-unrollable
+
+
+def _lpa_oracle(rounds: int = LPA_ITERS) -> str:
+    """Unrolled-CTE oracle for synchronous label propagation. Sync LPA
+    is NOT a fixpoint iteration (bipartite structures can oscillate), so
+    determinism comes from running EXACTLY the same round count in both
+    engines — no early exit on either side."""
+    ctes = [
+        f"""{_DUCK_EDGES.strip().rstrip()},
+        adj AS MATERIALIZED (
+            SELECT pa AS n, pb AS m FROM e
+            UNION ALL SELECT pb, pa FROM e),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT n AS node, n AS lab FROM adj)"""
+    ]
+    for t in range(rounds):
+        ctes.append(f"""c{t} AS MATERIALIZED (
+            SELECT a.n, l.lab, count(*) AS cnt
+            FROM adj a JOIN l{t} l ON a.m = l.node
+            GROUP BY a.n, l.lab),
+        l{t + 1} AS MATERIALIZED (
+            SELECT c.n AS node, min(c.lab) AS lab
+            FROM c{t} c JOIN (SELECT n, max(cnt) AS mc FROM c{t} GROUP BY n) b
+              ON c.n = b.n AND c.cnt = b.mc
+            GROUP BY c.n)""")
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node, lab AS community FROM l{rounds}"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan et
+    al. 2007) over the co-purchase graph, made fully deterministic: every
+    node starts labeled with its own id, and each round adopts the MOST
+    FREQUENT label among its neighbors, ties broken by SMALLEST label —
+    the argmax realized as (max-count per node) + (min label at that
+    count), two grouped aggregates instead of any order-dependent
+    arg_max. Both engines run EXACTLY LPA_ITERS rounds (sync LPA can
+    oscillate, so no early exit anywhere); the per-node community output
+    is therefore partition- and engine-invariant.
+
+    Scale: the adjacency (both directions) is built once and each round
+    is one |E|-keyed join against the |V|-row label table plus two
+    grouped aggregates — the textbook distributed LPA schedule, linear
+    per round, labels are single longs. Rounds are bounded (label
+    propagation converges in a few sweeps on social-like graphs)."""
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
+        .unionAll(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    lab = adj.select(F.col("n").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(LPA_ITERS):
+        cnt = (
+            adj.join(lab.withColumnRenamed("node", "m"), "m")
+            .groupBy("n", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = cnt.groupBy("n").agg(F.max("cnt").alias("mc"))
+        lab = (
+            cnt.join(best, "n")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("n")
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("n").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("node", F.col("lab").alias("community"))
