@@ -704,3 +704,121 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return lab.select("node", F.col("lab").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# recsys_item_knn
+# ---------------------------------------------------------------------------
+
+ITEM_KNN_K = 5
+_SQ_SCALE = 1_000_000_000_000  # squared-cosine fixed-point scale (1e-12)
+
+
+@register(
+    "recsys_item_knn",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        occ AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+        pair AS (
+            SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= {MIN_SUPPORT}),
+        nbr AS (
+            SELECT pa AS item, pb AS neighbor, c FROM pair
+            UNION ALL SELECT pb, pa, c FROM pair),
+        scored AS (
+            SELECT n.item, n.neighbor, n.c,
+                   CAST((CAST(n.c AS HUGEINT) * n.c * {_SQ_SCALE})
+                        // (oa.n * CAST(ob.n AS HUGEINT)) AS BIGINT) AS cos_sq_pico
+            FROM nbr n
+            JOIN occ oa ON oa.p = n.item
+            JOIN occ ob ON ob.p = n.neighbor),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY item
+                       ORDER BY cos_sq_pico DESC, neighbor) AS rk
+            FROM scored)
+        SELECT item, neighbor, c AS n_cobaskets, cos_sq_pico,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {ITEM_KNN_K}
+    """,
+    tags=("graph", "similarity", "analytics"),
+)
+def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (the Amazon 2003 recommender
+    shape): for every part, the top-k most similar parts by cosine over
+    binary basket-incidence vectors — cos(a,b) = c(a,b)/sqrt(n(a)n(b))
+    with c from co-purchase counts and n from basket occurrence. Ranking
+    uses the EXACT INTEGER squared cosine (c^2 * 1e12) div (n_a * n_b)
+    (monotone in cosine since all terms are positive), so the top-k
+    boundary never depends on float ulps; ties break on neighbor id.
+
+    Scale: the same one-orderkey-shuffle basket pair expansion as
+    _edges (hot-basket cap bounds the quadratic), then everything is
+    keyed joins on item ids — occurrence table joins by part key,
+    per-item top-k is one row_number window on the pair-partitioned
+    key. No broadcast of data-sized sides; products ride DECIMAL(38)/
+    HUGEINT so a billion-basket corpus cannot overflow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    occ = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    baskets = (
+        op.groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ps, (x, i) ->
+                        transform(slice(ps, i + 2, size(ps) - i - 1),
+                                  y -> struct(x AS pa, y AS pb))))
+                    """
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= MIN_SUPPORT)
+    )
+    nbr = pair.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "c"
+    ).unionAll(
+        pair.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "c")
+    )
+    scored = (
+        nbr.join(occ.select(F.col("p").alias("item"), F.col("n").alias("na")), "item")
+        .join(
+            occ.select(F.col("p").alias("neighbor"), F.col("n").alias("nb")),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "c",
+            F.expr(
+                f"cast((cast(c as decimal(38,0)) * c * {_SQ_SCALE})"
+                " div (na * cast(nb as decimal(38,0))) as bigint)"
+            ).alias("cos_sq_pico"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("item").orderBy(F.col("cos_sq_pico").desc(), "neighbor")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= ITEM_KNN_K)
+        .select(
+            "item",
+            "neighbor",
+            F.col("c").alias("n_cobaskets"),
+            "cos_sq_pico",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
