@@ -964,3 +964,64 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("peak").cast("double") / 100).alias("peak_value"),
         (F.min("c").cast("double") / 100).alias("min_value"),
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+        WITH f AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY event_type, ts, event_id)
+                            IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events)
+        SELECT event_id, user_id, ts, event_type,
+               CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_types_so_far
+        FROM f
+    """,
+    tags=("window", "analytics", "frame"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT — after each event, how many distinct
+    event types has this user produced so far? The classic
+    count(DISTINCT) OVER that SQL engines refuse (including Spark),
+    built from two passes over ONE user_id partitioning: sorting the
+    partition by (event_type, ts) marks each type's first occurrence
+    with a lag comparison, then re-sorting by (ts, event_id) turns the
+    running sum of first-seen flags into the running cardinality.
+    Exact integers end to end.
+
+    Scale: ONE exchange on user_id serves both windows (same partition
+    key, two in-partition sorts — strictly cheaper than the naive
+    (user, type) + (user) double shuffle); payload per row is one flag
+    bit. This is the standard distributed running-cardinality plan."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w_type = W.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    first_seen = F.when(
+        ~F.lag("event_type").over(w_type).eqNullSafe(F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_time = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        first_seen.alias("first_seen"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("first_seen").over(w_time).alias("n_types_so_far"),
+    )
