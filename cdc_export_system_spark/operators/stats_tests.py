@@ -1044,3 +1044,104 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         mic(vy_c).alias("var_y_cuped"),
         nano(F.lit(1) - vy_c / F.col("vy_v")).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_brown_forsythe
+# ---------------------------------------------------------------------------
+
+_BF_ORACLE = """
+    WITH med AS (
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (
+                   ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT)) AS med
+        FROM events GROUP BY event_type),
+    z AS (
+        SELECT e.event_type,
+               abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT) - m.med) AS z
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(z AS HUGEINT)) AS s1,
+               SUM(CAST(z AS HUGEINT) * z) AS s2,
+               (SUM(CAST(z AS HUGEINT)) * SUM(CAST(z AS HUGEINT)) * 1000000)
+                   // count(*) AS term
+        FROM z GROUP BY event_type),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, SUM(n) AS n_total,
+               SUM(term) AS a, SUM(s1) AS s1t, SUM(s2) AS s2t
+        FROM g)
+    SELECT k AS n_groups, CAST(n_total AS BIGINT) AS n_total,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n_total - k AS BIGINT) AS df2,
+           floor((CAST(n_total AS DOUBLE) - k)
+                 * CAST(CAST(a - (s1t * s1t * 1000000) // n_total AS VARCHAR)
+                        AS DOUBLE)
+                 / ((CAST(k AS DOUBLE) - 1)
+                    * CAST(CAST(s2t * 1000000 - a AS VARCHAR) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS w_stat
+    FROM t
+"""
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle=_BF_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (median-centered Levene): are the VALUE
+    variances homogeneous across event types? The robust prerequisite
+    check before pooling arms or trusting an ANOVA. Median centering is
+    what keeps it oracle-exact: group medians via percentile_disc are
+    actual data elements (exact cents), so the deviations z = |c - med|
+    are exact integers and the whole one-way-ANOVA-on-z reduces to
+    per-group suffstats (n, sum z, sum z^2) with the between/within sums
+    folded as floored MICRO-INT terms (the stats_chi2_independence
+    discipline) — order-independent by construction; only the final W
+    ratio is a double, written as one identical tree.
+
+    Scale: one event_type shuffle for medians, the k-row median table
+    broadcast back onto the scan, one more combinable suffstat pass —
+    nothing data-sized survives past the second aggregate; the final is
+    a 1-row scalar (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    med = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").alias("med")
+    )
+    z = (
+        ev.select("event_type", cents.alias("c"))
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("c") - F.col("med")).alias("z"))
+    )
+    zd = F.col("z").cast("decimal(38,0)")
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(zd).alias("s1"),
+        F.sum(zd * F.col("z")).alias("s2"),
+    ).select(
+        "n",
+        "s1",
+        "s2",
+        F.expr("(s1 * s1 * 1000000) div n").alias("term"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("term").alias("a"),
+        F.sum("s1").alias("s1t"),
+        F.sum("s2").alias("s2t"),
+    )
+    ssb = F.expr("cast(a - (s1t * s1t * 1000000) div n_total as double)")
+    ssw = F.expr("cast(s2t * 1000000 - a as double)")
+    kd = F.col("k").cast("double")
+    nd = F.col("n_total").cast("double")
+    w = (nd - F.col("k")) * ssb / ((kd - F.lit(1)) * ssw)
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n_total") - F.col("k")).cast("bigint").alias("df2"),
+        (F.floor(w * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("w_stat"),
+    )

@@ -406,6 +406,7 @@ _SINGLE_PARTITION_OK = {
     "agg_kmv_setops": "scalar",  # k-row sketches + 1-row stat finals
     "event_markov_stationary_exact": "scalar",  # 1-row anchor min over the |states|^2 matrix
     "ab_cuped": "scalar",  # 1-row ts-midpoint + pooled-theta suffstat finals
+    "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
 }
 
 
