@@ -1184,3 +1184,60 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(woe).alias("woe"),
         r6((pr - nr) * woe).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feat_hash_crosses
+# ---------------------------------------------------------------------------
+
+HASH_CROSS_BUCKETS = 4096
+_CROSS_MULT = 1_000_003  # polynomial hash multiplier (prime > max suppkey)
+_CROSS_PACK = 10_000_000  # injective (partkey, suppkey) packing base
+
+
+@register(
+    "feat_hash_crosses",
+    oracle=f"""
+        WITH x AS (
+            SELECT (l_partkey * {_CROSS_MULT} + l_suppkey)
+                       % {HASH_CROSS_BUCKETS} AS bucket,
+                   l_partkey * {_CROSS_PACK} + l_suppkey AS cross_id,
+                   l_extendedprice
+            FROM lineitem)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT cross_id) AS BIGINT) AS n_crosses,
+               {sql_dsum("l_extendedprice", "sum_price")}
+        FROM x GROUP BY bucket
+    """,
+    tags=("feature", "agg"),
+)
+def feat_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK for cross features (Weinberger et al. 2009):
+    the high-cardinality categorical cross part x supplier is mapped
+    into a fixed 4096-bucket feature space by a polynomial hash, and
+    each bucket reports its row count, how many DISTINCT raw crosses
+    collided into it, and the summed price feature — exactly the
+    collision-accounting readout used to size hashed feature spaces
+    before training. The hash is an explicit integer polynomial (not an
+    engine-native hash), so both engines bucket identically; the packed
+    cross_id is injective (suppkey < pack base), so the collision count
+    is exact.
+
+    Scale: the cardinality-reducing map runs BEFORE the shuffle — rows
+    carry only (bucket, cross_id, cents) into one groupBy whose distinct
+    expands to the standard two-phase partial/final plan; the output is
+    bounded at HASH_CROSS_BUCKETS rows regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (
+            (F.col("l_partkey") * _CROSS_MULT + F.col("l_suppkey"))
+            % HASH_CROSS_BUCKETS
+        ).alias("bucket"),
+        (F.col("l_partkey") * _CROSS_PACK + F.col("l_suppkey")).alias("cross_id"),
+        "l_extendedprice",
+    )
+    return x.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("cross_id").cast("bigint").alias("n_crosses"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
