@@ -237,3 +237,105 @@ def dedup_substring_scrub(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_fingerprint
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (consecutive k-grams per selection)
+_POS_PAD = 1_048_576  # 2^20: position tie-break encoding bound
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')) AS gh
+            FROM toks, unnest(range(1, len(t) - {WINNOW_K} + 2)) AS r(i)),
+        keyed AS (
+            SELECT doc_id, pos,
+                   gh || lpad(CAST({_POS_PAD} - pos AS VARCHAR), 7, '0') AS k
+            FROM grams),
+        sel AS (
+            SELECT doc_id,
+                   min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS sk,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS wn
+            FROM keyed)
+        SELECT DISTINCT doc_id,
+               CAST({_POS_PAD} - CAST(substring(sk, 33, 7) AS BIGINT)
+                    AS BIGINT) AS pos,
+               substring(sk, 1, 32) AS fp
+        FROM sel WHERE wn = {WINNOW_W}
+    """,
+    tags=("text", "dedup"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every overlapping
+    WINNOW_K-token gram, slide a WINNOW_W-gram window, and record the
+    window minimum (ties -> RIGHTMOST position, per the paper). The
+    guarantee: any shared run of WINNOW_K + WINNOW_W - 1 tokens between
+    two documents shares a recorded fingerprint, with selection density
+    ~2/(w+1) — the locality property ad-hoc 'every n-th gram' sampling
+    lacks. The min-with-rightmost-tie is realized as a plain string MIN
+    over gh || zero-padded (2^20 - pos), so both engines select
+    identical fingerprints with no struct/arg_min ordering semantics in
+    play; md5-hex order is a uniform hash order, which is all winnowing
+    requires.
+
+    Scale: grams and their hashes are built row-locally from the token
+    array (no explode before hashing beyond the per-doc gram list); the
+    only shuffle is ONE doc_id exchange feeding both windows and the
+    final distinct (same key, Catalyst reuses the sort). Document
+    positions are bounded by the 2^20 pad (cap long docs upstream or
+    widen the pad at ingest). Downstream near-dup detection is a
+    fingerprint equi-join — |selected| ~ 2/(w+1) of grams, never a
+    corpus self-join. Cf. dedup_exact_substring for the span-recovery
+    sibling (engine-native xxhash64 keys there: hash VALUES never
+    surface in its output, while winnowing's selections do, hence the
+    portable md5 order here)."""
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= WINNOW_K,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {WINNOW_K} + 1),"
+                    f" i -> array_join(slice(t, i, {WINNOW_K}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("gh"))
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.concat(
+            F.col("gh"),
+            F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 7, "0"),
+        ).alias("k"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = keyed.select(
+        "doc_id",
+        F.min("k").over(w).alias("sk"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == WINNOW_W)
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_PAD) - F.substring("sk", 33, 7).cast("bigint"))
+        .cast("bigint")
+        .alias("pos"),
+        F.substring("sk", 1, 32).alias("fp"),
+    ).distinct()
