@@ -339,3 +339,113 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
         F.substring("sk", 1, 32).alias("fp"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing_overlap
+# ---------------------------------------------------------------------------
+
+WINNOW_MAX_FP_DF = 10  # drop fingerprints shared by more docs (boilerplate)
+WINNOW_OVERLAP_MIN = 500_000  # report pairs with overlap >= 0.5 (micro units)
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')) AS gh
+            FROM toks, unnest(range(1, len(t) - {WINNOW_K} + 2)) AS r(i)),
+        keyed AS (
+            SELECT doc_id, pos,
+                   gh || lpad(CAST({_POS_PAD} - pos AS VARCHAR), 7, '0') AS k
+            FROM grams),
+        sel AS (
+            SELECT doc_id,
+                   min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS sk,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS wn
+            FROM keyed),
+        fps AS (
+            SELECT DISTINCT doc_id, substring(sk, 1, 32) AS fp
+            FROM sel WHERE wn = {WINNOW_W}),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps
+                  GROUP BY doc_id),
+        rare AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_FP_DF}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM fps a JOIN rare USING (fp)
+            JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT p.doc_a, p.doc_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+               (p.shared * 1000000) // least(sa.n, sb.n) AS overlap_micro
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE (p.shared * 1000000) // least(sa.n, sb.n)
+              >= {WINNOW_OVERLAP_MIN}
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PAIRS from shared winnowing fingerprints — the
+    matching half of the MOSS pipeline: two documents are flagged when
+    the fingerprints they share cover >= 50% of the smaller document's
+    sketch (overlap coefficient, scored in exact integer micro-units so
+    the threshold never floats). Fingerprints appearing in more than
+    WINNOW_MAX_FP_DF documents are dropped before pairing — the same
+    boilerplate-stopword guard as MAX_SHINGLE_DF in dedup_ngram_jaccard;
+    it is ALSO what bounds the join fan-out (<= df^2 pairs per
+    fingerprint), the winnowing analogue of LSH band-bucket capping.
+
+    Scale: sketch sizes are ~2/(w+1) of gram counts, the pair stream is
+    keyed on fingerprint (never a corpus self-join), and the pair rollup
+    + two size joins shuffle only (doc_a, doc_b, counts). Sizes count
+    the FULL sketch (pre-df-filter) so boilerplate-heavy docs aren't
+    artificially similar."""
+    fps = (
+        text_winnowing_fingerprint(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_MAX_FP_DF))
+        .select("fp")
+    )
+    matchable = fps.join(rare, "fp")
+    pairs = (
+        matchable.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(fps.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "overlap_micro",
+            F.expr("(shared * 1000000) div least(n_a, n_b)"),
+        )
+        .filter(F.col("overlap_micro") >= WINNOW_OVERLAP_MIN)
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "overlap_micro")
+    )
