@@ -305,6 +305,12 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface in its output, while winnowing's selections do, hence the
     portable md5 order here)."""
     docs = load_table_fanned(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing core over any (doc_id, text) frame — split out so the
+    semantic pin can drive it with constructed documents."""
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
     grams = toks.select(
         "doc_id",

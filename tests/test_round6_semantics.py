@@ -461,3 +461,40 @@ def test_position_attribution_conserves_value(spark):
     )
     # per-hour 1e-6 rounding of dollars can move each bucket < 1 micro-cent
     assert abs(got - total_micro) < 200, (got, total_micro)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The two published winnowing properties (Schleimer et al. 2003),
+    pinned on constructed documents: (1) GUARANTEE — two documents
+    sharing a token run of length >= WINNOW_K + WINNOW_W - 1 share at
+    least one recorded fingerprint; (2) DENSITY — the number of selected
+    fingerprints is a small fraction of the gram count (expected
+    2/(w+1)), never the full gram stream."""
+    from cdc_export_system_spark.dedup.substring import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + run + " delta epsilon zeta"),
+            (2, "one two three four five " + run + " six seven"),
+            (3, " ".join(f"uniq{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # guarantee: docs 1 and 2 share the run -> share a fingerprint
+    assert by_doc[1] & by_doc[2], "shared run produced no shared fingerprint"
+    # the all-unique doc shares nothing with either
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: doc 3 has 60 tokens -> 57 grams; expected ~2/(w+1) density,
+    # so selections must be well under half the grams
+    n_grams = 60 - WINNOW_K + 1
+    assert len(by_doc[3]) < n_grams / 2, (len(by_doc[3]), n_grams)
+    # positions are within the gram range and fingerprints are md5-shaped
+    assert all(1 <= r.pos <= n_grams for r in fps if r.doc_id == 3)
+    assert all(len(r.fp) == 32 for r in fps)
