@@ -1241,3 +1241,75 @@ def feat_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cross_id").cast("bigint").alias("n_crosses"),
         dsum(F.col("l_extendedprice"), "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantiles_distributed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_quantiles_distributed",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+            FROM lineitem),
+        g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+        r AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM g),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g)
+        SELECT t.n AS n_total,
+               CAST(min(CASE WHEN cum >= (t.n + 3) // 4 THEN v END) AS DOUBLE)
+                   / 100 AS p25,
+               CAST(min(CASE WHEN cum >= (t.n + 1) // 2 THEN v END)
+                    + min(CASE WHEN cum >= (t.n + 2) // 2 THEN v END)
+                    AS DOUBLE) / 200 AS median,
+               CAST(min(CASE WHEN cum >= (3 * t.n + 3) // 4 THEN v END)
+                    AS DOUBLE) / 100 AS p75
+        FROM r CROSS JOIN t GROUP BY t.n
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT GLOBAL quantiles the way they must be computed at 100 TB:
+    the value column collapses to its distinct-value axis (groupBy
+    cents), cumulative counts ride the two-level range prefix sum
+    (ranks.py — no stage ever sorts the full data on one partition),
+    and each quantile is 'the smallest value whose cumulative count
+    reaches rank k' with k = ceil(qN) (p25/p75 discrete; the median
+    averages the lower/upper middles exactly in half-cents). Contrast
+    agg_percentiles, whose built-in percentile() buffers each group's
+    values in executor memory — correct, but memory-bound at scale;
+    this plan's footprint is the DISTINCT-value axis only.
+
+    Scale: one map-combined aggregate to |distinct| rows, one range
+    shuffle for the prefix sum, a 1-row total broadcast back onto the
+    axis, and a 1-row final (allowlisted scalar)."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    r = with_prefix_sum(g, [F.asc("v")], ["cnt"], suffix="_before").withColumn(
+        "cum", F.col("cnt_before") + F.col("cnt")
+    )
+    t = g.agg(F.sum("cnt").cast("bigint").alias("n"))
+    sel = r.crossJoin(F.broadcast(t))
+    at = lambda k: F.min(F.when(F.col("cum") >= F.expr(k), F.col("v")))  # noqa: E731
+    return sel.groupBy("n").agg(
+        at("(n + 3) div 4").alias("__p25c"),
+        at("(n + 1) div 2").alias("__lo"),
+        at("(n + 2) div 2").alias("__hi"),
+        at("(3 * n + 3) div 4").alias("__p75c"),
+    ).select(
+        F.col("n").alias("n_total"),
+        (F.col("__p25c").cast("double") / 100).alias("p25"),
+        ((F.col("__lo") + F.col("__hi")).cast("double") / 200).alias("median"),
+        (F.col("__p75c").cast("double") / 100).alias("p75"),
+    )

@@ -139,6 +139,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "window_decay_score",  # 1-row anchor-day broadcast onto the (user, day) axis
     "pipeline_dedup_funnel",  # 1-row raw-total broadcast onto the 3 stage rows
     "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
+    "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
 }
 
 
@@ -407,6 +408,7 @@ _SINGLE_PARTITION_OK = {
     "event_markov_stationary_exact": "scalar",  # 1-row anchor min over the |states|^2 matrix
     "ab_cuped": "scalar",  # 1-row ts-midpoint + pooled-theta suffstat finals
     "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
+    "agg_quantiles_distributed": "tiny",  # rank-construction range-offset table + 1-row final
 }
 
 
