@@ -1075,3 +1075,106 @@ def ts_holt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, n_points bigint, level double,"
         " trend double, forecast1 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_acf_multi_lag
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24  # hourly series: scan one diurnal cycle
+
+
+@register(
+    "ts_acf_multi_lag",
+    oracle=f"""
+        WITH h AS (
+            SELECT epoch_us(ts) // 3600000000 AS eh,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS nn,
+                   CAST(SUM(n) AS HUGEINT) AS s
+            FROM h),
+        den AS (
+            SELECT SUM((tot.nn * CAST(h.n AS HUGEINT) - tot.s)
+                       * (tot.nn * CAST(h.n AS HUGEINT) - tot.s)) AS d
+            FROM h CROSS JOIN tot),
+        lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k),
+        num AS (
+            SELECT l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+                   SUM((tot.nn * CAST(a.n AS HUGEINT) - tot.s)
+                       * (tot.nn * CAST(b.n AS HUGEINT) - tot.s)) AS num
+            FROM lags l
+            JOIN h a ON true
+            JOIN h b ON b.eh = a.eh + l.k
+            CROSS JOIN tot
+            GROUP BY l.k)
+        SELECT num.k AS lag_hours, num.n_pairs,
+               floor(CAST(CAST(num.num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(den.d AS VARCHAR) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS acf
+        FROM num CROSS JOIN den
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTOCORRELATION FUNCTION of the hourly event-count series at
+    lags 1..24 — the seasonality fingerprint (a diurnal cycle shows as
+    the r_24 peak) behind every 'does this metric have a daily rhythm'
+    decision; ts_autocorrelation is the single-lag scalar, this is the
+    full first-cycle correlogram. Exactness: with N = series length and
+    S = series sum, each centered product is multiplied through by N^2
+    — (N*s_t - S)(N*s_{{t+k}} - S) is an exact HUGEINT/DECIMAL(38)
+    integer — so numerators and the shared denominator are exact sums
+    in any partitioning; only the final 24 ratios are doubles.
+
+    Scale: the corpus collapses to the |hours| axis in one shuffle; the
+    lag pairing is an EQUI-JOIN on the integer epoch-hour (eh = eh + k)
+    after a 24-way explode of the axis — keyed, never windowed over a
+    single partition, and ~24x the axis size, not the corpus. Totals
+    and denominator are 1-row broadcasts (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("eh"))
+        .groupBy("eh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("n").cast("decimal(38,0)").alias("s"),
+    )
+    dev = lambda col: (  # noqa: E731
+        F.col("nn").cast("decimal(38,0)") * F.col(col).cast("decimal(38,0)")
+        - F.col("s")
+    )
+    den = (
+        h.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dev("n") * dev("n")).alias("d"))
+    )
+    a = h.select(
+        "eh",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("k"),
+    ).select((F.col("eh") + F.col("k")).alias("eh"), "k", F.col("n").alias("na"))
+    pairs = a.join(h.withColumnRenamed("n", "nb"), "eh")
+    num = (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(dev("na") * dev("nb")).alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("bigint").alias("lag_hours"),
+        "n_pairs",
+        (
+            F.floor(
+                F.col("num").cast("double") / F.col("d").cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("acf"),
+    )

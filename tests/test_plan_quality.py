@@ -140,6 +140,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "pipeline_dedup_funnel",  # 1-row raw-total broadcast onto the 3 stage rows
     "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
+    "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
 }
 
 
@@ -409,6 +410,7 @@ _SINGLE_PARTITION_OK = {
     "ab_cuped": "scalar",  # 1-row ts-midpoint + pooled-theta suffstat finals
     "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
     "agg_quantiles_distributed": "tiny",  # rank-construction range-offset table + 1-row final
+    "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
 }
 
 
