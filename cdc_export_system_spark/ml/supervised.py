@@ -1526,3 +1526,70 @@ def ml_logistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("w_hour", float(wh) / 1000000),
     ]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_calibration_table",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10000
+                       AS pred_micro,
+                   CAST(l_returnflag = 'R' AS BIGINT) AS y
+            FROM lineitem),
+        g AS (
+            SELECT pred_micro, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM b GROUP BY pred_micro)
+        SELECT pred_micro, n, n_pos,
+               (n_pos * 1000000) // n AS rate_micro,
+               (pred_micro - (n_pos * 1000000) // n)
+                   * (pred_micro - (n_pos * 1000000) // n) * n
+                   AS reliability_term
+        FROM g
+    """,
+    tags=("ml", "stats", "agg"),
+)
+def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) table for a probabilistic score — is a
+    predicted 8% actually an 8%? The discount score (predicting return
+    probability, as in ml_auc_roc) is binned by its distinct predicted
+    values; each bin reports its size, empirical positive rate, and the
+    n*(pred - rate)^2 reliability term whose sum over bins is the
+    reliability component of the Brier decomposition (Murphy 1973).
+    Rates and terms are floored micro-int arithmetic — exact integers,
+    partition-invariant, no doubles anywhere in the output.
+
+    Scale: ONE map-side-combined aggregate to the |distinct scores|
+    axis; everything after is per-bin integer arithmetic. With a
+    continuous score, the same plan runs on floor(score * B) buckets —
+    the binning is the cardinality reducer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            (
+                F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+                * 10_000
+            ).alias("pred_micro"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+        )
+        .groupBy("pred_micro")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    rate = F.expr("(n_pos * 1000000) div n")
+    return g.select(
+        "pred_micro",
+        "n",
+        "n_pos",
+        rate.alias("rate_micro"),
+        (
+            (F.col("pred_micro") - rate) * (F.col("pred_micro") - rate) * F.col("n")
+        ).alias("reliability_term"),
+    )
