@@ -548,3 +548,65 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             r9(F.col("key_raw")).alias("sel_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_interleave_order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_interleave_order",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS within_rank
+            FROM documents)
+        SELECT doc_id, source, within_rank,
+               row_number() OVER (ORDER BY within_rank, source, doc_id)
+                   AS global_order
+        FROM r
+    """,
+    tags=("corpus", "sampling", "window"),
+)
+def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-ORDER INTERLEAVE: the deterministic round-robin mix that
+    spreads every source evenly through the training stream (epoch
+    position = take each source's next-best doc in turn) — the standard
+    defense against source-ordered parquet producing a curriculum
+    nobody chose. Docs rank within their source (longest first, the
+    simple quality proxy; swap in text_quality_score upstream), and the
+    global order sorts by (within_rank, source, doc_id): row 1 of every
+    source, then row 2, and so on. Fully deterministic integers.
+
+    Scale: one source-keyed window, then the global position comes from
+    the two-level range row-number construction (ranks.py) — a total
+    order WITHOUT a single-partition sort, which is exactly what a 100
+    TB 'write the corpus in training order' job needs; the oracle's
+    bare row_number() OVER (ORDER BY ...) is the single-node rendering
+    of the same total order."""
+    from cdc_export_system_spark.operators.ranks import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        )
+        .cast("bigint")
+        .alias("within_rank"),
+    )
+    out = with_global_row_number(
+        r,
+        [F.asc("within_rank"), F.asc("source"), F.asc("doc_id")],
+        out="global_order",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "within_rank",
+        F.col("global_order").cast("bigint").alias("global_order"),
+    )

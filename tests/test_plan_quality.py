@@ -411,6 +411,7 @@ _SINGLE_PARTITION_OK = {
     "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
     "agg_quantiles_distributed": "tiny",  # rank-construction range-offset table + 1-row final
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
+    "corpus_interleave_order": "tiny",  # rank-construction range-offset table
 }
 
 
