@@ -653,3 +653,67 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(not_missing, F.abs(F.col("delta_cents")))), F.lit(0)
         ).cast("bigint").alias("max_abs_delta_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_outlier_iqr
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events),
+        q AS (
+            SELECT event_type,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS q1,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS q3
+            FROM c GROUP BY event_type)
+        SELECT c.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN 2 * c.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 2 * c.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(min(q.q1) AS DOUBLE) / 100 AS q1,
+               CAST(min(q.q3) AS DOUBLE) / 100 AS q3
+        FROM c JOIN q ON c.event_type = q.event_type
+        GROUP BY c.event_type
+    """,
+    tags=("dq", "stats", "percentile"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: values beyond
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] counted per tail — the boxplot rule,
+    the third member of the outlier toolkit (anomaly_zscore is
+    moment-based, anomaly_mad is median-absolute). The half in 1.5*IQR
+    never becomes a float: the fence test is multiplied through by 2
+    (2c < 2q1 - 3*IQR), so membership is pure integer comparison on
+    exact cents, and the quartiles are percentile_disc data elements.
+
+    Scale: one event_type shuffle for the |types|-row quartile table,
+    broadcast back onto the scan, one combinable count pass."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    c = ev.select("event_type", cents.alias("c"))
+    q = c.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("c") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("c") > 2 * F.col("q3") + 3 * iqr
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(low.cast("int")).cast("bigint").alias("n_low"),
+            F.sum(high.cast("int")).cast("bigint").alias("n_high"),
+            (F.min("q1").cast("double") / 100).alias("q1"),
+            (F.min("q3").cast("double") / 100).alias("q3"),
+        )
+    )

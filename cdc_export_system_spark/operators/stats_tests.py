@@ -1145,3 +1145,68 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("k")).cast("bigint").alias("df2"),
         (F.floor(w * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_mcnemar
+# ---------------------------------------------------------------------------
+
+MCNEMAR_DISC_T = 5  # clf A: predict 'returned' when discount-cents >= 5
+MCNEMAR_QTY_T = 25  # clf B: predict 'returned' when quantity >= 25
+
+
+@register(
+    "stats_mcnemar",
+    oracle=f"""
+        WITH p AS (
+            SELECT (l_returnflag = 'R') AS y,
+                   (CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        >= {MCNEMAR_DISC_T}) AS a,
+                   (l_quantity >= {MCNEMAR_QTY_T}) AS b
+            FROM lineitem),
+        cells AS (
+            SELECT CAST(SUM(CASE WHEN (a = y) AND (b <> y)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN (a <> y) AND (b = y)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p)
+        SELECT n, n10 AS a_only_correct, n01 AS b_only_correct,
+               floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                     / (n10 + n01) * 1000000 + 0.5) / 1000000 AS chi2_stat
+        FROM cells
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — THE paired-classifier comparison (Dietterich
+    1998): on the same rows, does rule A (discount >= 5c) beat rule B
+    (quantity >= 25) at predicting returns, judged only on the
+    DISCORDANT pairs where exactly one is right? chi2 = (b-c)^2/(b+c)
+    over the discordant counts. Marginal-accuracy comparisons ignore
+    pairing and overstate significance; this is the correct test and
+    it is one combinable pass of integer cell counts — the only double
+    is the final ratio (1e-6 round, identical tree).
+
+    Scale: a single map-side-combined aggregate; the output is one row
+    (allowlisted scalar)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_returnflag") == "R"
+    a = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint") >= MCNEMAR_DISC_T
+    b = F.col("l_quantity") >= MCNEMAR_QTY_T
+    cells = li.select(
+        ((a == y) & (b != y)).cast("int").alias("ac"),
+        ((a != y) & (b == y)).cast("int").alias("bc"),
+    ).agg(
+        F.sum("ac").cast("bigint").alias("n10"),
+        F.sum("bc").cast("bigint").alias("n01"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = F.col("n10") - F.col("n01")
+    stat = (d * d).cast("double") / (F.col("n10") + F.col("n01"))
+    return cells.select(
+        "n",
+        F.col("n10").alias("a_only_correct"),
+        F.col("n01").alias("b_only_correct"),
+        (F.floor(stat * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("chi2_stat"),
+    )

@@ -412,6 +412,7 @@ _SINGLE_PARTITION_OK = {
     "agg_quantiles_distributed": "tiny",  # rank-construction range-offset table + 1-row final
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
+    "stats_mcnemar": "scalar",  # 1-row discordant-cell final
 }
 
 
