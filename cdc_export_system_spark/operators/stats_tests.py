@@ -1210,3 +1210,102 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n01").alias("b_only_correct"),
         (F.floor(stat * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("chi2_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+_WSR_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = '{ARM_A}'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+               - SUM(CASE WHEN event_type = '{ARM_B}'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS d
+        FROM events GROUP BY user_id),
+    v AS (
+        SELECT abs(d) AS ad,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+               CAST(count(*) AS BIGINT) AS t
+        FROM u WHERE d <> 0 GROUP BY abs(d)),
+    r AS (
+        SELECT *, SUM(t) OVER (ORDER BY ad) - t AS t_before FROM v),
+    s AS (
+        SELECT CAST(SUM(t) AS HUGEINT) AS n,
+               SUM(CAST(cpos AS HUGEINT) * (2 * t_before + t + 1)) AS w2,
+               SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+        FROM r)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2 AS w_plus,
+           floor(CAST(CAST(2 * w2 - n * (n + 1) AS VARCHAR) AS DOUBLE)
+                 * sqrt(3.0)
+                 / sqrt(CAST(CAST(2 * n * (n + 1) * (2 * n + 1) - ties
+                                  AS VARCHAR) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM s
+"""
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle=_WSR_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon SIGNED-RANK test — the PAIRED member of the
+    nonparametric toolkit (stats_mann_whitney compares independent
+    arms; this compares two conditions on the SAME subject): each
+    user's purchase total minus click total is a paired difference,
+    zero differences drop (Wilcoxon's rule), |d| gets midranks with the
+    same exact 2R doubling trick (2R+ = sum cpos*(2*before + t + 1)
+    over the distinct-|d| axis), and the tie-corrected normal z is one
+    final double chain multiplied through so the numerator
+    (2*W2 - n(n+1)) and variance (48*sigma^2 = 2n(n+1)(2n+1) - sum
+    (t^3 - t)) are exact integers.
+
+    Scale: one user_id shuffle for the pairs, one collapse to the
+    distinct-|d| axis, the ranks.py prefix sum for `before`, a 1-row
+    final (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == ARM_A, cents).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("event_type") == ARM_B, cents).otherwise(F.lit(0)))
+        ).alias("d")
+    )
+    v = (
+        u.filter(F.col("d") != 0)
+        .groupBy(F.abs(F.col("d")).alias("ad"))
+        .agg(
+            F.sum((F.col("d") > 0).cast("bigint")).alias("cpos"),
+            F.count(F.lit(1)).cast("bigint").alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = with_prefix_sum(v, [F.asc("ad")], ["t"], suffix="_before", materialize=False)
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = w.agg(
+        F.sum("t").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            d38(F.col("cpos"))
+            * (F.lit(2) * d38(F.col("t_before")) + d38(F.col("t")) + F.lit(1))
+        ).alias("w2"),
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t")) - d38(F.col("t"))
+        ).alias("ties"),
+    )
+    n = F.col("n")
+    num = (F.lit(2) * F.col("w2") - n * (n + F.lit(1))).cast("double")
+    var48 = (
+        F.lit(2) * n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1)) - F.col("ties")
+    ).cast("double")
+    z = num * F.sqrt(F.lit(3.0)) / F.sqrt(var48)
+    return s.select(
+        n.cast("bigint").alias("n_pairs"),
+        (F.col("w2").cast("double") / 2).alias("w_plus"),
+        (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
+    )

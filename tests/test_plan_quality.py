@@ -413,6 +413,7 @@ _SINGLE_PARTITION_OK = {
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
+    "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
 }
 
 
