@@ -250,6 +250,8 @@ _POS_PAD = 1_048_576  # 2^20: position tie-break encoding bound
 
 @register(
     "text_winnowing_fingerprint",
+    headline=True,  # the fingerprint-selection primitive: per-doc windows
+    # + one doc_id exchange — benched as the winnowing family representative
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

@@ -1250,6 +1250,8 @@ def feat_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_quantiles_distributed",
+    headline=True,  # the exact global order-statistic scale path (distinct
+    # axis + range prefix ranks) — benched against percentile()'s buffers
     oracle="""
         WITH c AS (
             SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
