@@ -12,7 +12,7 @@ join on the key); everything else rides the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
@@ -716,4 +716,72 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("q1").cast("double") / 100).alias("q1"),
             (F.min("q3").cast("double") / 100).alias("q3"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_key_skew_report
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+@register(
+    "dq_key_skew_report",
+    oracle=f"""
+        WITH k AS (
+            SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_orderkey),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM k),
+        top AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key) AS rk
+            FROM k)
+        SELECT top.rk AS rank, top.key, top.cnt,
+               (top.cnt * 1000000) // t.n_rows AS share_micro,
+               (top.cnt * t.n_keys * 1000000) // t.n_rows AS skew_x_micro
+        FROM top CROSS JOIN t
+        WHERE top.rk <= {SKEW_TOP_K}
+    """,
+    tags=("dq", "agg", "analytics"),
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostics — the report you run before deciding
+    between a plain shuffle join, salting, or AQE skew handling: the
+    top-k heaviest join keys with each key's share of all rows and its
+    skew factor (count / average-count, in exact integer micro-units
+    via multiply-before-divide). A skew_x of 1,000,000 means perfectly
+    uniform; the salting threshold is a straight integer comparison on
+    this column.
+
+    Scale: one map-combined count to the |keys| axis, a TakeOrdered
+    top-k (never a global sort), and a 1-row totals broadcast. The
+    report is O(k) rows regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=True)
+    t = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        k.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(SKEW_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("key"))).cast("bigint"),
+        )
+    )
+    return top.crossJoin(F.broadcast(t)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.expr("(cnt * 1000000) div n_rows").alias("share_micro"),
+        F.expr("(cnt * n_keys * 1000000) div n_rows").alias("skew_x_micro"),
     )

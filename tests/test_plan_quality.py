@@ -141,6 +141,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
+    "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
 }
 
 
@@ -414,6 +415,7 @@ _SINGLE_PARTITION_OK = {
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
+    "dq_key_skew_report": "tiny",  # rank window over the TakeOrdered top-20
 }
 
 
