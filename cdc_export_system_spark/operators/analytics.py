@@ -1866,3 +1866,78 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_entropy",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events),
+        c AS (SELECT prev AS state, event_type AS nxt, count(*) AS c
+              FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        s AS (SELECT state, SUM(c) AS n, CAST(count(*) AS BIGINT) AS n_next,
+                     list_aggregate(
+                         list_transform(list(CAST(c AS DOUBLE) ORDER BY nxt),
+                                        x -> x * ln(x)), 'sum') AS sclc
+              FROM c GROUP BY state)
+        SELECT state, CAST(n AS BIGINT) AS n_transitions, n_next,
+               floor((ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE)) / ln(2)
+                     * 1000000000 + 0.5) / 1000000000 AS entropy_bits
+        FROM s
+    """,
+    tags=("analytics", "agg", "stats"),
+)
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-EVENT PREDICTABILITY per state: the Shannon entropy (bits)
+    of each event type's outgoing transition distribution — 0 bits
+    means the next action is fully determined, log2(k) means anything
+    can follow; the scalar summary of the event_next_transitions matrix
+    and the uncertainty complement of event_markov_stationary_exact.
+    Same exactness discipline as agg_entropy: integer transition counts,
+    the c*ln(c) fold runs over the CATEGORY-SORTED count list so float
+    accumulation order is pinned in both engines.
+
+    Scale: one user_id window pass reduces the corpus to the |states|^2
+    count table; everything after is model-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    c = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("state"), F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("state").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nxt", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["c"].cast("double") * F.log(x["c"].cast("double")),
+        ).alias("sclc"),
+    )
+    n_d = F.col("n").cast("double")
+    ent = (F.log(n_d) - F.col("sclc") / n_d) / F.log(F.lit(2.0))
+    return s.select(
+        "state",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        "n_next",
+        (F.floor(ent * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "entropy_bits"
+        ),
+    )
