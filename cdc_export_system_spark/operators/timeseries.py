@@ -1178,3 +1178,83 @@ def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_burstiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_burstiness",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dt
+            FROM events),
+        s AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(dt AS HUGEINT)) AS s1,
+                   SUM(CAST(dt AS HUGEINT) * dt) AS s2
+            FROM d WHERE dt IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n AS n_intervals,
+               CAST(floor(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n + 0.5)
+                    AS BIGINT) AS mean_gap_us,
+               floor((sqrt((n * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (n - 1)))
+                      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                     / (sqrt((n * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                              - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                                * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        + CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                     * 1000000 + 0.5) / 1000000 AS burstiness
+        FROM s WHERE n >= 2
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS of each user's event arrivals (Goh & Barabási 2008):
+    B = (sigma - mu)/(sigma + mu) over inter-arrival gaps — B ~ -1 for
+    a metronome, 0 for a Poisson process, toward +1 for bursty
+    human-like trains. The behavioral-timing feature next to
+    event_dwell_time's durations. Gaps are exact integer microseconds
+    from one lag window; mean/variance come from (n, sum, sum-of-
+    squares) HUGEINT/DECIMAL(38) suffstats; the B ratio is one
+    identical double tree, 1e-6-rounded.
+
+    Scale: ONE user_id exchange serves the lag window and the per-user
+    suffstat rollup (same key); payload is a single 8-byte gap."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    d = ev.select(
+        "user_id",
+        (
+            us - F.lag(us).over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    dt38 = F.col("dt").cast("decimal(38,0)")
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dt38).alias("s1"),
+        F.sum(dt38 * F.col("dt")).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    n = F.col("n")
+    nd = n.cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mu = s1 / n
+    sig = F.sqrt((n * s2 - s1 * s1) / (nd * (n - F.lit(1))))
+    return s.select(
+        "user_id",
+        n.alias("n_intervals"),
+        F.floor(mu + F.lit(0.5)).alias("mean_gap_us"),
+        (
+            F.floor((sig - mu) / (sig + mu) * 1_000_000 + F.lit(0.5)) / 1_000_000
+        ).alias("burstiness"),
+    )
