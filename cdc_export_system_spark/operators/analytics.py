@@ -1941,3 +1941,83 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# metric_concentration_shares
+# ---------------------------------------------------------------------------
+
+CONCENTRATION_PCTS = (1, 10, 50)
+
+
+@register(
+    "metric_concentration_shares",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey),
+        r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+                   SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   count(*) OVER () AS c,
+                   SUM(cents) OVER () AS s
+            FROM spend),
+        p AS (SELECT unnest(ARRAY{list(CONCENTRATION_PCTS)}) AS pct)
+        SELECT p.pct, CAST(r.rn AS BIGINT) AS n_customers,
+               CAST(r.cum AS DOUBLE) / 100 AS cum_dollars,
+               CAST((r.cum * 1000000) // r.s AS BIGINT) AS share_micro
+        FROM r JOIN p ON r.rn = (p.pct * r.c + 99) // 100
+    """,
+    tags=("analytics", "agg", "window"),
+)
+def metric_concentration_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION ('whale curve' checkpoints): the share of
+    total order value held by the top 1% / 10% / 50% of customers —
+    the Lorenz-curve readings behind 'our top 1% is X% of revenue'
+    (agg_gini is the same curve integrated to one number). Customers
+    rank by exact-cents spend (ties on custkey), cutoff ranks are
+    ceil(p*C/100) in pure integer arithmetic, and shares are
+    multiply-before-divide micro-units.
+
+    Scale: the rank and the running total both come from the two-level
+    range constructions (ranks.py) over the |customers| aggregate — a
+    global order with NO single-partition sort of data-sized input; the
+    oracle's bare OVER () windows are the single-node rendering. The
+    3-row percentile spine and the grand totals ride the row (free from
+    total_out / the offset table), so the final filter is row-local."""
+    from cdc_export_system_spark.operators.ranks import (
+        with_global_row_number, with_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("cents")
+    )
+    order_cols = [F.desc("cents"), F.asc("o_custkey")]
+    r = with_global_row_number(spend, order_cols, out="rn", total_out="c")
+    r = with_prefix_sum(r, order_cols, ["cents"], suffix="_before",
+                        materialize=False)
+    r = r.withColumn("cum", F.col("cents_before") + F.col("cents"))
+    tot = r.agg(F.sum("cents").alias("s"))
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in CONCENTRATION_PCTS])
+    ).alias("pct")
+    spine = r.sparkSession.range(1).select(pcts)
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(spine),
+            F.col("rn") == F.expr("(pct * c + 99) div 100"),
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("rn").cast("bigint").alias("n_customers"),
+            (F.col("cum").cast("double") / 100).alias("cum_dollars"),
+            F.expr("(cum * 1000000) div s").alias("share_micro"),
+        )
+    )

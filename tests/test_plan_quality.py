@@ -142,6 +142,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
+    "metric_concentration_shares",  # 1-row grand total + 3-row pct spine onto the rank axis
 }
 
 
@@ -416,6 +417,7 @@ _SINGLE_PARTITION_OK = {
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
     "dq_key_skew_report": "tiny",  # rank window over the TakeOrdered top-20
+    "metric_concentration_shares": "tiny",  # rank-construction range-offset tables
 }
 
 
