@@ -588,3 +588,86 @@ def sim_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id bigint, rel_q bigint, score10 bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+HARD_NEG_PRED = "vec_id % 50 = 7"  # sampled anchor set (broadcastable)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                          embedding AS qe
+                   FROM embeddings WHERE {HARD_NEG_PRED}),
+        sims AS (
+            SELECT q.anchor_id, q.anchor_label, a.vec_id AS negative_id,
+                   a.label AS negative_label,
+                   round(
+                     list_aggregate(list_transform(list_zip(a.embedding, q.qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                     {SIM_DECIMALS}) AS cos_sim
+            FROM embeddings a JOIN q ON a.label <> q.anchor_label)
+        SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos_sim DESC, negative_id) AS rn
+              FROM sims)
+        WHERE rn <= {HARD_NEG_K}
+    """,
+    tags=("similarity", "ml", "join"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD NEGATIVE MINING for contrastive training (the DPR/SimCSE
+    data-prep step): for each sampled anchor, the top-k most similar
+    vectors with a DIFFERENT label — the near-miss negatives that make
+    a contrastive batch informative (random negatives are trivially
+    easy; these sit right at the decision boundary). Same exactness
+    contract as sim_knn_join: the cosine is the identical left-to-right
+    double fold in both engines, ranked with a vec_id tie-break.
+
+    Scale: anchors broadcast (sampled, bounded), the corpus never
+    shuffles until the per-anchor top-k window; the label filter prunes
+    pairs at the probe. Beyond broadcastable anchor counts, route the
+    anchor set through the IVF index (similarity.ivf) and mine inside
+    probed cells only — the standard ANN-backed mining path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(HARD_NEG_PRED)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qe"),
+    )
+    sims = emb.join(
+        F.broadcast(q), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

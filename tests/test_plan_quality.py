@@ -106,6 +106,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "dedup_semantic_semdedup",  # inherits kmeans_fit's centroid-model NLJ;
     # the pair stage itself is an equi-join on cluster_id (pinned below)
     "sim_knn_join",  # bounded probe set broadcast; corpus never shuffles
+    "sim_hard_negatives",  # bounded anchor set broadcast; corpus never shuffles
     "sim_recall_at_k",  # offline eval: sampled query set broadcast vs corpus
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
     "rfm_segmentation",  # 1-row global-max broadcast onto the |users| aggregate
