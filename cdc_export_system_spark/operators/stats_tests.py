@@ -1309,3 +1309,108 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w2").cast("double") / 2).alias("w_plus"),
         (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_spearman_rank
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    WITH f AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+    ax AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY x),
+    rx AS (
+        SELECT x, 2 * (SUM(t) OVER (ORDER BY x) - t) + t + 1 AS r2
+        FROM ax),
+    ay AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY y),
+    ry AS (
+        SELECT y, 2 * (SUM(t) OVER (ORDER BY y) - t) + t + 1 AS r2
+        FROM ay),
+    j AS (
+        SELECT CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS b
+        FROM f JOIN rx ON f.x = rx.x JOIN ry ON f.y = ry.y),
+    s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               SUM(a) AS sa, SUM(b) AS sb,
+               SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+        FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST(n * saa - sa * sa AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(n * sbb - sb * sb AS VARCHAR) AS DOUBLE))
+                 * 1000000000 + 0.5) / 1000000000 AS rho
+    FROM s
+"""
+
+
+@register(
+    "stats_spearman_rank",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between quantity and price — the
+    monotone-association complement of agg_corr_exact's Pearson
+    (Spearman is Pearson ON THE MIDRANKS, so it sees any monotone
+    relation and shrugs at outliers). The distributed-exactness trick:
+    midranks never materialize as floats — each variable collapses to
+    its distinct-value axis, the doubled midrank 2R = 2*before + t + 1
+    is an exact integer off the prefix sum, both rank columns join back
+    to the fact rows by value key, and Pearson-on-2R runs as one
+    HUGEINT/DECIMAL(38) suffstat pass (the doubling cancels in the
+    ratio). Only the final rho is a double (1e-9 round, identical
+    tree).
+
+    Scale: two distinct-value collapses + the ranks.py prefix sums,
+    two keyed joins back onto the scan (value-keyed, never broadcast-
+    dependent), one combinable suffstat pass, 1-row final
+    (allowlisted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def rank_axis(col: str) -> DataFrame:
+        ax = f.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        ax = ax.localCheckpoint(eager=True)
+        w = with_prefix_sum(ax, [F.asc(col)], ["t"], suffix="_before",
+                            materialize=False)
+        return w.select(
+            col,
+            (F.lit(2) * F.col("t_before") + F.col("t") + F.lit(1)).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    j = (
+        f.join(rank_axis("x"), "x")
+        .join(rank_axis("y"), "y")
+        .select(
+            F.col("r2_x").cast("decimal(38,0)").alias("a"),
+            F.col("r2_y").cast("decimal(38,0)").alias("b"),
+        )
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    dx = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    dy = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    rho = num / F.sqrt(dx * dy)
+    return s.select(
+        n.cast("bigint").alias("n"),
+        (F.floor(rho * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("rho"),
+    )
