@@ -1593,3 +1593,104 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_micro") - rate) * (F.col("pred_micro") - rate) * F.col("n")
         ).alias("reliability_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_uplift_qini
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_uplift_qini",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 = 0 AS BIGINT) AS t,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS score
+            FROM events GROUP BY user_id),
+        ax AS (
+            SELECT score,
+                   CAST(SUM(t) AS BIGINT) AS ct,
+                   CAST(SUM(1 - t) AS BIGINT) AS cc,
+                   CAST(SUM(t * y) AS BIGINT) AS yt,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS yc
+            FROM u GROUP BY score),
+        c AS (
+            SELECT score,
+                   SUM(ct) OVER w AS cum_t, SUM(cc) OVER w AS cum_c,
+                   SUM(yt) OVER w AS cum_yt, SUM(yc) OVER w AS cum_yc
+            FROM ax WINDOW w AS (ORDER BY score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT score, CAST(cum_t + cum_c AS BIGINT) AS cum_n,
+               CAST(cum_yt AS BIGINT) AS cum_resp_treat,
+               CAST(cum_yc AS BIGINT) AS cum_resp_ctrl,
+               CAST(((cum_yt * cum_c - cum_yc * cum_t) * 1000000) // cum_c
+                    AS BIGINT) AS qini_micro
+        FROM c WHERE cum_c > 0
+    """,
+    tags=("ml", "stats", "analytics"),
+)
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT-MODEL evaluation: the QINI curve (Radcliffe 2007) — at
+    each targeting depth (descending score = click count, the
+    propensity proxy), how many extra conversions did treating that
+    prefix cause versus the control baseline scaled to the same size?
+    qini(k) = Y_t(k) - Y_c(k) * N_t(k)/N_c(k), evaluated at every
+    distinct score so no arbitrary decile binning and no
+    order-dependent ntile over ties. All counts are exact integers off
+    one descending prefix sum over the score axis; the ratio is
+    multiply-before-divide micro-units (points with an empty control
+    prefix are undefined and dropped identically in both engines).
+    Treatment assignment is the deterministic user-parity arm of
+    ab_cuped, outcome is any-purchase.
+
+    Scale: one user_id shuffle to build (t, y, score) per user, one
+    collapse to the distinct-score axis, the ranks.py prefix sums over
+    that axis — the data-sized stream is never re-scanned."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("score"),
+    ).select(
+        (F.col("user_id") % 2 == 0).cast("bigint").alias("t"), "y", "score"
+    )
+    ax = u.groupBy("score").agg(
+        F.sum("t").cast("bigint").alias("ct"),
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("cc"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("yt"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("bigint").alias("yc"),
+    ).localCheckpoint(eager=True)
+    w = with_prefix_sum(
+        ax, [F.desc("score")], ["ct", "cc", "yt", "yc"], suffix="_b",
+        materialize=False,
+    )
+    c = w.select(
+        "score",
+        (F.col("ct_b") + F.col("ct")).alias("cum_t"),
+        (F.col("cc_b") + F.col("cc")).alias("cum_c"),
+        (F.col("yt_b") + F.col("yt")).alias("cum_yt"),
+        (F.col("yc_b") + F.col("yc")).alias("cum_yc"),
+    ).filter(F.col("cum_c") > 0)
+    return c.select(
+        "score",
+        (F.col("cum_t") + F.col("cum_c")).cast("bigint").alias("cum_n"),
+        F.col("cum_yt").cast("bigint").alias("cum_resp_treat"),
+        F.col("cum_yc").cast("bigint").alias("cum_resp_ctrl"),
+        F.expr(
+            "cast(((cum_yt * cum_c - cum_yc * cum_t) * 1000000) div cum_c"
+            " as bigint)"
+        ).alias("qini_micro"),
+    )

@@ -418,6 +418,7 @@ _SINGLE_PARTITION_OK = {
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
     "stats_spearman_rank": "tiny",  # two prefix-sum range-offset tables + 1-row final
+    "ml_uplift_qini": "tiny",  # prefix-sum range-offset table over the score axis
     "dq_key_skew_report": "tiny",  # rank window over the TakeOrdered top-20
     "metric_concentration_shares": "tiny",  # rank-construction range-offset tables
 }
