@@ -1298,9 +1298,13 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    r = with_prefix_sum(g, [F.asc("v")], ["cnt"], suffix="_before").withColumn(
-        "cum", F.col("cnt_before") + F.col("cnt")
-    )
+    # one checkpoint of the axis serves BOTH the prefix-sum construction
+    # and the totals row (materialize=False below) — without it the
+    # lineitem scan + groupBy would run twice
+    g = g.localCheckpoint(eager=True)
+    r = with_prefix_sum(
+        g, [F.asc("v")], ["cnt"], suffix="_before", materialize=False
+    ).withColumn("cum", F.col("cnt_before") + F.col("cnt"))
     t = g.agg(F.sum("cnt").cast("bigint").alias("n"))
     sel = r.crossJoin(F.broadcast(t))
     at = lambda k: F.min(F.when(F.col("cum") >= F.expr(k), F.col("v")))  # noqa: E731
