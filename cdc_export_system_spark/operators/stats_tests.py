@@ -1414,3 +1414,104 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         (F.floor(rho * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_proportion_ztest
+# ---------------------------------------------------------------------------
+
+_PROP_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 = 0 AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM events GROUP BY user_id),
+    m AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY np) AS med
+          FROM u),
+    s AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS n1,
+               CAST(SUM(1 - t) AS BIGINT) AS n2,
+               CAST(SUM(t * CASE WHEN np > m.med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM((1 - t) * CASE WHEN np > m.med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM u CROSS JOIN m)
+    SELECT n1 AS n_a, n2 AS n_b, c1 AS conv_a, c2 AS conv_b,
+           CASE WHEN n1 > 0 THEN
+               floor(CAST(c1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000
+           END AS rate_a,
+           CASE WHEN n2 > 0 THEN
+               floor(CAST(c2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000
+           END AS rate_b,
+           CASE WHEN n1 > 0 AND n2 > 0
+                 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+               floor((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                     / sqrt(CAST(c1 + c2 AS DOUBLE) / (n1 + n2)
+                            * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 / n1 + 1.0 / n2))
+                     * 1000000000 + 0.5) / 1000000000
+           END AS z_stat
+    FROM s
+"""
+
+
+@register(
+    "ab_proportion_ztest",
+    oracle=_PROP_ORACLE,
+    tags=("stats", "analytics", "agg"),
+)
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on CONVERSION between the user-parity arms
+    — the third member of the A/B readout family (ab_welch_ttest tests
+    means, ab_cuped tightens them, this tests the binary rate every
+    experiment ships with). Conversion is defined data-adaptively as
+    'purchase count above the global median' (percentile_disc: an
+    actual data element), so the test never degenerates to an all-
+    converted pool at any scale factor. Pooled form: z = (p1 - p2) /
+    sqrt(p(1-p)(1/n1 + 1/n2)); cell counts are exact integers from one
+    combinable pass; degenerate pools (p in {0, 1}, empty arms) yield
+    NULL z identically in both engines instead of an ANSI
+    divide-by-zero.
+
+    Scale: one user_id shuffle, a 1-row median broadcast, a 1-row
+    final (allowlisted scalar)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("np")
+    ).select((F.col("user_id") % 2 == 0).cast("bigint").alias("t"), "np")
+    m = u.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY np)").alias("med")
+    )
+    y = F.when(F.col("np") > F.col("med"), F.lit(1)).otherwise(F.lit(0))
+    s = u.crossJoin(F.broadcast(m)).agg(
+        F.sum("t").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("n2"),
+        F.sum(F.col("t") * y).cast("bigint").alias("c1"),
+        F.sum((F.lit(1) - F.col("t")) * y).cast("bigint").alias("c2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    c1, c2 = F.col("c1"), F.col("c2")
+    mic = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    p1 = c1.cast("double") / n1
+    p2 = c2.cast("double") / n2
+    pp = (c1 + c2).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    ok = (n1 > 0) & (n2 > 0) & (c1 + c2 > 0) & (c1 + c2 < n1 + n2)
+    return s.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        c1.alias("conv_a"),
+        c2.alias("conv_b"),
+        F.when(n1 > 0, mic(p1)).alias("rate_a"),
+        F.when(n2 > 0, mic(p2)).alias("rate_b"),
+        F.when(
+            ok, F.floor(z * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000
+        ).alias("z_stat"),
+    )

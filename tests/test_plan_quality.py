@@ -114,6 +114,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "sim_search_lsh",  # 1-row query-vector broadcast (scalar-subquery analogue)
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
+    "ab_proportion_ztest",  # 1-row median broadcast onto the per-user pool
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
@@ -416,6 +417,7 @@ _SINGLE_PARTITION_OK = {
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
+    "ab_proportion_ztest": "scalar",  # 1-row median + 1-row cell-count finals
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
     "stats_spearman_rank": "tiny",  # two prefix-sum range-offset tables + 1-row final
     "ml_uplift_qini": "tiny",  # prefix-sum range-offset table over the score axis
