@@ -1258,3 +1258,64 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((sig - mu) / (sig + mu) * 1_000_000 + F.lit(0.5)) / 1_000_000
         ).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_peaks
+# ---------------------------------------------------------------------------
+
+PEAK_MIN_N = 5  # ignore noise-floor maxima
+
+
+@register(
+    "ts_peaks",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        w AS (
+            SELECT event_type, hr, n,
+                   lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS prev_n,
+                   lead(n) OVER (PARTITION BY event_type ORDER BY hr) AS next_n
+            FROM h)
+        SELECT event_type, hr, n, prev_n, next_n
+        FROM w
+        WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+          AND n > prev_n AND n > next_n AND n >= {PEAK_MIN_N}
+    """,
+    tags=("timeseries", "window", "anomaly"),
+)
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL MAXIMA of each event type's hourly volume series — the
+    'when did traffic peak' readout feeding alert review and capacity
+    planning (anomaly_seasonal_residual asks 'is this hour weird for
+    its weekday slot'; this asks 'is this hour a crest of its own
+    neighborhood'). Strictly-greater-than-both-neighbors with a noise
+    floor; series edges (no neighbor on one side) are excluded rather
+    than assumed. Exact integers end to end.
+
+    Scale: the corpus collapses to the (type, hour) axis in one
+    shuffle; lag/lead ride one event_type-keyed window over that
+    already-reduced series."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    d = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return d.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+        & (F.col("n") >= PEAK_MIN_N)
+    )
