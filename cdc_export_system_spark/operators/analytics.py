@@ -2021,3 +2021,108 @@ def metric_concentration_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cum * 1000000) div s").alias("share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_funnel_within
+# ---------------------------------------------------------------------------
+
+_SESSION_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "sessionize_funnel_within",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            <= {SESSION_GAP_S} * 1000000
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM events),
+        s AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS session_no
+            FROM g),
+        s1 AS (SELECT user_id, session_no, min(ts) AS t FROM s
+               WHERE event_type = 'view' GROUP BY user_id, session_no),
+        s2 AS (SELECT s.user_id, s.session_no, min(s.ts) AS t FROM s
+               JOIN s1 ON s.user_id = s1.user_id
+                      AND s.session_no = s1.session_no AND s.ts > s1.t
+               WHERE s.event_type = 'click' GROUP BY s.user_id, s.session_no),
+        s3 AS (SELECT s.user_id, s.session_no, min(s.ts) AS t FROM s
+               JOIN s2 ON s.user_id = s2.user_id
+                      AND s.session_no = s2.session_no AND s.ts > s2.t
+               WHERE s.event_type = 'purchase' GROUP BY s.user_id, s.session_no),
+        tot AS (SELECT count(DISTINCT (user_id, session_no)) AS n FROM s)
+        SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS sessions,
+               (SELECT CAST(n AS BIGINT) FROM tot) AS total_sessions
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+               (SELECT n FROM tot)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+               (SELECT n FROM tot)
+    """,
+    tags=("analytics", "window", "funnel"),
+)
+def sessionize_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN-SESSION funnel: view -> click -> purchase completed in
+    order INSIDE one session — the intent-to-conversion readout product
+    teams actually ship (funnel_conversion's lifetime-ordered funnel
+    credits a purchase days after the click; this one requires the
+    whole path within a 30-min-gap session). Steps chain by the
+    min-timestamp-after-previous-step rule on (user, session) keys.
+
+    Scale: sessions assign on ONE user_id exchange (the sessionize_batch
+    window) and the sessioned frame is checkpointed once; each funnel
+    step is a keyed groupBy + equi-join on (user_id, session_no) — the
+    chain never rejoins raw events, and the final is a 3-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us <= SESSION_GAP_S * 1_000_000, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    s = (
+        ev.withColumn("session_no", F.sum(new_sess).over(w).cast("bigint"))
+        .select("user_id", "session_no", "ts", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    keys = ["user_id", "session_no"]
+    prev = (
+        s.filter(F.col("event_type") == _SESSION_FUNNEL_STEPS[0])
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    total = s.select(*keys).distinct().select(
+        F.count(F.lit(1)).cast("bigint").alias("total_sessions")
+    )
+    step_counts = [
+        prev.agg(F.count(F.lit(1)).cast("bigint").alias("sessions")).select(
+            F.lit(1).cast("int").alias("step"),
+            F.lit(_SESSION_FUNNEL_STEPS[0]).alias("step_name"),
+            "sessions",
+        )
+    ]
+    for i, step in enumerate(_SESSION_FUNNEL_STEPS[1:], start=2):
+        prev = (
+            s.filter(F.col("event_type") == step)
+            .join(prev.withColumnRenamed("t", "t_prev"), keys)
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy(*keys)
+            .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        step_counts.append(
+            prev.agg(F.count(F.lit(1)).cast("bigint").alias("sessions")).select(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(step).alias("step_name"),
+                "sessions",
+            )
+        )
+    out = step_counts[0]
+    for sc in step_counts[1:]:
+        out = out.unionAll(sc)
+    return out.crossJoin(F.broadcast(total))
