@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, load_table_fanned
 from cdc_export_system_spark.registry import register
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -1739,4 +1739,75 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ded.withColumn("rnk", rk.cast("bigint"))
         .filter(F.col("rnk") <= RAKE_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_sliding_windows
+# ---------------------------------------------------------------------------
+
+CTX_WINDOW = 32  # tokens per training window
+CTX_STRIDE = 16  # window stride (50% overlap)
+
+
+@register(
+    "text_sliding_windows",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+        w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS win_start,
+                   array_to_string(
+                       t[i:i+{CTX_WINDOW - 1}], ' ') AS window_text,
+                   CAST(least({CTX_WINDOW}, len(t) - i + 1) AS BIGINT)
+                       AS n_tokens
+            FROM toks,
+                 unnest(range(1, greatest(len(t) - {CTX_WINDOW} + 1, 1) + 1,
+                              {CTX_STRIDE})) AS r(i)
+            WHERE len(t) >= 1)
+        SELECT doc_id, win_start, n_tokens, md5(window_text) AS window_md5
+        FROM w
+    """,
+    tags=("text", "corpus", "reshape"),
+)
+def text_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW CREATION for LM training: each document unrolls
+    into CTX_WINDOW-token windows at CTX_STRIDE (50% overlap — the
+    classic strided chunking that keeps every token inside at least
+    one full-context window, where text_pack_chunks instead packs
+    DISJOINT spans to a token budget). The last partial window is kept
+    (n_tokens < CTX_WINDOW) so no suffix is silently dropped. The
+    driver-checked projection hashes the window text (md5) so the
+    hash-compare stays cheap while still pinning every byte.
+
+    Scale: pure row-local array algebra — split once, slice per
+    window, NO shuffle at all (the plan is scan -> generate -> project);
+    output size is len/stride ~ 2x the token count, the knob every
+    training pipeline sizes consciously."""
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    starts = F.expr(
+        f"sequence(1, greatest(size(t) - {CTX_WINDOW} + 1, 1), {CTX_STRIDE})"
+    )
+    w = toks.filter(F.size("t") >= 1).select(
+        "doc_id",
+        F.explode(starts).alias("__ws"),
+        "t",
+    ).select("doc_id", F.col("__ws").cast("bigint").alias("win_start"), "t")
+    return w.select(
+        "doc_id",
+        "win_start",
+        F.least(
+            F.lit(CTX_WINDOW),
+            F.size("t") - F.col("win_start").cast("int") + 1,
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("t"), F.col("win_start").cast("int"), CTX_WINDOW),
+                " ",
+            )
+        ).alias("window_md5"),
     )

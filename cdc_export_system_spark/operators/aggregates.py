@@ -1319,3 +1319,59 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("__lo") + F.col("__hi")).cast("double") / 200).alias("median"),
         (F.col("__p75c").cast("double") / 100).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_log2_histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events),
+        b AS (
+            SELECT event_type,
+                   CASE WHEN c <= 0 THEN 0
+                        ELSE CAST(length(bin(c)) AS BIGINT) END AS bucket,
+                   c
+            FROM c)
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(c) AS DOUBLE) / 100 AS lo,
+               CAST(max(c) AS DOUBLE) / 100 AS hi
+        FROM b GROUP BY event_type, bucket
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-BUCKET (HDR-style) histogram of event values per
+    type: bucket k holds values in [2^(k-1), 2^k) cents — the
+    log-scale layout every latency/money dashboard uses, where
+    agg_value_histogram's LINEAR bins waste resolution at the head and
+    collapse the tail. The exactness trick: floor(log2 c) + 1 is
+    computed as length(bin(c)) — the binary-string length, pure
+    integer/string ops in both engines — so bucket membership never
+    touches a float log whose ulp at exact powers of two could differ
+    between libms. Non-positive cents pool in bucket 0.
+
+    Scale: one map-side-combined aggregate to at most |types| x 64
+    buckets; HDR buckets are mergeable across shards by construction
+    (integer keyed), the same property the KMV/HLL sketches pin."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    bucket = F.when(c <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.length(F.bin(c)).cast("bigint")
+    )
+    return (
+        ev.select("event_type", c.alias("c"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.min("c").cast("double") / 100).alias("lo"),
+            (F.max("c").cast("double") / 100).alias("hi"),
+        )
+    )
