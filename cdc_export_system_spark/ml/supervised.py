@@ -1694,3 +1694,103 @@ def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("qini_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_corr_matrix
+# ---------------------------------------------------------------------------
+
+_CORR_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    cols = {f: f"CAST(floor({f} * 100 + 0.5) AS BIGINT)" for f in _CORR_FEATS}
+    sums = ",\n               ".join(
+        f"SUM(CAST({c} AS HUGEINT)) AS s_{f}" for f, c in cols.items()
+    )
+    sqs = ",\n               ".join(
+        f"SUM(CAST({cols[a]} AS HUGEINT) * {cols[b]}) AS p_{a}_{b}"
+        for i, a in enumerate(_CORR_FEATS)
+        for b in _CORR_FEATS[i:]
+    )
+    pairs = []
+    for i, a in enumerate(_CORR_FEATS):
+        for b in _CORR_FEATS[i + 1:]:
+            pairs.append(f"""
+        SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+               floor(CAST(CAST(n * p_{a}_{b} - s_{a} * s_{b} AS VARCHAR)
+                          AS DOUBLE)
+                     / sqrt(CAST(CAST(n * p_{a}_{a} - s_{a} * s_{a}
+                                      AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(n * p_{b}_{b} - s_{b} * s_{b}
+                                        AS VARCHAR) AS DOUBLE))
+                     * 1000000000 + 0.5) / 1000000000 AS pearson_r
+        FROM s""")
+    return f"""
+        WITH s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+               {sums},
+               {sqs}
+            FROM lineitem)
+        {" UNION ALL ".join(pairs)}
+    """
+
+
+@register(
+    "ml_feature_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    tags=("ml", "stats", "agg"),
+)
+def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE Pearson correlation over the numeric feature set — the
+    feature-screening matrix every training pipeline prints before
+    dropping collinear columns (agg_corr_exact is the single-pair
+    primitive; this emits all C(4,2) pairs). ONE combinable pass
+    collects every sum and cross-product as HUGEINT/DECIMAL(38)
+    integers on 2dp fixed-point features; each r is then a pure
+    driver-scale double tree off that single suffstat row (1e-9
+    round) — the data is scanned once no matter how many pairs.
+
+    Scale: a single map-side-combined aggregate to ONE row; the
+    C(k,2) unpivot is row-local arithmetic on that row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {
+        f: F.floor(F.col(f) * 100 + F.lit(0.5)).cast("bigint")
+        for f in _CORR_FEATS
+    }
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    aggs += [F.sum(d38(c)).alias(f"s_{f}") for f, c in cents.items()]
+    aggs += [
+        F.sum(d38(cents[a]) * cents[b]).alias(f"p_{a}_{b}")
+        for i, a in enumerate(_CORR_FEATS)
+        for b in _CORR_FEATS[i:]
+    ]
+    s = li.agg(*aggs)
+    outs = []
+    n = F.col("n")
+    for i, a in enumerate(_CORR_FEATS):
+        for b in _CORR_FEATS[i + 1:]:
+            num = (n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            da = (n * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+                "double"
+            )
+            db = (n * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            r = num / F.sqrt(da * db)
+            outs.append(
+                s.select(
+                    F.lit(a).alias("feat_a"),
+                    F.lit(b).alias("feat_b"),
+                    (F.floor(r * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+                        "pearson_r"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
