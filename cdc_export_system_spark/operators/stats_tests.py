@@ -1515,3 +1515,78 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok, F.floor(z * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_qq_points
+# ---------------------------------------------------------------------------
+
+def _qq_oracle() -> str:
+    def arm(pred: str) -> str:
+        parts = [
+            f"""SELECT CAST({d} AS INT) AS decile,
+                   percentile_disc({d} / 10.0) WITHIN GROUP (
+                       ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+            FROM events WHERE event_type = '{pred}'"""
+            for d in range(1, 10)
+        ]
+        return " UNION ALL ".join(parts)
+
+    return f"""
+        WITH a AS ({arm(ARM_A)}), b AS ({arm(ARM_B)})
+        SELECT a.decile, CAST(a.q AS DOUBLE) / 100 AS q_a,
+               CAST(b.q AS DOUBLE) / 100 AS q_b
+        FROM a JOIN b ON a.decile = b.decile
+    """
+
+
+@register(
+    "stats_qq_points",
+    oracle=_qq_oracle(),
+    tags=("stats", "percentile", "analytics"),
+)
+def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-QUANTILE points between the two arms' value
+    distributions at the nine deciles — the plot behind every 'are
+    these distributions the same SHAPE' review (stats_ks_test gives
+    the verdict; this shows WHERE they diverge: points off the y = x
+    line localize the distortion to a quantile range). Every quantile
+    is percentile_disc over exact cents — an actual data element — so
+    the nine (q_a, q_b) pairs are partition-invariant with no
+    interpolation floats.
+
+    Scale: each arm collapses to nine grouped percentiles (one
+    event_type-filtered aggregate per arm over the decile spine); the
+    join is 9 x 9 rows. percentile_disc's per-group buffer here holds
+    one arm's values — at extreme scale swap in the
+    agg_quantiles_distributed rank construction per decile, same
+    output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    # percentile_disc's fraction must be a foldable literal (in BOTH
+    # engines), so the decile spine is unrolled into nine
+    # literal-probability aggregates and unioned.
+    def arm_unrolled(pred: str, out: str) -> DataFrame:
+        base = ev.filter(F.col("event_type") == pred).select(cents.alias("c"))
+        parts = []
+        for d in range(1, 10):
+            parts.append(
+                base.agg(
+                    F.expr(
+                        f"percentile_disc({d} / 10.0) WITHIN GROUP (ORDER BY c)"
+                    ).alias(out)
+                ).select(F.lit(d).cast("int").alias("decile"), out)
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        return u
+
+    a = arm_unrolled(ARM_A, "qa")
+    b = arm_unrolled(ARM_B, "qb")
+    return a.join(b, "decile").select(
+        "decile",
+        (F.col("qa").cast("double") / 100).alias("q_a"),
+        (F.col("qb").cast("double") / 100).alias("q_b"),
+    )
