@@ -1308,7 +1308,11 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = g.agg(F.sum("cnt").cast("bigint").alias("n"))
     sel = r.crossJoin(F.broadcast(t))
     at = lambda k: F.min(F.when(F.col("cum") >= F.expr(k), F.col("v")))  # noqa: E731
-    return sel.groupBy("n").agg(
+    # global agg, NOT groupBy(n): n is constant after the broadcast, and
+    # grouping by a constant hashes the whole axis onto one reducer; the
+    # global form partial-aggregates map-side and ships 4 mins per task
+    return sel.agg(
+        F.max("n").alias("n"),
         at("(n + 3) div 4").alias("__p25c"),
         at("(n + 1) div 2").alias("__lo"),
         at("(n + 2) div 2").alias("__hi"),
