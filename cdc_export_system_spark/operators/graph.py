@@ -822,3 +822,83 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+        WITH {_DUCK_EDGES},
+        sym AS (SELECT pa AS n, pb AS m FROM e
+                UNION ALL SELECT pb, pa FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n),
+        w AS (
+            SELECT s1.m AS a, s2.m AS b, s1.n AS z
+            FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.m < s2.m),
+        t AS (
+            SELECT w.a, w.b,
+                   CAST(SUM(CAST(floor(1000000000 / ln(deg.d)) AS BIGINT))
+                        AS BIGINT) AS aa,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM w JOIN deg ON deg.n = w.z
+            WHERE deg.d >= 2
+            GROUP BY w.a, w.b)
+        SELECT e.pa, e.pb, t.aa AS aa_nano, t.nc AS n_common
+        FROM e JOIN t ON t.a = e.pa AND t.b = e.pb
+    """,
+    tags=("graph", "similarity"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC–ADAR link strength for every co-purchase edge: common
+    neighbors weighted by 1/ln(degree) so a shared RARE neighbor counts
+    far more than a shared hub — the refinement of
+    graph_common_neighbors' raw count that wins most link-prediction
+    benchmarks. Per-wedge terms are FLOORED NANO-INTS
+    (floor(1e9/ln(deg))), so the per-pair sums are exact integer folds
+    in any partitioning; ln agreement across engines is already pinned
+    by the entropy family.
+
+    Scale: wedges enumerate per CENTER from the support-thresholded
+    adjacency (bounded degree, same argument as graph_triangle_count);
+    the pair rollup and the edge join shuffle only (a, b, term) longs.
+    Degree-1 centers produce no wedges; deg >= 2 keeps ln positive."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
+        .unionAll(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    w = (
+        sym.alias("s1")
+        .join(
+            sym.alias("s2"),
+            (F.col("s1.n") == F.col("s2.n")) & (F.col("s1.m") < F.col("s2.m")),
+        )
+        .select(
+            F.col("s1.m").alias("a"), F.col("s2.m").alias("b"), F.col("s1.n").alias("z")
+        )
+    )
+    t = (
+        w.join(deg.withColumnRenamed("n", "z"), "z")
+        .filter(F.col("d") >= 2)
+        .select(
+            "a",
+            "b",
+            F.floor(F.lit(1_000_000_000) / F.log(F.col("d").cast("double")))
+            .cast("bigint")
+            .alias("term"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("term").alias("aa_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    return e.join(
+        t, (e.pa == t.a) & (e.pb == t.b)
+    ).select("pa", "pb", "aa_nano", "n_common")
