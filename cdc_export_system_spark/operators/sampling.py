@@ -610,3 +610,84 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within_rank",
         F.col("global_order").cast("bigint").alias("global_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_temperature_weights
+# ---------------------------------------------------------------------------
+
+MIX_TEMPERATURE_ALPHA = 0.3  # XLM-R's multilingual sampling exponent
+
+
+@register(
+    "corpus_temperature_weights",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+            FROM documents GROUP BY source),
+        tt AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM s),
+        sx AS (
+            SELECT s.source, s.mass,
+                   CAST(s.mass AS DOUBLE) / tt.total AS p
+            FROM s CROSS JOIN tt),
+        z AS (
+            SELECT list_aggregate(
+                       list_transform(list(p ORDER BY source),
+                                      x -> pow(x, {MIX_TEMPERATURE_ALPHA})),
+                       'sum') AS z
+            FROM sx)
+        SELECT sx.source, sx.mass,
+               floor(sx.p * 1000000 + 0.5) / 1000000 AS share,
+               floor(pow(sx.p, {MIX_TEMPERATURE_ALPHA}) / z.z * 1000000 + 0.5)
+                   / 1000000 AS temp_share,
+               floor(pow(sx.p, {MIX_TEMPERATURE_ALPHA}) / z.z / sx.p
+                     * 1000000 + 0.5) / 1000000 AS weight
+        FROM sx CROSS JOIN z
+    """,
+    tags=("corpus", "sampling"),
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE SAMPLING weights (the mBERT/XLM-R multilingual
+    balancing rule): target share q_i is proportional to p_i^alpha with
+    alpha < 1, flattening the natural mix so low-resource sources
+    repeat and the crawl head shrinks — unlike corpus_upsample_weights,
+    which needs a hand-written target mix, the recipe here DERIVES from
+    the corpus itself with one knob. The normalizer Z = sum p^alpha
+    folds over the SOURCE-SORTED share list (the agg_entropy
+    order-pinning trick) so the only float accumulation has one fixed
+    order in both engines; outputs round at 1e-6.
+
+    Scale: one groupBy source over the scan, then everything is
+    |sources|-row arithmetic with a 1-row (total, Z) broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    ).localCheckpoint(eager=True)
+    tot = s.agg(F.sum("mass").cast("bigint").alias("total"))
+    st = s.crossJoin(F.broadcast(tot))
+    z = st.agg(
+        F.max("total").alias("total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("source", F.col("mass").cast("double").alias("mass"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.pow(
+                x["mass"] / F.col("total").cast("double"),
+                F.lit(MIX_TEMPERATURE_ALPHA),
+            ),
+        ).alias("z"),
+    )
+    p = F.col("mass").cast("double") / F.col("total")
+    q = F.pow(p, F.lit(MIX_TEMPERATURE_ALPHA)) / F.col("z")
+    mic = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "mass",
+        mic(p).alias("share"),
+        mic(q).alias("temp_share"),
+        mic(q / p).alias("weight"),
+    )

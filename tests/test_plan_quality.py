@@ -116,6 +116,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
     "ab_proportion_ztest",  # 1-row median broadcast onto the per-user pool
     "sessionize_funnel_within",  # 1-row session-total broadcast onto 3 step rows
+    "corpus_temperature_weights",  # 1-row (total, Z) broadcast onto |sources| rows
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
     "basket_association_rules",  # 1-row basket-total broadcast onto the pair list
@@ -422,6 +423,7 @@ _SINGLE_PARTITION_OK = {
     "sessionize_funnel_within": "scalar",  # 3 one-row step rollups + total
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
     "stats_qq_points": "scalar",  # nine 1-row decile aggregates per arm
+    "corpus_temperature_weights": "scalar",  # 1-row (total, Z) normalizer final
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
     "stats_spearman_rank": "tiny",  # two prefix-sum range-offset tables + 1-row final
     "ml_uplift_qini": "tiny",  # prefix-sum range-offset table over the score axis
