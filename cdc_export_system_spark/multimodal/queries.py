@@ -294,3 +294,70 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (x1 - F.col("tile_x") * TILE) * (y1 - F.col("tile_y") * TILE) * BPP
         ).cast("bigint").alias("tile_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_shard_plan
+# ---------------------------------------------------------------------------
+
+SHARD_BYTES = 16_384  # tar-shard byte budget (webdataset-style)
+
+
+@register(
+    "multimodal_shard_plan",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+            FROM documents),
+        c AS (
+            SELECT doc_id, nbytes,
+                   SUM(nbytes) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - nbytes AS cum_before
+            FROM b)
+        SELECT CAST(cum_before // {SHARD_BYTES} AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_blobs,
+               CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1
+    """,
+    tags=("multimodal", "pipeline", "io"),
+)
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET-style shard packing plan for binary payloads: blobs in
+    stable doc_id order are assigned to tar shards by CUMULATIVE BYTE
+    offset (shard = floor(bytes_before / budget)) — the sequential
+    writer's layout computed distributively, so a 100 TB media corpus
+    can be sharded without any single writer streaming it. Corpus
+    token-budget sharding is corpus_shard_assignment; this is its
+    bytes-and-blobs sibling, and the manifest (first/last doc per
+    shard) is exactly what the downstream tar writer consumes.
+
+    Scale: byte lengths are row-local; the cumulative offset rides the
+    ranks.py two-level range prefix sum (never a single-partition
+    scan); the rollup groups on the derived shard id. Shards split on
+    byte offsets, so one oversized blob cannot silently merge shards
+    — it occupies its span and the next blob starts a new shard."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("nbytes"),
+    )
+    c = with_prefix_sum(b, [F.asc("doc_id")], ["nbytes"], suffix="_before")
+    return (
+        c.select(
+            F.expr(f"nbytes_before div {SHARD_BYTES}").alias("shard_id"),
+            "doc_id",
+            "nbytes",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

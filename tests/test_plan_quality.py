@@ -424,6 +424,7 @@ _SINGLE_PARTITION_OK = {
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
     "stats_qq_points": "scalar",  # nine 1-row decile aggregates per arm
     "corpus_temperature_weights": "scalar",  # 1-row (total, Z) normalizer final
+    "multimodal_shard_plan": "tiny",  # prefix-sum range-offset table
     "stats_wilcoxon_signed_rank": "tiny",  # prefix-sum range-offset table + 1-row final
     "stats_spearman_rank": "tiny",  # two prefix-sum range-offset tables + 1-row final
     "ml_uplift_qini": "tiny",  # prefix-sum range-offset table over the score axis
