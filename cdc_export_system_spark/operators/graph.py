@@ -902,3 +902,84 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(
         t, (e.pa == t.a) & (e.pb == t.b)
     ).select("pa", "pb", "aa_nano", "n_common")
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH {_DUCK_EDGES},
+        tri AS (
+            SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        pertri AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+        tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+                 FROM pertri GROUP BY node),
+        deg AS (
+            SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY n)
+        SELECT deg.node, deg.d AS degree,
+               COALESCE(tcnt.n_tri, 0) AS n_triangles,
+               CAST((COALESCE(tcnt.n_tri, 0) * 2000000)
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_micro
+        FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        WHERE deg.d >= 2
+    """,
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node: the fraction of a node's
+    neighbor pairs that are themselves connected — cc = 2T / d(d-1) —
+    the node-level cohesion readout whose average is the global
+    'small-world' statistic (graph_triangle_count is the corpus total;
+    this attributes each triangle to its three corners). Scored as
+    exact integer micro-units via multiply-before-divide; degree-1
+    nodes (undefined cc) are excluded rather than zero-filled.
+
+    Scale: the same canonically-oriented (a<b<c) triangle join as
+    graph_triangle_count — each triangle produced exactly once, then a
+    3-way row-local unpivot attributes corners; shuffles carry node ids
+    only. Degree bound comes from the MIN_SUPPORT threshold, same as
+    every op in this module."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pertri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = pertri.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "cast((coalesce(n_tri, 0) * 2000000)"
+                " div (degree * (degree - 1)) as bigint)"
+            ).alias("cc_micro"),
+        )
+    )
