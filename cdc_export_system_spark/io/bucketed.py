@@ -79,3 +79,30 @@ def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
                o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
         FROM {o} o JOIN {l} l ON o.o_orderkey = l.l_orderkey
     """)
+
+
+from cdc_export_system_spark.registry import register  # noqa: E402
+
+
+@register(
+    "plan_bucketed_join",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("plan", "join", "io"),
+)
+def plan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST-TIME SHUFFLE TRADE as a driver-checkable query: both
+    facts are registered (idempotently) as tables bucketed + sorted on
+    the join key, and the orders-lineitem join then plans with ZERO
+    Exchange operators — the bucket layout IS the shuffle, paid once at
+    write time and amortized over every subsequent join/aggregate on
+    that key. tests/test_bucketed_join.py pins the exchange-free plan;
+    this registration makes the result itself hash-verified against the
+    plain parquet join.
+
+    Scale: at 100 TB this is THE dominant-join strategy — size buckets
+    to ~128 MB each at ingest; every downstream consumer of the key
+    inherits co-location for free."""
+    return bucketed_orders_lineitem_join(spark, sf_dir)

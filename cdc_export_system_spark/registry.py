@@ -76,6 +76,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.similarity.pq",
     "cdc_export_system_spark.multimodal.queries",
     "cdc_export_system_spark.io.format_roundtrip",
+    "cdc_export_system_spark.io.bucketed",
     "cdc_export_system_spark.io.python_source",
     "cdc_export_system_spark.streaming.queries",
     "cdc_export_system_spark.streaming.scd_stream",

@@ -412,6 +412,10 @@ _SINGLE_PARTITION_OK = {
     "dq_fk_orphans": "scalar",  # per-child-table 1-row counter finals
     "dq_null_profile": "scalar",  # 1-row profile suffstat final
     "agg_kmv_setops": "scalar",  # k-row sketches + 1-row stat finals
+    "ml_ridge_exact": "scalar",  # 1-row Gram/moment suffstat final
+    "feat_pca_power_exact": "scalar",  # 1-row Rayleigh + count finals on the Gram
+    "sim_search_ivf_pq_exact": "scalar",  # partial bloom_filter_agg scalar build
+    "tpch_q11_like": "scalar",  # 1-row global value-total scalar subquery
     "event_markov_stationary_exact": "scalar",  # 1-row anchor min over the |states|^2 matrix
     "ab_cuped": "scalar",  # 1-row ts-midpoint + pooled-theta suffstat finals
     "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
