@@ -155,3 +155,57 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value"),
         )
     )
+
+
+@register(
+    "plan_dynamic_partition_pruning",
+    oracle=f"""
+        SELECT event_type, count(*) AS n_events,
+               {sql_dsum("value", "total_value")}
+        FROM events
+        WHERE dayofweek(CAST(ts AS DATE)) = 1
+        GROUP BY event_type
+    """,
+    tags=("plan", "join", "pushdown", "layout"),
+)
+def plan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end-to-end: the date-partitioned events
+    copy joins a calendar dimension filtered to MONDAYS — a predicate
+    the fact scan cannot see statically — and Catalyst injects a
+    runtime subquery filter on the partition column, so only ~1/7 of
+    the day-directories are read (plan pin:
+    tests/test_partitioned_sink.py asserts `dynamicpruning` in the
+    fact's PartitionFilters). This is THE mechanism that makes
+    star-schema joins over a partitioned 100 TB fact affordable when
+    the pruning predicate lives on the dimension; the static sibling is
+    sink_parquet_partitioned's literal date slice.
+
+    The oracle computes the same Monday aggregate from the
+    unpartitioned source, so the hash match proves pruning lost no
+    rows. Calendar dim is generated (sequence over the year), bounded
+    and broadcast."""
+    base = _materialize(spark, sf_dir)
+    if not any(d.startswith("event_date=") for d in os.listdir(base)):
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
+    back = spark.read.parquet(base)
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+            )
+        ).alias("d")
+    )
+    # Spark dayofweek: Sunday=1 -> Monday=2 (oracle's DuckDB dayofweek
+    # numbers Sunday=0 -> Monday=1)
+    dim = cal.filter(F.dayofweek("d") == 2)
+    return (
+        back.join(F.broadcast(dim), back.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )

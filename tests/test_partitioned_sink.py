@@ -69,3 +69,16 @@ def test_pruned_scan_reads_only_the_slice_files(spark):
     else:
         n = int(m.group(1) or m.group(2))
         assert n == 7, executed
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """plan_dynamic_partition_pruning's point is the runtime filter: the
+    fact scan's PartitionFilters must carry a dynamicpruning subquery
+    (not a static literal list)."""
+    from cdc_export_system_spark.io.partitioned import (
+        plan_dynamic_partition_pruning,
+    )
+
+    df = plan_dynamic_partition_pruning(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
