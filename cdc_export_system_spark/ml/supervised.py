@@ -1794,3 +1794,123 @@ def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_drift_psi
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_BIN_CENTS = 1_000_00  # fixed $1000 bins over o_totalprice
+
+
+@register(
+    "ml_feature_drift_psi",
+    oracle=f"""
+        WITH s AS (
+            SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         // {_PSI_BIN_CENTS}, {_PSI_BINS - 1}) AS bin,
+                   CASE WHEN ((o_orderkey + 7) * 2654435761) % 1000 < 800
+                        THEN 1 ELSE 0 END AS is_train
+            FROM orders),
+        b AS (
+            SELECT bin,
+                   CAST(SUM(is_train) AS BIGINT) AS n_tr,
+                   CAST(SUM(1 - is_train) AS BIGINT) AS n_te
+            FROM s GROUP BY bin),
+        t AS (
+            SELECT CAST(SUM(n_tr) AS BIGINT) AS tot_tr,
+                   CAST(SUM(n_te) AS BIGINT) AS tot_te,
+                   CAST(count(*) AS BIGINT) AS k,
+                   list_aggregate(
+                       list_transform(
+                           list([CAST(n_tr AS DOUBLE), CAST(n_te AS DOUBLE)]
+                                ORDER BY bin),
+                           x -> ((x[1] + 0.5)
+                                 / (SUM(n_tr) + 0.5 * count(*))
+                                 - (x[2] + 0.5)
+                                 / (SUM(n_te) + 0.5 * count(*)))
+                                * ln(((x[1] + 0.5)
+                                      / (SUM(n_tr) + 0.5 * count(*)))
+                                     / ((x[2] + 0.5)
+                                        / (SUM(n_te) + 0.5 * count(*))))),
+                       'sum') AS psi
+            FROM b)
+        SELECT tot_tr AS n_train, tot_te AS n_test, k AS n_bins,
+               floor(psi * 1000000000 + 0.5) / 1000000000 AS psi
+        FROM t
+    """,
+    tags=("ml", "stats", "dq"),
+)
+def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST FEATURE DRIFT via the Population Stability Index: does
+    o_totalprice distribute identically across the deterministic 80/20
+    hash split? A sound split shows PSI ~ 0; PSI > 0.1 means the split
+    key correlates with the feature and the holdout lies — the check
+    every model pipeline should run and almost none do
+    (corpus_drift_psi is the corpus-level sibling; this one guards the
+    SPLIT). Same pinned semantics: fixed $1000 bins (open-ended tail),
+    Laplace 0.5 smoothing, the k-term sum folded in BIN ORDER so float
+    accumulation is order-pinned.
+
+    Scale: one combinable pass to |bins| x 2 counts; the PSI fold is
+    model-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.least(
+            F.expr(
+                f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                f" div {_PSI_BIN_CENTS}"
+            ),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        (
+            ((F.col("o_orderkey") + 7) * 2654435761) % 1000 < 800
+        ).cast("int").alias("is_train"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum("is_train").cast("bigint").alias("n_tr"),
+        F.sum(F.lit(1) - F.col("is_train")).cast("bigint").alias("n_te"),
+    )
+    t = b.agg(
+        F.sum("n_tr").cast("bigint").alias("tot_tr"),
+        F.sum("n_te").cast("bigint").alias("tot_te"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "bin",
+                        F.col("n_tr").cast("double").alias("tr"),
+                        F.col("n_te").cast("double").alias("te"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (
+                (x["tr"] + F.lit(0.5))
+                / (F.sum("n_tr") + F.lit(0.5) * F.count(F.lit(1)))
+                - (x["te"] + F.lit(0.5))
+                / (F.sum("n_te") + F.lit(0.5) * F.count(F.lit(1)))
+            )
+            * F.log(
+                (
+                    (x["tr"] + F.lit(0.5))
+                    / (F.sum("n_tr") + F.lit(0.5) * F.count(F.lit(1)))
+                )
+                / (
+                    (x["te"] + F.lit(0.5))
+                    / (F.sum("n_te") + F.lit(0.5) * F.count(F.lit(1)))
+                )
+            ),
+        ).alias("psi"),
+    )
+    return t.select(
+        F.col("tot_tr").alias("n_train"),
+        F.col("tot_te").alias("n_test"),
+        F.col("k").alias("n_bins"),
+        (F.floor(F.col("psi") * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "psi"
+        ),
+    )

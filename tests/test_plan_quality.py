@@ -426,6 +426,7 @@ _SINGLE_PARTITION_OK = {
     "ab_proportion_ztest": "scalar",  # 1-row median + 1-row cell-count finals
     "sessionize_funnel_within": "scalar",  # 3 one-row step rollups + total
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
+    "ml_feature_drift_psi": "scalar",  # 1-row bin-fold PSI final
     "stats_qq_points": "scalar",  # nine 1-row decile aggregates per arm
     "corpus_temperature_weights": "scalar",  # 1-row (total, Z) normalizer final
     "multimodal_shard_plan": "tiny",  # prefix-sum range-offset table
