@@ -1319,3 +1319,55 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n") > F.col("next_n"))
         & (F.col("n") >= PEAK_MIN_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_percentile_bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_percentile_bands",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events)
+        SELECT hr, CAST(count(*) AS BIGINT) AS n,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS DOUBLE)
+                   / 100 AS p50,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS DOUBLE)
+                   / 100 AS p95,
+               CAST(max(c) AS DOUBLE) / 100 AS p_max
+        FROM c GROUP BY hr
+    """,
+    tags=("timeseries", "percentile", "agg"),
+)
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p50/p95/max BAND CHART over time — the standard latency/value
+    monitoring readout (median for the trend, p95 for the promise, max
+    for the incident): event values banded per hour with
+    percentile_disc over exact cents, so every band value is an actual
+    data element and the series is partition-invariant.
+
+    Scale: ONE hour-keyed aggregate; the per-group percentile buffer
+    holds one hour's values (bounded by hourly traffic — for
+    heavy-hitter hours the agg_quantiles_distributed rank construction
+    per hour is the spill-proof alternative, same output contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    return c.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").cast("double")
+            / 100
+        ).alias("p50"),
+        (
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)").cast("double")
+            / 100
+        ).alias("p95"),
+        (F.max("c").cast("double") / 100).alias("p_max"),
+    )
