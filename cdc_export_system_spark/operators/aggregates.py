@@ -1379,3 +1379,72 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("c").cast("double") / 100).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1),
+        r AS (SELECT p, w, SUM(w) OVER (ORDER BY p) AS cum FROM v),
+        t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM v)
+        SELECT t.tw AS total_weight,
+               CAST(min(CASE WHEN 2 * r.cum >= t.tw THEN r.p END) AS DOUBLE)
+                   / 100 AS weighted_median,
+               CAST(min(CASE WHEN 4 * r.cum >= t.tw THEN r.p END) AS DOUBLE)
+                   / 100 AS weighted_p25,
+               CAST(min(CASE WHEN 4 * r.cum >= 3 * t.tw THEN r.p END)
+                    AS DOUBLE) / 100 AS weighted_p75
+        FROM r CROSS JOIN t GROUP BY t.tw
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median/quartiles — each price weighted by its shipped
+    quantity, i.e. 'the price of the median UNIT sold', the correct
+    center when rows carry unequal mass (plain medians answer 'the
+    median line item', a different question). Same distributed shape as
+    agg_quantiles_distributed: collapse to the distinct-price axis with
+    summed weights, prefix-sum the weights, and pick the smallest price
+    whose cumulative weight reaches the target — with the threshold
+    comparisons multiplied through (2*cum >= W, 4*cum >= W, 4*cum >=
+    3W) so no fraction ever floats.
+
+    Scale: one map-combined aggregate to the price axis, the ranks.py
+    range prefix sum, a 1-row weight-total broadcast, a scalar final
+    (allowlisted)."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("p"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("p")
+        .agg(F.sum("q").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    r = with_prefix_sum(
+        v, [F.asc("p")], ["w"], suffix="_before", materialize=False
+    ).withColumn("cum", F.col("w_before") + F.col("w"))
+    t = v.agg(F.sum("w").cast("bigint").alias("tw"))
+    sel = r.crossJoin(F.broadcast(t))
+    pick = lambda cond: F.min(F.when(F.expr(cond), F.col("p")))  # noqa: E731
+    return sel.agg(
+        F.max("tw").alias("total_weight"),
+        (pick("2 * cum >= tw").cast("double") / 100).alias("weighted_median"),
+        (pick("4 * cum >= tw").cast("double") / 100).alias("weighted_p25"),
+        (pick("4 * cum >= 3 * tw").cast("double") / 100).alias("weighted_p75"),
+    ).select(
+        "total_weight", "weighted_median", "weighted_p25", "weighted_p75"
+    )
