@@ -2126,3 +2126,101 @@ def sessionize_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sc in step_counts[1:]:
         out = out.unionAll(sc)
     return out.crossJoin(F.broadcast(total))
+
+
+# ---------------------------------------------------------------------------
+# metric_mix_shift
+# ---------------------------------------------------------------------------
+
+MIX_SHIFT_M1 = "1995-03"
+MIX_SHIFT_M2 = "1995-04"
+
+
+@register(
+    "metric_mix_shift",
+    oracle=f"""
+        WITH o AS (
+            SELECT c.c_mktsegment AS segment,
+                   strftime(o.o_orderdate, '%Y-%m') AS m,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE strftime(o.o_orderdate, '%Y-%m')
+                  IN ('{MIX_SHIFT_M1}', '{MIX_SHIFT_M2}')),
+        s AS (
+            SELECT segment,
+                   CAST(SUM(CASE WHEN m = '{MIX_SHIFT_M1}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN m = '{MIX_SHIFT_M2}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN m = '{MIX_SHIFT_M1}' THEN cents
+                            ELSE 0 END) AS BIGINT) AS rev1,
+                   CAST(SUM(CASE WHEN m = '{MIX_SHIFT_M2}' THEN cents
+                            ELSE 0 END) AS BIGINT) AS rev2
+            FROM o GROUP BY segment)
+        SELECT segment, n1, n2,
+               CAST(rev1 AS DOUBLE) / 100 AS rev_m1,
+               CAST(rev2 AS DOUBLE) / 100 AS rev_m2,
+               CAST(((n2 - n1) * CAST(rev1 AS HUGEINT) * 1000000) // n1
+                    AS BIGINT) AS volume_effect_microcents,
+               CAST((rev2 - rev1) * CAST(1000000 AS HUGEINT)
+                    - ((n2 - n1) * CAST(rev1 AS HUGEINT) * 1000000) // n1
+                    AS BIGINT) AS price_mix_effect_microcents
+        FROM s WHERE n1 > 0
+    """,
+    tags=("analytics", "metric", "agg"),
+)
+def metric_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME/PRICE-MIX decomposition of the month-over-month revenue
+    change per market segment — the 'why did revenue move' answer every
+    business review asks: volume effect = (n2 - n1) * avg_ticket_m1,
+    price/mix effect = the remainder. The rational avg_ticket never
+    floats: both effects are multiply-before-divide integer micro-cents
+    (HUGEINT/DECIMAL(38) through the product), and they sum EXACTLY to
+    the total change by construction — an accounting identity the hash
+    comparison re-proves every round. Segments born in month 2 (n1 = 0,
+    decomposition undefined) are excluded identically in both engines.
+
+    Scale: one customer-dim broadcast join, one segment-keyed
+    combinable aggregate over a two-month partition-prunable slice."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    m = F.date_format("o_orderdate", "yyyy-MM")
+    o = (
+        orders.filter(m.isin(MIX_SHIFT_M1, MIX_SHIFT_M2))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            m.alias("m"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    is1 = (F.col("m") == MIX_SHIFT_M1).cast("int")
+    is2 = (F.col("m") == MIX_SHIFT_M2).cast("int")
+    s = o.groupBy("segment").agg(
+        F.sum(is1).cast("bigint").alias("n1"),
+        F.sum(is2).cast("bigint").alias("n2"),
+        F.sum(is1 * F.col("cents")).cast("bigint").alias("rev1"),
+        F.sum(is2 * F.col("cents")).cast("bigint").alias("rev2"),
+    )
+    ve = F.expr(
+        "cast(((n2 - n1) * cast(rev1 as decimal(38,0)) * 1000000) div n1"
+        " as bigint)"
+    )
+    pe = F.expr(
+        "cast((rev2 - rev1) * cast(1000000 as decimal(38,0))"
+        " - ((n2 - n1) * cast(rev1 as decimal(38,0)) * 1000000) div n1"
+        " as bigint)"
+    )
+    return s.filter(F.col("n1") > 0).select(
+        "segment",
+        "n1",
+        "n2",
+        (F.col("rev1").cast("double") / 100).alias("rev_m1"),
+        (F.col("rev2").cast("double") / 100).alias("rev_m2"),
+        ve.alias("volume_effect_microcents"),
+        pe.alias("price_mix_effect_microcents"),
+    )
