@@ -983,3 +983,90 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+        WITH {_DUCK_EDGES},
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY n),
+        p AS (
+            SELECT da.d AS x, db.d AS y FROM e
+            JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb
+            UNION ALL
+            SELECT db.d, da.d FROM e
+            JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb),
+        s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM p)
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               floor(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                                   AS DOUBLE))
+                     * 1000000000 + 0.5) / 1000000000 AS assortativity
+        FROM s
+    """,
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges — positive means hubs prefer hubs
+    (social networks), negative means hubs bind to leaves
+    (technological nets) — the one-number structural fingerprint of the
+    co-purchase graph. Each undirected edge contributes BOTH endpoint
+    orderings (the standard symmetrization, so the measure is
+    direction-free), and the correlation runs on exact
+    HUGEINT/DECIMAL(38) degree suffstats; only the final r is a double
+    (1e-9 round).
+
+    Scale: two keyed joins decorate the edge list with endpoint
+    degrees; everything after is one combinable suffstat pass to a
+    1-row final (allowlisted)."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("n"))
+        .unionAll(e.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("n").alias("pb"), F.col("d").alias("db")), "pb")
+        .select("da", "db")
+    )
+    p = ed.select(F.col("da").alias("x"), F.col("db").alias("y")).unionAll(
+        ed.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.expr("cast(n / 2 as bigint)").alias("n_edges"),
+        (
+            F.floor(num / F.sqrt(dx * dy) * 1_000_000_000 + F.lit(0.5))
+            / 1_000_000_000
+        ).alias("assortativity"),
+    )

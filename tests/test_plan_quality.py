@@ -425,6 +425,7 @@ _SINGLE_PARTITION_OK = {
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
+    "graph_assortativity": "scalar",  # 1-row degree-suffstat final
     "ab_proportion_ztest": "scalar",  # 1-row median + 1-row cell-count finals
     "sessionize_funnel_within": "scalar",  # 3 one-row step rollups + total
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
