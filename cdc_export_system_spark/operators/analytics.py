@@ -2224,3 +2224,105 @@ def metric_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ve.alias("volume_effect_microcents"),
         pe.alias("price_mix_effect_microcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_growth_accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_growth_accounting",
+    oracle="""
+        WITH um AS (
+            SELECT DISTINCT user_id,
+                   (year(ts) - 1970) * 12 + month(ts) - 1 AS mi
+            FROM events),
+        mx AS (SELECT max(mi) AS max_mi FROM um),
+        w AS (
+            SELECT user_id, mi,
+                   lag(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev_mi,
+                   lead(mi) OVER (PARTITION BY user_id ORDER BY mi) AS next_mi
+            FROM um),
+        act AS (
+            SELECT mi,
+                   CASE WHEN prev_mi IS NULL THEN 'new'
+                        WHEN prev_mi = mi - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS status
+            FROM w),
+        churn AS (
+            SELECT w.mi + 1 AS mi, 'churned' AS status
+            FROM w CROSS JOIN mx
+            WHERE (w.next_mi IS NULL OR w.next_mi > w.mi + 1)
+              AND w.mi + 1 <= mx.max_mi),
+        allrows AS (SELECT * FROM act UNION ALL SELECT * FROM churn)
+        SELECT CAST(DATE '1970-01-01' + to_months(CAST(mi AS INT))
+                    AS TIMESTAMP) AS month,
+               status, CAST(count(*) AS BIGINT) AS n_users
+        FROM allrows GROUP BY mi, status
+    """,
+    tags=("analytics", "metric", "window"),
+)
+def event_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the Social-Capital MAU ledger): every month's
+    active users split into NEW (first month ever), RETAINED (also
+    active last month), RESURRECTED (active after a gap), plus the
+    CHURNED count (active last month, absent this month) — the four
+    numbers whose identity MAU(t) = new + retained + resurrected and
+    delta-MAU = new + resurrected - churned makes growth reviews
+    honest. Month arithmetic runs on an integer month index (no date
+    rounding), churn attribution stops at the data's last month, and
+    every count is exact.
+
+    Scale: the corpus collapses to DISTINCT (user, month) in one
+    shuffle; lag/lead ride a user-keyed window over that reduced frame;
+    the 1-row max-month broadcast bounds churn attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id",
+        ((F.year("ts") - 1970) * 12 + F.month("ts") - 1).alias("mi"),
+    ).distinct()
+    return growth_accounting(um)
+
+
+def growth_accounting(um: DataFrame) -> DataFrame:
+    """Growth-accounting core over a distinct (user_id, mi) frame —
+    split out so the all-four-statuses pin can drive it with
+    constructed activity (the testdata spans one month, which only
+    exercises 'new')."""
+    from pyspark.sql import Window as W
+
+    mx = um.agg(F.max("mi").alias("max_mi"))
+    w_u = W.partitionBy("user_id").orderBy("mi")
+    w = um.select(
+        "mi",
+        F.lag("mi").over(w_u).alias("prev_mi"),
+        F.lead("mi").over(w_u).alias("next_mi"),
+    )
+    act = w.select(
+        "mi",
+        F.when(F.col("prev_mi").isNull(), "new")
+        .when(F.col("prev_mi") == F.col("mi") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    churn = (
+        w.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_mi").isNull() | (F.col("next_mi") > F.col("mi") + 1))
+            & (F.col("mi") + 1 <= F.col("max_mi"))
+        )
+        .select((F.col("mi") + 1).alias("mi"), F.lit("churned").alias("status"))
+    )
+    allrows = act.unionAll(churn)
+    return (
+        allrows.groupBy("mi", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.to_timestamp(
+                F.add_months(F.lit("1970-01-01").cast("date"), F.col("mi"))
+            ).alias("month"),
+            "status",
+            "n_users",
+        )
+    )

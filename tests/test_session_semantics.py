@@ -146,3 +146,27 @@ def test_brown_forsythe_matches_numpy(spark, events):
     w = (n - k) / (k - 1) * ssb / ssw
     assert got["w_stat"] == pytest.approx(w, abs=2e-5)
     assert got["df1"] == k - 1 and got["df2"] == n - k
+
+
+def test_growth_accounting_all_statuses(spark):
+    """The growth-accounting ledger on constructed activity exercising
+    every status (the parquet testdata spans one month = all 'new'):
+    user 1 active months 0,1,3 -> new@0, retained@1, churned@2,
+    resurrected@3; user 2 active 0 only -> new@0, churned@1. Also pins
+    the identity MAU(t) = new + retained + resurrected."""
+    from cdc_export_system_spark.operators.analytics import growth_accounting
+
+    um = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 3), (2, 0)], "user_id long, mi int"
+    )
+    rows = {
+        (r["month"].strftime("%Y-%m"), r["status"]): r["n_users"]
+        for r in growth_accounting(um).collect()
+    }
+    assert rows == {
+        ("1970-01", "new"): 2,
+        ("1970-02", "retained"): 1,
+        ("1970-02", "churned"): 1,
+        ("1970-03", "churned"): 1,
+        ("1970-04", "resurrected"): 1,
+    }
