@@ -1590,3 +1590,106 @@ def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qa").cast("double") / 100).alias("q_a"),
         (F.col("qb").cast("double") / 100).alias("q_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_runs_test
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+    WITH h AS (
+        SELECT epoch_us(ts) // 3600000000 AS eh,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS m FROM h),
+    s AS (
+        SELECT eh, CASE WHEN h.n > med.m THEN 1 ELSE 0 END AS above
+        FROM h CROSS JOIN med WHERE h.n <> med.m),
+    w AS (
+        SELECT above,
+               lag(above) OVER (ORDER BY eh) AS prev
+        FROM s),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN prev IS NULL OR prev <> above
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2
+        FROM w)
+    SELECT runs, n1 AS n_above, n2 AS n_below,
+           floor((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1)))
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM c
+"""
+
+
+@register(
+    "stats_runs_test",
+    oracle=_RUNS_ORACLE,
+    tags=("stats", "timeseries"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ runs test on the hourly volume series: too FEW
+    runs of above/below-median hours means trending (autocorrelated)
+    traffic, too MANY means oscillation — the classic randomness check
+    behind 'is this metric drifting or just noisy'. Median-ties drop
+    (the standard convention, and percentile_disc keeps the median an
+    exact data element); the run count is a lag-compare sum over the
+    hour axis; only the final z normalization is a double (identical
+    tree, 1e-6 round).
+
+    Scale: corpus collapses to the |hours| axis in one shuffle; the
+    ordered lag window runs over that reduced series (allowlisted
+    metadata-axis window, the ts_seasonal_decompose class); finals are
+    1-row."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("eh"))
+        .groupBy("eh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    med = h.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("m")
+    )
+    s = (
+        h.crossJoin(F.broadcast(med))
+        .filter(F.col("n") != F.col("m"))
+        .select("eh", (F.col("n") > F.col("m")).cast("int").alias("above"))
+    )
+    w = s.select(
+        "above", F.lag("above").over(W.orderBy("eh")).alias("prev")
+    )
+    c = w.agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("above")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("runs"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nt = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nt + F.lit(1)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nt.cast("double") * nt * (nt - F.lit(1)))
+    )
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return c.select(
+        "runs",
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
+    )
