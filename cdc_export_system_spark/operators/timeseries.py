@@ -1371,3 +1371,84 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95"),
         (F.max("c").cast("double") / 100).alias("p_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_control_chart_xmr
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_control_chart_xmr",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1),
+        mr AS (
+            SELECT day, x,
+                   abs(x - lag(x) OVER (ORDER BY day)) AS r
+            FROM d),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS s,
+                   CAST(SUM(r) AS HUGEINT) AS m
+            FROM mr)
+        SELECT mr.day, CAST(mr.x AS DOUBLE) / 100 AS daily_total,
+               CAST(CAST(t.s AS VARCHAR) AS DOUBLE) / t.n / 100 AS center,
+               (abs(t.n * CAST(mr.x AS HUGEINT) - t.s) * (t.n - 1) * 100
+                    > 266 * t.m * t.n) AS out_of_control,
+               CASE WHEN t.n * CAST(mr.x AS HUGEINT) > t.s THEN 'above'
+                    ELSE 'below' END AS side
+        FROM mr CROSS JOIN t
+    """,
+    tags=("timeseries", "anomaly", "stats"),
+)
+def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC INDIVIDUALS (XmR) control chart over the daily revenue
+    series: the center line is the mean, the control limits are
+    mean +/- 2.66 * average-moving-range (Shewhart's constant for
+    n=2 subgroups), and a day is out of control when it breaches them
+    — the process-stability discipline behind 'is this dashboard move
+    signal or noise'. The EXACTNESS move: the breach test never forms
+    the limits as floats — |x - S/n| > 2.66*M/(n-1) is multiplied
+    through to |n*x - S|*(n-1)*100 > 266*M*n, pure HUGEINT/DECIMAL(38)
+    integer comparison, so control membership is partition-invariant;
+    only the display columns are doubles.
+
+    Scale: one day-keyed aggregate, a lag over the |days| axis
+    (allowlisted metadata-axis window), a 1-row (n, S, M) broadcast."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    mr = d.select(
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(W.orderBy("day"))).alias("r"),
+    ).localCheckpoint(eager=True)
+    t = mr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum("r").cast("decimal(38,0)").alias("m"),
+    )
+    j = mr.crossJoin(F.broadcast(t))
+    xd = F.col("x").cast("decimal(38,0)")
+    breach = (
+        F.abs(F.col("n") * xd - F.col("s")) * (F.col("n") - 1) * F.lit(100)
+        > F.lit(266) * F.col("m") * F.col("n")
+    )
+    return j.select(
+        "day",
+        (F.col("x").cast("double") / 100).alias("daily_total"),
+        (F.col("s").cast("double") / F.col("n") / 100).alias("center"),
+        breach.alias("out_of_control"),
+        F.when(F.col("n") * xd > F.col("s"), "above")
+        .otherwise("below")
+        .alias("side"),
+    )
