@@ -1448,3 +1448,65 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "total_weight", "weighted_median", "weighted_p25", "weighted_p75"
     )
+
+
+# ---------------------------------------------------------------------------
+# feat_rank_normalize
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feat_rank_normalize",
+    oracle="""
+        WITH f AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders),
+        ax AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY v),
+        r AS (
+            SELECT v, 2 * (SUM(t) OVER (ORDER BY v) - t) + t + 1 AS r2,
+                   SUM(t) OVER () AS n
+            FROM ax)
+        SELECT f.o_orderkey, CAST(f.v AS DOUBLE) / 100 AS totalprice,
+               CAST((r.r2 * 1000000) // (2 * (r.n + 1)) AS BIGINT)
+                   AS rank_micro
+        FROM f JOIN r ON f.v = r.v
+    """,
+    tags=("feature", "agg"),
+)
+def feat_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK NORMALIZATION of a heavy-tailed feature: each order's total
+    price maps to its midrank quantile r/(n+1) in (0, 1) — the
+    monotone, outlier-immune scaling (the first half of RankGauss;
+    feat_minmax_scale and feat_standardize are the moment-based
+    siblings that one outlier can wreck). Midranks use the exact 2R
+    integer form off the distinct-value axis, the quantile is
+    multiply-before-divide micro-units, and ties get identical ranks by
+    construction — bit-stable across engines and reshards.
+
+    Scale: one collapse to the distinct-value axis, the ranks.py prefix
+    sum, one value-keyed join back onto the rows; no data-sized sort
+    anywhere."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=True)
+    ax = f.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    ax = ax.localCheckpoint(eager=True)
+    w = with_prefix_sum(ax, [F.asc("v")], ["t"], suffix="_before",
+                        materialize=False)
+    tot = ax.agg(F.sum("t").cast("bigint").alias("n"))
+    r = w.select(
+        "v",
+        (F.lit(2) * F.col("t_before") + F.col("t") + F.lit(1)).alias("r2"),
+    ).crossJoin(F.broadcast(tot))
+    return f.join(r, "v").select(
+        "o_orderkey",
+        (F.col("v").cast("double") / 100).alias("totalprice"),
+        F.expr("cast((r2 * 1000000) div (2 * (n + 1)) as bigint)").alias(
+            "rank_micro"
+        ),
+    )

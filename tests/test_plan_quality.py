@@ -148,6 +148,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
     "agg_weighted_median",  # 1-row weight-total broadcast onto the price axis
+    "feat_rank_normalize",  # 1-row row-total broadcast onto the value axis
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
     "metric_concentration_shares",  # 1-row grand total + 3-row pct spine onto the rank axis
@@ -425,6 +426,7 @@ _SINGLE_PARTITION_OK = {
     "stats_brown_forsythe": "scalar",  # k-row suffstats -> 1-row W final
     "agg_quantiles_distributed": "tiny",  # rank-construction range-offset table + 1-row final
     "agg_weighted_median": "tiny",  # rank-construction range-offset table + 1-row final
+    "feat_rank_normalize": "tiny",  # rank-construction range-offset table
     "ts_acf_multi_lag": "scalar",  # 1-row series totals/denominator finals
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
