@@ -146,6 +146,12 @@ INTENTIONAL_BROADCAST_NLJ = {
     "window_decay_score",  # 1-row anchor-day broadcast onto the (user, day) axis
     "pipeline_dedup_funnel",  # 1-row raw-total broadcast onto the 3 stage rows
     "agg_kmv_setops",  # five 1-row sketch-stat frames crossed into the report
+    "cluster_kmeans_exact",  # k-row integer-centroid model vs every vector
+    "feat_pca_power_exact",  # model-sized Gram/direction broadcasts
+    "sim_search_ivf_exact",  # 1-row query vector + k-row coarse model
+    "sim_search_pq_exact",  # 1-row query vector + codebook model broadcasts
+    "sim_search_ivf_pq_exact",  # 1-row query + coarse/codebook model broadcasts
+    "tpch_q11_like",  # 1-row global value-threshold scalar broadcast
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
     "agg_weighted_median",  # 1-row weight-total broadcast onto the price axis
     "feat_rank_normalize",  # 1-row row-total broadcast onto the value axis
