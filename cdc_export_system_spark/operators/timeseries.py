@@ -1452,3 +1452,64 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("below")
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS di,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1),
+        p AS (
+            SELECT CAST(((b.x - a.x) * 1000000)
+                        // (b.di - a.di) AS BIGINT) AS slope_micro
+            FROM d a JOIN d b ON b.di > a.di)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)
+                    AS BIGINT) AS slope_micro_cents_per_day
+        FROM p
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend of daily revenue: the median of all
+    pairwise slopes — 29% breakdown (up to a third of the days can be
+    corrupted before the trend lies), where ts_forecast_linear's OLS
+    slope follows a single outlier day. Slopes quantize to exact
+    integer micro-cents/day by multiply-before-divide; the median is
+    percentile_disc over those integers, so the estimate is an actual
+    pairwise slope and partition-invariant.
+
+    Scale: the corpus collapses to the |days| axis first, so the
+    'quadratic' pair join is |days|^2 — a metadata-axis cost (365^2/2
+    per year), not a data cost; this is exactly why Theil-Sen is
+    feasible distributed despite its O(n^2) reputation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("di")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    a = d.select(F.col("di").alias("di_a"), F.col("x").alias("x_a"))
+    b = d.select(F.col("di").alias("di_b"), F.col("x").alias("x_b"))
+    p = a.join(b, F.col("di_b") > F.col("di_a")).select(
+        F.expr(
+            "cast(((x_b - x_a) * 1000000) div (di_b - di_a) as bigint)"
+        ).alias("slope_micro")
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)")
+        .cast("bigint")
+        .alias("slope_micro_cents_per_day"),
+    )

@@ -119,6 +119,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "event_growth_accounting",  # 1-row max-month broadcast onto the (user, month) frame
     "stats_runs_test",  # 1-row median broadcast onto the hour axis
     "ts_control_chart_xmr",  # 1-row (n, S, M) broadcast onto the |days| axis
+    "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
     "corpus_temperature_weights",  # 1-row (total, Z) broadcast onto |sources| rows
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
@@ -440,6 +441,7 @@ _SINGLE_PARTITION_OK = {
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
+    "ts_theil_sen": "scalar",  # 1-row pairwise-slope median final
     "ab_proportion_ztest": "scalar",  # 1-row median + 1-row cell-count finals
     "sessionize_funnel_within": "scalar",  # 3 one-row step rollups + total
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
