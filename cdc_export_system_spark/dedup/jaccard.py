@@ -21,6 +21,25 @@ from cdc_export_system_spark.registry import register
 # and would fan the join out quadratically — drop them (df-based stop list).
 MAX_SHINGLE_DF = 100
 
+JACCARD_PAIRS_ORACLE = f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents),
+        ex AS (SELECT doc_id, unnest(shingles) AS sh FROM tok),
+        keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
+        sizes AS (SELECT doc_id, len(shingles) AS n FROM tok),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            JOIN keep k ON k.sh = a.sh
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               floor(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000 + 0.5)
+                   / 1000000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """
+
 
 
 
@@ -53,24 +72,7 @@ def _shingle_postings(spark: SparkSession, sf_dir: str):
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH tok AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents),
-        ex AS (SELECT doc_id, unnest(shingles) AS sh FROM tok),
-        keep AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
-        sizes AS (SELECT doc_id, len(shingles) AS n FROM tok),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            JOIN keep k ON k.sh = a.sh
-            GROUP BY a.doc_id, b.doc_id)
-        SELECT doc_a, doc_b,
-               floor(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000 + 0.5)
-                   / 1000000 AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-    """,
+    oracle=JACCARD_PAIRS_ORACLE,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -356,10 +356,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 WINNOW_MAX_FP_DF = 10  # drop fingerprints shared by more docs (boilerplate)
 WINNOW_OVERLAP_MIN = 500_000  # report pairs with overlap >= 0.5 (micro units)
 
-
-@register(
-    "dedup_winnowing_overlap",
-    oracle=f"""
+WINNOW_OVERLAP_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents),
@@ -401,7 +398,13 @@ WINNOW_OVERLAP_MIN = 500_000  # report pairs with overlap >= 0.5 (micro units)
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE (p.shared * 1000000) // least(sa.n, sb.n)
               >= {WINNOW_OVERLAP_MIN}
-    """,
+    """
+
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=WINNOW_OVERLAP_ORACLE,
     tags=("dedup", "text"),
 )
 def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,4 +459,81 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("overlap_micro") >= WINNOW_OVERLAP_MIN)
         .select("doc_a", "doc_b", "shared", "n_a", "n_b", "overlap_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_agreement
+# ---------------------------------------------------------------------------
+
+
+def _agreement_oracle() -> str:
+    from cdc_export_system_spark.dedup.jaccard import JACCARD_PAIRS_ORACLE
+
+    return f"""
+        WITH wp AS ({WINNOW_OVERLAP_ORACLE}),
+        jp AS ({JACCARD_PAIRS_ORACLE}),
+        c AS (
+            SELECT CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_jaccard,
+                   CAST((SELECT count(*) FROM wp) AS BIGINT) AS n_winnow,
+                   CAST((SELECT count(*) FROM jp JOIN wp
+                         ON jp.doc_a = wp.doc_a AND jp.doc_b = wp.doc_b)
+                        AS BIGINT) AS n_both)
+        SELECT n_jaccard AS n_jaccard_pairs, n_winnow AS n_winnow_pairs,
+               n_both,
+               CASE WHEN n_jaccard > 0
+                    THEN (n_both * 1000000) // n_jaccard
+               END AS winnow_recall_micro
+        FROM c
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_agreement_oracle(),
+    tags=("dedup", "text", "dq"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-METHOD VALIDATION of the near-dup stack: exact shingle
+    Jaccard >= 0.5 (dedup_ngram_jaccard — the expensive ground truth)
+    versus the winnowing-overlap detector — how many true near-dup
+    pairs does winnowing recover (recall), and how many extra pairs
+    does it flag? The methodology audit a multi-detector pipeline
+    publishes before trusting the cheap detector at scale; the same
+    shape as dedup_minhash_accuracy, applied across METHODS instead of
+    across exact-vs-sketch.
+
+    Scale: both legs are the existing pair pipelines unchanged
+    (fingerprint-keyed, never corpus self-joins); agreement is one
+    pair-keyed join of two reduced pair sets; finals are 1-row counts
+    (allowlisted)."""
+    from cdc_export_system_spark.dedup.jaccard import dedup_ngram_jaccard
+
+    jp = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    wp = (
+        dedup_winnowing_overlap(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_j = jp.agg(F.count(F.lit(1)).cast("bigint").alias("n_jaccard"))
+    n_w = wp.agg(F.count(F.lit(1)).cast("bigint").alias("n_winnow"))
+    n_b = jp.join(wp, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    return (
+        n_j.crossJoin(F.broadcast(n_w))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            F.col("n_jaccard").alias("n_jaccard_pairs"),
+            F.col("n_winnow").alias("n_winnow_pairs"),
+            "n_both",
+            F.when(
+                F.col("n_jaccard") > 0,
+                F.expr("(n_both * 1000000) div n_jaccard"),
+            ).alias("winnow_recall_micro"),
+        )
     )

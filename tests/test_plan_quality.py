@@ -438,6 +438,7 @@ _SINGLE_PARTITION_OK = {
     "corpus_interleave_order": "tiny",  # rank-construction range-offset table
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
     "graph_assortativity": "scalar",  # 1-row degree-suffstat final
+    "dedup_method_agreement": "scalar",  # three 1-row pair-count finals
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
