@@ -120,6 +120,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "stats_runs_test",  # 1-row median broadcast onto the hour axis
     "ts_control_chart_xmr",  # 1-row (n, S, M) broadcast onto the |days| axis
     "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
+    "dedup_method_agreement",  # 1-row x 1-row x 1-row count-final crosses
     "corpus_temperature_weights",  # 1-row (total, Z) broadcast onto |sources| rows
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
