@@ -2326,3 +2326,101 @@ def growth_accounting(um: DataFrame) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# anomaly_seasonal_esd
+# ---------------------------------------------------------------------------
+
+ESD_ROUNDS = 5  # max anomalies extracted (unrolled in the oracle)
+ESD_K = 5  # robust threshold: dev > K * MAD
+
+
+def _esd_oracle(rounds: int = ESD_ROUNDS, k: int = ESD_K) -> str:
+    ctes = [
+        """h0 AS MATERIALIZED (
+            SELECT epoch_us(ts) // 3600000000 AS eh,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)"""
+    ]
+    for t in range(rounds):
+        ctes.append(f"""m{t} AS MATERIALIZED (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS med
+            FROM h{t}),
+        d{t} AS MATERIALIZED (
+            SELECT eh, n, abs(n - m{t}.med) AS dev FROM h{t}, m{t}),
+        md{t} AS MATERIALIZED (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+            FROM d{t}),
+        c{t} AS MATERIALIZED (
+            SELECT {t + 1} AS round, eh, n, dev FROM d{t}, md{t}
+            WHERE dev > {k} * md{t}.mad
+            ORDER BY dev DESC, eh LIMIT 1),
+        h{t + 1} AS MATERIALIZED (
+            SELECT eh, n FROM h{t}
+            WHERE eh NOT IN (SELECT eh FROM c{t}))""")
+    unions = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(rounds))
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT CAST(round AS INT) AS round, CAST(eh AS BIGINT) AS epoch_hour,
+               n AS n_events, CAST(dev AS BIGINT) AS deviation
+        FROM ({unions})"""
+    )
+
+
+@register(
+    "anomaly_seasonal_esd",
+    oracle=_esd_oracle(),
+    tags=("analytics", "anomaly", "iterative"),
+)
+def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE robust outlier extraction on the hourly volume series —
+    the S-H-ESD shape (Twitter's AnomalyDetection): each round computes
+    the MEDIAN and MAD of the REMAINING series, extracts the single
+    most-deviant hour if it clears K*MAD, and recomputes — so one
+    colossal spike cannot mask the next one (the masking problem that
+    breaks single-pass z/MAD rules; cf. anomaly_mad). Fully
+    deterministic: medians are percentile_disc data elements, the
+    extraction picks (max deviation, min hour), and a round that clears
+    nothing leaves the state fixed — so the oracle's full unroll equals
+    the early-exiting loop.
+
+    Scale: the corpus collapses to the |hours| axis once; each round is
+    axis-sized aggregates plus a TakeOrdered-1 — O(rounds) tiny stages,
+    the k-core/pagerank-exact iteration discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(F.expr("unix_micros(ts) div 3600000000").alias("eh"))
+        .groupBy("eh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for t in range(ESD_ROUNDS):
+        med = h.agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("med")
+        )
+        d = h.crossJoin(F.broadcast(med)).select(
+            "eh", "n", F.abs(F.col("n") - F.col("med")).alias("dev")
+        )
+        mad = d.agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad")
+        )
+        c = (
+            d.crossJoin(F.broadcast(mad))
+            .filter(F.col("dev") > ESD_K * F.col("mad"))
+            .orderBy(F.desc("dev"), F.asc("eh"))
+            .limit(1)
+            .select(F.lit(t + 1).cast("int").alias("round"), "eh", "n", "dev")
+            .localCheckpoint(eager=True)
+        )
+        out = c if out is None else out.unionAll(c)
+        h = h.join(c.select("eh"), "eh", "left_anti").localCheckpoint(eager=True)
+    return out.select(
+        "round",
+        F.col("eh").cast("bigint").alias("epoch_hour"),
+        F.col("n").alias("n_events"),
+        F.col("dev").cast("bigint").alias("deviation"),
+    )

@@ -121,6 +121,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_control_chart_xmr",  # 1-row (n, S, M) broadcast onto the |days| axis
     "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
     "dedup_method_agreement",  # 1-row x 1-row x 1-row count-final crosses
+    "anomaly_seasonal_esd",  # 1-row median/MAD broadcasts onto the hour axis
     "corpus_temperature_weights",  # 1-row (total, Z) broadcast onto |sources| rows
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
@@ -440,6 +441,7 @@ _SINGLE_PARTITION_OK = {
     "stats_mcnemar": "scalar",  # 1-row discordant-cell final
     "graph_assortativity": "scalar",  # 1-row degree-suffstat final
     "dedup_method_agreement": "scalar",  # three 1-row pair-count finals
+    "anomaly_seasonal_esd": "tiny",  # per-round axis medians + TakeOrdered-1 picks
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
