@@ -2424,3 +2424,82 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.col("dev").cast("bigint").alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_type_affinity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_affinity",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+                FROM events),
+        tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM ut GROUP BY event_type),
+        pair AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type)
+        SELECT p.type_a, p.type_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+               CAST((p.n_both * tot.nu * 1000000) // (ta.n * tb.n)
+                    AS BIGINT) AS lift_micro
+        FROM pair p
+        JOIN tc ta ON ta.event_type = p.type_a
+        JOIN tc tb ON tb.event_type = p.type_b
+        CROSS JOIN tot
+    """,
+    tags=("analytics", "metric", "agg"),
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIOR AFFINITY matrix: for every pair of event types, the
+    LIFT between 'user ever does A' and 'user ever does B' —
+    P(A and B) / (P(A) P(B)), > 1e6 micro meaning the behaviors
+    attract, < 1e6 meaning they substitute; the user-level analogue of
+    basket_association_rules' per-order lift. Multiply-before-divide
+    integer micro-units, counts from one distinct (user, type)
+    collapse.
+
+    Scale: the corpus reduces to |users| x |types| flags in one
+    shuffle; the pair join is keyed on user_id with |types|-bounded
+    fan-out per user; marginals are a |types|-row dim joined back
+    (broadcast) and the user total a 1-row cross."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    tot = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pair.join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_a"),
+                                  F.col("n").alias("n_a"))), "type_a"
+        )
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_b"),
+                                  F.col("n").alias("n_b"))), "type_b"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast((n_both * nu * 1000000) div (n_a * n_b) as bigint)"
+            ).alias("lift_micro"),
+        )
+    )

@@ -122,6 +122,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
     "dedup_method_agreement",  # 1-row x 1-row x 1-row count-final crosses
     "anomaly_seasonal_esd",  # 1-row median/MAD broadcasts onto the hour axis
+    "event_type_affinity",  # 1-row user-total cross onto the |types|^2 pairs
     "corpus_temperature_weights",  # 1-row (total, Z) broadcast onto |sources| rows
     "text_pmi_collocations",  # 1-row corpus-totals broadcast onto the pair vocab
     "text_vocab_coverage",  # 1-row total + 4-row target spine onto the vocab axis
@@ -442,6 +443,7 @@ _SINGLE_PARTITION_OK = {
     "graph_assortativity": "scalar",  # 1-row degree-suffstat final
     "dedup_method_agreement": "scalar",  # three 1-row pair-count finals
     "anomaly_seasonal_esd": "tiny",  # per-round axis medians + TakeOrdered-1 picks
+    "event_type_affinity": "scalar",  # 1-row user-total cross onto <=10 pairs
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
