@@ -1693,3 +1693,90 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.alias("n_below"),
         (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_wilson_ci
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96  # 95% interval
+
+
+@register(
+    "stats_wilson_ci",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 = 0 AS BIGINT) AS t,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        s AS (
+            SELECT CASE WHEN t = 1 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS c
+            FROM u GROUP BY 1)
+        SELECT variant, n, c AS conversions,
+               floor(CAST(c AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS rate,
+               floor(((CAST(c AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z}
+                       / (2 * n)
+                       - {WILSON_Z} * sqrt(CAST(c AS DOUBLE) / n
+                             * (1 - CAST(c AS DOUBLE) / n) / n
+                             + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                      / (1 + {WILSON_Z} * {WILSON_Z} / n))
+                     * 1000000 + 0.5) / 1000000 AS ci_lo,
+               floor(((CAST(c AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z}
+                       / (2 * n)
+                       + {WILSON_Z} * sqrt(CAST(c AS DOUBLE) / n
+                             * (1 - CAST(c AS DOUBLE) / n) / n
+                             + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                      / (1 + {WILSON_Z} * {WILSON_Z} / n))
+                     * 1000000 + 0.5) / 1000000 AS ci_hi
+        FROM s WHERE n > 0
+    """,
+    tags=("stats", "analytics", "agg"),
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE 95% interval for each arm's conversion rate — the
+    binomial CI that behaves at the extremes where the naive Wald
+    interval collapses (rate 0 or 1 still gets a sane interval, small n
+    doesn't overshoot [0,1]); what ab_proportion_ztest's point estimate
+    should always ship with. Counts are exact integers; the interval is
+    one identical double tree per arm (1e-6 round), and empty arms drop
+    identically in both engines.
+
+    Scale: one user_id shuffle, a 2-row final."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "y",
+    )
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("c"),
+    ).filter(F.col("n") > 0)
+    n = F.col("n")
+    p = F.col("c").cast("double") / n
+    # mirror the oracle's tree exactly: z*z spelled as a product there,
+    # constant-folded identically here
+    z2_sql = F.lit(WILSON_Z) * F.lit(WILSON_Z)
+    center = p + z2_sql / (2 * n)
+    half = F.lit(WILSON_Z) * F.sqrt(
+        p * (F.lit(1) - p) / n + z2_sql / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1) + z2_sql / n
+    mic = lambda col: F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return s.select(
+        "variant",
+        "n",
+        F.col("c").alias("conversions"),
+        mic(p).alias("rate"),
+        mic((center - half) / denom).alias("ci_lo"),
+        mic((center + half) / denom).alias("ci_hi"),
+    )
