@@ -1513,3 +1513,101 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_mann_kendall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_mann_kendall",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS di,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM d a JOIN d b ON b.di > a.di),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        ties AS (
+            SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                       AS tt
+            FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY x)
+            WHERE t > 1)
+        SELECT n.n AS n_days, s.s AS s_stat,
+               floor((CASE WHEN s.s > 0 THEN s.s - 1
+                           WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+                     * sqrt(18.0)
+                     / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt
+                                 AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS z
+        FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL trend test on daily revenue — the significance
+    companion to ts_theil_sen's slope: S counts concordant-minus-
+    discordant day pairs (pure integers, no distributional assumption),
+    and the tie-corrected normal z applies the standard continuity
+    correction. S, n, and the tie term are exact integer sums; the z is
+    one identical double tree via multiply-through (var*18 stays
+    integer, the sqrt(18) factors out).
+
+    Scale: same posture as ts_theil_sen — the pair 'quadratic' is over
+    the |days| METADATA axis, not the data; the tie scan is one
+    grouped count over that axis; finals are 1-row (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("di")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    a = d.select(F.col("di").alias("di_a"), F.col("x").alias("x_a"))
+    b = d.select(F.col("di").alias("di_b"), F.col("x").alias("x_b"))
+    s = a.join(b, F.col("di_b") > F.col("di_a")).agg(
+        F.sum(
+            F.when(F.col("x_b") > F.col("x_a"), F.lit(1))
+            .when(F.col("x_b") < F.col("x_a"), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("tt")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    sc = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(F.lit(0))
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ).cast("double")
+    z = sc * F.sqrt(F.lit(18.0)) / F.sqrt(var18)
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
+    )

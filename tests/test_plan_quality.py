@@ -120,6 +120,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "stats_runs_test",  # 1-row median broadcast onto the hour axis
     "ts_control_chart_xmr",  # 1-row (n, S, M) broadcast onto the |days| axis
     "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
+    "ts_mann_kendall",  # |days|-axis pair join + 1-row finals crossed
     "dedup_method_agreement",  # 1-row x 1-row x 1-row count-final crosses
     "anomaly_seasonal_esd",  # 1-row median/MAD broadcasts onto the hour axis
     "event_type_affinity",  # 1-row user-total cross onto the |types|^2 pairs
@@ -449,6 +450,7 @@ _SINGLE_PARTITION_OK = {
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
     "ts_theil_sen": "scalar",  # 1-row pairwise-slope median final
+    "ts_mann_kendall": "scalar",  # 1-row S/n/ties finals
     "ab_proportion_ztest": "scalar",  # 1-row median + 1-row cell-count finals
     "sessionize_funnel_within": "scalar",  # 3 one-row step rollups + total
     "ml_feature_corr_matrix": "scalar",  # one 1-row suffstat final unpivoted 6 ways
