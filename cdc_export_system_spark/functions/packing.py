@@ -88,7 +88,7 @@ def global_token_positions(docs: DataFrame) -> DataFrame:
     tags=("text", "packing", "window"),
 )
 def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into {CHUNK_BUDGET}-token training chunks by global
+    """Pack documents into 1024-token (CHUNK_BUDGET) training chunks by global
     token offset (distributed two-level prefix sum, see module doc)."""
     docs = load_table(spark, sf_dir, "documents")
     pos = global_token_positions(docs)

@@ -226,7 +226,7 @@ CURSOR_FROM = 3000  # resume point: replay the feed tail only
     tags=("source", "connector", "python-datasource", "pushdown"),
 )
 def source_python_changefeed_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cursor-resume read: `seq >= {CURSOR_FROM}` is absorbed by
+    """Cursor-resume read: the `seq >= 3000` (CURSOR_FROM) predicate is absorbed by
     pushFilters and prunes partitions before any executor runs (pinned
     in tests/test_python_source.py by planning the reader in-process);
     the op filter is NOT absorbed and comes back to Spark to evaluate —
@@ -258,7 +258,7 @@ def source_python_changefeed_pushdown(spark: SparkSession, sf_dir: str) -> DataF
 def source_python_changefeed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The connector's STREAMING path: readStream over the custom source
     drains the whole feed through offset-managed micro-batches
-    ({STREAM_BATCH_ROWS} rows per offset step, availableNow trigger,
+    (1000 rows — STREAM_BATCH_ROWS — per offset step, availableNow trigger,
     append memory sink) and rolls the drained rows up per user. The
     rollup equals the batch closed form exactly — micro-batch boundaries
     carry no semantics — which is the oracle check that the offset

@@ -715,7 +715,7 @@ OPEN_DAYS = 30  # synthetic fulfillment horizon: order closes 30 days after plac
 )
 def metric_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval census: how many orders are 'open' on each day
-    (placed, not yet past the {OPEN_DAYS}-day fulfillment horizon). The
+    (placed, not yet past the 30-day (OPEN_DAYS) fulfillment horizon). The
     naive form joins every day against every overlapping interval —
     O(|days| x |orders|); the sweep emits +1/-1 boundary deltas, rolls
     them up per day map-side (the shuffle carries |days| rows), and one

@@ -215,7 +215,7 @@ TRENDING_K = 3
     tags=("streaming", "window", "topk", "agg"),
 )
 def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trending top-{K} event types per tumbling 1-hour window — the
+    """Trending top-3 (TRENDING_K) event types per tumbling 1-hour window — the
     classic streaming leaderboard. Batch semantics equal the streaming
     complete-mode output (windowed counts stream + rank over the sink),
     so the batch plan is the oracle-checkable form; the readStream
