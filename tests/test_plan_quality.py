@@ -446,6 +446,7 @@ _SINGLE_PARTITION_OK = {
     "anomaly_seasonal_esd": "tiny",  # per-round axis medians + TakeOrdered-1 picks
     "event_type_affinity": "scalar",  # 1-row user-total cross onto <=10 pairs
     "stats_wilson_ci": "scalar",  # 2-row arm-count final
+    "cdc_sequence_gap_audit": "tiny",  # lag over the id-bucket metadata axis
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
