@@ -170,3 +170,37 @@ def test_growth_accounting_all_statuses(spark):
         ("1970-03", "churned"): 1,
         ("1970-04", "resurrected"): 1,
     }
+
+
+def test_winnowing_guarantee_randomized(spark):
+    """Winnowing guarantee over a randomized corpus (fixed seed): 20
+    doc pairs with random filler and a shared run of exactly
+    WINNOW_K + WINNOW_W - 1 tokens planted at random offsets — every
+    pair must share a fingerprint, in one Spark pass."""
+    import random
+
+    from cdc_export_system_spark.dedup.substring import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints,
+    )
+
+    rng = random.Random(20260815)
+    run_len = WINNOW_K + WINNOW_W - 1
+    rows = []
+    for p in range(20):
+        run = [f"r{p}_{i}" for i in range(run_len)]
+        for side in (0, 1):
+            n_pre = rng.randint(0, 30)
+            n_post = rng.randint(0, 30)
+            toks = (
+                [f"f{p}_{side}_{j}" for j in range(n_pre)]
+                + run
+                + [f"g{p}_{side}_{j}" for j in range(n_post)]
+            )
+            rows.append((p * 2 + side, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for p in range(20):
+        assert by_doc[p * 2] & by_doc[p * 2 + 1], f"pair {p}: no shared fp"
