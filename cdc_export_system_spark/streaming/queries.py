@@ -240,3 +240,85 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", rk.cast("bigint"))
         .filter(F.col("rnk") <= TRENDING_K)
     )
+
+
+@register(
+    "stream_window_unique_users",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly UNIQUE USERS with the stateful half run as a REAL
+    streaming query: exact distinct-per-window in a stream is a
+    watermarked DEDUP on (hour, user) — the state store must recognize
+    a user's second event for the same hour arriving many micro-batches
+    later — and that stage streams here end-to-end (readStream ->
+    dropDuplicatesWithinWatermark -> checkpointed file sink,
+    availableNow). The per-window count is a batch rollup over the
+    deduped sink (append-mode windowed aggregates withhold the final
+    never-closed window, so counting in-stream would drop the last
+    hour). The batch oracle's count(DISTINCT) must match EXACTLY —
+    a duplicate leaked across micro-batch boundaries breaks the hash.
+    The exact-cardinality midpoint between plain counts and
+    metric_rolling_wau_hll's sketch.
+
+    Scale: dedup state is |users active per open hour| keys, evicted
+    by the watermark; the same query on a live bus just swaps the
+    trigger."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_export_system_spark.session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("ts", "user_id")
+    )
+    # streaming forbids exact count(DISTINCT), and append-mode windowed
+    # aggregates withhold the final (never-closed) window — so the STREAM
+    # runs the stateful half only: watermarked dedup on (hour, user),
+    # exact across micro-batches with bounded state; the per-window count
+    # is a batch rollup over the deduped sink (stream_dedup_watermark's
+    # proven harness shape)
+    agg = (
+        src.withColumn("hr", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["hr", "user_id"])
+        .select(F.col("hr").alias("window_start"), "user_id")
+    )
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'uu'))):x}"
+    base = os.path.join(tempfile.gettempdir(), f"stream_uu_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink_schema = "window_start timestamp, user_id long"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "window_start timestamp, unique_users bigint"
+        )
+    return (
+        spark.read.schema(sink_schema)
+        .parquet(out_dir)
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("unique_users"))
+    )
