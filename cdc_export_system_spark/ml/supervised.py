@@ -1914,3 +1914,112 @@ def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_threshold_youden
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_threshold_youden",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS score,
+                   CAST(l_returnflag = 'R' AS BIGINT) AS y
+            FROM lineitem),
+        v AS (
+            SELECT score, CAST(SUM(y) AS BIGINT) AS cpos,
+                   CAST(SUM(1 - y) AS BIGINT) AS cneg
+            FROM s GROUP BY score),
+        c AS (
+            SELECT score,
+                   SUM(cpos) OVER (ORDER BY score DESC) AS tp,
+                   SUM(cneg) OVER (ORDER BY score DESC) AS fp
+            FROM v),
+        t AS (SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+                     CAST(SUM(cneg) AS BIGINT) AS nneg FROM v),
+        j AS (
+            SELECT c.score, CAST(c.tp AS BIGINT) AS tp,
+                   CAST(c.fp AS BIGINT) AS fp,
+                   CAST(c.tp * t.nneg - c.fp * t.npos AS BIGINT) AS j_scaled,
+                   t.npos, t.nneg
+            FROM c CROSS JOIN t)
+        SELECT score AS threshold_cents, tp, fp,
+               floor(CAST(j_scaled AS DOUBLE)
+                     / (CAST(npos AS DOUBLE) * nneg) * 1000000 + 0.5)
+                   / 1000000 AS youden_j
+        FROM j
+        ORDER BY j_scaled DESC, score DESC LIMIT 1
+    """,
+    tags=("ml", "stats"),
+)
+def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL OPERATING POINT by Youden's J (TPR - FPR maximized) —
+    where on the ROC curve to actually cut the score; the
+    decision-threshold answer ml_auc_roc's ranking summary doesn't
+    give. The argmax never floats: J at threshold t scales to
+    tp*Nneg - fp*Npos (exact integers off a descending prefix sum over
+    the distinct-score axis), ties break toward the higher threshold;
+    only the reported J is a double.
+
+    Scale: one collapse to the distinct-score axis, the ranks.py
+    descending prefix sum, a 1-row totals broadcast, a TakeOrdered-1
+    pick (allowlisted)."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.select(
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("score"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("bigint").alias("cpos"),
+            F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("cneg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = with_prefix_sum(
+        v, [F.desc("score")], ["cpos", "cneg"], suffix="_b", materialize=False
+    )
+    t = v.agg(
+        F.sum("cpos").cast("bigint").alias("npos"),
+        F.sum("cneg").cast("bigint").alias("nneg"),
+    )
+    c = w.select(
+        "score",
+        (F.col("cpos_b") + F.col("cpos")).alias("tp"),
+        (F.col("cneg_b") + F.col("cneg")).alias("fp"),
+    ).crossJoin(F.broadcast(t))
+    j = c.select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("tp") * F.col("nneg") - F.col("fp") * F.col("npos")).alias(
+            "j_scaled"
+        ),
+        "npos",
+        "nneg",
+    )
+    return (
+        j.orderBy(F.desc("j_scaled"), F.desc("score"))
+        .limit(1)
+        .select(
+            F.col("score").alias("threshold_cents"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (
+                F.floor(
+                    F.col("j_scaled").cast("double")
+                    / (F.col("npos").cast("double") * F.col("nneg"))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("youden_j"),
+        )
+    )

@@ -1780,3 +1780,85 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         mic((center - half) / denom).alias("ci_lo"),
         mic((center + half) / denom).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=f"""
+        WITH p AS (
+            SELECT (CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        >= {MCNEMAR_DISC_T}) AS a,
+                   (l_quantity >= {MCNEMAR_QTY_T}) AS b
+            FROM lineitem),
+        c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n11,
+                   CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00
+            FROM p)
+        SELECT n, n11, n10, n01, n00,
+               floor(CAST(n * (n11 + n00)
+                          - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                             + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
+                          AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * n
+                            - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                               + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
+                            AS DOUBLE)
+                     * 1000000000 + 0.5) / 1000000000 AS kappa
+        FROM c
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the two rule classifiers (the same pair
+    stats_mcnemar tests for DIFFERENCE, measured here for AGREEMENT
+    beyond chance): kappa = (p_o - p_e) / (1 - p_e), multiplied through
+    by n^2 so both numerator (n*(n11+n00) - sum of marginal products)
+    and denominator (n^2 - same) are exact HUGEINT/DECIMAL(38)
+    integers; one combinable pass builds the 2x2 table, only the final
+    ratio is a double (1e-9 round).
+
+    Scale: a single map-side-combined aggregate to one row
+    (allowlisted scalar)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint") >= MCNEMAR_DISC_T
+    b = F.col("l_quantity") >= MCNEMAR_QTY_T
+    c = li.select(
+        (a & b).cast("int").alias("v11"),
+        (a & ~b).cast("int").alias("v10"),
+        (~a & b).cast("int").alias("v01"),
+        (~a & ~b).cast("int").alias("v00"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v11").cast("bigint").alias("n11"),
+        F.sum("v10").cast("bigint").alias("n10"),
+        F.sum("v01").cast("bigint").alias("n01"),
+        F.sum("v00").cast("bigint").alias("n00"),
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    pe_num = (F.col("n11") + F.col("n10")) * d38(F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * d38(F.col("n10") + F.col("n00"))
+    num = (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num).cast("double")
+    den = (d38(F.col("n")) * F.col("n") - pe_num).cast("double")
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.floor(num / den * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "kappa"
+        ),
+    )
