@@ -1510,3 +1510,99 @@ def feat_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_trimmed_mean
+# ---------------------------------------------------------------------------
+
+TRIM_PCT_20TH = 20  # trim N div 20 (5%) from each tail
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+        WITH f AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders),
+        ax AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY v),
+        r AS (
+            SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) - cnt AS before
+            FROM ax),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ax),
+        k AS (
+            SELECT r.v, r.cnt, t.n, t.n // {TRIM_PCT_20TH} AS kk,
+                   greatest(r.before + 1, t.n // {TRIM_PCT_20TH} + 1) AS lo,
+                   least(r.before + r.cnt, t.n - t.n // {TRIM_PCT_20TH}) AS hi
+            FROM r CROSS JOIN t),
+        s AS (
+            SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(kk) AS BIGINT) AS k,
+                   SUM(CAST(v AS HUGEINT)
+                       * greatest(0, hi - lo + 1)) AS kept_sum,
+                   CAST(SUM(greatest(0, hi - lo + 1)) AS BIGINT) AS n_kept
+            FROM k)
+        SELECT n, k AS n_trimmed_each_tail, n_kept,
+               CAST(CAST(kept_sum AS VARCHAR) AS DOUBLE) / n_kept / 100
+                   AS trimmed_mean
+        FROM s
+    """,
+    tags=("agg", "stats", "percentile"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% TRIMMED MEAN of order value — the robust center that ignores
+    both tails entirely (between the mean's 0% breakdown and the
+    median's 50%; the Olympic-judging rule). Computed WITHOUT sorting
+    the data: on the distinct-value axis with prefix counts, each
+    value's kept multiplicity is the exact integer overlap of its rank
+    interval [before+1, before+cnt] with the kept band [k+1, N-k] —
+    so the trimmed sum is a pure integer fold and the only double is
+    the final divide.
+
+    Scale: the agg_quantiles_distributed posture — one axis collapse,
+    one range prefix sum, a 1-row totals broadcast, a scalar final
+    (allowlisted)."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    ax = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    r = with_prefix_sum(
+        ax, [F.asc("v")], ["cnt"], suffix="_b", materialize=False
+    )
+    t = ax.agg(F.sum("cnt").cast("bigint").alias("n"))
+    kf = r.crossJoin(F.broadcast(t)).select(
+        "v",
+        "cnt",
+        "n",
+        F.expr(f"n div {TRIM_PCT_20TH}").alias("kk"),
+        F.greatest(
+            F.col("cnt_b") + 1, F.expr(f"n div {TRIM_PCT_20TH} + 1")
+        ).alias("lo"),
+        F.least(
+            F.col("cnt_b") + F.col("cnt"),
+            F.expr(f"n - n div {TRIM_PCT_20TH}"),
+        ).alias("hi"),
+    )
+    w = F.greatest(F.lit(0), F.col("hi") - F.col("lo") + 1)
+    s = kf.agg(
+        F.max("n").alias("n"),
+        F.max("kk").cast("bigint").alias("k"),
+        F.sum(F.col("v").cast("decimal(38,0)") * w).alias("kept_sum"),
+        F.sum(w).cast("bigint").alias("n_kept"),
+    )
+    return s.select(
+        "n",
+        F.col("k").alias("n_trimmed_each_tail"),
+        "n_kept",
+        (
+            F.col("kept_sum").cast("double") / F.col("n_kept") / 100
+        ).alias("trimmed_mean"),
+    )

@@ -160,6 +160,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "agg_quantiles_distributed",  # 1-row total broadcast onto the distinct-value axis
     "agg_weighted_median",  # 1-row weight-total broadcast onto the price axis
     "ml_threshold_youden",  # 1-row (npos, nneg) totals broadcast onto the score axis
+    "agg_trimmed_mean",  # 1-row N broadcast onto the value axis
     "feat_rank_normalize",  # 1-row row-total broadcast onto the value axis
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
@@ -450,6 +451,7 @@ _SINGLE_PARTITION_OK = {
     "cdc_sequence_gap_audit": "tiny",  # lag over the id-bucket metadata axis
     "ml_threshold_youden": "tiny",  # prefix-sum range-offset + TakeOrdered-1
     "stats_cohens_kappa": "scalar",  # 1-row 2x2 table final
+    "agg_trimmed_mean": "tiny",  # prefix-sum range-offset + 1-row kept-band final
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
