@@ -1811,3 +1811,141 @@ def text_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("window_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("scan", "window", "order")  # fixed query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS t
+            FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks
+               GROUP BY doc_id),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(len) AS BIGINT) AS total_len
+            FROM dl),
+        tf AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+            FROM toks WHERE t IN {BM25_QUERY} GROUP BY doc_id, t),
+        df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        terms AS (
+            SELECT tf.doc_id, tf.t, tf.tf, df.df, dl.len
+            FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id),
+        scored AS (
+            SELECT doc_id,
+                   list_aggregate(
+                       list_transform(
+                           list([CAST(tf AS DOUBLE), CAST(df AS DOUBLE),
+                                 CAST(len AS DOUBLE)] ORDER BY t),
+                           x -> ln((stats.n - x[2] + 0.5) / (x[2] + 0.5) + 1)
+                                * (x[1] * ({BM25_K1} + 1))
+                                / (x[1] + {BM25_K1}
+                                   * (1 - {BM25_B} + {BM25_B} * x[3]
+                                      / (CAST(stats.total_len AS DOUBLE)
+                                         / stats.n)))),
+                       'sum') AS score
+            FROM terms CROSS JOIN stats GROUP BY doc_id, stats.n,
+                 stats.total_len)
+        SELECT doc_id,
+               CAST(floor(score * 1000000000 + 0.5) AS BIGINT) AS score_nano,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY floor(score * 1000000000 + 0.5) DESC, doc_id) AS rn
+              FROM scored)
+        WHERE rn <= {BM25_TOPK}
+    """,
+    tags=("text", "similarity", "agg"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RETRIEVAL — the search-engine ranking function (Robertson &
+    Walker 1994) for a fixed query, top-k documents: idf-weighted,
+    saturating term frequency with length normalization (k1 = 1.2,
+    b = 0.75, the Lucene defaults). Exactness: corpus stats (N, df,
+    lengths) are exact integers; each document's <= |query| term scores
+    fold in TERM-SORTED order (the agg_entropy order-pinning trick) so
+    float accumulation is identical in both engines; ranking compares
+    the NANO-ROUNDED integer score with a doc_id tie-break, so the
+    top-k boundary never sits on a ulp.
+
+    Scale: tokenize once, keep only query terms (the 3-row term filter
+    prunes before any shuffle), per-(doc, term) tf + per-doc length are
+    keyed aggregates, df and corpus stats are tiny broadcasts, and the
+    top-k is a TakeOrdered. This is a QUERY-time scorer; the offline
+    index sibling is corpus_inverted_index."""
+    from pyspark.sql import Window as W
+
+    docs = load_table_fanned(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    ).localCheckpoint(eager=True)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("len").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    terms = tf.join(F.broadcast(df), "t").join(dl, "doc_id")
+    term_struct = F.struct(
+        "t",
+        F.col("tf").cast("double").alias("tfd"),
+        F.col("df").cast("double").alias("dfd"),
+        F.col("len").cast("double").alias("lend"),
+    )
+    scored = (
+        terms.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(term_struct)).alias("ts"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("ts"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.log(
+                    (F.col("n") - x["dfd"] + F.lit(0.5))
+                    / (x["dfd"] + F.lit(0.5))
+                    + F.lit(1)
+                )
+                * (x["tfd"] * F.lit(BM25_K1 + 1))
+                / (
+                    x["tfd"]
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B)
+                        * x["lend"]
+                        / (
+                            F.col("total_len").cast("double") / F.col("n")
+                        )
+                    )
+                ),
+            ).alias("score"),
+        )
+    )
+    nano = F.floor(F.col("score") * 1_000_000_000 + F.lit(0.5)).cast("bigint")
+    ranked = scored.select("doc_id", nano.alias("score_nano")).withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("score_nano"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rank") <= BM25_TOPK).select(
+        "doc_id", "score_nano", F.col("rank").cast("int").alias("rank")
+    )
