@@ -1822,10 +1822,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
 
-
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+BM25_TOPK_ORACLE = f"""
         WITH toks AS (
             SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
                        AS t
@@ -1865,7 +1862,12 @@ BM25_TOPK = 20
                   ORDER BY floor(score * 1000000000 + 0.5) DESC, doc_id) AS rn
               FROM scored)
         WHERE rn <= {BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=BM25_TOPK_ORACLE,
     tags=("text", "similarity", "agg"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.io.sources import load_table, star_view
-from cdc_export_system_spark.registry import register
+from cdc_export_system_spark.registry import REGISTRY, register
 
 TOP_K = 20
 QUERY_VEC_ID = 0  # the query is the embedding of vec_id 0 — same in both engines
@@ -671,3 +671,126 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF dampening constant
+RRF_DEPTH = 20  # fuse the top-20 of each leg
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=None,  # composed below after the BM25 oracle import
+    tags=("similarity", "text", "analytics"),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack et al. 2009)
+    — the standard way to combine a LEXICAL ranking (text_bm25_topk
+    over the documents) with a VECTOR ranking (cosine top-k against
+    the vec_id=0 query embedding; ids align 1:1 with doc_id by
+    construction): rrf(d) = sum over legs of 1/(60 + rank_d). Each
+    leg's contribution quantizes to floor(1e9/(60+rank)) BEFORE
+    summing, so the fused score is an exact integer and the fused
+    order (score desc, id) never sits on a float boundary; documents
+    appearing in only one leg receive that leg's term only (the
+    standard convention).
+
+    Scale: both legs are existing top-k pipelines (TakeOrdered heads);
+    the fusion itself is a full outer join of two <= depth-row tables
+    — driver-scale by construction, whatever the corpus size."""
+    from pyspark.sql import Window as W
+
+    from cdc_export_system_spark.functions.text import text_bm25_topk
+
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RRF_DEPTH)
+        .select(F.col("doc_id").alias("id"), F.col("rank").alias("r_lex"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    vec = (
+        sims.withColumn(
+            "r_vec",
+            F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))),
+        )
+        .filter(F.col("r_vec") <= RRF_DEPTH)
+        .select(F.col("vec_id").alias("id"), "r_vec")
+    )
+    fused = lex.join(vec, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + r_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + r_vec)"), F.lit(0)
+            )
+        ).alias("rrf_nano"),
+        "r_lex",
+        "r_vec",
+    )
+    return fused.select(
+        "id",
+        "rrf_nano",
+        F.col("r_lex").cast("int").alias("rank_lexical"),
+        F.col("r_vec").cast("int").alias("rank_vector"),
+        F.row_number()
+        .over(W.orderBy(F.desc("rrf_nano"), F.asc("id")))
+        .cast("int")
+        .alias("fused_rank"),
+    )
+
+
+def _rrf_oracle() -> str:
+    from cdc_export_system_spark.functions.text import BM25_TOPK_ORACLE
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id AS id, rank AS r_lex
+            FROM ({BM25_TOPK_ORACLE}) WHERE rank <= {RRF_DEPTH}),
+        sims AS (
+            SELECT a.vec_id,
+                   round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}),
+                         {SIM_DECIMALS}) AS cos_sim
+            FROM embeddings a,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+            WHERE a.vec_id <> {QUERY_VEC_ID}),
+        vec AS (
+            SELECT vec_id AS id, CAST(rn AS INT) AS r_vec
+            FROM (SELECT vec_id, row_number() OVER (
+                      ORDER BY cos_sim DESC, vec_id) AS rn FROM sims)
+            WHERE rn <= {RRF_DEPTH}),
+        fused AS (
+            SELECT COALESCE(lex.id, vec.id) AS id,
+                   CAST(COALESCE(1000000000 // ({RRF_K} + r_lex), 0)
+                        + COALESCE(1000000000 // ({RRF_K} + r_vec), 0)
+                        AS BIGINT) AS rrf_nano,
+                   r_lex, r_vec
+            FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+        SELECT id, rrf_nano,
+               CAST(r_lex AS INT) AS rank_lexical,
+               CAST(r_vec AS INT) AS rank_vector,
+               CAST(row_number() OVER (ORDER BY rrf_nano DESC, id) AS INT)
+                   AS fused_rank
+        FROM fused
+    """
+
+
+REGISTRY["sim_rrf_fusion"].oracle = _rrf_oracle()
