@@ -794,3 +794,142 @@ def _rrf_oracle() -> str:
 
 
 REGISTRY["sim_rrf_fusion"].oracle = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sim_ndcg_at_k
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+@register(
+    "sim_ndcg_at_k",
+    oracle=f"""
+        WITH q AS (SELECT embedding, label AS qlabel FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID}),
+        sims AS (
+            SELECT a.vec_id,
+                   CAST(a.label = q.qlabel AS BIGINT) AS rel,
+                   round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}),
+                         {SIM_DECIMALS}) AS cos_sim
+            FROM embeddings a, q
+            WHERE a.vec_id <> {QUERY_VEC_ID}),
+        top AS (
+            SELECT rel, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT rel, row_number() OVER (
+                      ORDER BY cos_sim DESC, vec_id) AS rn FROM sims)
+            WHERE rn <= {NDCG_K}),
+        npos AS (
+            SELECT least(CAST(SUM(rel) AS BIGINT), {NDCG_K}) AS p
+            FROM sims),
+        dcg AS (
+            SELECT list_aggregate(
+                       list_transform(list(CAST(rel AS DOUBLE) ORDER BY rn),
+                                      x -> x), 'sum') AS hits,
+                   list_aggregate(
+                       list_transform(
+                           list([CAST(rel AS DOUBLE), CAST(rn AS DOUBLE)]
+                                ORDER BY rn),
+                           x -> x[1] / (ln(x[2] + 1) / ln(2.0))),
+                       'sum') AS dcg
+            FROM top),
+        idcg AS (
+            SELECT list_aggregate(
+                       list_transform(list(CAST(i AS DOUBLE) ORDER BY i),
+                                      x -> 1 / (ln(x + 1) / ln(2.0))),
+                       'sum') AS idcg
+            FROM npos, unnest(range(1, npos.p + 1)) AS r(i))
+        SELECT CAST(dcg.hits AS BIGINT) AS relevant_in_topk,
+               npos.p AS ideal_hits,
+               floor(dcg.dcg / idcg.idcg * 1000000000 + 0.5) / 1000000000
+                   AS ndcg
+        FROM dcg CROSS JOIN idcg CROSS JOIN npos
+    """,
+    tags=("similarity", "ml", "stats"),
+)
+def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the cosine ranking against label relevance (a
+    neighbor is relevant when it shares the query's label) — the
+    position-weighted ranking-quality metric that sim_recall_at_k's
+    set-based recall misses: a relevant hit at rank 1 is worth
+    log-factors more than at rank 10. Both the DCG and the ideal DCG
+    fold in RANK ORDER (the order-pinning discipline), log2 is written
+    as ln/ln(2) identically in both engines, and the final ratio
+    rounds at 1e-9.
+
+    Scale: one corpus scan against the broadcast query vector, a
+    TakeOrdered head, and constant-size folds; the ideal DCG comes
+    from a generated 1..p spine, never a second data pass."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).cast("bigint").alias("rel"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias(
+                "cos_sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        sims.withColumn(
+            "rn",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") <= NDCG_K)
+        .select("rel", "rn")
+    )
+    npos = sims.agg(
+        F.least(F.sum("rel").cast("bigint"), F.lit(NDCG_K).cast("bigint")).alias(
+            "p"
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    dcg = top.agg(
+        F.sum("rel").cast("bigint").alias("hits"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rn").alias("rn"),
+                        F.col("rel").cast("double").alias("rel"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["rel"] / (F.log(x["rn"].cast("double") + F.lit(1)) / ln2),
+        ).alias("dcg"),
+    )
+    idcg = npos.select(
+        "p",
+        F.aggregate(
+            F.expr("sequence(1, int(p))"),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.lit(1.0) / (F.log(i.cast("double") + F.lit(1)) / ln2),
+        ).alias("idcg"),
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.col("hits").alias("relevant_in_topk"),
+            F.col("p").alias("ideal_hits"),
+            (
+                F.floor(
+                    F.col("dcg") / F.col("idcg") * 1_000_000_000 + F.lit(0.5)
+                )
+                / 1_000_000_000
+            ).alias("ndcg"),
+        )
+    )
