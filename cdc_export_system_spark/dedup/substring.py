@@ -537,3 +537,56 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winnow_recall_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (500_000, 600_000, 700_000, 800_000, 900_000, 1_000_000)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH wp AS ({{W}}),
+        th AS (SELECT unnest(ARRAY{list(SWEEP_THRESHOLDS)}) AS threshold)
+        SELECT CAST(th.threshold AS BIGINT) AS threshold_micro,
+               CAST(count(wp.doc_a) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT wp.doc_a) + count(DISTINCT wp.doc_b)
+                    AS BIGINT) AS n_doc_slots
+        FROM th LEFT JOIN wp ON wp.overlap_micro >= th.threshold
+        GROUP BY th.threshold
+    """.replace("{W}", WINNOW_OVERLAP_ORACLE),
+    tags=("dedup", "dq", "text"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD TUNING curve for the winnowing detector: how many
+    near-dup pairs (and how many involved document slots) survive at
+    each overlap cutoff from 0.5 to 1.0 — the attrition-vs-strictness
+    readout a curation team consults before committing a dedup
+    threshold corpus-wide, computed from ONE pass of the pair pipeline
+    (the sweep is a 6-row spine joined onto the already-reduced pair
+    table, not six reruns).
+
+    Scale: the pair table is winnowing's output (fingerprint-keyed,
+    bounded); the sweep join is |thresholds| x |pairs| of tiny rows."""
+    wp = dedup_winnowing_overlap(spark, sf_dir).localCheckpoint(eager=True)
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    j = th.join(
+        wp, wp.overlap_micro >= th.threshold, "left"
+    )
+    return j.groupBy("threshold").agg(
+        F.count("doc_a").cast("bigint").alias("n_pairs"),
+        (
+            F.countDistinct("doc_a") + F.countDistinct("doc_b")
+        ).cast("bigint").alias("n_doc_slots"),
+    ).select(
+        F.col("threshold").cast("bigint").alias("threshold_micro"),
+        "n_pairs",
+        "n_doc_slots",
+    )

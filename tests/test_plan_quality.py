@@ -164,6 +164,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "text_bm25_topk",  # 1-row corpus-stats broadcast onto the matched docs
     "sim_rrf_fusion",  # 1-row query vector + 1-row stats onto the legs
     "sim_ndcg_at_k",  # 1-row query-vector broadcast vs corpus scan
+    "dedup_threshold_sweep",  # 6-row threshold spine onto the bounded pair table
     "feat_rank_normalize",  # 1-row row-total broadcast onto the value axis
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
@@ -458,6 +459,7 @@ _SINGLE_PARTITION_OK = {
     "text_bm25_topk": "tiny",  # rank window over the TakeOrdered candidates + 1-row stats
     "sim_rrf_fusion": "tiny",  # rank windows over two <=20-row leg tables
     "sim_ndcg_at_k": "tiny",  # TakeOrdered head + constant-size folds
+    "dedup_threshold_sweep": "scalar",  # 6-row spine rollup over the pair table
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
