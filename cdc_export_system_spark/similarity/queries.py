@@ -933,3 +933,168 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_map_at_k
+# ---------------------------------------------------------------------------
+
+MAP_K = 10
+
+
+@register(
+    "ml_map_at_k",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                   FROM embeddings WHERE {KNN_QUERY_PRED}),
+        sims AS (
+            SELECT q.qid, a.vec_id,
+                   CAST(a.label = q.qlabel AS BIGINT) AS rel,
+                   round(
+                     list_aggregate(list_transform(list_zip(a.embedding, q.qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                     {SIM_DECIMALS}) AS cos_sim
+            FROM embeddings a JOIN q ON a.vec_id <> q.qid),
+        ranked AS (
+            SELECT qid, rel,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM sims),
+        rtot AS (
+            SELECT qid, least(CAST(SUM(rel) AS BIGINT), {MAP_K}) AS r
+            FROM sims GROUP BY qid),
+        hits AS (
+            SELECT qid, rn,
+                   SUM(rel) OVER (PARTITION BY qid ORDER BY rn) AS cum_rel,
+                   rel
+            FROM ranked WHERE rn <= {MAP_K}),
+        ap AS (
+            SELECT h.qid,
+                   CASE WHEN rtot.r > 0 THEN
+                       list_aggregate(
+                           list_transform(
+                               list([CAST(h.rel AS DOUBLE),
+                                     CAST(h.cum_rel AS DOUBLE),
+                                     CAST(h.rn AS DOUBLE)] ORDER BY h.rn),
+                               x -> x[1] * x[2] / x[3]), 'sum') / rtot.r
+                   ELSE NULL END AS ap
+            FROM hits h JOIN rtot ON h.qid = rtot.qid
+            GROUP BY h.qid, rtot.r)
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN ap IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_scoreable,
+               floor(list_aggregate(
+                         list_transform(
+                             list(COALESCE(ap, 0.0) ORDER BY qid), x -> x),
+                         'sum')
+                     / SUM(CASE WHEN ap IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1000000000 + 0.5) / 1000000000 AS map_at_k
+        FROM ap
+    """,
+    tags=("ml", "similarity", "stats"),
+)
+def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN AVERAGE PRECISION @ 10 over the sampled anchor set — the
+    multi-query ranking benchmark (sim_ndcg_at_k scores ONE query;
+    retrieval evals report the mean): per anchor, AP@10 sums
+    precision-at-each-relevant-hit over the top 10 (cosine ranking,
+    label relevance, denominator min(R, 10)); MAP averages the
+    per-anchor APs. Double accumulation is pinned TWICE — each AP
+    folds in RANK order, the mean folds in ANCHOR order — so the
+    result survives any partitioning; anchors with zero relevant
+    candidates are excluded from the mean identically in both engines.
+
+    Scale: the anchor set broadcasts (bounded, the sim_knn_join
+    contract); per-anchor ranking is one window on the anchor key; APs
+    and the mean are constant-size folds."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(KNN_QUERY_PRED)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    sims = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        (F.col("label") == F.col("qlabel")).cast("bigint").alias("rel"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), SIM_DECIMALS).alias(
+            "cos_sim"
+        ),
+    ).localCheckpoint(eager=True)
+    ranked = sims.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        ),
+    )
+    rtot = sims.groupBy("qid").agg(
+        F.least(F.sum("rel").cast("bigint"), F.lit(MAP_K).cast("bigint")).alias(
+            "r"
+        )
+    )
+    hits = (
+        ranked.filter(F.col("rn") <= MAP_K)
+        .withColumn(
+            "cum_rel",
+            F.sum("rel").over(W.partitionBy("qid").orderBy("rn")),
+        )
+        .select("qid", "rn", "rel", "cum_rel")
+    )
+    ap = (
+        hits.groupBy("qid")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn").alias("rn"),
+                            F.col("rel").cast("double").alias("rel"),
+                            F.col("cum_rel").cast("double").alias("cum"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["rel"] * x["cum"] / x["rn"].cast("double"),
+            ).alias("ap_num")
+        )
+        .join(rtot, "qid")
+        .select(
+            "qid",
+            F.when(F.col("r") > 0, F.col("ap_num") / F.col("r")).alias("ap"),
+        )
+    )
+    out = ap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.col("ap").isNotNull().cast("int")).cast("bigint").alias(
+            "n_scoreable"
+        ),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "qid", F.coalesce(F.col("ap"), F.lit(0.0)).alias("ap")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ap"],
+        ).alias("ap_sum"),
+    )
+    return out.select(
+        "n_queries",
+        "n_scoreable",
+        (
+            F.floor(
+                F.col("ap_sum") / F.col("n_scoreable") * 1_000_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000_000
+        ).alias("map_at_k"),
+    )
