@@ -1862,3 +1862,110 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_ratio_delta_method
+# ---------------------------------------------------------------------------
+
+_RATIO_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS x,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM u GROUP BY variant),
+    m AS (
+        SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+        FROM s),
+    f AS (
+        SELECT variant, n, sx / sy AS r,
+               ((nd * sxx - sx * sx)
+                + (sx / sy) * (sx / sy) * (nd * syy - sy * sy)
+                - 2 * (sx / sy) * (nd * sxy - sx * sy))
+               / (nd * (nd - 1)) / ((sy / nd) * (sy / nd)) / nd AS var_r
+        FROM m)
+    SELECT variant, n AS n_users,
+           floor(r / 100 * 1000000 + 0.5) / 1000000 AS ratio_dollars_per_day,
+           floor((r - 1.96 * sqrt(var_r)) / 100 * 1000000 + 0.5) / 1000000
+               AS ci_lo,
+           floor((r + 1.96 * sqrt(var_r)) / 100 * 1000000 + 0.5) / 1000000
+               AS ci_hi
+    FROM f
+"""
+
+
+@register(
+    "ab_ratio_delta_method",
+    oracle=_RATIO_ORACLE,
+    tags=("stats", "analytics", "agg"),
+)
+def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO METRIC with a DELTA-METHOD interval per arm: revenue per
+    active day = sum(x)/sum(y) is a ratio of sums, and naive per-user
+    averaging or a t-interval on x/y is simply wrong (users contribute
+    correlated numerator and denominator); the delta method gives
+    var(r) = (var_x + r^2 var_y - 2 r cov_xy) / (n ybar^2) — the
+    fourth member of the A/B family (means: welch; tightened means:
+    cuped; rates: proportion_ztest; ratios: this). All suffstats are
+    exact HUGEINT/DECIMAL(38) integers from one user-keyed pass; the
+    interval is one identical double tree (1e-6 round).
+
+    Scale: one user_id shuffle, a 2-row final (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0))
+        ).alias("x"),
+        F.countDistinct(F.date_trunc("day", "ts")).cast("bigint").alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "x",
+        "y",
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = sx / sy
+    var_r = (
+        ((nd * sxx - sx * sx) + r * r * (nd * syy - sy * sy)
+         - F.lit(2) * r * (nd * sxy - sx * sy))
+        / (nd * (nd - F.lit(1)))
+        / ((sy / nd) * (sy / nd))
+        / nd
+    )
+    mic = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return s.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        mic(r / 100).alias("ratio_dollars_per_day"),
+        mic((r - F.lit(1.96) * F.sqrt(var_r)) / 100).alias("ci_lo"),
+        mic((r + F.lit(1.96) * F.sqrt(var_r)) / 100).alias("ci_hi"),
+    )

@@ -462,6 +462,7 @@ _SINGLE_PARTITION_OK = {
     "sim_ndcg_at_k": "tiny",  # TakeOrdered head + constant-size folds
     "dedup_threshold_sweep": "scalar",  # 6-row spine rollup over the pair table
     "ml_map_at_k": "scalar",  # anchor-sorted AP fold to a 1-row mean
+    "ab_ratio_delta_method": "scalar",  # 2-row arm suffstat final
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
