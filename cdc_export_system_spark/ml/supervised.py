@@ -2023,3 +2023,116 @@ def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("youden_j"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 10000
+                       AS pred_micro,
+                   CAST(l_returnflag = 'R' AS BIGINT) AS y
+            FROM lineitem),
+        g AS (
+            SELECT pred_micro, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM b GROUP BY pred_micro),
+        t AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(n_pos) AS BIGINT) AS pt,
+                   SUM((pred_micro - (n_pos * 1000000) // n)
+                       * CAST(pred_micro - (n_pos * 1000000) // n AS HUGEINT)
+                       * n) AS rel_sum
+            FROM g),
+        r AS (
+            SELECT t.nt, t.pt, t.rel_sum,
+                   SUM(((g.n_pos * 1000000) // g.n
+                        - (t.pt * 1000000) // t.nt)
+                       * CAST((g.n_pos * 1000000) // g.n
+                              - (t.pt * 1000000) // t.nt AS HUGEINT)
+                       * g.n) AS res_sum
+            FROM g CROSS JOIN t GROUP BY t.nt, t.pt, t.rel_sum)
+        SELECT nt AS n, pt AS n_pos,
+               floor(CAST(CAST(rel_sum AS VARCHAR) AS DOUBLE)
+                     / nt / 1e12 * 1000000000 + 0.5) / 1000000000
+                   AS reliability,
+               floor(CAST(CAST(res_sum AS VARCHAR) AS DOUBLE)
+                     / nt / 1e12 * 1000000000 + 0.5) / 1000000000
+                   AS resolution,
+               floor((CAST(pt AS DOUBLE) / nt) * (1 - CAST(pt AS DOUBLE) / nt)
+                     * 1000000000 + 0.5) / 1000000000 AS uncertainty
+        FROM r
+    """,
+    tags=("ml", "stats", "agg"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MURPHY (1973) DECOMPOSITION of the Brier score:
+    Brier = reliability - resolution + uncertainty — is the score bad
+    because the probabilities are miscalibrated (reliability), or good
+    because they separate the classes (resolution), against the
+    irreducible base-rate noise (uncertainty)? The 1-row summary of
+    ml_calibration_table's per-bin rows. Per-bin rates are floored
+    micro-ints, both quadratic sums accumulate as exact
+    HUGEINT/DECIMAL(38) integers weighted by bin size, and only the
+    three final normalizations are doubles (1e-9 round).
+
+    Scale: one combinable pass to the |bins| axis, a 1-row totals
+    cross, a 1-row final (allowlisted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            (
+                F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+                * 10_000
+            ).alias("pred_micro"),
+            (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+        )
+        .groupBy("pred_micro")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rate = F.expr("(n_pos * 1000000) div n")
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("n_pos").cast("bigint").alias("pt"),
+        F.sum(
+            (F.col("pred_micro") - rate)
+            * (F.col("pred_micro") - rate).cast("decimal(38,0)")
+            * F.col("n")
+        ).alias("rel_sum"),
+    )
+    base = F.expr("(pt * 1000000) div nt")
+    r = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "nt",
+            "pt",
+            "rel_sum",
+            ((rate - base) * (rate - base).cast("decimal(38,0)") * F.col("n")).alias(
+                "res_term"
+            ),
+        )
+        .groupBy("nt", "pt", "rel_sum")
+        .agg(F.sum("res_term").alias("res_sum"))
+    )
+    nano = lambda c: F.floor(c * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000  # noqa: E731
+    pb = F.col("pt").cast("double") / F.col("nt")
+    return r.select(
+        F.col("nt").alias("n"),
+        F.col("pt").alias("n_pos"),
+        nano(F.col("rel_sum").cast("double") / F.col("nt") / F.lit(1e12)).alias(
+            "reliability"
+        ),
+        nano(F.col("res_sum").cast("double") / F.col("nt") / F.lit(1e12)).alias(
+            "resolution"
+        ),
+        nano(pb * (F.lit(1) - pb)).alias("uncertainty"),
+    )

@@ -107,6 +107,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     # the pair stage itself is an equi-join on cluster_id (pinned below)
     "sim_knn_join",  # bounded probe set broadcast; corpus never shuffles
     "ml_map_at_k",  # bounded anchor set broadcast; corpus never shuffles
+    "ml_brier_decomposition",  # 1-row totals broadcast onto the |bins| axis
     "sim_hard_negatives",  # bounded anchor set broadcast; corpus never shuffles
     "sim_recall_at_k",  # offline eval: sampled query set broadcast vs corpus
     "join_interval_overlap",  # |quarters| calendar micro-dim, overlap predicate
@@ -463,6 +464,7 @@ _SINGLE_PARTITION_OK = {
     "dedup_threshold_sweep": "scalar",  # 6-row spine rollup over the pair table
     "ml_map_at_k": "scalar",  # anchor-sorted AP fold to a 1-row mean
     "ab_ratio_delta_method": "scalar",  # 2-row arm suffstat final
+    "ml_brier_decomposition": "scalar",  # 1-row bin-weighted quadratic finals
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
