@@ -2503,3 +2503,71 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_delivery_sla
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 90  # promise: every line ships within 90 days of the order
+
+
+@register(
+    "orders_delivery_sla",
+    oracle=f"""
+        WITH l AS (
+            SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
+                       AS ship_month,
+                   CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                        AS BIGINT) AS fulfil_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT ship_month, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN fulfil_days > {SLA_DAYS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST((SUM(CASE WHEN fulfil_days > {SLA_DAYS} THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS late_rate_micro,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fulfil_days)
+                    AS BIGINT) AS p50_fulfil_days,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY fulfil_days)
+                    AS BIGINT) AS p90_fulfil_days
+        FROM l GROUP BY ship_month
+    """,
+    tags=("analytics", "metric", "percentile", "join"),
+)
+def orders_delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULFILLMENT SLA dashboard by ship month: order-to-ship latency
+    against a 90-day promise — late rate plus the p50/p90 latency
+    tails operations actually watches (tpch_q12 counts by ship MODE;
+    this tracks the promise over TIME with distribution tails). Late
+    rates are multiply-before-divide micro-ints; latency percentiles
+    are percentile_disc data elements — exact end to end.
+
+    Scale: orders joins as the key-side of a fact-fact equi-join (the
+    plan_bucketed_join layout makes it exchange-free at ingest); then
+    one ship-month-keyed aggregate whose per-group percentile buffer
+    holds one month's lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "fulfil_days"
+        ),
+    )
+    late = F.when(F.col("fulfil_days") > SLA_DAYS, F.lit(1)).otherwise(F.lit(0))
+    return l.groupBy("ship_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.expr(
+            f"cast((sum(case when fulfil_days > {SLA_DAYS} then 1 else 0 end)"
+            " * 1000000) div count(*) as bigint)"
+        ).alias("late_rate_micro"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY fulfil_days)")
+        .cast("bigint")
+        .alias("p50_fulfil_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY fulfil_days)")
+        .cast("bigint")
+        .alias("p90_fulfil_days"),
+    )
