@@ -2136,3 +2136,119 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         nano(pb * (F.lit(1) - pb)).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_att_stratified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_att_stratified",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 = 0 AS BIGINT) AS t,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                   least(CAST(SUM(CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END) AS BIGINT) // 5, 9)
+                       AS stratum
+            FROM events GROUP BY user_id),
+        s AS (
+            SELECT stratum,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(1 - t) AS BIGINT) AS nc,
+                   CAST(SUM(t * y) AS BIGINT) AS yt,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS yc
+            FROM u GROUP BY stratum),
+        k AS (
+            SELECT CAST(SUM(CASE WHEN nc > 0 THEN nt ELSE 0 END) AS BIGINT)
+                       AS nt_matched,
+                   CAST(SUM(CASE WHEN nc > 0 THEN
+                       CAST(floor((CAST(yt AS DOUBLE)
+                                   - CAST(nt AS DOUBLE) * yc / nc)
+                                  * 1000000000 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS att_num_nano,
+                   CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(CASE WHEN nc = 0 THEN nt ELSE 0 END) AS BIGINT)
+                       AS nt_unmatched
+            FROM s)
+        SELECT n_strata, nt_matched, nt_unmatched,
+               floor(CAST(att_num_nano AS DOUBLE) / nt_matched / 1e9
+                     * 1000000 + 0.5) / 1000000 AS att
+        FROM k
+    """,
+    tags=("ml", "stats", "analytics"),
+)
+def ml_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE TREATMENT EFFECT ON THE TREATED by exact stratification
+    on an engagement score (click-count buckets as the propensity
+    strata): within each stratum, treated and control users are
+    comparable, so ATT = sum_s (yt_s - nt_s * rate_c,s) / NT — the
+    observational-causal counterpart of the randomized ab_* family
+    (when arms AREN'T randomized, raw differences confound with
+    engagement; stratification removes the score's share of it).
+    Strata with no controls are reported as unmatched, never silently
+    imputed. Each stratum's term floors to nano-ints before summing
+    (the chi2 fold discipline), so the estimate is partition-invariant.
+
+    Scale: one user_id shuffle, a <=10-row strata table, a 1-row final
+    (allowlisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.least(
+            F.expr(
+                "sum(case when event_type = 'click' then 1 else 0 end) div 5"
+            ),
+            F.lit(9).cast("bigint"),
+        ).alias("stratum"),
+    ).select(
+        (F.col("user_id") % 2 == 0).cast("bigint").alias("t"), "y", "stratum"
+    )
+    s = u.groupBy("stratum").agg(
+        F.sum("t").cast("bigint").alias("nt"),
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("nc"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("yt"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("bigint").alias("yc"),
+    )
+    term = F.floor(
+        (
+            F.col("yt").cast("double")
+            - F.col("nt").cast("double") * F.col("yc") / F.col("nc")
+        )
+        * 1_000_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    k = s.agg(
+        F.sum(F.when(F.col("nc") > 0, F.col("nt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("nt_matched"),
+        F.sum(F.when(F.col("nc") > 0, term).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("att_num_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.when(F.col("nc") == 0, F.col("nt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("nt_unmatched"),
+    )
+    return k.select(
+        "n_strata",
+        "nt_matched",
+        "nt_unmatched",
+        (
+            F.floor(
+                F.col("att_num_nano").cast("double")
+                / F.col("nt_matched")
+                / F.lit(1e9)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("att"),
+    )
