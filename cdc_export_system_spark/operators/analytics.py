@@ -2571,3 +2571,91 @@ def orders_delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_fulfil_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_scorecard
+# ---------------------------------------------------------------------------
+
+SCORECARD_TOP = 20
+
+
+@register(
+    "supplier_scorecard",
+    oracle=f"""
+        WITH l AS (
+            SELECT l.l_suppkey,
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                        > {SLA_DAYS} AS BIGINT) AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        s AS (
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(cents) AS BIGINT) AS rev_cents,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM l GROUP BY l_suppkey),
+        r AS (
+            SELECT s.*, su.s_name,
+                   row_number() OVER (ORDER BY rev_cents DESC, l_suppkey)
+                       AS rk
+            FROM s JOIN supplier su ON su.s_suppkey = s.l_suppkey)
+        SELECT CAST(rk AS INT) AS revenue_rank, l_suppkey, s_name, n_lines,
+               CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+               CAST((n_late * 1000000) // n_lines AS BIGINT)
+                   AS late_rate_micro
+        FROM r WHERE rk <= {SCORECARD_TOP}
+    """,
+    tags=("analytics", "metric", "join"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER SCORECARD: the top-{20} revenue suppliers with their
+    fulfillment-SLA late rate — the vendor-review table combining
+    orders_delivery_sla's promise metric with a revenue ranking (who
+    matters AND who underdelivers). Revenue in exact cents, late rate
+    multiply-before-divide micro-ints, ranking tie-broken on the key.
+
+    Scale: one fact-fact equi-join on orderkey (bucketable at ingest),
+    one supplier-keyed aggregate, the supplier dim broadcast for
+    names, a TakeOrdered top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.datediff("l_shipdate", "o_orderdate") > SLA_DAYS)
+        .cast("bigint")
+        .alias("late"),
+    )
+    s = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.sum("late").cast("bigint").alias("n_late"),
+    )
+    from pyspark.sql import Window as W
+
+    r = (
+        s.join(F.broadcast(sup), s.l_suppkey == sup.s_suppkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("rev_cents"), F.asc("l_suppkey"))
+            ),
+        )
+        .filter(F.col("rk") <= SCORECARD_TOP)
+    )
+    return r.select(
+        F.col("rk").cast("int").alias("revenue_rank"),
+        "l_suppkey",
+        "s_name",
+        "n_lines",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.expr("cast((n_late * 1000000) div n_lines as bigint)").alias(
+            "late_rate_micro"
+        ),
+    )

@@ -466,6 +466,7 @@ _SINGLE_PARTITION_OK = {
     "ab_ratio_delta_method": "scalar",  # 2-row arm suffstat final
     "ml_brier_decomposition": "scalar",  # 1-row bin-weighted quadratic finals
     "ml_att_stratified": "scalar",  # <=10-row strata table -> 1-row ATT final
+    "supplier_scorecard": "tiny",  # rank window over the |suppliers| aggregate
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
