@@ -2609,7 +2609,7 @@ SCORECARD_TOP = 20
     tags=("analytics", "metric", "join"),
 )
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUPPLIER SCORECARD: the top-{20} revenue suppliers with their
+    """SUPPLIER SCORECARD: the top-20 (SCORECARD_TOP) revenue suppliers with their
     fulfillment-SLA late rate — the vendor-review table combining
     orders_delivery_sla's promise metric with a revenue ranking (who
     matters AND who underdelivers). Revenue in exact cents, late rate
