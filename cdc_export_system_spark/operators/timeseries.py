@@ -1611,3 +1611,134 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("s_stat"),
         (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_best_window
+# ---------------------------------------------------------------------------
+
+_KADANE_POS_PAD = 1_048_576  # 2^20 index pad for the (prefix, index) argmin
+
+
+@register(
+    "ts_best_window",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS di,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS s FROM d),
+        r AS (
+            SELECT di, x,
+                   CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS idx
+            FROM d),
+        p AS (
+            SELECT r.idx, r.di,
+                   SUM(t.n * CAST(r.x AS HUGEINT) - t.s)
+                       OVER (ORDER BY r.idx) AS pre
+            FROM r CROSS JOIN t),
+        pb AS (
+            SELECT idx, di, pre,
+                   least(COALESCE(min(pre * {_KADANE_POS_PAD} + idx)
+                       OVER (ORDER BY idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0), 0) AS mkey
+            FROM p),
+        best AS (
+            SELECT idx AS end_idx, di AS end_di, pre,
+                   COALESCE(mkey, 0) AS mkey,
+                   pre - (COALESCE(mkey, 0) - ((COALESCE(mkey, 0)
+                         % {_KADANE_POS_PAD} + {_KADANE_POS_PAD})
+                         % {_KADANE_POS_PAD})) / {_KADANE_POS_PAD} AS gain,
+                   ((COALESCE(mkey, 0) % {_KADANE_POS_PAD}
+                     + {_KADANE_POS_PAD}) % {_KADANE_POS_PAD}) + 1
+                       AS start_idx
+            FROM pb)
+        SELECT CAST(start_idx AS BIGINT) AS start_idx,
+               CAST(end_idx AS BIGINT) AS end_idx,
+               CAST(gain AS BIGINT) AS centered_gain
+        FROM best
+        ORDER BY gain DESC, end_idx, start_idx LIMIT 1
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def ts_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KADANE'S maximum-subarray as pure window algebra: the contiguous
+    run of days most ABOVE the series average (values centered by the
+    multiply-through n*x - S, so 'best window' is non-trivial even on
+    an all-positive revenue series) — best run ending at t is
+    prefix(t) - min prefix before t, with the argmin realized as an
+    integer MIN over the encoded key pre*2^20 + idx (min prefix, tie
+    -> earliest index; the winnowing pad trick on a signed value via
+    floor-mod decode). Every quantity is an exact HUGEINT/DECIMAL(38)
+    integer; the final pick is an ordered LIMIT 1 with a total
+    tie-break.
+
+    Scale: the corpus collapses to the |days| axis; both windows run
+    over that metadata axis (allowlisted); the sentinel boundary
+    (empty prefix = key 0) is the COALESCE, not a union."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("di")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    ).localCheckpoint(eager=True)
+    t = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    r = d.withColumn(
+        "idx", F.row_number().over(W.orderBy("di")).cast("bigint")
+    )
+    p = r.crossJoin(F.broadcast(t)).withColumn(
+        "pre",
+        F.sum(
+            F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s")
+        ).over(W.orderBy("idx")),
+    )
+    pad = F.lit(_KADANE_POS_PAD).cast("decimal(38,0)")
+    key = F.col("pre") * pad + F.col("idx")
+    # the empty-prefix sentinel (P_0 = 0, idx 0 -> key 0) must compete at
+    # EVERY t, not only when the preceding window is empty
+    pb = p.withColumn(
+        "mkey",
+        F.least(
+            F.coalesce(
+                F.min(key).over(
+                    W.orderBy("idx").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ),
+    )
+    # floor-mod decode of (pre, idx) from the signed key
+    start_idx = F.expr(
+        f"((mkey % {_KADANE_POS_PAD} + {_KADANE_POS_PAD})"
+        f" % {_KADANE_POS_PAD}) + 1"
+    )
+    min_pre = F.expr(
+        f"(mkey - ((mkey % {_KADANE_POS_PAD} + {_KADANE_POS_PAD})"
+        f" % {_KADANE_POS_PAD})) / {_KADANE_POS_PAD}"
+    )
+    best = pb.select(
+        F.col("idx").alias("end_idx"),
+        (F.col("pre") - min_pre).alias("gain"),
+        start_idx.alias("start_idx"),
+    )
+    return (
+        best.orderBy(F.desc("gain"), F.asc("end_idx"), F.asc("start_idx"))
+        .limit(1)
+        .select(
+            F.col("start_idx").cast("bigint").alias("start_idx"),
+            F.col("end_idx").cast("bigint").alias("end_idx"),
+            F.col("gain").cast("bigint").alias("centered_gain"),
+        )
+    )

@@ -123,6 +123,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_control_chart_xmr",  # 1-row (n, S, M) broadcast onto the |days| axis
     "ts_theil_sen",  # |days|-axis broadcast pair join (metadata-axis quadratic)
     "ts_mann_kendall",  # |days|-axis pair join + 1-row finals crossed
+    "ts_best_window",  # 1-row (n, S) totals broadcast onto the |days| axis
     "dedup_method_agreement",  # 1-row x 1-row x 1-row count-final crosses
     "anomaly_seasonal_esd",  # 1-row median/MAD broadcasts onto the hour axis
     "event_type_affinity",  # 1-row user-total cross onto the |types|^2 pairs
@@ -467,6 +468,7 @@ _SINGLE_PARTITION_OK = {
     "ml_brier_decomposition": "scalar",  # 1-row bin-weighted quadratic finals
     "ml_att_stratified": "scalar",  # <=10-row strata table -> 1-row ATT final
     "supplier_scorecard": "tiny",  # rank window over the |suppliers| aggregate
+    "ts_best_window": "tiny",  # prefix/min windows over the |days| axis + ordered LIMIT 1
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final

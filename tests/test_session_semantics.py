@@ -204,3 +204,31 @@ def test_winnowing_guarantee_randomized(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     for p in range(20):
         assert by_doc[p * 2] & by_doc[p * 2 + 1], f"pair {p}: no shared fp"
+
+
+def test_best_window_matches_bruteforce(spark, events):
+    """ts_best_window's windowed Kadane must equal the O(n^2) brute
+    force over the centered daily sums (same tie-breaks: max gain,
+    then earliest end, then earliest start)."""
+    got = REG["ts_best_window"].fn(spark, SF_DIR).collect()[0]
+    di = events["ts"].dt.as_unit("us").astype("int64") // 86_400_000_000
+    cents = np.floor(events["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        pd.DataFrame({"di": di, "c": cents})
+        .groupby("di")["c"].sum().sort_index()
+    )
+    x = daily.to_numpy(dtype=object)  # exact python ints
+    n, s = len(x), int(sum(int(v) for v in x))
+    cx = [int(n) * int(v) - s for v in x]
+    best = None
+    for e in range(1, n + 1):
+        acc = 0
+        for st in range(e, 0, -1):
+            acc += cx[st - 1]
+            cand = (acc, -e, -st)
+            if best is None or cand > best:
+                best = cand
+    gain, end_i, start_i = best[0], -best[1], -best[2]
+    assert (got["start_idx"], got["end_idx"], got["centered_gain"]) == (
+        start_i, end_i, gain,
+    )
