@@ -1070,3 +1070,121 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000_000
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_ppr_exact
+# ---------------------------------------------------------------------------
+
+PPR_SEEDS_K = 3  # personalize around the 3 smallest node ids
+PPR_ITERS = 5
+
+
+def _ppr_oracle() -> str:
+    k_const = int(0.15 * PR_SCALE / PPR_SEEDS_K)
+    its = []
+    prev = "p0"
+    for k in range(1, PPR_ITERS + 1):
+        its.append(f"""
+        p{k} AS (
+            SELECT s.dst AS node,
+                   CASE WHEN s.dst IN (SELECT node FROM seeds)
+                        THEN {k_const} ELSE 0 END
+                   + CAST(floor(0.85 * SUM(i.r // d.deg)) AS BIGINT) AS r
+            FROM {prev} i
+            JOIN deg d ON d.src = i.node
+            JOIN sym s ON s.src = i.node
+            GROUP BY s.dst)""")
+        prev = f"p{k}"
+    return f"""
+        WITH {_DUCK_EDGES},
+        sym AS (SELECT pa AS src, pb AS dst FROM e
+                UNION ALL SELECT pb AS src, pa AS dst FROM e),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM sym GROUP BY src),
+        seeds AS (SELECT src AS node FROM deg ORDER BY src
+                  LIMIT {PPR_SEEDS_K}),
+        p0 AS (SELECT d.src AS node,
+                      CASE WHEN d.src IN (SELECT node FROM seeds)
+                           THEN {PR_SCALE // PPR_SEEDS_K} ELSE 0 END AS r
+               FROM deg d),
+        {", ".join(its)}
+        SELECT node AS partkey, CAST(r AS BIGINT) AS ppr_micro
+        FROM {prev} WHERE r > 0
+    """
+
+
+@register(
+    "graph_ppr_exact",
+    oracle=_ppr_oracle(),
+    tags=("graph", "ml", "iterative"),
+)
+def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank in exact fixed-point arithmetic: all rank
+    mass starts on a 3-node seed set and the teleport returns there
+    every round (rather than spreading uniformly), so the converged
+    mass measures proximity TO THE SEEDS — the similar-items /
+    who-to-recommend primitive behind pinterest-style related-pins
+    (graph_pagerank_exact ranks global importance; this ranks
+    importance relative to an interest set). Same exactness contract:
+    integer 1e-12 rank units, r div deg integer distribution, one
+    floored double multiply per round (0.85*S < 2^53), teleport only
+    on seed rows — bit-identical across engines and reshards. Nodes
+    never reached keep rank 0 and drop from the output.
+
+    Scale: per round one |E|-keyed join + map-combined sum, identical
+    to graph_pagerank_exact; the seed set is a LIMIT-k head of the
+    node table (broadcast), and restarting mass on seeds is what keeps
+    PPR local — untouched components never enter the frontier."""
+    from pyspark.sql import Window as W
+
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    seeds = (
+        deg.select(F.col("src").alias("node"))
+        .orderBy("node")
+        .limit(PPR_SEEDS_K)
+        .localCheckpoint(eager=True)
+    )
+    k_const = int(0.15 * PR_SCALE / PPR_SEEDS_K)
+    ranks = deg.select(F.col("src").alias("node")).join(
+        seeds.withColumn("seed", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("seed").isNotNull(), F.lit(PR_SCALE // PPR_SEEDS_K))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(PPR_ITERS):
+        contribs = (
+            sym.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        summed = contribs.groupBy("node").agg(
+            F.floor(F.lit(0.85) * F.sum("c").cast("double"))
+            .cast("bigint")
+            .alias("flow")
+        )
+        ranks = summed.join(
+            F.broadcast(seeds.withColumn("seed", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            (
+                F.when(F.col("seed").isNotNull(), F.lit(k_const)).otherwise(
+                    F.lit(0)
+                )
+                + F.col("flow")
+            ).cast("bigint").alias("r"),
+        ).localCheckpoint(eager=True)
+    return ranks.filter(F.col("r") > 0).select(
+        F.col("node").alias("partkey"), F.col("r").alias("ppr_micro")
+    )

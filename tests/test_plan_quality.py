@@ -469,6 +469,7 @@ _SINGLE_PARTITION_OK = {
     "ml_att_stratified": "scalar",  # <=10-row strata table -> 1-row ATT final
     "supplier_scorecard": "tiny",  # rank window over the |suppliers| aggregate
     "ts_best_window": "tiny",  # prefix/min windows over the |days| axis + ordered LIMIT 1
+    "graph_ppr_exact": "tiny",  # LIMIT-k seed head of the node table
     "event_growth_accounting": "scalar",  # 1-row max-month bound final
     "stats_runs_test": "tiny",  # ordered lag over the |hours| axis + 1-row final
     "ts_control_chart_xmr": "tiny",  # lag over the |days| axis + 1-row (n,S,M) final
