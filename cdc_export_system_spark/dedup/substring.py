@@ -326,9 +326,19 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("gh"))
+    # loud guard: a doc with >= 2^20 grams would make the (2^20 - pos)
+    # pad go negative and corrupt the string-MIN tie-break — fail the
+    # job instead of selecting wrong fingerprints (widen _POS_PAD and
+    # the 7-digit pad together to lift the limit)
+    pos_ok = F.assert_true(
+        F.col("pos") < F.lit(_POS_PAD),
+        F.lit(
+            "winnowing: document exceeds 2^20 - 1 grams; widen _POS_PAD"
+        ),
+    )
     keyed = grams.select(
         "doc_id",
-        "pos",
+        F.when(pos_ok.isNull(), F.col("pos")).alias("pos"),
         F.concat(
             F.col("gh"),
             F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 7, "0"),

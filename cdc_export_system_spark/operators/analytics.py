@@ -1634,7 +1634,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n == 2, F.lit(500000))
         .when((pos == 1) | (pos == n), F.lit(400000))
         .otherwise(
-            F.floor(F.lit(200000) / (n - 2)).cast("bigint")
+            F.expr("CAST(200000 div (n - 2) AS BIGINT)")
             + F.when(pos == 2, F.lit(200000) % (n - 2)).otherwise(F.lit(0))
         )
     )

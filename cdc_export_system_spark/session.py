@@ -86,8 +86,16 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # results are partition-invariant (scripts/partition_sweep.py), but
     # eagerly-materialized intermediates (localCheckpoint) bypass AQE
     # coalescing, so the 200-task default costs pure scheduler overhead on
-    # the correctness driver's vanilla session. An explicit user setting is
-    # respected.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # the correctness driver's vanilla session. A builder-time setting is
+    # visible in the SparkConf and always respected — including an explicit
+    # 200. A runtime spark.conf.set(..., "200") is indistinguishable from
+    # the default and gets right-sized; set it after this call to keep it.
+    builder_set = spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions"
+    )
+    if (
+        not builder_set
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

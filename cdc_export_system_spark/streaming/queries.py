@@ -267,6 +267,14 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-cardinality midpoint between plain counts and
     metric_rolling_wau_hll's sketch.
 
+    Exactness caveat: dropDuplicatesWithinWatermark is exact only while
+    every duplicate (hour, user) pair arrives within the 1-hour
+    watermark delay of the first occurrence. That holds by construction
+    for the availableNow parquet drain tested here; on a genuinely
+    out-of-order live bus, a duplicate later than the watermark would
+    be re-admitted and silently overcount — widen the watermark to the
+    bus's max-lateness bound to keep the count exact.
+
     Scale: dedup state is |users active per open hour| keys, evicted
     by the watermark; the same query on a live bus just swaps the
     trigger."""

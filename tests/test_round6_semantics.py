@@ -303,14 +303,19 @@ def test_bpe_encode_matches_reference_encoder(spark):
         return len(syms)
 
     want = {}
+    nchars = {}
     for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
         ws = [w for w in r["text"].strip().lower().split() if w]
         if ws:
             want[r["doc_id"]] = (len(ws), sum(encode_len(w) for w in ws))
+            nchars[r["doc_id"]] = sum(len(w) for w in ws)
     assert got == want
-    # compression must be real: strictly fewer BPE tokens than characters
-    for _doc, (n_ws, n_bpe) in got.items():
-        assert n_bpe >= n_ws  # a word is >= 1 subword
+    # bounds, not compression: a word is >= 1 subword (lower) and BPE
+    # never emits more symbols than characters (upper); strict n_bpe <
+    # chars would require at least one merge to apply to every doc,
+    # which the trained merge list does not guarantee
+    for doc, (n_ws, n_bpe) in got.items():
+        assert n_ws <= n_bpe <= nchars[doc]
 
 
 def test_gbm_stumps_matches_reference_and_descends(spark):
