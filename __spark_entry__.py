@@ -39,41 +39,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # ROUND-5 LEAD: the stream_* family — the Structured-Streaming heart
-    # of the north star ("Structured Streaming for CDC"), 6 real
-    # micro-batch queries that have never had an external row.
-    "stream_stateful_profile", "stream_dedup_watermark", "stream_cdc_scd2",
-    "stream_session_window", "stream_static_enrich", "stream_export_csv",
-    # text_* — the largest zero-external-row north-star family (20)
-    "text_lang_id", "text_ngram_freq", "text_tfidf", "text_chunk_dedup",
-    "text_hash_embedding", "text_unigram_logprob", "text_repetition_score",
-    "text_pmi_collocations", "text_bigram_logprob", "text_readability",
-    "text_novelty_score", "text_langid_confusion", "text_bpe_pair_counts",
-    "text_oov_rate", "text_char_ngram_lang_profile", "text_vocab_coverage",
-    "text_clean_normalize", "text_pii_scrub", "text_term_freq",
-    "text_compression_quality",
-    # sim_* / cluster_* — the ANN + clustering stack (11), incl. the
-    # billion-scale IVF-PQ composite (rows-only, recall-pinned)
-    "sim_pairwise_by_label", "sim_range_search", "sim_mmr_rerank",
-    "sim_search_lsh_pruned", "sim_recall_at_k", "sim_search_ivf",
-    "sim_search_pq", "sim_search_pq_sampled", "sim_search_ivf_pq",
-    "cluster_kmeans_assign", "cluster_kmeans_iterate",
-    # graph_* (6)
-    "graph_triangle_count", "graph_degree_topk", "graph_pagerank",
-    "graph_shortest_hops", "graph_common_neighbors", "graph_pagerank_exact",
-    # ts_* (8)
-    "ts_gapfill_interpolate", "ts_time_weighted_avg", "ts_seasonal_decompose",
-    "ts_resample_ohlc", "ts_autocorrelation", "ts_changepoint_cusum",
-    "ts_forecast_linear", "ts_dow_hour_profile",
-    # stats_* (8) — incl. the round-5 zero-replicate guard fix
+    # ROUND-7 LEAD (VERDICT r06 item 3): json_extract_props — the last
+    # §2 operator with no external driver row after six rounds — plus
+    # its json siblings.
+    "json_extract_props", "json_group_agg", "json_variant_extract",
+    # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
+    # repeated-squaring oracles are the riskiest SQL in the repo and
+    # deserve external confirmation (13)
+    "sim_search_ivf_exact", "sim_search_pq_exact", "sim_search_ivf_pq_exact",
+    "cluster_kmeans_exact", "sim_mmr_rerank_exact", "feat_pca_power_exact",
+    "ml_ridge_exact", "ml_logistic_exact", "ts_downsample_lttb_exact",
+    "ts_holt_exact", "event_markov_stationary_exact", "graph_ppr_exact",
+    "dedup_semantic_exact",
+    # windows tail (5)
+    "window_percent_rank_cume", "window_decay_score", "window_global_deciles",
+    "window_drawdown", "window_running_distinct",
+    # metric / event / funnel / retention / sessionize / attribution (16)
+    "metric_dau_mau", "metric_rolling_wau", "metric_new_vs_returning",
+    "metric_mix_shift", "metric_concentration_shares",
+    "metric_event_type_overlap", "event_path_topk", "event_dwell_time",
+    "event_growth_accounting", "event_next_transitions", "funnel_conversion",
+    "funnel_time_window", "retention_nday", "sessionize_batch",
+    "attribution_last_touch", "attribution_position_based",
+    # ml_* (8)
+    "ml_kfold_cv", "ml_naive_bayes", "ml_confusion_matrix", "ml_auc_roc",
+    "ml_pr_curve", "ml_gbm_stumps", "ml_calibration_table",
+    "ml_decision_stump",
+    # stats_* / ab_* (11)
     "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
     "stats_anova_oneway", "stats_benjamini_hochberg", "stats_effect_sizes",
-    "stats_power_analysis", "stats_bootstrap_ci",
-    # tail risk-buffer if the driver prefix runs past 59: ml_* +
-    # metric/analytics representatives
-    "ml_naive_bayes", "ml_kfold_cv", "ml_confusion_matrix", "ml_auc_roc",
-    "metric_dau_mau", "metric_rolling_wau", "funnel_conversion",
-    "sessionize_batch",
+    "stats_bootstrap_ci", "ab_cuped", "ab_proportion_ztest",
+    "stats_spearman_rank", "stats_wilson_ci",
+    # tail risk-buffer if the driver prefix runs past 55: headline
+    # never-checked representatives
+    "agg_quantiles_distributed", "dedup_exact_substring",
+    "text_winnowing_fingerprint", "dedup_winnowing_overlap",
+    "corpus_gopher_filter", "dq_checks", "ts_theil_sen", "tpch_q21_like",
 ]
 
 

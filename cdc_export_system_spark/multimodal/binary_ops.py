@@ -6,10 +6,13 @@ feature-extract / resize / frame-sample are mapInPandas operators — the
 payload bytes never leave the executor, Python sees them as Arrow
 batches, and the output schema is declared up front.
 
-The container has no image/audio libraries, so the actual codec call is
-stubbed (`NotImplementedError`) behind an injectable decoder; a
-deterministic fake decoder exercises the full Spark-side contract
-(schema, batching, partition flow) in tests, and the md5-based feature
+The container has no image/audio libraries, but uncompressed formats
+need none: `multimodal.codecs` ships real pure-Python PPM (P6) and
+24-bit BMP parsers, and `decode_media` uses them by default — the
+injectable-decoder seam (`NotImplementedError`) now fires only for
+codecs with no in-tree parser (JPEG/PNG/audio). A deterministic fake
+decoder additionally exercises the Spark-side contract (schema,
+batching, partition flow) in tests, and the md5-based feature
 extractor below is real and oracle-checkable end to end.
 
 Scale notes: payload columns dominate row size, so operators (a) select
@@ -55,16 +58,22 @@ def decode_media(
 ) -> DataFrame:
     """Decode binary payloads with an injected codec.
 
-    No codec libraries ship in this environment, so the default decoder
-    raises NotImplementedError — the Spark plumbing (partition iteration,
-    Arrow batches, declared output schema) is the deliverable; tests
-    inject a deterministic fake decoder.
+    The default decoder is the in-tree pure-Python codec suite
+    (multimodal.codecs.sniff_decode: real PPM/P6 and 24-bit BMP
+    parsers); payloads whose magic matches no in-tree codec raise
+    NotImplementedError — that injectable seam remains for richer
+    codecs (JPEG/PNG/audio) that need libraries this container lacks.
     """
 
-    def _default(_: bytes) -> dict:
-        raise NotImplementedError(
-            "media codec not available in this environment; inject a decoder"
-        )
+    def _default(b: bytes) -> dict:
+        from cdc_export_system_spark.multimodal.codecs import sniff_decode
+
+        d = sniff_decode(b)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": d["n_frames"],
+        }
 
     decode = decoder or _default
 

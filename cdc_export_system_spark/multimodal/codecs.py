@@ -1,0 +1,179 @@
+"""Pure-Python image codecs for the multimodal decode seam.
+
+The container ships no image libraries, but two classic uncompressed
+formats are parseable with nothing beyond the standard library + numpy:
+
+* **PPM (P6)** — the netpbm binary RGB raster: an ASCII header
+  (``P6 <width> <height> <maxval>`` with whitespace/comment separators)
+  followed by ``width*height*3`` sample bytes.
+* **BMP (Windows, BITMAPINFOHEADER, BI_RGB 24-bit)** — little-endian
+  binary headers, bottom-up rows padded to 4-byte boundaries.
+
+``sniff_decode`` dispatches on the payload's magic bytes and is the
+default decoder behind ``binary_ops.decode_media`` — the documented
+``NotImplementedError`` seam now fires only for genuinely unknown
+codecs, and real pixels flow through the Spark plumbing end to end
+(reference parity: the reference system stores opaque blobs and never
+decodes; this is north-star extension surface).
+
+Scale: codecs run row-locally inside mapInPandas batches; payload bytes
+never shuffle. numpy does the raster math (vectorized per image), so
+the per-row Python cost is header parsing only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_PPM_TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*([0-9]+)")
+
+
+def encode_ppm(width: int, height: int, raster: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from a row-major RGB raster."""
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; want {width}x{height}x3"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + raster
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6): header tokens may be separated by any
+    whitespace and ``#`` comments per the netpbm spec. Returns width,
+    height, n_frames, and the raster as a (h, w, 3) uint8 array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals = []
+    for _ in range(3):  # width, height, maxval
+        m = _PPM_TOKEN.match(payload, pos)
+        if not m:
+            raise ValueError("truncated PPM header")
+        vals.append(int(m.group(1)))
+        pos = m.end()
+    width, height, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    n = width * height * 3
+    if len(payload) - pos < n:
+        raise ValueError("truncated PPM raster")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return {
+        "codec": "ppm",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "raster": raster.reshape(height, width, 3),
+    }
+
+
+def _le(n: int, size: int) -> bytes:
+    return int(n).to_bytes(size, "little", signed=True)
+
+
+def encode_bmp(width: int, height: int, raster: bytes) -> bytes:
+    """24-bit BI_RGB Windows BMP from a row-major RGB raster (top-down
+    input; stored bottom-up with 4-byte row padding, BGR sample order,
+    as the format requires)."""
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; want {width}x{height}x3"
+        )
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR within pixel
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = b"".join(
+        bgr[r].tobytes() + b"\0" * pad for r in range(height)
+    )
+    data_offset = 14 + 40
+    file_size = data_offset + len(rows)
+    header = (
+        b"BM" + _le(file_size, 4) + b"\0\0\0\0" + _le(data_offset, 4)
+        + _le(40, 4) + _le(width, 4) + _le(height, 4)  # positive: bottom-up
+        + _le(1, 2) + _le(24, 2) + _le(0, 4)           # planes, bpp, BI_RGB
+        + _le(len(rows), 4) + _le(2835, 4) + _le(2835, 4)
+        + _le(0, 4) + _le(0, 4)
+    )
+    return header + rows
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit uncompressed (BI_RGB) BMP with a 40+ byte DIB
+    header. Handles bottom-up (height > 0) and top-down (height < 0)
+    storage and skips row padding. Returns the raster as (h, w, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+
+    def le(off: int, size: int, signed: bool = False) -> int:
+        return int.from_bytes(payload[off : off + size], "little", signed=signed)
+
+    data_offset = le(10, 4)
+    dib_size = le(14, 4)
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    width = le(18, 4, signed=True)
+    height_raw = le(22, 4, signed=True)
+    bpp = le(28, 2)
+    compression = le(30, 4)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant not supported (bpp={bpp}, compression={compression})"
+        )
+    height = abs(height_raw)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = data_offset + stride * height
+    if width <= 0 or height == 0 or len(payload) < need:
+        raise ValueError("truncated or degenerate BMP raster")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+    if height_raw > 0:  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    rgb = rows[:, :, ::-1]  # stored BGR -> RGB
+    return {
+        "codec": "bmp",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "raster": np.ascontiguousarray(rgb),
+    }
+
+
+def sniff_decode(payload: bytes) -> dict:
+    """Magic-byte dispatch over the in-tree codecs. Unknown codecs keep
+    the documented injectable seam: NotImplementedError, so callers can
+    inject a richer decoder without touching the Spark plumbing."""
+    head = bytes(payload[:2])
+    if head == b"P6":
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no in-tree codec for magic {head!r}; inject a decoder"
+    )
+
+
+def resize_nearest(raster: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) raster — the standard
+    index-mapping form: src_i = floor((dst_i + 0.5) * in/out)."""
+    in_h, in_w = raster.shape[:2]
+    ys = ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64).clip(0, in_h - 1)
+    xs = ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64).clip(0, in_w - 1)
+    return raster[np.ix_(ys, xs)]
+
+
+def real_resizer(
+    payload: bytes, in_w: int, in_h: int, out_w: int, out_h: int
+) -> bytes:
+    """A working resizer for binary_ops.resize_media's injection seam:
+    decode (PPM/BMP), nearest-neighbor resample, re-encode as PPM."""
+    dec = sniff_decode(payload)
+    out = resize_nearest(dec["raster"], out_w, out_h)
+    return encode_ppm(out_w, out_h, np.ascontiguousarray(out).tobytes())

@@ -361,3 +361,102 @@ def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_dims — REAL codecs end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_dims",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+               CAST(1 + (doc_id * 7) % 31 AS INT) AS width,
+               CAST(1 + length(text) % 17 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN 9 + length(CAST(1 + (doc_id * 7) % 31 AS VARCHAR))
+                           + length(CAST(1 + length(text) % 17 AS VARCHAR))
+                           + 3 * (1 + (doc_id * 7) % 31) * (1 + length(text) % 17)
+                    ELSE 54 + CAST(((3 * (1 + (doc_id * 7) % 31) + 3) // 4) * 4
+                                   AS BIGINT) * (1 + length(text) % 17)
+                    END AS BIGINT) AS payload_bytes,
+               CAST(65 + doc_id % 26 AS BIGINT) AS mean_px
+        FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: constructs genuine binary images
+    (even doc_id -> PPM/P6, odd -> 24-bit BMP with row padding) whose
+    dimensions and solid fill color derive deterministically from the
+    row, then decodes them back through the in-tree pure-Python codecs
+    (multimodal.codecs.sniff_decode) — magic sniffing, header parse,
+    raster extraction with BMP bottom-up/BGR/pad handling — and emits
+    what only a working decoder can know: the parsed dims, the exact
+    encoded byte count, and the raster's mean pixel value (all pixels
+    equal by construction, so the numpy mean over the real raster is
+    exactly the fill color; one flipped pad byte or BGR slip breaks the
+    hash). The oracle mirrors the arithmetic the codec must reproduce:
+    PPM size = 9 + len(str(w)) + len(str(h)) + 3wh; BMP size = 54 +
+    stride*h with stride = 3w rounded up to 4.
+
+    Encode and decode run in the SAME mapInPandas stage: payload bytes
+    are born and die executor-side, nothing binary shuffles.
+
+    Scale: row-local (no shuffle at all beyond the scan); raster math
+    is numpy over |w*h| bytes per row. Reference stores blobs opaquely
+    (reference has no decoder; north-star multimodal extension)."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_ppm,
+        sniff_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + (F.col("doc_id") * 7) % 31).cast("int").alias("w"),
+        (F.lit(1) + F.length("text") % 17).cast("int").alias("h"),
+        (F.lit(65) + F.col("doc_id") % 26).cast("int").alias("px"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, w, h, px in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["px"]
+            ):
+                raster = bytes([int(px)]) * (int(w) * int(h) * 3)
+                payload = (
+                    encode_ppm(int(w), int(h), raster)
+                    if int(doc_id) % 2 == 0
+                    else encode_bmp(int(w), int(h), raster)
+                )
+                d = sniff_decode(payload)
+                out.append(
+                    (
+                        int(doc_id),
+                        d["codec"],
+                        d["width"],
+                        d["height"],
+                        len(payload),
+                        int(np.asarray(d["raster"]).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "width", "height",
+                    "payload_bytes", "mean_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, width int, height int,"
+        " payload_bytes bigint, mean_px bigint",
+    )

@@ -1,0 +1,146 @@
+"""Round-7 semantic pins: new guards and operators added this round."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_export_system_spark.dedup.substring import (
+    WINNOW_K,
+    winnow_fingerprints,
+)
+
+
+def test_winnowing_oversize_doc_fails_loudly(spark):
+    """A document with >= 2^20 grams must FAIL the job (assert_true),
+    not silently select corrupted fingerprints: the (2^20 - pos) pad
+    would go negative and break the string-MIN tie-break ordering.
+    Pins the advisor-flagged guard (dedup/substring.py)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    n_tokens = (1 << 20) + WINNOW_K  # grams = tokens - K + 1 > 2^20
+    big = spark.range(1).selectExpr(
+        "CAST(id AS BIGINT) AS doc_id",
+        f"array_join(transform(sequence(1, {n_tokens}),"
+        " i -> CAST(i % 97 AS STRING)), ' ') AS text",
+    )
+    with pytest.raises(SparkRuntimeException, match="_POS_PAD"):
+        winnow_fingerprints(big).count()
+
+
+def test_winnowing_guard_transparent_for_valid_docs(spark):
+    """The guard must be a no-op on in-bound documents: fingerprints of
+    a small constructed doc are identical to the hand-derivable set."""
+    doc = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(doc).collect()
+    assert rows, "valid doc must still yield fingerprints"
+    assert all(1 <= r["pos"] <= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python image codecs (multimodal/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def _checker_raster(w, h):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = ((x + y) % 2 * 255).astype(np.uint8)
+    g = (x * 7 % 256).astype(np.uint8)
+    b = (y * 13 % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (5, 4), (7, 1)])
+def test_ppm_roundtrip_exact(w, h):
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import decode_ppm, encode_ppm
+
+    raster = _checker_raster(w, h)
+    d = decode_ppm(encode_ppm(w, h, raster.tobytes()))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+    assert np.array_equal(d["raster"], raster)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (5, 4), (4, 4)])
+def test_bmp_roundtrip_exact(w, h):
+    """BMP storage is bottom-up, BGR, 4-byte padded — the decoder must
+    undo all three. Widths 1/2/3 exercise every pad size (1..3 bytes)."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    raster = _checker_raster(w, h)
+    payload = encode_bmp(w, h, raster.tobytes())
+    assert payload[:2] == b"BM"
+    stride = (w * 3 + 3) // 4 * 4
+    assert len(payload) == 54 + stride * h
+    d = decode_bmp(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["raster"], raster)
+
+
+def test_ppm_header_comments_and_whitespace():
+    """netpbm headers permit comments and arbitrary whitespace between
+    tokens — a real parser handles them; a hardcoded-split one breaks."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import decode_ppm
+
+    raster = _checker_raster(3, 2).tobytes()
+    payload = b"P6 # comment\n# full line\n 3\t2 # dims\n255\n" + raster
+    d = decode_ppm(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert np.array_equal(d["raster"].tobytes(), raster)
+
+
+def test_sniff_decode_unknown_magic_keeps_seam():
+    from cdc_export_system_spark.multimodal.codecs import sniff_decode
+
+    with pytest.raises(NotImplementedError):
+        sniff_decode(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_decode_media_default_real_codecs(spark):
+    """decode_media with NO injected decoder must now decode real BMP
+    and PPM payloads through the Spark plumbing (VERDICT r06 item 7:
+    the NotImplementedError seam is reachable only for unknown codecs)."""
+    from cdc_export_system_spark.multimodal.binary_ops import decode_media
+    from cdc_export_system_spark.multimodal.codecs import encode_bmp, encode_ppm
+
+    rows = [
+        (1, bytearray(encode_ppm(4, 3, _checker_raster(4, 3).tobytes()))),
+        (2, bytearray(encode_bmp(5, 2, _checker_raster(5, 2).tobytes()))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["n_frames"])
+           for r in decode_media(df).collect()}
+    assert got == {1: (4, 3, 1), 2: (5, 2, 1)}
+
+
+def test_resize_real_codec_end_to_end(spark):
+    """resize_media with the REAL resizer: decode -> nearest-neighbor ->
+    re-encode PPM; output payload must itself decode to the target dims
+    and solid-color images must survive resampling byte-exactly."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_ppm,
+        real_resizer,
+        resize_nearest,
+    )
+
+    solid = np.full((6, 8, 3), 77, dtype=np.uint8)
+    out_payload = real_resizer(encode_ppm(8, 6, solid.tobytes()), 8, 6, 4, 3)
+    d = decode_ppm(out_payload)
+    assert (d["width"], d["height"]) == (4, 3)
+    assert np.all(d["raster"] == 77)
+    # nearest-neighbor must pick true source pixels (membership property)
+    src = _checker_raster(8, 6)
+    out = resize_nearest(src, 4, 3)
+    src_px = {tuple(p) for row in src for p in row}
+    assert all(tuple(p) in src_px for row in out for p in row)
