@@ -1188,3 +1188,95 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("r") > 0).select(
         F.col("node").alias("partkey"), F.col("r").alias("ppr_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# recsys_covisitation
+# ---------------------------------------------------------------------------
+
+COVISIT_WINDOW_S = 3600  # co-visit horizon: items seen within 1 hour
+COVISIT_TOPK = 20
+
+
+@register(
+    "recsys_covisitation",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+            FROM events),
+        pairs AS (
+            SELECT a.item AS item_from, b.item AS item_to, count(*) AS c
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+             AND a.item <> b.item
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT item_from, item_to, c,
+                   row_number() OVER (ORDER BY c DESC, item_from, item_to)
+                       AS rk
+            FROM pairs)
+        SELECT item_from, item_to, CAST(c AS BIGINT) AS n_covisits
+        FROM ranked WHERE rk <= {COVISIT_TOPK}
+    """,
+    tags=("graph", "recsys", "events"),
+)
+def recsys_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional item co-visitation within a 1-hour horizon — the
+    'users who viewed X then viewed Y within the hour' signal behind
+    covisitation recommenders (the sequence-aware sibling of
+    basket_association_rules' unordered baskets and recsys_item_knn's
+    rating geometry). Top-COVISIT_TOPK pairs by count with a total
+    (count, from, to) tie-break.
+
+    Scale: the naive form is a per-user self-join with a range
+    predicate — Catalyst would execute user-equi + range filter, fine
+    per user but the matching frame is unbounded. Here the 1-hour
+    horizon is made an EQUI key: the left side fans each event to its
+    own and the next hour bucket (exactly 2 rows), the join runs on
+    (user_id, hour_bucket), and the exact (0, 1h] micro-second window
+    filters inside — the join_interval_bucketed technique, so matched
+    frames are bounded by per-user-per-hour activity no matter the
+    horizon's tail. One shuffle on the composite key; the pair rollup
+    reduces to |item pairs| (item domain is bounded); final top-k is a
+    single ordered limit."""
+    from cdc_export_system_spark.functions.json_fns import PROPS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("item"),
+    )
+    win_us = COVISIT_WINDOW_S * 1_000_000
+    hr = F.expr(f"us div {win_us}")
+    a = ev.select(
+        "user_id",
+        F.col("us").alias("us_a"),
+        F.col("item").alias("item_from"),
+        F.explode(F.array(hr.cast("bigint"), (hr + 1).cast("bigint"))).alias(
+            "hb"
+        ),
+    )
+    b = ev.select(
+        "user_id",
+        hr.cast("bigint").alias("hb"),
+        F.col("us").alias("us_b"),
+        F.col("item").alias("item_to"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "hb"])
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + F.lit(win_us))
+            & (F.col("item_from") != F.col("item_to"))
+        )
+        .groupBy("item_from", "item_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covisits"))
+    )
+    return (
+        pairs.orderBy(
+            F.desc("n_covisits"), "item_from", "item_to"
+        ).limit(COVISIT_TOPK)
+    )

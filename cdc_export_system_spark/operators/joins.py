@@ -501,15 +501,28 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # canonical-bucket attribution: a (session, incident) pair found in
+    # every shared bucket is COUNTED only in the bucket containing the
+    # overlap's start (floor(max(s_start, w_start))) — each true pair
+    # matches exactly once, so the exact-once rollup is a plain count(*)
+    # with map-side partial aggregation instead of a count(DISTINCT
+    # incident) whose per-task distinct hash grows with incident density
+    # (the sf1 densification run OOMed exactly there: 10x denser traffic
+    # in the same time span means ~100x pairs, and the distinct map held
+    # them all before the spill threshold).
     hits = (
         sess_b.join(win_b, "bucket")
         .filter(
             (F.col("s_start") <= F.col("w_end"))
             & (F.col("w_start") <= F.col("s_end"))
             & (F.col("err_user") != F.col("user_id"))
+            & (
+                F.col("bucket")
+                == F.floor(F.greatest("s_start", "w_start") / bucket_us)
+            )
         )
         .groupBy("user_id", "session_no")
-        .agg(F.countDistinct("incident_id").alias("n_incidents"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_incidents"))
     )
     return (
         sess.join(hits, ["user_id", "session_no"], "left")

@@ -44,6 +44,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        # local-mode executors share the driver JVM, whose Spark default
+        # heap (1g) is sized for a thin cluster driver, not for 32 task
+        # threads hash-aggregating concurrently — the sf1 scaling run
+        # OOMed exactly there. Harmless off-local (cluster executors
+        # carry their own memory conf); only effective at JVM creation.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
