@@ -43,6 +43,9 @@ _PRIORITY = [
     # §2 operator with no external driver row after six rounds — plus
     # its json siblings.
     "json_extract_props", "json_group_agg", "json_variant_extract",
+    # round-7 additions (fresh oracles deserve a first external row)
+    "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
+    "corpus_perplexity_buckets",
     # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
     # repeated-squaring oracles are the riskiest SQL in the repo and
     # deserve external confirmation (13)

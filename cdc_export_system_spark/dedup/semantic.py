@@ -42,22 +42,35 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, assigned = kmeans_fit(emb.select("vec_id", "embedding"))
     tagged = emb.join(assigned.select("vec_id", "cluster_id"), "vec_id")
 
-    a = tagged.select(
-        F.col("cluster_id").alias("cl_a"),
-        F.col("vec_id").alias("vec_a"),
+    # triangle sub-blocking inside each cluster (see triangle_sides):
+    # joining on the cluster alone caps parallelism at k reduce tasks
+    from cdc_export_system_spark.similarity.queries import (
+        triangle_pair_filter,
+        triangle_sides,
+    )
+
+    ta, tb = triangle_sides(
+        tagged.select("cluster_id", "vec_id", "embedding"),
+        "vec_id",
+        extra_keys=("cluster_id",),
+    )
+    a = ta.select(
+        "cluster_id", "_tj", "_blk_a",
+        F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
     )
-    b = tagged.select(
-        F.col("cluster_id").alias("cl_b"),
-        F.col("vec_id").alias("vec_b"),
+    b = tb.select(
+        "cluster_id", "_tj", "_blk_b",
+        F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
     )
     cos_micro = F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5))
-    # canonical a < b pairs within a cluster; keep-lowest => drop every doc_b
+    # exactly-once unordered pairs; keep-lowest => drop greatest(id_a, id_b)
     drop = (
-        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(b, ["cluster_id", "_tj"])
+        .filter(triangle_pair_filter())
         .filter(cos_micro >= SEMDEDUP_TAU_MICRO)
-        .select(F.col("vec_b").alias("vec_id"))
+        .select(F.greatest("id_a", "id_b").alias("vec_id"))
         .distinct()
     )
     return tagged.join(drop, "vec_id", "left_anti").select(
@@ -175,25 +188,39 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = qu.select(
-        F.col("cid").alias("cl_a"),
-        F.col("vec_id").alias("vec_a"),
+    # triangle sub-blocking inside each cluster: joining on cid alone
+    # caps parallelism at k reduce tasks for a pair stream that is
+    # quadratic in cluster size (the 10x scaling run measured 15.5x
+    # wall time through that bottleneck); with triangle_sides each
+    # cluster's pairs spread over B(B+1)/2 tasks, every unordered pair
+    # met exactly once. Keep-lowest drops greatest(id_a, id_b) — the
+    # pair predicate is symmetric, so block-order roles are free.
+    from cdc_export_system_spark.similarity.queries import (
+        triangle_pair_filter,
+        triangle_sides,
+    )
+
+    ta, tb = triangle_sides(qu, "vec_id", extra_keys=("cid",))
+    a = ta.select(
+        "cid",
+        "_tj",
+        "_blk_a",
+        F.col("vec_id").alias("id_a"),
         F.col("u").alias("ua"),
         F.col("n2").alias("na2"),
     )
-    b = qu.select(
-        F.col("cid").alias("cl_b"),
-        F.col("vec_id").alias("vec_b"),
+    b = tb.select(
+        "cid",
+        "_tj",
+        "_blk_b",
+        F.col("vec_id").alias("id_b"),
         F.col("u").alias("ub"),
         F.col("n2").alias("nb2"),
     )
     dot = idot(F.col("ua"), F.col("ub")).cast("decimal(38,0)")
     drop = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cl_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        a.join(b, ["cid", "_tj"])
+        .filter(triangle_pair_filter())
         .filter(
             (dot > 0)
             & (
@@ -201,7 +228,7 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(SEMDEDUP_TAU_NUM2) * F.col("na2") * F.col("nb2")
             )
         )
-        .select(F.col("vec_b").alias("vec_id"))
+        .select(F.greatest("id_a", "id_b").alias("vec_id"))
         .distinct()
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")

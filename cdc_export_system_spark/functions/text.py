@@ -1951,3 +1951,127 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= BM25_TOPK).select(
         "doc_id", "score_nano", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+PPLX_BUCKET_W = 0.25  # avg-NLL bucket width (nats)
+PPLX_MAX_BUCKET = 19  # buckets clamp to [0, 19]
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        t AS (SELECT * FROM tok WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+        n AS (SELECT count(*) AS total FROM t),
+        lp AS (
+            SELECT t.doc_id, t.pos,
+                   ln(CAST(vocab.tf AS DOUBLE)) - ln(CAST(n.total AS DOUBLE))
+                       AS lp
+            FROM t JOIN vocab ON t.token = vocab.token CROSS JOIN n),
+        d AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   floor(-list_aggregate(list(lp ORDER BY pos), 'sum')
+                         / CAST(count(*) AS DOUBLE) * 1000000000 + 0.5)
+                       / 1000000000 AS avg_nll
+            FROM lp GROUP BY doc_id),
+        b AS (
+            SELECT CAST(least(floor(avg_nll / {PPLX_BUCKET_W}),
+                              {PPLX_MAX_BUCKET}) AS BIGINT) AS bucket,
+                   n_tokens
+            FROM d),
+        tot AS (SELECT count(*) AS n_total FROM b)
+        SELECT b.bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * 1000000 // max(tot.n_total) AS BIGINT)
+                   AS share_ppm,
+               floor(CAST(sum(b.n_tokens) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS avg_tokens
+        FROM b CROSS JOIN tot GROUP BY b.bucket
+    """,
+    tags=("text", "corpus", "ml"),
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality DISTRIBUTION readout: bucket every document's
+    unigram average NLL (text_unigram_logprob's exact pipeline — pinned
+    fold order, 1e-9 rounding BEFORE bucketing so both engines bucket
+    the identical double) into fixed 0.25-nat bins and report per-bin
+    doc count, corpus share, and token mass — the histogram a curation
+    pass reads to pick its perplexity cut-offs, where the per-doc op
+    answers 'score this document'. Bucketing a rounded double by a
+    fixed width is engine-stable because both engines floor the same
+    IEEE value; shares are exact micro-unit integer divisions.
+
+    Scale: inherits the logprob plan (one |vocab| agg broadcast onto
+    the token stream, one doc_id rollup) plus a |buckets|<=20 global
+    agg and a 1-row broadcast total — nothing new shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.count()  # driver scalar: exact int, same in the oracle
+    lp = tok.join(F.broadcast(vocab), "token").select(
+        "doc_id",
+        "pos",
+        (F.log(F.col("tf").cast("double")) - F.log(F.lit(float(total)))).alias(
+            "lp"
+        ),
+    )
+    d = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("s"),
+    )
+    avg_nll = (
+        F.floor(-F.col("s") / F.col("n_tokens").cast("double") * 1_000_000_000
+                + F.lit(0.5))
+        / 1_000_000_000
+    )
+    b = d.select(
+        F.least(
+            F.floor(avg_nll / PPLX_BUCKET_W), F.lit(PPLX_MAX_BUCKET).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        "n_tokens",
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            (
+                F.floor(
+                    F.col("sum_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("avg_tokens"),
+        )
+    )

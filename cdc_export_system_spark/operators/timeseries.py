@@ -1742,3 +1742,159 @@ def ts_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gain").cast("bigint").alias("centered_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_crossover
+# ---------------------------------------------------------------------------
+
+EWMA_SLOW_DAYS = 7  # trailing-mean window (rows) for the slow signal
+EWMA_MAX_IDX = 40  # 2^40 weight bound: see overflow note in the docstring
+
+
+@register(
+    "ts_ewma_crossover",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT user_id, day, y,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       - 1 AS rn
+            FROM d),
+        p AS (
+            SELECT user_id, day, y, rn,
+                   sum(CASE WHEN rn = 0 THEN y
+                            ELSE (CAST(1 AS BIGINT) << (CAST(rn AS INT) - 1))
+                                 * y END)
+                       OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS nfast,
+                   sum(y) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN {EWMA_SLOW_DAYS - 1} PRECEDING
+                             AND CURRENT ROW) AS s7,
+                   count(*) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN {EWMA_SLOW_DAYS - 1} PRECEDING
+                             AND CURRENT ROW) AS k,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM r),
+        sg AS (
+            SELECT user_id, rn, n, nfast, s7, k,
+                   CASE WHEN nfast * k > s7 * (CAST(1 AS BIGINT)
+                                               << CAST(rn AS INT)) THEN 1
+                        WHEN nfast * k < s7 * (CAST(1 AS BIGINT)
+                                               << CAST(rn AS INT)) THEN -1
+                        ELSE 0 END AS sgn
+            FROM p),
+        c AS (
+            SELECT user_id, rn, n, nfast, s7, k, sgn,
+                   lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+            FROM sg)
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_days,
+               CAST(count(CASE WHEN sgn * prev = -1 THEN 1 END) AS BIGINT)
+                   AS n_crossovers,
+               CAST(max(CASE WHEN rn = n - 1 THEN sgn END) AS BIGINT)
+                   AS last_signal,
+               floor(max(CASE WHEN rn = n - 1 THEN
+                       CAST(nfast AS DOUBLE)
+                       / CAST(CAST(1 AS BIGINT) << CAST(rn AS INT) AS DOUBLE)
+                     END) / 100 * 1000000 + 0.5) / 1000000 AS fast_final,
+               floor(max(CASE WHEN rn = n - 1 THEN
+                       CAST(s7 AS DOUBLE) / CAST(k AS DOUBLE)
+                     END) / 100 * 1000000 + 0.5) / 1000000 AS slow_final
+        FROM c GROUP BY user_id
+    """,
+    tags=("ts", "timeseries", "window"),
+)
+def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-vs-slow trend crossover per user series — the classic
+    moving-average crossover signal (fast = EWMA with alpha = 1/2,
+    slow = trailing 7-row mean over the daily-total series), with the
+    crossover COUNT and the final signal state per user. The EWMA is
+    evaluated in CLOSED FORM as pure window algebra: 2^t * s_t =
+    y_0 + sum(2^(i-1) * y_i), so the fast line is an integer prefix
+    sum of shift-weighted daily cents and every fast-vs-slow
+    comparison is an EXACT integer sign test (nfast * k vs s7 * 2^t) —
+    no float recurrences, no applyInPandas, both engines agree
+    bit-for-bit (the recurrence family that genuinely needs stateful
+    iteration is ts_holt_exact; alpha = 1/2 is special because the
+    denominator is a power of two).
+
+    Overflow bound: weights reach 2^(rn) so the series index is capped
+    at EWMA_MAX_IDX = 40 (2^40 * daily-cents * 7 stays under 2^63; the
+    testdata spans 30 days). Horizons longer than 41 days must
+    re-anchor the series first — numerically, weights below 2^-40 are
+    sub-ulp on the fast line anyway, so truncation to the trailing 41
+    days is the exact-arithmetic analogue of what double precision
+    would silently do.
+
+    Scale: one user_id shuffle serves the daily rollup, all four
+    windows, and the final per-user collapse (same key end to end; the
+    rollup reduces |events| to |user x day| first)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    wo = W.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(wo) - 1)
+    # loud guard, not silent wrap: shifting past 2^62 would corrupt the
+    # sign tests (see docstring for the re-anchoring contract)
+    rn_ok = F.assert_true(
+        F.col("rn") <= F.lit(EWMA_MAX_IDX),
+        F.lit("ts_ewma_crossover: series exceeds 41 days; re-anchor"),
+    )
+    wr = W.partitionBy("user_id").orderBy("rn")
+    wfast = wr.rowsBetween(W.unboundedPreceding, 0)
+    wslow = wr.rowsBetween(-(EWMA_SLOW_DAYS - 1), 0)
+    wall = W.partitionBy("user_id")
+    term = F.when(F.col("rn") == 0, F.col("y")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT) - 1) * y")
+    )
+    p = r.select(
+        "user_id",
+        F.when(rn_ok.isNull(), F.col("rn")).alias("rn"),
+        F.sum(term).over(wfast).alias("nfast"),
+        F.sum("y").over(wslow).alias("s7"),
+        F.count(F.lit(1)).over(wslow).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT))")
+    sgn = (
+        F.when(F.col("nfast") * F.col("k") > F.col("s7") * den, F.lit(1))
+        .when(F.col("nfast") * F.col("k") < F.col("s7") * den, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    sg = p.withColumn("sgn", sgn).withColumn("den", den)
+    c = sg.withColumn("prev", F.lag("sgn").over(wr))
+    r6 = lambda col: F.floor(col / 100 * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    last = F.col("rn") == F.col("n") - 1
+    return c.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count(
+            F.when(F.col("sgn") * F.col("prev") == -1, F.lit(1))
+        ).cast("bigint").alias("n_crossovers"),
+        F.max(F.when(last, F.col("sgn"))).cast("bigint").alias("last_signal"),
+        r6(
+            F.max(
+                F.when(
+                    last,
+                    F.col("nfast").cast("double") / F.col("den").cast("double"),
+                )
+            )
+        ).alias("fast_final"),
+        r6(
+            F.max(
+                F.when(last, F.col("s7").cast("double") / F.col("k").cast("double"))
+            )
+        ).alias("slow_final"),
+    )

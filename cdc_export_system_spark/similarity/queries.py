@@ -106,6 +106,78 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+TRIANGLE_BLOCKS = 8  # sub-blocks per blocking key for all-pairs self-joins
+
+
+def triangle_sides(
+    df: DataFrame,
+    id_col: str,
+    n_blocks: int = TRIANGLE_BLOCKS,
+    extra_keys: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Triangle block-partitioning for all-pairs self-joins.
+
+    A self-join whose only equi key is the blocking key collapses to
+    |distinct keys| reduce tasks — one label or k clusters means one or
+    k tasks chewing a quadratic pair stream (measured: the 10x scaling
+    run put sim_pairwise_by_label on 2 tasks for 54x wall time). The
+    classic fix is the triangle scheme: hash every row into one of B
+    sub-blocks; task (i, j) with i <= j compares block i against block
+    j. A row in block x fans out as the LEFT side of tasks (x, x..B-1)
+    and the RIGHT side of tasks (0..x, x), so every unordered pair
+    meets in EXACTLY one task and parallelism is B(B+1)/2 per blocking
+    key at a ~(B+1)/2 row-replication cost (the standard all-pairs
+    trade; rows carry embeddings, so B stays modest).
+
+    Callers join the two returned frames on `_tj` plus `extra_keys`
+    (the blocking key, if any) and MUST keep only
+        (_blk_a < _blk_b) | ((_blk_a = _blk_b) & (id_a < id_b))
+    — cross-block pairs arrive once in block order (arbitrary id
+    order: canonicalize ids with least/greatest if the output is
+    id-ordered), same-block pairs arrive in both id orders.
+
+    Both sides come back EXPLICITLY repartitioned on the join key at
+    cluster parallelism: the pre-join shuffle is tiny (rows x B/2
+    replication) and AQE would coalesce it to a couple of partitions,
+    blind to the quadratic expansion the join emits — an explicit
+    keyed repartition pins the count (AQE leaves user-specified
+    partition counts alone), and the join reuses the distribution
+    with no further exchange.
+    """
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 16)
+    keys = [*extra_keys, "_tj"]
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    d = df.withColumn("_blk", blk)
+    a = (
+        d.withColumn(
+            "_tj",
+            F.explode(F.expr(f"transform(sequence(_blk, {n_blocks - 1}),"
+                             f" j -> _blk * {n_blocks} + j)")),
+        )
+        .withColumnRenamed("_blk", "_blk_a")
+        .repartition(n_part, *keys)
+    )
+    b = (
+        d.withColumn(
+            "_tj",
+            F.explode(F.expr(f"transform(sequence(0, _blk),"
+                             f" i -> i * {n_blocks} + _blk)")),
+        )
+        .withColumnRenamed("_blk", "_blk_b")
+        .repartition(n_part, *keys)
+    )
+    return a, b
+
+
+def triangle_pair_filter() -> F.Column:
+    """The exactly-once pair predicate for triangle_sides joins (the
+    caller renames its id columns to id_a / id_b)."""
+    return (F.col("_blk_a") < F.col("_blk_b")) | (
+        (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+
+
 @register(
     "sim_pairwise_by_label",
     oracle=f"""
@@ -124,21 +196,30 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "join"),
 )
 def sim_pairwise_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise similarity: equi-join on a blocking key (label)
-    bounds the quadratic blow-up — the scalable shape of all-pairs
-    similarity (block, then compare within blocks only)."""
+    """Blocked pairwise similarity: the blocking key (label) bounds
+    WHICH pairs compare; triangle sub-blocking bounds WHERE they
+    compute. A plain self-join on the label alone hashes every pair of
+    a label onto one reducer (measured at 10x scale: 2 tasks, 54x wall
+    time); triangle_sides spreads each label's pair stream over
+    B(B+1)/2 tasks with every unordered pair met exactly once. Output
+    ids are canonicalized (vec_a < vec_b) because cross-block pairs
+    arrive in block order; cosine is symmetric so operand order is
+    free."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    base = emb.select("vec_id", "embedding")
+    ta, tb = triangle_sides(base, "vec_id")
+    a = ta.select(
+        "_tj", "_blk_a", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    b = tb.select(
+        "_tj", "_blk_b", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
     )
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(b, "_tj")
+        .filter(triangle_pair_filter())
         .select(
-            "vec_a",
-            "vec_b",
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
             F.round(cosine(F.col("ea"), F.col("eb")), SIM_DECIMALS).alias("cos_sim"),
         )
     )

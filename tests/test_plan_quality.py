@@ -172,6 +172,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ts_acf_multi_lag",  # 1-row (N, S) totals + 1-row denominator onto the hour axis
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
     "metric_concentration_shares",  # 1-row grand total + 3-row pct spine onto the rank axis
+    "corpus_perplexity_buckets",  # 1-row doc-total broadcast onto the <=20 bucket rows
 }
 
 
@@ -487,6 +488,7 @@ _SINGLE_PARTITION_OK = {
     "ml_uplift_qini": "tiny",  # prefix-sum range-offset table over the score axis
     "dq_key_skew_report": "tiny",  # rank window over the TakeOrdered top-20
     "metric_concentration_shares": "tiny",  # rank-construction range-offset tables
+    "corpus_perplexity_buckets": "scalar",  # 1-row doc-total final
 }
 
 

@@ -144,3 +144,85 @@ def test_resize_real_codec_end_to_end(spark):
     out = resize_nearest(src, 4, 3)
     src_px = {tuple(p) for row in src for p in row}
     assert all(tuple(p) in src_px for row in out for p in row)
+
+
+# ---------------------------------------------------------------------------
+# triangle block-partitioned self-join (similarity/queries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_sides_exactly_once_pairs(spark):
+    """Every unordered pair must meet in EXACTLY one task after the
+    triangle_pair_filter — no lost pairs (coverage) and no double
+    counting (the bug class the scheme's role asymmetry exists to
+    prevent). Checked against the brute-force pair set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from cdc_export_system_spark.similarity.queries import (
+        triangle_pair_filter,
+        triangle_sides,
+    )
+
+    n = 57  # not a multiple of the block count: uneven blocks
+    df = spark.range(n).select(F.col("id").alias("vid"))
+    ta, tb = triangle_sides(df, "vid", n_blocks=4)
+    a = ta.select("_tj", "_blk_a", F.col("vid").alias("id_a"))
+    b = tb.select("_tj", "_blk_b", F.col("vid").alias("id_b"))
+    got = (
+        a.join(b, "_tj")
+        .filter(triangle_pair_filter())
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .collect()
+    )
+    pairs = [(r["lo"], r["hi"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "a pair met in more than one task"
+    assert set(pairs) == set(combinations(range(n), 2)), "pairs lost"
+
+
+def test_ewma_crossover_matches_float_replica(spark):
+    """ts_ewma_crossover's integer sign tests vs a float EWMA replica on
+    the real sf0.001 series: the exact rational fast line equals the
+    float recurrence to ~1 ulp, so away from exact ties every sign and
+    crossover count must agree."""
+    import pandas as pd
+
+    from cdc_export_system_spark.io.sources import load_table
+    from cdc_export_system_spark.operators.timeseries import (
+        EWMA_SLOW_DAYS,
+        ts_ewma_crossover,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in ts_ewma_crossover(spark, sf).collect()}
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = (ev["value"] * 100 + 0.5).map(lambda x: int(x // 1))
+    daily = (
+        ev.groupby(["user_id", "day"], as_index=False)["cents"].sum()
+        .sort_values(["user_id", "day"])
+    )
+    for uid, g in daily.groupby("user_id"):
+        ys = list(g["cents"])
+        fast = ys[0]
+        signs = []
+        for t, y in enumerate(ys):
+            if t:
+                fast = fast / 2 + y / 2
+            lo = max(0, t - (EWMA_SLOW_DAYS - 1))
+            win = ys[lo : t + 1]
+            slow = sum(win) / len(win)
+            signs.append(0 if fast == slow else (1 if fast > slow else -1))
+        crossings = sum(
+            1 for p, s in zip(signs, signs[1:]) if p * s == -1
+        )
+        row = got[uid]
+        assert row["n_days"] == len(ys)
+        assert row["n_crossovers"] == crossings, (uid, signs)
+        assert row["last_signal"] == signs[-1]
+        assert abs(row["fast_final"] - fast / 100) < 1e-6
