@@ -45,7 +45,7 @@ _PRIORITY = [
     "json_extract_props", "json_group_agg", "json_variant_extract",
     # round-7 additions (fresh oracles deserve a first external row)
     "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
-    "corpus_perplexity_buckets",
+    "corpus_perplexity_buckets", "orders_rfm_segmentation", "ab_sequential_sprt",
     # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
     # repeated-squaring oracles are the riskiest SQL in the repo and
     # deserve external confirmation (13)

@@ -2659,3 +2659,92 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_rate_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segmentation
+# ---------------------------------------------------------------------------
+
+RFM_ASOF = "1998-08-02"  # as-of date for recency (TPC-H's dataset end)
+RFM_Q = 5  # quintile segmentation
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey AS c,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             DATE '{RFM_ASOF}') AS rec_days,
+                   count(*) AS freq,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS mon_cents
+            FROM orders GROUP BY o_custkey),
+        n AS (SELECT count(*) AS n FROM cust),
+        r AS (
+            SELECT c, rec_days, freq, mon_cents,
+                   row_number() OVER (ORDER BY rec_days, c) AS rr,
+                   row_number() OVER (ORDER BY freq, c) AS rf,
+                   row_number() OVER (ORDER BY mon_cents, c) AS rm
+            FROM cust),
+        q AS (
+            SELECT CAST((rr - 1) * {RFM_Q} // n.n AS BIGINT) AS r_q,
+                   CAST((rf - 1) * {RFM_Q} // n.n AS BIGINT) AS f_q,
+                   CAST((rm - 1) * {RFM_Q} // n.n AS BIGINT) AS m_q,
+                   mon_cents
+            FROM r CROSS JOIN n)
+        SELECT r_q, f_q, m_q,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(mon_cents) AS BIGINT) AS segment_cents
+        FROM q GROUP BY r_q, f_q, m_q
+    """,
+    tags=("analytics", "bi", "window"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the retail-BI classic: per customer,
+    Recency (days from last order to a fixed as-of date), Frequency
+    (order count), Monetary (lifetime cents); each dimension quintiled
+    over the whole customer base and the (R, F, M) segments rolled up
+    with their value mass. Quintile = floor((rank-1) * 5 / n) over the
+    total order (metric, custkey) — deterministic under ties, exact
+    integer arithmetic, identical in both engines.
+
+    Scale: the obvious ntile()/row_number() OVER (ORDER BY metric) is
+    an Exchange SinglePartition over |customers| — banned in this
+    tree. Each of the three ranks rides the ranks.py two-level range
+    construction (range-partitioned local sort + a broadcast
+    |ranges|-row offset table), so no stage ever holds the customer
+    base on one task; the rollup reduces to <= 125 segments."""
+    from cdc_export_system_spark.operators.ranks import with_global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("mon_cents"),
+    )
+    r = with_global_row_number(
+        cust, [F.asc("rec_days"), F.asc("c")], out="rr", total_out="n"
+    )
+    r = with_global_row_number(r, [F.asc("freq"), F.asc("c")], out="rf")
+    r = with_global_row_number(r, [F.asc("mon_cents"), F.asc("c")], out="rm")
+    quint = lambda rank: F.expr(  # noqa: E731
+        f"CAST(({rank} - 1) * {RFM_Q} div n AS BIGINT)"
+    )
+    return (
+        r.select(
+            quint("rr").alias("r_q"),
+            quint("rf").alias("f_q"),
+            quint("rm").alias("m_q"),
+            "mon_cents",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("mon_cents").cast("bigint").alias("segment_cents"),
+        )
+    )

@@ -1969,3 +1969,155 @@ def ab_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         mic((r - F.lit(1.96) * F.sqrt(var_r)) / 100).alias("ci_lo"),
         mic((r + F.lit(1.96) * F.sqrt(var_r)) / 100).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_sequential_sprt
+# ---------------------------------------------------------------------------
+
+SPRT_LIFT_NUM = 12  # H1: p1 = 1.2 * p0 as the exact rational 12/10
+SPRT_LIFT_DEN = 10
+SPRT_LN_A = 2.9444389791664403  # ln(19): alpha = beta = 0.05 boundaries
+
+_SPRT_ORACLE = f"""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(user_id % 2 = 0 AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    p0 AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS xc, CAST(SUM(n) AS BIGINT) AS nc
+        FROM d WHERE t = 0),
+    ok AS (
+        SELECT xc, nc FROM p0
+        WHERE nc > 0 AND xc > 0
+          AND {SPRT_LIFT_NUM} * xc < {SPRT_LIFT_DEN} * nc),
+    terms AS (
+        SELECT d.day, d.x, d.n,
+               d.x * ln(CAST({SPRT_LIFT_NUM} AS DOUBLE) / {SPRT_LIFT_DEN})
+               + (d.n - d.x)
+                 * ln((CAST({SPRT_LIFT_DEN} AS DOUBLE) * ok.nc
+                       - {SPRT_LIFT_NUM} * ok.xc)
+                      / ({SPRT_LIFT_DEN} * CAST(ok.nc - ok.xc AS DOUBLE)))
+                   AS llr
+        FROM d CROSS JOIN ok WHERE d.t = 1),
+    arr AS (
+        SELECT list(day ORDER BY day) AS days,
+               list(x ORDER BY day) AS xs,
+               list(n ORDER BY day) AS ns,
+               list(llr ORDER BY day) AS ls
+        FROM terms),
+    rows_ AS (
+        SELECT days[i] AS day, xs[i] AS x_treat, ns[i] AS n_treat,
+               list_aggregate(ls[1:i], 'sum') AS cum
+        FROM arr, unnest(range(1, len(days) + 1)) AS r(i))
+    SELECT CAST(day AS TIMESTAMP) AS day, x_treat, n_treat,
+           floor(cum * 1000000000 + 0.5) / 1000000000 AS cum_llr,
+           CASE WHEN cum >= {SPRT_LN_A} THEN 'accept_h1'
+                WHEN cum <= -{SPRT_LN_A} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM rows_
+"""
+
+
+@register(
+    "ab_sequential_sprt",
+    oracle=_SPRT_ORACLE,
+    tags=("stats", "analytics", "ab"),
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the experiment's
+    day stream — the always-valid sibling of the fixed-horizon
+    ab_proportion_ztest: after each day, the treatment arm's cumulative
+    log-likelihood ratio for H1: p = 1.2*p0 vs H0: p = p0 (p0 = the
+    control arm's pooled purchase rate, an exact rational xc/nc) is
+    compared against the +-ln(19) boundaries (alpha = beta = 0.05), and
+    the day's decision state is emitted — peeking-safe early stopping,
+    the readout every sequential-testing platform ships.
+
+    Exactness: per-day LLR terms are integer counts times two ln's of
+    exact rationals (identical IEEE inputs in both engines); the
+    cumulative sum folds in PINNED day order via the bounded-axis
+    slice-fold (the day axis is |days| rows, so cum_i re-folds days
+    1..i explicitly — O(days^2) on <= thousands of rows — instead of a
+    running window sum, whose internal accumulation order engines are
+    free to tree-structure differently). Degenerate controls (no data,
+    zero conversions, or p0 already at/above the H1 rate, where ln's
+    argument would be <= 0) emit an empty frame identically in both
+    engines via the guarded 1-row scalar.
+
+    Scale: one (day, arm) rollup (map-side combined, |days x 2| rows),
+    a 1-row guarded control-rate broadcast, and the bounded day-axis
+    fold — nothing data-sized past the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 2 == 0).cast("bigint").alias("t"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    p0 = (
+        d.filter(F.col("t") == 0)
+        .agg(
+            F.sum("x").cast("bigint").alias("xc"),
+            F.sum("n").cast("bigint").alias("nc"),
+        )
+        .filter(
+            F.col("nc").isNotNull()
+            & (F.col("nc") > 0)
+            & (F.col("xc") > 0)
+            & (F.lit(SPRT_LIFT_NUM) * F.col("xc") < F.lit(SPRT_LIFT_DEN) * F.col("nc"))
+        )
+    )
+    ln_pos = F.log(F.lit(float(SPRT_LIFT_NUM)) / F.lit(float(SPRT_LIFT_DEN)))
+    ln_neg = F.log(
+        (
+            F.lit(float(SPRT_LIFT_DEN)) * F.col("nc")
+            - F.lit(SPRT_LIFT_NUM) * F.col("xc")
+        )
+        / (F.lit(SPRT_LIFT_DEN) * (F.col("nc") - F.col("xc")).cast("double"))
+    )
+    terms = (
+        d.filter(F.col("t") == 1)
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "day",
+            "x",
+            "n",
+            (F.col("x") * ln_pos + (F.col("n") - F.col("x")) * ln_neg).alias("llr"),
+        )
+    )
+    arr = terms.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "x", "n", "llr"))
+        ).alias("a")
+    ).filter(F.size("a") > 0)
+    rows = arr.select(
+        F.posexplode(
+            F.expr(
+                "transform(a, (e, i) -> struct("
+                " e.day AS day, e.x AS x, e.n AS n,"
+                " aggregate(slice(a, 1, i + 1), CAST(0.0 AS DOUBLE),"
+                "           (acc, f) -> acc + f.llr) AS cum))"
+            )
+        ).alias("i", "r")
+    ).select("r.day", "r.x", "r.n", "r.cum")
+    return rows.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("x").alias("x_treat"),
+        F.col("n").alias("n_treat"),
+        (F.floor(F.col("cum") * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "cum_llr"
+        ),
+        F.when(F.col("cum") >= SPRT_LN_A, F.lit("accept_h1"))
+        .when(F.col("cum") <= -SPRT_LN_A, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

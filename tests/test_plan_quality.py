@@ -173,6 +173,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "dq_key_skew_report",  # 1-row key-totals broadcast onto the top-20 rows
     "metric_concentration_shares",  # 1-row grand total + 3-row pct spine onto the rank axis
     "corpus_perplexity_buckets",  # 1-row doc-total broadcast onto the <=20 bucket rows
+    "ab_sequential_sprt",  # 1-row guarded control-rate scalar onto the day axis
 }
 
 
@@ -489,6 +490,8 @@ _SINGLE_PARTITION_OK = {
     "dq_key_skew_report": "tiny",  # rank window over the TakeOrdered top-20
     "metric_concentration_shares": "tiny",  # rank-construction range-offset tables
     "corpus_perplexity_buckets": "scalar",  # 1-row doc-total final
+    "ab_sequential_sprt": "scalar",  # 1-row day-axis fold (<= |days| elements)
+    "orders_rfm_segmentation": "tiny",  # three prefix-rank range-offset tables
 }
 
 
