@@ -46,6 +46,7 @@ _PRIORITY = [
     # round-7 additions (fresh oracles deserve a first external row)
     "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
     "corpus_perplexity_buckets", "orders_rfm_segmentation", "ab_sequential_sprt",
+    "attribution_markov_removal",
     # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
     # repeated-squaring oracles are the riskiest SQL in the repo and
     # deserve external confirmation (13)

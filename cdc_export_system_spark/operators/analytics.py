@@ -2748,3 +2748,238 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon_cents").cast("bigint").alias("segment_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_markov_removal
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 12  # fixed-point iterations (geometric convergence; the
+# chain's longest journeys here are ~tens of touches, and 12 doublings of
+# absorbed mass put the integer iterate at its fixpoint for micro units)
+
+_MK_TRANS = """
+        seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(event_type = 'purchase' AS BIGINT) AS isp,
+                   COALESCE(SUM(CAST(event_type = 'purchase' AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS jid
+            FROM events),
+        conv AS (
+            SELECT user_id, jid, max(isp) AS converted,
+                   SUM(1 - isp) AS n_touch
+            FROM seq GROUP BY user_id, jid),
+        t AS (
+            SELECT s.user_id, s.jid, s.ts, s.event_id, s.event_type,
+                   row_number() OVER (PARTITION BY s.user_id, s.jid
+                                      ORDER BY s.ts, s.event_id) AS rn,
+                   lead(s.event_type) OVER (PARTITION BY s.user_id, s.jid
+                                            ORDER BY s.ts, s.event_id)
+                       AS nxt
+            FROM seq s WHERE s.isp = 0),
+        trans AS (
+            SELECT 'start' AS frm, event_type AS t_o FROM t WHERE rn = 1
+            UNION ALL
+            SELECT event_type, nxt FROM t WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT t.event_type,
+                   CASE WHEN c.converted = 1 THEN 'conv' ELSE 'drop' END
+            FROM t JOIN conv c
+              ON c.user_id = t.user_id AND c.jid = t.jid
+            WHERE t.nxt IS NULL
+            UNION ALL
+            SELECT 'start', 'conv' FROM conv
+            WHERE converted = 1 AND n_touch = 0),
+        tc AS (SELECT frm, t_o, CAST(count(*) AS BIGINT) AS n
+               FROM trans GROUP BY frm, t_o)
+"""
+
+
+def _markov_oracle() -> str:
+    chan = "SELECT DISTINCT t_o AS c FROM tc WHERE t_o NOT IN ('conv', 'drop')"
+    setup = f"""
+        WITH {_MK_TRANS},
+        chans AS ({chan}),
+        runs AS (SELECT c AS removed FROM chans
+                 UNION ALL SELECT 'none'),
+        outs AS (
+            SELECT r.removed, tc.frm AS s,
+                   CAST(SUM(tc.n) AS BIGINT) AS ni,
+                   CAST(SUM(CASE WHEN tc.t_o = 'conv' THEN tc.n ELSE 0 END)
+                        AS BIGINT) AS cv
+            FROM tc CROSS JOIN runs r
+            WHERE tc.frm <> r.removed
+            GROUP BY r.removed, tc.frm),
+        ie AS (
+            SELECT r.removed, tc.frm, tc.t_o, tc.n
+            FROM tc CROSS JOIN runs r
+            WHERE tc.t_o NOT IN ('conv', 'drop')
+              AND tc.t_o <> r.removed AND tc.frm <> r.removed),
+        p0 AS (SELECT removed, s, CAST(0 AS BIGINT) AS p FROM outs)
+    """
+    iters = ""
+    for k in range(1, MARKOV_ITERS + 1):
+        iters += f""",
+        p{k} AS (
+            SELECT o.removed, o.s,
+                   CAST((o.cv * 1000000 + COALESCE(e.acc, 0)) // o.ni
+                        AS BIGINT) AS p
+            FROM outs o LEFT JOIN (
+                SELECT ie.removed, ie.frm AS s, SUM(ie.n * p.p) AS acc
+                FROM ie JOIN p{k - 1} p
+                  ON p.removed = ie.removed AND p.s = ie.t_o
+                GROUP BY ie.removed, ie.frm) e
+              ON e.removed = o.removed AND e.s = o.s)
+    """
+    last = f"p{MARKOV_ITERS}"
+    return f"""{setup}{iters},
+        base AS (SELECT p AS b FROM {last}
+                 WHERE removed = 'none' AND s = 'start'),
+        rem AS (SELECT removed AS channel, p AS removed_conv_micro
+                FROM {last} WHERE removed <> 'none' AND s = 'start'),
+        eff AS (
+            SELECT r.channel, b.b AS base_conv_micro, r.removed_conv_micro,
+                   CASE WHEN b.b > r.removed_conv_micro
+                        THEN b.b - r.removed_conv_micro ELSE 0 END AS effect
+            FROM rem r CROSS JOIN base b),
+        tot AS (SELECT SUM(effect) AS te FROM eff)
+        SELECT e.channel, e.base_conv_micro, e.removed_conv_micro,
+               CAST(e.effect AS BIGINT) AS removal_effect_micro,
+               CAST(CASE WHEN t.te > 0
+                    THEN e.effect * 1000000 // t.te ELSE 0 END AS BIGINT)
+                   AS share_ppm
+        FROM eff e CROSS JOIN tot t
+    """
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_markov_oracle(),
+    tags=("analytics", "attribution", "ml"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN attribution by Markov removal effects — the
+    model-based member of the attribution family (last_touch and
+    position_based are rule-based): user event streams become journeys
+    (a purchase converts and closes the journey; later events open the
+    next one), journeys become a first-order Markov chain over the
+    touch channels with absorbing conv/drop states, and a channel's
+    credit is its REMOVAL EFFECT — how much the chain's start->conv
+    probability falls when paths through that channel are failed
+    (edges into it redirect to drop; out-probabilities keep their
+    original denominators, so following a removed edge means losing
+    the journey, the standard Anderl et al. formulation).
+
+    Exactness: transition counts are exact integers from one
+    distributed pass; the absorbing-chain solve runs MARKOV_ITERS
+    rounds of the integer fixed point p_i <- (cv_i * 1e6 +
+    sum_j n_ij * p_j) div n_i — truncating division in micro units,
+    bit-identical to the oracle's unrolled CTE chain (the kmeans-exact
+    discipline applied to an absorbing Markov chain). The solve runs
+    on the collected transition matrix — a MODEL-SIZED object
+    (|channels + start|^2 <= dozens of rows, the k-means-centroid
+    precedent), so the driver loop is O(channels^2 x iters) integer
+    ops, not a data pass.
+
+    Scale: journey segmentation is one user_id window pass; the
+    transition rollup reduces the event stream to the tiny (frm, to)
+    matrix map-side. Everything after is model-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    isp = (F.col("event_type") == "purchase").cast("bigint")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        isp.alias("isp"),
+        F.coalesce(
+            F.sum(isp).over(wuser.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    conv = seq.groupBy("user_id", "jid").agg(
+        F.max("isp").alias("converted"),
+        F.sum(F.lit(1) - F.col("isp")).alias("n_touch"),
+    )
+    wj = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    t = seq.filter(F.col("isp") == 0).select(
+        "user_id",
+        "jid",
+        "event_type",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    trans = (
+        t.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("frm"), F.col("event_type").alias("t_o"))
+        .unionAll(
+            t.filter(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("frm"), F.col("nxt").alias("t_o")
+            )
+        )
+        .unionAll(
+            t.filter(F.col("nxt").isNull())
+            .join(conv, ["user_id", "jid"])
+            .select(
+                F.col("event_type").alias("frm"),
+                F.when(F.col("converted") == 1, F.lit("conv"))
+                .otherwise(F.lit("drop"))
+                .alias("t_o"),
+            )
+        )
+        .unionAll(
+            conv.filter((F.col("converted") == 1) & (F.col("n_touch") == 0))
+            .select(F.lit("start").alias("frm"), F.lit("conv").alias("t_o"))
+        )
+    )
+    tc = [
+        (r["frm"], r["t_o"], r["n"])
+        for r in trans.groupBy("frm", "t_o")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # model-sized: (|channels|+1)^2 upper bound
+    ]
+
+    channels = sorted({to for _, to, _ in tc if to not in ("conv", "drop")})
+
+    def solve(removed: str | None) -> int:
+        outs: dict[str, int] = {}
+        cv: dict[str, int] = {}
+        for frm, to, n in tc:
+            if frm == removed:
+                continue
+            outs[frm] = outs.get(frm, 0) + n
+            if to == "conv":
+                cv[frm] = cv.get(frm, 0) + n
+        inner = [
+            (frm, to, n)
+            for frm, to, n in tc
+            if to not in ("conv", "drop") and to != removed and frm != removed
+        ]
+        p = {s: 0 for s in outs}
+        for _ in range(MARKOV_ITERS):
+            acc = {s: 0 for s in outs}
+            for frm, to, n in inner:
+                acc[frm] += n * p.get(to, 0)
+            p = {
+                s: (cv.get(s, 0) * 1_000_000 + acc[s]) // outs[s] for s in outs
+            }
+        return p.get("start", 0)
+
+    base = solve(None)
+    effects = []
+    for c in channels:
+        rc = solve(c)
+        effects.append((c, base, rc, max(0, base - rc)))
+    te = sum(e for _, _, _, e in effects)
+    rows = [
+        (c, b, rc, e, (e * 1_000_000 // te) if te > 0 else 0)
+        for c, b, rc, e in effects
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro bigint, removed_conv_micro bigint,"
+        " removal_effect_micro bigint, share_ppm bigint",
+    )

@@ -226,3 +226,38 @@ def test_ewma_crossover_matches_float_replica(spark):
         assert row["n_crossovers"] == crossings, (uid, signs)
         assert row["last_signal"] == signs[-1]
         assert abs(row["fast_final"] - fast / 100) < 1e-6
+
+
+def test_markov_removal_hand_case(spark, tmp_path):
+    """Constructed journeys with a hand-derivable answer: every
+    converting path goes through 'click', so removing click must zero
+    the conversion probability and click takes the whole share; 'view'
+    appears only on non-converting paths, so its removal effect is 0."""
+    import pandas as pd
+
+    from cdc_export_system_spark.operators.analytics import (
+        attribution_markov_removal,
+    )
+
+    # user 1: click -> purchase (converts)   user 2: view (drops)
+    # user 3: click -> purchase (converts)   user 4: view (drops)
+    rows = []
+    eid = 0
+    for uid, types in [(1, ["click", "purchase"]), (2, ["view"]),
+                       (3, ["click", "purchase"]), (4, ["view"])]:
+        for i, et in enumerate(types):
+            eid += 1
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                         uid, et, 1.0, "{}"))
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                "value", "props"]).to_parquet(
+        tmp_path / "events.parquet")
+    got = {r["channel"]: r for r in
+           attribution_markov_removal(spark, str(tmp_path)).collect()}
+    # base: 2 of 4 journeys convert -> 500000 micro
+    assert got["click"]["base_conv_micro"] == 500_000
+    assert got["click"]["removed_conv_micro"] == 0
+    assert got["click"]["removal_effect_micro"] == 500_000
+    assert got["click"]["share_ppm"] == 1_000_000
+    assert got["view"]["removal_effect_micro"] == 0
+    assert got["view"]["share_ppm"] == 0
