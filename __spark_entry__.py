@@ -46,7 +46,8 @@ _PRIORITY = [
     # round-7 additions (fresh oracles deserve a first external row)
     "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
     "corpus_perplexity_buckets", "orders_rfm_segmentation", "ab_sequential_sprt",
-    "attribution_markov_removal",
+    "attribution_markov_removal", "event_alert_debounce",
+    "ts_holt_winters_exact",
     # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
     # repeated-squaring oracles are the riskiest SQL in the repo and
     # deserve external confirmation (13)

@@ -2983,3 +2983,100 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv_micro bigint, removed_conv_micro bigint,"
         " removal_effect_micro bigint, share_ppm bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# event_alert_debounce
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_VALUE_MIN = 90.0  # alert condition: value above this
+DEBOUNCE_COOLDOWN_S = 900  # suppress same-user alerts for 15 minutes
+
+
+@register(
+    "event_alert_debounce",
+    oracle=f"""
+        WITH RECURSIVE al AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value > {DEBOUNCE_VALUE_MIN}),
+        r AS (
+            SELECT user_id, event_id, us, rn, n,
+                   TRUE AS emitted, us AS last_emit
+            FROM al WHERE rn = 1
+            UNION ALL
+            SELECT al.user_id, al.event_id, al.us, al.rn, al.n,
+                   al.us >= r.last_emit + {DEBOUNCE_COOLDOWN_S} * 1000000
+                       AS emitted,
+                   CASE WHEN al.us >= r.last_emit
+                             + {DEBOUNCE_COOLDOWN_S} * 1000000
+                        THEN al.us ELSE r.last_emit END AS last_emit
+            FROM r JOIN al
+              ON al.user_id = r.user_id AND al.rn = r.rn + 1)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_alerts,
+               CAST(count(*) FILTER (WHERE emitted) AS BIGINT) AS n_emitted,
+               CAST(count(*) FILTER (WHERE NOT emitted) AS BIGINT)
+                   AS n_suppressed,
+               CAST(min(CASE WHEN emitted THEN event_id END) AS BIGINT)
+                   AS first_alert_id,
+               CAST(max(last_emit) AS BIGINT) AS last_emit_us
+        FROM r GROUP BY user_id
+    """,
+    tags=("analytics", "stateful", "events"),
+)
+def event_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert DEBOUNCING with a true cooldown: an alert (value above
+    DEBOUNCE_VALUE_MIN) emits only if the user's last EMITTED alert is
+    at least DEBOUNCE_COOLDOWN_S older — the paging-dedup rule every
+    on-call stack implements. This is deliberately NOT a window
+    function: whether row k emits depends on which earlier rows
+    EMITTED, not merely on the previous alert (three alerts at t,
+    t+10m, t+20m emit the 1st and 3rd; lag-based suppression would
+    wrongly silence the 3rd) — the same self-referential recurrence
+    class as ts_holt_exact, and it gets the same treatment: a grouped
+    Arrow batch per user with integer microsecond state, bit-matched
+    to the oracle's recursive CTE.
+
+    Scale: ONE shuffle of the filtered alert stream on user_id into
+    applyInPandas; state per series is a single int64. A user whose
+    alert history outgrows a task is pre-split by episode via a keyed
+    rollup upstream — same contract as the other stateful series ops."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") > DEBOUNCE_VALUE_MIN
+    )
+    al = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+
+    def debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        cd = DEBOUNCE_COOLDOWN_S * 1_000_000
+        last = None
+        n_emitted = 0
+        first_id = None
+        for us, eid in zip(pdf["us"], pdf["event_id"]):
+            if last is None or int(us) >= last + cd:
+                last = int(us)
+                n_emitted += 1
+                if first_id is None:
+                    first_id = int(eid)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_alerts": [n],
+                "n_emitted": [n_emitted],
+                "n_suppressed": [n - n_emitted],
+                "first_alert_id": [first_id],
+                "last_emit_us": [last],
+            }
+        )
+
+    return al.groupBy("user_id").applyInPandas(
+        debounce,
+        schema="user_id bigint, n_alerts bigint, n_emitted bigint,"
+        " n_suppressed bigint, first_alert_id bigint, last_emit_us bigint",
+    )

@@ -1898,3 +1898,132 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slow_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_winters_exact
+# ---------------------------------------------------------------------------
+
+# Additive Holt-Winters with alpha = beta = gamma = 1/4 as exact
+# rationals and season length HW_PERIOD (day-of-week), all in cents with
+# truncating division — the seasonal completion of ts_holt_exact:
+#   l_t = (y_t - s_{t-m} + 3 (l_{t-1} + b_{t-1}))           div 4
+#   b_t = ((l_t - l_{t-1}) + 3 b_{t-1})                      div 4
+#   s_t = ((y_t - l_t) + 3 s_{t-m})                          div 4
+# Seeds: the first m points seed the seasonal cells s_i = y_i - l_0
+# with l_0 = the truncated mean of the first season, b_0 = 0.
+HW_PERIOD = 7
+
+_HW_ORACLE = f"""
+    WITH RECURSIVE g AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT day, y,
+               row_number() OVER (ORDER BY day) AS rn,
+               count(*) OVER () AS n
+        FROM g),
+    seed AS (
+        SELECT CAST(SUM(y) // {HW_PERIOD} AS BIGINT) AS l0,
+               list(CAST(y AS BIGINT) ORDER BY rn) AS ys
+        FROM s WHERE rn <= {HW_PERIOD}),
+    r AS (
+        SELECT s.rn, s.n, s.day, s.y,
+               seed.l0 AS l, CAST(0 AS BIGINT) AS b,
+               -- seasonal ring buffer: cell 1 is ALWAYS the next row's
+               -- season; seeded from the first season's deviations
+               list_transform(seed.ys, v -> v - seed.l0) AS ring
+        FROM s CROSS JOIN seed WHERE s.rn = {HW_PERIOD}
+        UNION ALL
+        SELECT s.rn, s.n, s.day, s.y,
+               CAST((s.y - r.ring[1] + 3 * (r.l + r.b)) // 4 AS BIGINT) AS l,
+               CAST((((s.y - r.ring[1] + 3 * (r.l + r.b)) // 4) - r.l
+                     + 3 * r.b) // 4 AS BIGINT) AS b,
+               list_append(
+                   r.ring[2:],
+                   CAST(((s.y
+                          - (s.y - r.ring[1] + 3 * (r.l + r.b)) // 4)
+                         + 3 * r.ring[1]) // 4 AS BIGINT)) AS ring
+        FROM r JOIN s ON s.rn = r.rn + 1)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(l AS DOUBLE) / 100 AS level,
+           CAST(b AS DOUBLE) / 100 AS trend,
+           CAST(ring[1] AS DOUBLE) / 100 AS next_season,
+           CAST(l + b + ring[1] AS DOUBLE) / 100 AS forecast1
+    FROM r WHERE rn = n AND n >= {HW_PERIOD}
+"""
+
+
+@register(
+    "ts_holt_winters_exact",
+    oracle=_HW_ORACLE,
+    tags=("ts", "timeseries", "stateful"),
+)
+def ts_holt_winters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS (level + trend + day-of-week season) on the
+    global daily-cents series, in EXACT integer arithmetic — the
+    seasonal completion of ts_holt_exact: alpha = beta = gamma = 1/4 as
+    exact rationals, every update a truncating integer division, the
+    seasonal state a rotating {HW_PERIOD}-cell ring so the recurrence
+    is a pure function of the data, bit-identical between this Arrow
+    batch and the oracle's recursive CTE (which rotates a DuckDB list
+    the same way). Output is the final state and the one-step-ahead
+    forecast l + b + s — the weekly-seasonality forecast every ops
+    dashboard wants where plain Holt under-forecasts weekends.
+
+    Why applyInPandas: three mutually-recursive state variables, one
+    of them a ring buffer — no window spec expresses it (same argument
+    as ts_holt_exact, plus the seasonal ring). The distributed shape:
+    the event stream reduces map-side to the |days| axis, ONE tiny
+    grouped batch carries the fold; a multi-series deployment keys the
+    same fold by series id exactly like ts_holt_exact."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        m = HW_PERIOD
+        if n < m:
+            return pd.DataFrame(
+                columns=["n_days", "level", "trend", "next_season",
+                         "forecast1"]
+            ).astype({"n_days": "int64"})
+        l0 = tdiv(sum(ys[:m]), m)
+        lvl, tr = l0, 0
+        ring = [y - l0 for y in ys[:m]]  # ring[0] = next row's season
+        for y in ys[m:]:
+            s_old = ring[0]
+            nl = tdiv(y - s_old + 3 * (lvl + tr), 4)
+            tr = tdiv((nl - lvl) + 3 * tr, 4)
+            s_new = tdiv((y - nl) + 3 * s_old, 4)
+            lvl = nl
+            ring = ring[1:] + [s_new]
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "level": [lvl / 100],
+                "trend": [tr / 100],
+                "next_season": [ring[0] / 100],
+                "forecast1": [(lvl + tr + ring[0]) / 100],
+            }
+        )
+
+    return g.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: hw(pdf),
+        schema="n_days bigint, level double, trend double,"
+        " next_season double, forecast1 double",
+    )

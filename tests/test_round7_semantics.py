@@ -261,3 +261,33 @@ def test_markov_removal_hand_case(spark, tmp_path):
     assert got["click"]["share_ppm"] == 1_000_000
     assert got["view"]["removal_effect_micro"] == 0
     assert got["view"]["share_ppm"] == 0
+
+
+def test_alert_debounce_not_lag_suppression(spark, tmp_path):
+    """The docstring's defining case: alerts at t, t+10m, t+20m with a
+    15-minute cooldown emit the 1st and 3rd — lag-based suppression
+    (silence anything within 15m of the PREVIOUS ALERT) would wrongly
+    silence the 3rd because its predecessor is only 10m away."""
+    import pandas as pd
+
+    from cdc_export_system_spark.operators.analytics import (
+        event_alert_debounce,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 7, "error", 99.0, "{}"),
+        (2, t0 + pd.Timedelta(minutes=10), 7, "error", 99.0, "{}"),
+        (3, t0 + pd.Timedelta(minutes=20), 7, "error", 99.0, "{}"),
+        (4, t0, 8, "view", 10.0, "{}"),  # below threshold: not an alert
+    ]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                "value", "props"]).to_parquet(
+        tmp_path / "events.parquet")
+    got = {r["user_id"]: r for r in
+           event_alert_debounce(spark, str(tmp_path)).collect()}
+    assert set(got) == {7}
+    assert got[7]["n_alerts"] == 3
+    assert got[7]["n_emitted"] == 2  # t and t+20m; t+10m suppressed
+    assert got[7]["n_suppressed"] == 1
+    assert got[7]["first_alert_id"] == 1
