@@ -47,7 +47,7 @@ _PRIORITY = [
     "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
     "corpus_perplexity_buckets", "orders_rfm_segmentation", "ab_sequential_sprt",
     "attribution_markov_removal", "event_alert_debounce",
-    "ts_holt_winters_exact",
+    "ts_holt_winters_exact", "orders_cohort_ltv", "event_burst_flags",
     # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
     # repeated-squaring oracles are the riskiest SQL in the repo and
     # deserve external confirmation (13)

@@ -3080,3 +3080,179 @@ def event_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, n_alerts bigint, n_emitted bigint,"
         " n_suppressed bigint, first_alert_id bigint, last_emit_us bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+        coh AS (SELECT c, min(m) AS cohort FROM o GROUP BY c),
+        cell AS (
+            SELECT coh.cohort,
+                   CAST(datediff('month', coh.cohort, o.m) AS BIGINT)
+                       AS months_since,
+                   CAST(SUM(o.cents) AS BIGINT) AS rev_cents,
+                   CAST(count(DISTINCT o.c) AS BIGINT) AS n_active
+            FROM o JOIN coh ON o.c = coh.c
+            GROUP BY 1, 2),
+        sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+               FROM coh GROUP BY cohort)
+        SELECT CAST(cell.cohort AS TIMESTAMP) AS cohort_month,
+               cell.months_since, sz.cohort_size, cell.n_active,
+               cell.rev_cents,
+               CAST(SUM(cell.rev_cents) OVER (PARTITION BY cell.cohort
+                    ORDER BY cell.months_since) AS BIGINT) AS cum_cents,
+               CAST(CAST(SUM(cell.rev_cents) OVER (PARTITION BY cell.cohort
+                    ORDER BY cell.months_since) AS BIGINT)
+                    // sz.cohort_size AS BIGINT) AS ltv_cents_per_cust
+        FROM cell JOIN sz ON sz.cohort = cell.cohort
+    """,
+    tags=("analytics", "bi", "window"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves — the BI readout behind every
+    payback-period decision: customers cohorted by first-order month,
+    each cohort's revenue laid out by months-since-acquisition with the
+    running cumulative and the per-customer LTV (cumulative cents
+    integer-divided by cohort size — exact, no drifting averages).
+    cohort_retention counts ACTIVITY; this accumulates VALUE.
+
+    Scale: one custkey rollup for the cohort map (broadcast-sized only
+    if customers are; it joins back on the same key so no broadcast is
+    assumed), one (cohort, month) rollup, and a window over the
+    <= |months| axis per cohort. The distinct-active count rides the
+    same (cohort, months_since) shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    coh = o.groupBy("c").agg(F.min("m").alias("cohort"))
+    cell = (
+        o.join(coh, "c")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            )
+            .cast("bigint")
+            .alias("months_since"),
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+            F.countDistinct("c").cast("bigint").alias("n_active"),
+        )
+    )
+    sz = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    wc = W.partitionBy("cohort").orderBy("months_since")
+    return (
+        cell.join(sz, "cohort")
+        .select(
+            F.col("cohort").cast("timestamp").alias("cohort_month"),
+            "months_since",
+            "cohort_size",
+            "n_active",
+            "rev_cents",
+            F.sum("rev_cents").over(wc).cast("bigint").alias("cum_cents"),
+            F.expr(
+                "CAST(CAST(sum(rev_cents) OVER (PARTITION BY cohort"
+                " ORDER BY months_since) AS BIGINT) div cohort_size"
+                " AS BIGINT)"
+            ).alias("ltv_cents_per_cust"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_burst_flags
+# ---------------------------------------------------------------------------
+
+BURST_WINDOW_S = 300  # trailing window for burst detection
+BURST_MIN_COUNT = 3  # errors within the window to call it a burst
+
+
+@register(
+    "event_burst_flags",
+    oracle=f"""
+        WITH err AS (
+            SELECT user_id, ts, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'error'),
+        f AS (
+            SELECT user_id, ts, event_id, us,
+                   count(*) OVER (PARTITION BY user_id ORDER BY us
+                                  RANGE BETWEEN {BURST_WINDOW_S} * 1000000
+                                  PRECEDING AND CURRENT ROW) AS w_cnt
+            FROM err),
+        flagged AS (SELECT * FROM f WHERE w_cnt >= {BURST_MIN_COUNT}),
+        isl AS (
+            SELECT user_id, us, event_id,
+                   CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id)
+                             <= {BURST_WINDOW_S} * 1000000
+                        THEN 0 ELSE 1 END AS new_ep
+            FROM flagged),
+        ep AS (
+            SELECT user_id, us, event_id,
+                   SUM(new_ep) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS episode
+            FROM isl)
+        SELECT user_id, CAST(episode AS BIGINT) AS episode,
+               CAST(count(*) AS BIGINT) AS n_flagged,
+               CAST(min(us) AS BIGINT) AS first_us,
+               CAST(max(us) AS BIGINT) AS last_us
+        FROM ep GROUP BY user_id, episode
+    """,
+    tags=("analytics", "events", "window", "anomaly"),
+)
+def event_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ERROR-BURST episodes — the rage-click/incident-burst
+    detector: an error is flagged when >= BURST_MIN_COUNT errors land
+    within the trailing BURST_WINDOW_S seconds (a RANGE window over
+    event time, not rows — three slow errors spread over an hour never
+    flag), and flagged errors within one window-length of each other
+    merge into an episode (gaps-and-islands over the flagged stream).
+    Complements anomaly_rate_spike (global type-day volume): this is
+    the per-entity, fine-grained sibling an abuse/UX pipeline pages on.
+
+    Scale: ONE user_id shuffle serves the range window, the island
+    numbering, and the episode rollup (same key, Catalyst reuses the
+    sort); everything is integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-BURST_WINDOW_S * 1_000_000, 0)
+    )
+    flagged = err.withColumn("w_cnt", F.count(F.lit(1)).over(wr)).filter(
+        F.col("w_cnt") >= BURST_MIN_COUNT
+    )
+    wo = W.partitionBy("user_id").orderBy("us", "event_id")
+    isl = flagged.withColumn(
+        "new_ep",
+        F.when(
+            F.col("us") - F.lag("us").over(wo) <= BURST_WINDOW_S * 1_000_000,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    ep = isl.withColumn("episode", F.sum("new_ep").over(wo))
+    return ep.groupBy("user_id", F.col("episode").cast("bigint").alias("episode")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+        F.min("us").cast("bigint").alias("first_us"),
+        F.max("us").cast("bigint").alias("last_us"),
+    )
