@@ -644,11 +644,13 @@ def test_minhash_single_pass_forms_stay_pure_plan(spark, name):
 
 def test_semdedup_pair_stage_is_cluster_equijoin(spark):
     # SemDeDup's quadratic stage must be blocked by the k-means cluster id
-    # (an equi-join), never a corpus self-cross; the only NLJ in the tree
-    # is kmeans_fit's model-sized centroid broadcast (allowlisted above).
+    # AND the triangle sub-block key (round 7: joining on the cluster
+    # alone capped parallelism at k reduce tasks — triangle_sides spreads
+    # each cluster's pairs over B(B+1)/2 tasks), never a corpus
+    # self-cross; the only NLJ in the tree is kmeans_fit's model-sized
+    # centroid broadcast (allowlisted above).
     p = plan_of(spark, "dedup_semantic_semdedup")
     assert "CartesianProduct" not in p, p
-    import re
-    assert re.search(r"Join \[cl_a#\d+L?\], \[cl_b#\d+L?\]", p) or (
-        "cl_a" in p and "cl_b" in p
-    ), "within-cluster pair join key missing from the physical plan"
+    assert "cluster_id" in p and "_tj" in p, (
+        "within-cluster triangle pair join keys missing from the plan"
+    )
