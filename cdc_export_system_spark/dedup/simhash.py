@@ -98,7 +98,19 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-near pairs via byte-banding: fingerprints within distance k
     share at least one of their 4 bytes when k <= 6 is rare-ish; banding
     turns the pairwise scan into 4 hash joins (same LSH trick as MinHash
-    banding, specialized to Hamming space)."""
+    banding, specialized to Hamming space).
+
+    A hot bucket (many docs sharing one band byte — the round-7 10x run
+    measured a 14k-doc bucket, i.e. ~196M candidate pairs on ONE reduce
+    task, because AQE cannot split a single join key) is spread over
+    B(B+1)/2 tasks by the triangle sub-blocking helper; the result set
+    is unchanged (every same-bucket pair still meets exactly once per
+    bucket, and the cross-bucket DISTINCT is the same)."""
+    from cdc_export_system_spark.similarity.queries import (
+        triangle_pair_filter,
+        triangle_sides,
+    )
+
     fp = simhash(load_table(spark, sf_dir, "documents"))
     bands = fp.select(
         "doc_id",
@@ -115,18 +127,25 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "fingerprint", "bb.band", "bb.byte")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fp_a"), "band", "byte"
+    ta, tb = triangle_sides(bands, "doc_id", extra_keys=("band", "byte"))
+    a = ta.select(
+        "band", "byte", "_tj", "_blk_a",
+        F.col("doc_id").alias("id_a"), F.col("fingerprint").alias("fp_a"),
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"), "band", "byte"
+    b = tb.select(
+        "band", "byte", "_tj", "_blk_b",
+        F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("fp_b"),
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        a.join(b, ["band", "byte"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        a.join(b, ["band", "byte", "_tj"])
+        .filter(triangle_pair_filter())
+        .filter(hamming <= 6)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .distinct()
     )
 
@@ -176,7 +195,15 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Levenshtein is O(len^2) per pair — affordable ONLY because
     it runs on the banded candidate set, never the corpus square; the
     text join probes documents by doc_id (two keyed joins on the
-    bounded pair list). The candidate builder inherits
+    bounded pair list). Two result-preserving prunes keep the verify
+    affordable when banding over-admits (the round-7 10x densification
+    run found the unpruned form grinding on millions of clustered-
+    fingerprint candidates): (a) edit distance is lower-bounded by the
+    LENGTH DIFFERENCE, so |len(a) - len(b)| > max filters before any
+    DP matrix is built; (b) the DP itself runs with Spark's threshold
+    form (banded O(len x max) early-exit, -1 past the bound) — both
+    exclude exactly the pairs the oracle's WHERE excludes, so the pair
+    set and distances still hash-match. The candidate builder inherits
     dedup_simhash_banded_pairs' plan (4 band hash-joins, no
     self-cartesian); at 100 TB you'd also cap per-bucket width (the
     banding doc covers the skew story)."""
@@ -191,11 +218,19 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
             "doc_b",
         )
+        # exact lower bound: lev(a, b) >= |len(a) - len(b)| — prune the
+        # DP entirely for pairs that cannot pass the <= max gate
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")) <= F.lit(EDIT_VERIFY_MAX)
+        )
         .select(
             "doc_a",
             "doc_b",
             "hamming",
-            F.levenshtein("ta", "tb").alias("edit_dist"),
+            # threshold form: banded DP, returns -1 when dist > max —
+            # those rows fail the <= max filter exactly like the true
+            # distance would
+            F.levenshtein("ta", "tb", EDIT_VERIFY_MAX).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= EDIT_VERIFY_MAX)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= EDIT_VERIFY_MAX))
     )
