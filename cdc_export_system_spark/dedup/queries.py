@@ -79,20 +79,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label so the pairwise
     comparison runs within blocks only (the embedding analogue of LSH
     bucketing; swap the label for an LSH bucket id for unlabeled data —
-    similarity.lsh provides exactly that bucketer)."""
-    from cdc_export_system_spark.similarity.queries import cosine
+    similarity.lsh provides exactly that bucketer). The label alone is
+    ~10 join keys, i.e. ~10 reduce tasks for a pair stream quadratic in
+    label size (the round-7 10x run measured 598 s through that
+    bottleneck) — triangle sub-blocking inside each label spreads every
+    label's pairs over B(B+1)/2 tasks with an identical result set
+    (ids canonicalized; cosine is symmetric)."""
+    from cdc_export_system_spark.similarity.queries import (
+        cosine,
+        triangle_pair_filter,
+        triangle_sides,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    ta, tb = triangle_sides(
+        emb.select("vec_id", "label", "embedding"), "vec_id",
+        extra_keys=("label",),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    a = ta.select(
+        "label", "_tj", "_blk_a",
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+    )
+    b = tb.select(
+        "label", "_tj", "_blk_b",
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
     )
     sim = F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)) / 1_000_000
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        a.join(b, ["label", "_tj"])
+        .filter(triangle_pair_filter())
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.4)
     )
 

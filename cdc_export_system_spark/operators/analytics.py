@@ -2018,7 +2018,14 @@ def metric_concentration_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pct").cast("int").alias("pct"),
             F.col("rn").cast("bigint").alias("n_customers"),
             (F.col("cum").cast("double") / 100).alias("cum_dollars"),
-            F.expr("(cum * 1000000) div s").alias("share_micro"),
+            # cum * 1e6 exceeds BIGINT once total cents pass ~9.2e12 (the
+            # 10x sweep hit the ANSI ArithmeticException); DECIMAL(38,0)
+            # carries the product exactly and div stays integral — the
+            # oracle's HUGEINT promotion is automatic
+            F.expr(
+                "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div s"
+                " AS BIGINT)"
+            ).alias("share_micro"),
         )
     )
 
