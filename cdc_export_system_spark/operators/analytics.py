@@ -3048,9 +3048,12 @@ def event_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's recursive CTE.
 
     Scale: ONE shuffle of the filtered alert stream on user_id into
-    applyInPandas; state per series is a single int64. A user whose
-    alert history outgrows a task is pre-split by episode via a keyed
-    rollup upstream — same contract as the other stateful series ops."""
+    applyInPandas; state per series is a single int64. Limit: each
+    user's full alert history lands in ONE pandas group (the cooldown
+    recurrence cannot be episode-split without first knowing where
+    emissions fall), so a user must fit in a task — fine for alert
+    streams (alerts are a filtered minority of events); a pathological
+    single-user firehose would need an upstream per-user cap."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -3068,7 +3071,10 @@ def event_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             if last is None or int(us) >= last + cd:
                 last = int(us)
                 n_emitted += 1
-                if first_id is None:
+                # min over ALL emitted alerts (not the temporally first):
+                # matches the oracle's min(CASE WHEN emitted THEN event_id
+                # END) even when event_id is not monotone with ts.
+                if first_id is None or int(eid) < first_id:
                     first_id = int(eid)
         n = len(pdf)
         return pd.DataFrame(

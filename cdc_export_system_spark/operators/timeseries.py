@@ -1767,8 +1767,9 @@ EWMA_MAX_IDX = 40  # 2^40 weight bound: see overflow note in the docstring
             FROM d),
         p AS (
             SELECT user_id, day, y, rn,
-                   sum(CASE WHEN rn = 0 THEN y
-                            ELSE (CAST(1 AS BIGINT) << (CAST(rn AS INT) - 1))
+                   sum(CASE WHEN rn = 0 THEN CAST(y AS HUGEINT)
+                            ELSE CAST(CAST(1 AS BIGINT)
+                                      << (CAST(rn AS INT) - 1) AS HUGEINT)
                                  * y END)
                        OVER (PARTITION BY user_id ORDER BY rn
                              ROWS UNBOUNDED PRECEDING) AS nfast,
@@ -1782,9 +1783,11 @@ EWMA_MAX_IDX = 40  # 2^40 weight bound: see overflow note in the docstring
             FROM r),
         sg AS (
             SELECT user_id, rn, n, nfast, s7, k,
-                   CASE WHEN nfast * k > s7 * (CAST(1 AS BIGINT)
+                   CASE WHEN CAST(nfast AS HUGEINT) * k
+                             > CAST(s7 AS HUGEINT) * (CAST(1 AS BIGINT)
                                                << CAST(rn AS INT)) THEN 1
-                        WHEN nfast * k < s7 * (CAST(1 AS BIGINT)
+                        WHEN CAST(nfast AS HUGEINT) * k
+                             < CAST(s7 AS HUGEINT) * (CAST(1 AS BIGINT)
                                                << CAST(rn AS INT)) THEN -1
                         ELSE 0 END AS sgn
             FROM p),
@@ -1823,13 +1826,15 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is ts_holt_exact; alpha = 1/2 is special because the
     denominator is a power of two).
 
-    Overflow bound: weights reach 2^(rn) so the series index is capped
-    at EWMA_MAX_IDX = 40 (2^40 * daily-cents * 7 stays under 2^63; the
-    testdata spans 30 days). Horizons longer than 41 days must
-    re-anchor the series first — numerically, weights below 2^-40 are
-    sub-ulp on the fast line anyway, so truncation to the trailing 41
-    days is the exact-arithmetic analogue of what double precision
-    would silently do.
+    Overflow bound: the series index is capped at EWMA_MAX_IDX = 40 so
+    the BIGINT weight 2^(rn-1) itself never wraps; the weighted terms,
+    the nfast prefix sum, and both sign-test products are computed in
+    DECIMAL(38,0) (oracle: HUGEINT), so daily cents carry NO bound —
+    2^41 * y fits decimal(38,0) for any int64 y. Horizons longer than
+    41 days must re-anchor the series first — numerically, weights
+    below 2^-40 are sub-ulp on the fast line anyway, so truncation to
+    the trailing 41 days is the exact-arithmetic analogue of what
+    double precision would silently do.
 
     Scale: one user_id shuffle serves the daily rollup, all four
     windows, and the final per-user collapse (same key end to end; the
@@ -1857,8 +1862,20 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfast = wr.rowsBetween(W.unboundedPreceding, 0)
     wslow = wr.rowsBetween(-(EWMA_SLOW_DAYS - 1), 0)
     wall = W.partitionBy("user_id")
-    term = F.when(F.col("rn") == 0, F.col("y")).otherwise(
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT) - 1) * y")
+    # the weight 2^(rn-1) stays BIGINT (rn <= 40 is guarded above), but
+    # the weighted terms, prefix sum, and sign-test products run in
+    # DECIMAL(38,0): with y unbounded int64 daily cents, nfast ~ 2^41*y
+    # and s7*2^rn overflow BIGINT near y ~ 2^20 — the oracle promotes the
+    # same expressions to HUGEINT, so both engines stay exact together
+    # (same treatment as metric_concentration_shares).
+    dec = "decimal(38,0)"
+    term = F.when(
+        F.col("rn") == 0, F.col("y").cast(dec)
+    ).otherwise(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT) - 1)"
+            f" AS {dec}) * CAST(y AS {dec})"
+        )
     )
     p = r.select(
         "user_id",
@@ -1869,9 +1886,11 @@ def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wall).alias("n"),
     )
     den = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn AS INT))")
+    lhs = F.col("nfast") * F.col("k").cast(dec)
+    rhs = F.col("s7").cast(dec) * den.cast(dec)
     sgn = (
-        F.when(F.col("nfast") * F.col("k") > F.col("s7") * den, F.lit(1))
-        .when(F.col("nfast") * F.col("k") < F.col("s7") * den, F.lit(-1))
+        F.when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
         .otherwise(F.lit(0))
     )
     sg = p.withColumn("sgn", sgn).withColumn("den", den)

@@ -33,6 +33,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _local_driver_mem_gb() -> int:
+    """Driver-heap default for LOCAL mode: half of MemAvailable, clamped
+    to [2, 16] GiB. Local-mode executors share the driver JVM, whose
+    Spark default heap (1g) is sized for a thin cluster driver, not for
+    32 task threads hash-aggregating concurrently — but a flat 16g on a
+    small host would over-commit, so size from the machine."""
+    avail_kb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    if avail_kb is None:
+        return 4  # conservative fallback when /proc is unavailable
+    return max(2, min(16, avail_kb // (2 * 1024 * 1024)))
+
+
 def get_spark(
     app_name: str = "cdc_export_system_spark",
     master: str | None = None,
@@ -41,18 +61,10 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for this engine."""
     cores = default_parallelism()
+    effective_master = master or f"local[{cores}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cores}]")
-        # local-mode executors share the driver JVM, whose Spark default
-        # heap (1g) is sized for a thin cluster driver, not for 32 task
-        # threads hash-aggregating concurrently — the sf1 scaling run
-        # OOMed exactly there. Harmless off-local (cluster executors
-        # carry their own memory conf); only effective at JVM creation.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        .master(effective_master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -67,6 +79,17 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Driver heap: only resize the JVM we actually run tasks in. With a
+    # remote master the driver is a thin coordinator and the executors
+    # carry their own memory conf — leave Spark's default alone there.
+    # SPARK_GRAFT_DRIVER_MEM always wins; otherwise size from MemAvailable.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
+    elif effective_master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory", f"{_local_driver_mem_gb()}g"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

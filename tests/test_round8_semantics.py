@@ -1,0 +1,133 @@
+"""Round-8 semantic pins for the ADVICE.md r07 items.
+
+1. event_alert_debounce: first_alert_id is min(event_id) over ALL
+   emitted alerts (the oracle's definition), not the id of the
+   temporally-first emission — distinguishable only when event ids are
+   not monotone with ts.
+2. ts_ewma_crossover: the sign test runs in DECIMAL(38,0) / HUGEINT, so
+   daily cents far above the old ~2^20 BIGINT product bound neither
+   throw nor diverge from the oracle.
+3. session: the local driver-heap default derives from MemAvailable and
+   clamps to [2, 16] GiB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cdc_export_system_spark.operators.analytics import event_alert_debounce
+from cdc_export_system_spark.operators.timeseries import ts_ewma_crossover
+from cdc_export_system_spark.registry import load_all
+from cdc_export_system_spark.session import _local_driver_mem_gb
+from tests.parity import compare
+
+
+def test_alert_debounce_min_id_over_all_emitted(spark, tmp_path):
+    """Non-monotone ids: user 7 emits at t (id=50) and t+20m (id=3);
+    id=1 lands at t+5m but is SUPPRESSED. first_alert_id must be 3 —
+    min over emitted alerts — not 50 (temporally first) and not 1
+    (min over all alerts)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (50, t0, 7, "error", 99.0, "{}"),
+        (1, t0 + pd.Timedelta(minutes=5), 7, "error", 99.0, "{}"),
+        (3, t0 + pd.Timedelta(minutes=20), 7, "error", 99.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in event_alert_debounce(spark, str(tmp_path)).collect()
+    }
+    assert got[7]["n_emitted"] == 2
+    assert got[7]["n_suppressed"] == 1
+    assert got[7]["first_alert_id"] == 3
+
+
+def test_alert_debounce_oracle_parity_non_monotone_ids(spark, tmp_path):
+    """Same construction, checked END TO END against the registered
+    DuckDB oracle (the r07 ADVICE scenario: ids shuffled against ts
+    used to hash-match only by luck of the testdata)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows, rid = [], 1000
+    for uid in range(5):
+        for k in range(6):
+            rid -= 17  # ids strictly DECREASE while ts increases
+            rows.append(
+                (rid, t0 + pd.Timedelta(minutes=7 * k + uid), uid,
+                 "error", 99.0, "{}")
+            )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    res = compare(
+        event_alert_debounce(spark, str(tmp_path)),
+        con,
+        load_all()["event_alert_debounce"].oracle,
+    )
+    assert res["match"], res
+
+
+def test_ewma_crossover_huge_daily_cents_matches_oracle(spark, tmp_path):
+    """Daily cents ~1.2e8 (>> the old ~2^20 product bound) over 41 days:
+    s7 * 2^40 ~ 9e20 would have thrown ANSI ArithmeticException in
+    BIGINT; with DECIMAL(38,0)/HUGEINT both engines stay exact and
+    hash-identical."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows, eid = [], 0
+    for uid in (1, 2):
+        for d in range(41):
+            for h in (2, 14):  # two events/day
+                eid += 1
+                # big, varying values so fast/slow actually cross
+                v = 600_000.0 + 250_000.0 * ((d * 7 + h + uid * 3) % 11)
+                rows.append(
+                    (eid, t0 + pd.Timedelta(days=d, hours=h), uid,
+                     "purchase", v, "{}")
+                )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    res = compare(
+        ts_ewma_crossover(spark, str(tmp_path)),
+        con,
+        load_all()["ts_ewma_crossover"].oracle,
+    )
+    assert res["match"], res
+    assert res["spark_rows"] == 2
+
+
+def test_ewma_crossover_still_guards_past_41_days(spark, tmp_path):
+    """The rn <= 40 loud guard survives the DECIMAL rewrite: a 42-day
+    series must still fail loudly (the truncation contract), not wrap."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (d + 1, t0 + pd.Timedelta(days=d), 1, "view", 10.0, "{}")
+        for d in range(42)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="re-anchor|ASSERT"):
+        ts_ewma_crossover(spark, str(tmp_path)).collect()
+
+
+def test_local_driver_mem_default_clamped():
+    assert 2 <= _local_driver_mem_gb() <= 16
