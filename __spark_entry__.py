@@ -39,47 +39,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # ROUND-7 LEAD (VERDICT r06 item 3): json_extract_props — the last
-    # §2 operator with no external driver row after six rounds — plus
-    # its json siblings.
-    "json_extract_props", "json_group_agg", "json_variant_extract",
-    # round-7 additions (fresh oracles deserve a first external row)
-    "multimodal_decode_dims", "recsys_covisitation", "ts_ewma_crossover",
-    "corpus_perplexity_buckets", "orders_rfm_segmentation", "ab_sequential_sprt",
-    "attribution_markov_removal", "event_alert_debounce",
-    "ts_holt_winters_exact", "orders_cohort_ltv", "event_burst_flags",
-    # the round-6 exact-sibling family: their unrolled-CTE / Cramer /
-    # repeated-squaring oracles are the riskiest SQL in the repo and
-    # deserve external confirmation (13)
-    "sim_search_ivf_exact", "sim_search_pq_exact", "sim_search_ivf_pq_exact",
-    "cluster_kmeans_exact", "sim_mmr_rerank_exact", "feat_pca_power_exact",
-    "ml_ridge_exact", "ml_logistic_exact", "ts_downsample_lttb_exact",
-    "ts_holt_exact", "event_markov_stationary_exact", "graph_ppr_exact",
-    "dedup_semantic_exact",
-    # windows tail (5)
-    "window_percent_rank_cume", "window_decay_score", "window_global_deciles",
-    "window_drawdown", "window_running_distinct",
-    # metric / event / funnel / retention / sessionize / attribution (16)
-    "metric_dau_mau", "metric_rolling_wau", "metric_new_vs_returning",
-    "metric_mix_shift", "metric_concentration_shares",
-    "metric_event_type_overlap", "event_path_topk", "event_dwell_time",
-    "event_growth_accounting", "event_next_transitions", "funnel_conversion",
-    "funnel_time_window", "retention_nday", "sessionize_batch",
-    "attribution_last_touch", "attribution_position_based",
-    # ml_* (8)
-    "ml_kfold_cv", "ml_naive_bayes", "ml_confusion_matrix", "ml_auc_roc",
-    "ml_pr_curve", "ml_gbm_stumps", "ml_calibration_table",
-    "ml_decision_stump",
-    # stats_* / ab_* (11)
+    # ROUND-8 LEAD (VERDICT r07 item 1): the never-externally-checked
+    # BENCH HEADLINERS — a headliner with no external correctness row
+    # is the worst evidence gap left.
+    "agg_quantiles_distributed", "agg_freq_items_mg", "metric_rolling_wau_hll",
+    "dedup_exact_substring", "text_winnowing_fingerprint",
+    # their close siblings in the same never-checked families
+    "dedup_winnowing_overlap", "dedup_substring_scrub",
+    "dedup_edit_distance_verify", "corpus_gopher_filter",
+    # the dq_* suite (verdict-named, 8)
+    "dq_checks", "dq_benford_digits", "dq_fk_orphans", "dq_null_profile",
+    "dq_reconciliation", "dq_outlier_iqr", "dq_key_skew_report",
+    "corpus_drift_psi",
+    # the graph tail (verdict-named, 5)
+    "graph_k_core", "graph_label_propagation", "graph_adamic_adar",
+    "graph_clustering_coefficient", "graph_assortativity",
+    # stats_* / ab_* tail (19)
     "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
     "stats_anova_oneway", "stats_benjamini_hochberg", "stats_effect_sizes",
     "stats_bootstrap_ci", "ab_cuped", "ab_proportion_ztest",
-    "stats_spearman_rank", "stats_wilson_ci",
-    # tail risk-buffer if the driver prefix runs past 55: headline
-    # never-checked representatives
-    "agg_quantiles_distributed", "dedup_exact_substring",
-    "text_winnowing_fingerprint", "dedup_winnowing_overlap",
-    "corpus_gopher_filter", "dq_checks", "ts_theil_sen", "tpch_q21_like",
+    "stats_spearman_rank", "stats_wilson_ci", "stats_power_analysis",
+    "stats_brown_forsythe", "stats_mcnemar", "stats_wilcoxon_signed_rank",
+    "stats_qq_points", "stats_runs_test", "stats_cohens_kappa",
+    "ab_ratio_delta_method",
+    # ml_* tail (17)
+    "ml_confusion_matrix", "ml_auc_roc", "ml_pr_curve", "ml_gbm_stumps",
+    "ml_calibration_table", "ml_decision_stump", "ml_eval_report",
+    "ml_logistic_regression_gd", "ml_ridge_normal_eq", "ml_uplift_qini",
+    "ml_feature_corr_matrix", "ml_feature_drift_psi", "ml_threshold_youden",
+    "ml_brier_decomposition", "ml_att_stratified", "ml_knn_classifier",
+    "ml_map_at_k",
+    # tail risk-buffer if the driver prefix runs past ~58: remaining
+    # never-checked headliner-adjacent ops
+    "ts_theil_sen", "tpch_q21_like", "join_interval_bucketed",
+    "sessionize_session_window", "agg_weighted_median", "agg_trimmed_mean",
 ]
 
 
