@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register, sql_dcast
+from cdc_export_system_spark.similarity.queries import EVAL_QUERY_ID_BOUND
 
 D38 = "decimal(38,0)"
 
@@ -1079,7 +1080,10 @@ def ml_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KNN_CLF_K = 5
-KNN_CLF_TEST_PRED = "vec_id % 50 = 0"  # 1-in-50 held out, matching sim_knn_join
+# pinned held-out set, matching sim_knn_join's bounded query sample
+# (similarity/queries.py: EVAL_QUERY_ID_BOUND): the TRAIN side scales
+# with the corpus (it is the model data); only the probe set is capped
+KNN_CLF_TEST_PRED = f"vec_id % 50 = 0 AND vec_id < {EVAL_QUERY_ID_BOUND}"
 
 _KNN_CLF_DOT = (
     "list_aggregate(list_transform(list_zip(a.embedding, q.qe),"
@@ -1104,7 +1108,7 @@ _KNN_CLF_ORACLE = f"""
                    AS cs,
                a.vec_id
         FROM embeddings a, q
-        WHERE NOT (a.vec_id % 50 = 0)),
+        WHERE NOT ({KNN_CLF_TEST_PRED})),
     topk AS (
         SELECT qid, label_actual, label,
                row_number() OVER (PARTITION BY qid

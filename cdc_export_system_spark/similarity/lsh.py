@@ -29,7 +29,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
 from cdc_export_system_spark.schemas import EMBEDDING_DIM
-from cdc_export_system_spark.similarity.queries import SIM_DECIMALS, TOP_K, cosine
+from cdc_export_system_spark.similarity.queries import (
+    EVAL_QUERY_ID_BOUND,
+    SIM_DECIMALS,
+    TOP_K,
+    cosine,
+)
 
 N_PLANES = 8
 
@@ -318,7 +323,10 @@ def sim_search_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RECALL_K = 10
-RECALL_QUERY_PRED = "vec_id % 100 = 0"  # sampled offline query set
+# pinned offline query set — bounded like KNN_QUERY_PRED (see
+# similarity/queries.py: EVAL_QUERY_ID_BOUND) so the recall eval scales
+# linearly with the corpus instead of quadratically
+RECALL_QUERY_PRED = f"vec_id % 100 = 0 AND vec_id < {EVAL_QUERY_ID_BOUND}"
 
 _RECALL_SQL_DOT = (
     "list_aggregate(list_transform(list_zip(a.embedding, q.qe),"

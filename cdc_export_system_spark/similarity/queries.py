@@ -226,7 +226,16 @@ def sim_pairwise_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
-KNN_QUERY_PRED = "vec_id % 50 = 0"  # 1-in-50 of the corpus are query points
+# PINNED eval query set (VERDICT r07 item 4): real retrieval evals fix
+# the query-set SIZE; letting it track the corpus (a bare `% 50`) makes
+# every brute-force eval quadratic by construction (10x queries x 10x
+# corpus = 100x sims at the 10x sweep). The id bound caps the set at
+# its sf0.1 size (max vec_id 1999) so results at every test scale are
+# byte-identical to the unbounded form, while sf1+ scales linearly.
+EVAL_QUERY_ID_BOUND = 2000
+KNN_QUERY_PRED = (
+    f"vec_id % 50 = 0 AND vec_id < {EVAL_QUERY_ID_BOUND}"
+)  # bounded query-point sample (broadcastable at any corpus scale)
 
 
 @register(
@@ -676,7 +685,9 @@ def sim_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HARD_NEG_K = 5
-HARD_NEG_PRED = "vec_id % 50 = 7"  # sampled anchor set (broadcastable)
+HARD_NEG_PRED = (
+    f"vec_id % 50 = 7 AND vec_id < {EVAL_QUERY_ID_BOUND}"
+)  # pinned anchor set (broadcastable at any corpus scale)
 
 
 @register(

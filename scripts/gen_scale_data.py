@@ -30,7 +30,9 @@ Everything is Spark-native (spark.range + column expressions — no
 driver-side loops), so the same script generates 100x or 1000x by
 changing COPIES/DOC_FACTOR.
 
-Usage: python scripts/gen_scale_data.py [out_dir] [copies]
+Usage: python scripts/gen_scale_data.py [out_dir] [copies] [tables]
+``tables`` is an optional comma-separated subset (e.g. ``documents``)
+to regenerate in place without rewriting the rest.
 """
 
 from __future__ import annotations
@@ -73,7 +75,19 @@ def gen_documents(spark, n_docs: int) -> DataFrame:
     """Sample new docs from the sf0.1 empirical distributions with
     hash-based draws (xxhash64 is a pure function of its args — the
     output is deterministic for a given seed and independent of
-    partitioning)."""
+    partitioning).
+
+    Vocabulary (VERDICT r07 item 3): the source corpus has only ~31
+    word types, which concentrates shingle document-frequency and
+    SimHash fingerprints far beyond any real corpus — the 10x sweep's
+    worst text/dedup ratios measured that degeneracy, not the
+    operators. New draws are ZIPFIAN over a Heaps-law-sized vocabulary:
+    V = max(1000, 20 * total_words^0.45) types; rank drawn by the
+    closed-form inverse CDF rank = ceil(exp(u * ln(V))) (density ~ 1/k,
+    i.e. Zipf s=1) — a pure column expression, no giant literal array,
+    no driver-side sampling. The source's real word types keep the top
+    ranks so stopword-sensitive text ops still see them; deeper ranks
+    are synthetic types ("w<rank>")."""
     src_docs = load_table(spark, SRC, "documents")
     vocab = [
         r["w"]
@@ -123,20 +137,34 @@ def gen_documents(spark, n_docs: int) -> DataFrame:
         )
     ).cast("int")
     docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                vocab_arr,
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit("w"), F.col("doc_id"), i, F.lit(SEED)),
-                        F.lit(len(vocab)),
-                    )
-                    + 1
-                ).cast("int"),
+
+    # Heaps-law vocabulary size for the target corpus volume
+    total_words = n_docs * (len_min + len_max) / 2.0
+    v_size = max(1000, int(20 * total_words**0.45))
+
+    def word_at(i):
+        # u in (0, 1]: hash-uniform; rank = ceil(exp(u * ln(V))) gives
+        # P(rank = k) ~ 1/k over [1, V] (Zipf s=1) in closed form
+        u = (
+            F.pmod(
+                F.xxhash64(F.lit("w"), F.col("doc_id"), i, F.lit(SEED)),
+                F.lit(1_000_000),
+            )
+            + 1
+        ) / 1_000_000.0
+        rank = F.least(
+            F.lit(v_size),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.exp(u * F.log(F.lit(float(v_size))))).cast("int"),
             ),
-        ),
+        )
+        return F.when(
+            rank <= F.lit(len(vocab)), F.element_at(vocab_arr, rank)
+        ).otherwise(F.concat(F.lit("w"), rank.cast("string")))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), n_words), word_at),
         " ",
     )
     return docs.select(
@@ -190,8 +218,12 @@ def main() -> None:
         "testdata_sf1",
     )
     n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="gen-scale-data")
     os.makedirs(out_dir, exist_ok=True)
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
 
     def write(df: DataFrame, name: str) -> None:
         df.coalesce(max(1, n_copies // 2)).write.mode("overwrite").parquet(
@@ -212,49 +244,86 @@ def main() -> None:
         print(f"wrote {name}")
 
     for name in ("region", "nation"):
-        write(load_table(spark, SRC, name), name)
+        if wanted(name):
+            write(load_table(spark, SRC, name), name)
 
-    cust = load_table(spark, SRC, "customer")
-    supp = load_table(spark, SRC, "supplier")
-    part = load_table(spark, SRC, "part")
-    orders = load_table(spark, SRC, "orders")
-    li = load_table(spark, SRC, "lineitem")
-    ev = load_table(spark, SRC, "events")
-    s_cust = stride_of(cust, "c_custkey")
-    s_supp = stride_of(supp, "s_suppkey")
-    s_part = stride_of(part, "p_partkey")
-    s_ord = stride_of(orders, "o_orderkey")
-    s_evt = stride_of(ev, "event_id")
-    s_user = stride_of(ev, "user_id")
+    if wanted("customer"):
+        cust = load_table(spark, SRC, "customer")
+        write(
+            replicate_shifted(
+                cust, spark, n_copies, {"c_custkey": stride_of(cust, "c_custkey")}
+            ),
+            "customer",
+        )
+    if wanted("supplier"):
+        supp = load_table(spark, SRC, "supplier")
+        write(
+            replicate_shifted(
+                supp, spark, n_copies, {"s_suppkey": stride_of(supp, "s_suppkey")}
+            ),
+            "supplier",
+        )
+    if wanted("part"):
+        part = load_table(spark, SRC, "part")
+        write(
+            replicate_shifted(
+                part, spark, n_copies, {"p_partkey": stride_of(part, "p_partkey")}
+            ),
+            "part",
+        )
+    if wanted("orders"):
+        orders = load_table(spark, SRC, "orders")
+        cust = load_table(spark, SRC, "customer")
+        write(
+            replicate_shifted(
+                orders,
+                spark,
+                n_copies,
+                {
+                    "o_orderkey": stride_of(orders, "o_orderkey"),
+                    "o_custkey": stride_of(cust, "c_custkey"),
+                },
+            ),
+            "orders",
+        )
+    if wanted("lineitem"):
+        li = load_table(spark, SRC, "lineitem")
+        orders = load_table(spark, SRC, "orders")
+        supp = load_table(spark, SRC, "supplier")
+        part = load_table(spark, SRC, "part")
+        write(
+            replicate_shifted(
+                li,
+                spark,
+                n_copies,
+                {
+                    "l_orderkey": stride_of(orders, "o_orderkey"),
+                    "l_partkey": stride_of(part, "p_partkey"),
+                    "l_suppkey": stride_of(supp, "s_suppkey"),
+                },
+            ),
+            "lineitem",
+        )
+    if wanted("events"):
+        ev = load_table(spark, SRC, "events")
+        write(
+            replicate_shifted(
+                ev,
+                spark,
+                n_copies,
+                {
+                    "event_id": stride_of(ev, "event_id"),
+                    "user_id": stride_of(ev, "user_id"),
+                },
+            ),
+            "events",
+        )
 
-    write(replicate_shifted(cust, spark, n_copies, {"c_custkey": s_cust}), "customer")
-    write(replicate_shifted(supp, spark, n_copies, {"s_suppkey": s_supp}), "supplier")
-    write(replicate_shifted(part, spark, n_copies, {"p_partkey": s_part}), "part")
-    write(
-        replicate_shifted(
-            orders, spark, n_copies, {"o_orderkey": s_ord, "o_custkey": s_cust}
-        ),
-        "orders",
-    )
-    write(
-        replicate_shifted(
-            li,
-            spark,
-            n_copies,
-            {"l_orderkey": s_ord, "l_partkey": s_part, "l_suppkey": s_supp},
-        ),
-        "lineitem",
-    )
-    write(
-        replicate_shifted(
-            ev, spark, n_copies, {"event_id": s_evt, "user_id": s_user}
-        ),
-        "events",
-    )
-
-    n_docs = load_table(spark, SRC, "documents").count() * n_copies
-    write(gen_documents(spark, n_docs), "documents")
-    write(gen_embeddings(spark, n_copies), "embeddings")
+    if wanted("documents"):
+        n_docs = load_table(spark, SRC, "documents").count() * n_copies
+        write(gen_documents(spark, n_docs), "documents")
+    if wanted("embeddings"):
+        write(gen_embeddings(spark, n_copies), "embeddings")
     print(f"done -> {out_dir}")
 
 
