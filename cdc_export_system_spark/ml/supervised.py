@@ -1631,7 +1631,8 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT score, CAST(cum_t + cum_c AS BIGINT) AS cum_n,
                CAST(cum_yt AS BIGINT) AS cum_resp_treat,
                CAST(cum_yc AS BIGINT) AS cum_resp_ctrl,
-               CAST(((cum_yt * cum_c - cum_yc * cum_t) * 1000000) // cum_c
+               CAST(((CAST(cum_yt AS HUGEINT) * cum_c
+                      - CAST(cum_yc AS HUGEINT) * cum_t) * 1000000) // cum_c
                     AS BIGINT) AS qini_micro
         FROM c WHERE cum_c > 0
     """,
@@ -1693,9 +1694,14 @@ def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_t") + F.col("cum_c")).cast("bigint").alias("cum_n"),
         F.col("cum_yt").cast("bigint").alias("cum_resp_treat"),
         F.col("cum_yc").cast("bigint").alias("cum_resp_ctrl"),
+        # DECIMAL(38,0) multiply-before-divide (oracle: HUGEINT): the
+        # counts-squared-times-1e6 product passes BIGINT only while
+        # cum counts stay under ~3M users — the concentration-shares
+        # overflow class, promoted before it can ship.
         F.expr(
-            "cast(((cum_yt * cum_c - cum_yc * cum_t) * 1000000) div cum_c"
-            " as bigint)"
+            "cast(((cast(cum_yt as decimal(38,0)) * cum_c"
+            " - cast(cum_yc as decimal(38,0)) * cum_t) * 1000000)"
+            " div cum_c as bigint)"
         ).alias("qini_micro"),
     )
 

@@ -146,6 +146,153 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + _z.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    width: int, height: int, raster: bytes, *, level: int = 6
+) -> bytes:
+    """Truecolor 8-bit PNG (color type 2, no interlace) from a row-major
+    RGB raster; every scanline uses filter type 0. ``level=0`` emits
+    stored (uncompressed) deflate blocks, which makes the payload size
+    a closed-form function of (w, h) — the property the decode-dims
+    oracle hash-checks; the default level 6 is a normal compressed
+    stream."""
+    import zlib as _z
+
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes; want {width}x{height}x3"
+        )
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, color 2 (RGB), no interlace
+    )
+    row = width * 3
+    scanlines = b"".join(
+        b"\x00" + raster[y * row : (y + 1) * row] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(scanlines, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, height: int, row: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth).
+    Rows are sequential by construction (each references the one
+    above); Up is vectorized, the left-referencing filters run a
+    per-byte loop over one row at a time."""
+    out = np.zeros((height, row), dtype=np.uint8)
+    stride = row + 1
+    prev = np.zeros(row, dtype=np.int32)
+    for y in range(height):
+        ftype = int(raw[y * stride])
+        line = raw[y * stride + 1 : (y + 1) * stride].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(row, dtype=np.int32)
+            for x in range(row):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # above
+                if ftype == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit truecolor (color type 2), non-interlaced PNG:
+    chunk walk, concatenated-IDAT zlib inflate, scanline unfilter
+    (all five filter types). Other color types / bit depths /
+    interlacing keep the injectable NotImplementedError seam."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "PNG variant not supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    row = width * 3
+    raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != (row + 1) * height:
+        raise ValueError("PNG scanline data has wrong length")
+    raster = _png_unfilter(raw, height, row, bpp=3)
+    return {
+        "codec": "png",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "raster": raster.reshape(height, width, 3),
+    }
+
+
+def png_payload_bytes_level0(width: int, height: int) -> int:
+    """Closed-form encoded size of ``encode_png(..., level=0)``: stored
+    deflate blocks make the stream length pure arithmetic — 8 (sig) +
+    25 (IHDR) + 12 (IEND) + 12 (IDAT framing) + zlib header/adler (6)
+    + D data bytes + 5 per stored block, D = h*(3w+1). The decode-dims
+    oracle replicates this expression in SQL."""
+    d = height * (3 * width + 1)
+    blocks = max(1, -(-d // 65535))
+    return 57 + 6 + d + 5 * blocks
+
+
 def sniff_decode(payload: bytes) -> dict:
     """Magic-byte dispatch over the in-tree codecs. Unknown codecs keep
     the documented injectable seam: NotImplementedError, so callers can
@@ -155,6 +302,8 @@ def sniff_decode(payload: bytes) -> dict:
         return decode_ppm(payload)
     if head == b"BM":
         return decode_bmp(payload)
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no in-tree codec for magic {head!r}; inject a decoder"
     )

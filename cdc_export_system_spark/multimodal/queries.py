@@ -371,36 +371,52 @@ def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_dims",
     oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   1 + (doc_id * 7) % 31 AS w,
+                   1 + length(text) % 17 AS h
+            FROM documents)
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
-               CAST(1 + (doc_id * 7) % 31 AS INT) AS width,
-               CAST(1 + length(text) % 17 AS INT) AS height,
-               CAST(CASE WHEN doc_id % 2 = 0
-                    THEN 9 + length(CAST(1 + (doc_id * 7) % 31 AS VARCHAR))
-                           + length(CAST(1 + length(text) % 17 AS VARCHAR))
-                           + 3 * (1 + (doc_id * 7) % 31) * (1 + length(text) % 17)
-                    ELSE 54 + CAST(((3 * (1 + (doc_id * 7) % 31) + 3) // 4) * 4
-                                   AS BIGINT) * (1 + length(text) % 17)
+               CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                    ELSE 'png' END AS codec,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(CASE doc_id % 3
+                    WHEN 0
+                    THEN 9 + length(CAST(w AS VARCHAR))
+                           + length(CAST(h AS VARCHAR)) + 3 * w * h
+                    WHEN 1
+                    THEN 54 + CAST(((3 * w + 3) // 4) * 4 AS BIGINT) * h
+                    -- PNG at deflate level 0 (stored blocks): 63 +
+                    -- D + 5*ceil(D/65535), D = h*(3w+1); mirrors
+                    -- codecs.png_payload_bytes_level0
+                    ELSE 63 + h * (3 * w + 1)
+                           + 5 * ((h * (3 * w + 1) + 65534) // 65535)
                     END AS BIGINT) AS payload_bytes,
                CAST(65 + doc_id % 26 AS BIGINT) AS mean_px
-        FROM documents
+        FROM g
     """,
     tags=("multimodal", "udf"),
 )
 def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end: constructs genuine binary images
-    (even doc_id -> PPM/P6, odd -> 24-bit BMP with row padding) whose
+    (doc_id % 3 = 0 -> PPM/P6, 1 -> 24-bit BMP with row padding,
+    2 -> truecolor PNG: zlib deflate + scanline filters) whose
     dimensions and solid fill color derive deterministically from the
     row, then decodes them back through the in-tree pure-Python codecs
     (multimodal.codecs.sniff_decode) — magic sniffing, header parse,
-    raster extraction with BMP bottom-up/BGR/pad handling — and emits
-    what only a working decoder can know: the parsed dims, the exact
-    encoded byte count, and the raster's mean pixel value (all pixels
-    equal by construction, so the numpy mean over the real raster is
-    exactly the fill color; one flipped pad byte or BGR slip breaks the
-    hash). The oracle mirrors the arithmetic the codec must reproduce:
-    PPM size = 9 + len(str(w)) + len(str(h)) + 3wh; BMP size = 54 +
-    stride*h with stride = 3w rounded up to 4.
+    raster extraction with BMP bottom-up/BGR/pad handling, PNG chunk
+    walk + INFLATE + unfilter — and emits what only a working decoder
+    can know: the parsed dims, the exact encoded byte count, and the
+    raster's mean pixel value (all pixels equal by construction, so
+    the numpy mean over the real raster is exactly the fill color; one
+    flipped pad byte or BGR slip breaks the hash). The oracle mirrors
+    the arithmetic the codec must reproduce: PPM size = 9 +
+    len(str(w)) + len(str(h)) + 3wh; BMP size = 54 + stride*h with
+    stride = 3w rounded up to 4; PNG encodes at deflate level 0
+    (stored blocks) so its size is closed-form too (the DECODER still
+    runs the full inflate + unfilter path — storage level does not
+    change the decode workload for solid-color testcards).
 
     Encode and decode run in the SAME mapInPandas stage: payload bytes
     are born and die executor-side, nothing binary shuffles.
@@ -410,6 +426,7 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference has no decoder; north-star multimodal extension)."""
     from cdc_export_system_spark.multimodal.codecs import (
         encode_bmp,
+        encode_png,
         encode_ppm,
         sniff_decode,
     )
@@ -431,11 +448,13 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["w"], pdf["h"], pdf["px"]
             ):
                 raster = bytes([int(px)]) * (int(w) * int(h) * 3)
-                payload = (
-                    encode_ppm(int(w), int(h), raster)
-                    if int(doc_id) % 2 == 0
-                    else encode_bmp(int(w), int(h), raster)
-                )
+                sel = int(doc_id) % 3
+                if sel == 0:
+                    payload = encode_ppm(int(w), int(h), raster)
+                elif sel == 1:
+                    payload = encode_bmp(int(w), int(h), raster)
+                else:
+                    payload = encode_png(int(w), int(h), raster, level=0)
                 d = sniff_decode(payload)
                 out.append(
                     (

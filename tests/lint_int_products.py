@@ -247,16 +247,28 @@ def scan_tree(tree, flags: list[dict]) -> None:
 
 
 def scan_plan_json(plan_json: str) -> list[dict]:
-    """All integer-product risk flags in one plan's toJSON output."""
+    """All integer-product risk flags in one plan's toJSON output.
+
+    ``toJSON`` encodes the PLAN itself as a flat pre-order list of
+    plan-node dicts (same num-children scheme as expressions), so the
+    walk iterates each plan node's FIELDS — expression trees live in
+    fields like ``aggregateExpressions`` / ``projectList`` as (lists
+    of) flat expression lists."""
     plan = json.loads(plan_json)
     flags: list[dict] = []
-    for nodes in iter_expression_lists(plan):
-        try:
-            forest = build_forest(nodes)
-        except (IndexError, KeyError, ValueError):
+    for pnode in plan if isinstance(plan, list) else [plan]:
+        if not isinstance(pnode, dict):
             continue
-        for tree in forest:
-            scan_tree(tree, flags)
+        for key, val in pnode.items():
+            if key in ("class", "num-children"):
+                continue
+            for nodes in iter_expression_lists(val):
+                try:
+                    forest = build_forest(nodes)
+                except (IndexError, KeyError, ValueError):
+                    continue
+                for tree in forest:
+                    scan_tree(tree, flags)
     return flags
 
 

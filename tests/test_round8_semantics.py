@@ -131,3 +131,112 @@ def test_ewma_crossover_still_guards_past_41_days(spark, tmp_path):
 
 def test_local_driver_mem_default_clamped():
     assert 2 <= _local_driver_mem_gb() <= 16
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (VERDICT r07 item 6): a real COMPRESSED format in-tree
+# ---------------------------------------------------------------------------
+
+
+def _rand_raster(w, h, seed=7):
+    import numpy as np
+
+    return np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (31, 17), (64, 48)])
+def test_png_roundtrip_exact(w, h):
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        decode_png, encode_png, png_payload_bytes_level0, sniff_decode,
+    )
+
+    raster = _rand_raster(w, h)
+    for lvl in (0, 6, 9):
+        p = encode_png(w, h, raster.tobytes(), level=lvl)
+        d = decode_png(p)
+        assert (d["width"], d["height"], d["codec"]) == (w, h, "png")
+        assert np.array_equal(d["raster"], raster)
+    p0 = encode_png(w, h, raster.tobytes(), level=0)
+    assert len(p0) == png_payload_bytes_level0(w, h)
+    assert sniff_decode(p0)["codec"] == "png"
+
+
+def test_png_level0_size_formula_past_one_stored_block():
+    """D = h*(3w+1) > 65535 forces a second stored deflate block; the
+    closed-form size must track the per-block 5-byte headers."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        encode_png, png_payload_bytes_level0,
+    )
+
+    w, h = 200, 120  # D = 72120 > 65535
+    raster = _rand_raster(w, h)
+    p = encode_png(w, h, raster.tobytes(), level=0)
+    assert len(p) == png_payload_bytes_level0(w, h)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_unfilter_all_filter_types(ftype):
+    """The encoder only emits filter 0; the DECODER must reverse all
+    five. Apply the forward filter by hand (per the PNG spec) and check
+    the decoder reconstructs the original raster bit-exactly."""
+    import zlib
+
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        _PNG_SIG, _png_chunk, decode_png,
+    )
+
+    w, h = 13, 9
+    raster = _rand_raster(w, h, seed=ftype)
+    row = w * 3
+    flat = raster.reshape(h, row).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(row, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        line = np.zeros(row, dtype=np.int32)
+        for x in range(row):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p_ = a + b - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        out.append(ftype)
+        out += bytes(line.astype(np.uint8))
+        prev = cur
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload)["raster"], raster)
+
+
+def test_png_unsupported_variants_keep_seam():
+    from cdc_export_system_spark.multimodal.codecs import (
+        _PNG_SIG, _png_chunk, decode_png,
+    )
+
+    # grayscale (color type 0) keeps the injectable seam
+    ihdr = (5).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes(
+        [8, 0, 0, 0, 0]
+    )
+    payload = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="PNG variant"):
+        decode_png(payload)
