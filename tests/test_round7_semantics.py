@@ -100,8 +100,10 @@ def test_ppm_header_comments_and_whitespace():
 def test_sniff_decode_unknown_magic_keeps_seam():
     from cdc_export_system_spark.multimodal.codecs import sniff_decode
 
+    # JPEG magic: PNG gained a real in-tree decoder in round 8, so the
+    # injectable seam is now exercised by a still-unsupported codec
     with pytest.raises(NotImplementedError):
-        sniff_decode(b"\x89PNG\r\n\x1a\n garbage")
+        sniff_decode(b"\xff\xd8\xff\xe0 jpeg garbage")
 
 
 def test_decode_media_default_real_codecs(spark):
