@@ -13,9 +13,14 @@ skew-safe, where an inequality join would degenerate to a per-key cross
 product. (pd.merge_asof per group via applyInPandas is the alternative;
 the window form keeps everything JVM-side.)
 
-The (ts, id) encoding packs both into one BIGINT so a plain max() works:
-offset-microseconds * 2^20 + id. Valid while offset-us < 2^43 (~278 years
-from the epoch base) and id < 2^20 per key — asserted in tests.
+The (ts, id) encoding packs both into one DECIMAL(38,0) so a plain
+max() works: offset-microseconds * 2^20 + id (oracle: HUGEINT). The
+round-8 int-product lint caught the original BIGINT packing: its real
+horizon was offset-us < 2^43 — about 101 DAYS past the epoch base, not
+the "~278 years" the old comment claimed (a seconds-vs-micros slip) —
+after which both engines raise on overflow. DECIMAL(38,0) holds
+offset-us * 2^20 for ~4.7e12 years; the id < 2^20 per-key contract is
+unchanged and still asserted in tests.
 """
 
 from __future__ import annotations
@@ -27,6 +32,16 @@ from cdc_export_system_spark.registry import register
 
 EPOCH_BASE = "2024-01-01 00:00:00"
 ID_BITS = 20
+_ENC_DEC = "decimal(38,0)"
+
+
+def _enc_col(ts_col: str, rid_col: str, epoch_base: str):
+    """(offset-us, id) packed into DECIMAL(38,0): overflow-free at any
+    realistic time horizon (see module docstring)."""
+    off = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lit(epoch_base).cast("timestamp")
+    )
+    return off.cast(_ENC_DEC) * F.lit(1 << ID_BITS) + F.col(rid_col)
 
 
 def asof_join(
@@ -39,11 +54,7 @@ def asof_join(
     epoch_base: str = EPOCH_BASE,
 ) -> DataFrame:
     """left columns + matched_ts/matched_id of the as-of right row."""
-    enc = (
-        (F.unix_micros(F.col("__ts")) - F.unix_micros(F.lit(epoch_base).cast("timestamp")))
-        * (1 << ID_BITS)
-        + F.col("__rid")
-    )
+    enc = _enc_col("__ts", "__rid", epoch_base)
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -91,7 +102,9 @@ def asof_join(
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_right,
                    event_type,
                    CASE WHEN event_type = 'view'
-                        THEN (epoch_us(ts) - epoch_us(TIMESTAMP '{EPOCH_BASE}'))
+                        THEN CAST(epoch_us(ts)
+                                  - epoch_us(TIMESTAMP '{EPOCH_BASE}')
+                                  AS HUGEINT)
                              * {1 << ID_BITS} + event_id END AS enc
             FROM events WHERE event_type IN ('purchase', 'view')),
         carried AS (
@@ -99,7 +112,8 @@ def asof_join(
                                      ROWS UNBOUNDED PRECEDING) AS match
             FROM tagged)
         SELECT event_id, k AS user_id, ts,
-               TIMESTAMP '{EPOCH_BASE}' + to_microseconds(match // {1 << ID_BITS})
+               TIMESTAMP '{EPOCH_BASE}' + to_microseconds(
+                   CAST(match // {1 << ID_BITS} AS BIGINT))
                    AS matched_ts,
                CAST(match % {1 << ID_BITS} AS BIGINT) AS matched_id
         FROM carried WHERE is_right = 0
@@ -132,11 +146,7 @@ def asof_join_forward(
     union + one window, but a running MIN over the FOLLOWING frame, with
     right rows ordered after left at equal ts so 'at-or-after' is
     inclusive. Same single shuffle/sort; same skew-safety argument."""
-    enc = (
-        (F.unix_micros(F.col("__ts")) - F.unix_micros(F.lit(epoch_base).cast("timestamp")))
-        * (1 << ID_BITS)
-        + F.col("__rid")
-    )
+    enc = _enc_col("__ts", "__rid", epoch_base)
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -181,7 +191,9 @@ def asof_join_forward(
             SELECT user_id AS k, ts, event_id,
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_right,
                    CASE WHEN event_type = 'view'
-                        THEN (epoch_us(ts) - epoch_us(TIMESTAMP '{EPOCH_BASE}'))
+                        THEN CAST(epoch_us(ts)
+                                  - epoch_us(TIMESTAMP '{EPOCH_BASE}')
+                                  AS HUGEINT)
                              * {1 << ID_BITS} + event_id END AS enc
             FROM events WHERE event_type IN ('purchase', 'view')),
         carried AS (
@@ -190,7 +202,8 @@ def asof_join_forward(
                           AS match
             FROM tagged)
         SELECT event_id, k AS user_id, ts,
-               TIMESTAMP '{EPOCH_BASE}' + to_microseconds(match // {1 << ID_BITS})
+               TIMESTAMP '{EPOCH_BASE}' + to_microseconds(
+                   CAST(match // {1 << ID_BITS} AS BIGINT))
                    AS matched_ts,
                CAST(match % {1 << ID_BITS} AS BIGINT) AS matched_id
         FROM carried WHERE is_right = 0
@@ -251,11 +264,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.filter(F.col("event_type").isin("purchase", "click"))
     is_right = (F.col("event_type") == "click").cast("int")
-    enc = (
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(EPOCH_BASE).cast("timestamp")))
-        * (1 << ID_BITS)
-        + F.col("event_id")
-    )
+    enc = _enc_col("ts", "event_id", EPOCH_BASE)
     tagged = base.select(
         "event_id",
         "user_id",
@@ -307,7 +316,9 @@ ASOF_TOLERANCE_US = 6 * 3600 * 1_000_000
             SELECT user_id AS k, ts, event_id,
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_right,
                    CASE WHEN event_type = 'view'
-                        THEN (epoch_us(ts) - epoch_us(TIMESTAMP '{EPOCH_BASE}'))
+                        THEN CAST(epoch_us(ts)
+                                  - epoch_us(TIMESTAMP '{EPOCH_BASE}')
+                                  AS HUGEINT)
                              * {1 << ID_BITS} + event_id END AS enc
             FROM events WHERE event_type IN ('purchase', 'view')),
         carried AS (
@@ -316,7 +327,8 @@ ASOF_TOLERANCE_US = 6 * 3600 * 1_000_000
             FROM tagged),
         decoded AS (
             SELECT event_id, k AS user_id, ts,
-                   TIMESTAMP '{EPOCH_BASE}' + to_microseconds(match // {1 << ID_BITS})
+                   TIMESTAMP '{EPOCH_BASE}' + to_microseconds(
+                   CAST(match // {1 << ID_BITS} AS BIGINT))
                        AS m_ts,
                    CAST(match % {1 << ID_BITS} AS BIGINT) AS m_id
             FROM carried WHERE is_right = 0)
