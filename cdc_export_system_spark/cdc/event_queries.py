@@ -178,7 +178,8 @@ FORGET_PERMILLE = 15  # the deterministic "erasure request" slice
     "cdc_forget_users_audit",
     oracle=f"""
         WITH req AS (SELECT DISTINCT user_id FROM events
-                     WHERE (user_id * 2654435761) % 1000 < {FORGET_PERMILLE}),
+                     WHERE ((user_id % 2147483648) * 2654435761) % 1000
+                           < {FORGET_PERMILLE}),
         hits AS (SELECT e.user_id, e.event_type FROM events e
                  JOIN req ON e.user_id = req.user_id)
         SELECT user_id, event_type, count(*) AS n_purged
@@ -198,11 +199,11 @@ def cdc_forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     io.parquet_sink.overwrite_partitions_dynamic on just the partitions
     containing hits. reference app/services/exports.py:110-127 — the
     consumer contract the purged feed must keep honoring."""
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     ev = load_table(spark, sf_dir, "events")
     req = (
-        ev.filter((F.col("user_id") * F.lit(KNUTH)) % 1000 < FORGET_PERMILLE)
+        ev.filter(knuth_col(F.col("user_id")) % 1000 < FORGET_PERMILLE)
         .select("user_id")
         .distinct()
     )

@@ -282,10 +282,11 @@ def _decon_gram_hashes(docs: DataFrame) -> DataFrame:
         WITH ng AS (SELECT doc_id, {_DUCK_NGRAMS8} AS ngrams FROM documents),
         ex AS (SELECT doc_id, unnest(ngrams) AS g FROM ng),
         eval_g AS (SELECT DISTINCT g FROM ex
-                   WHERE (doc_id * 2654435761) % 1000 < {DECON_EVAL_PERMILLE})
+                   WHERE ((doc_id % 2147483648) * 2654435761) % 1000
+                         < {DECON_EVAL_PERMILLE})
         SELECT ex.doc_id, count(*) AS n_hits
         FROM ex JOIN eval_g ON ex.g = eval_g.g
-        WHERE (ex.doc_id * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE}
+        WHERE ((ex.doc_id % 2147483648) * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE}
         GROUP BY ex.doc_id
     """,
     headline=True,
@@ -309,13 +310,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the MinHash band digest — a collision adds one spurious
     hit)."""
     from cdc_export_system_spark.io.sources import load_table_fanned
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     # fanned: the n-gram build is the CPU wall on a small single-split
     # scan (no-op at warehouse scale, io/sources.py:fan_out)
     docs = load_table_fanned(spark, sf_dir, "documents")
     ex = _decon_gram_hashes(docs)
-    is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
+    is_eval = knuth_col(F.col("doc_id")) % 1000 < DECON_EVAL_PERMILLE
     eval_g = ex.filter(is_eval).select("gh").distinct()
     return (
         ex.filter(~is_eval)
@@ -353,11 +354,11 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_build,
         bloom_might_contain,
     )
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     docs = load_table(spark, sf_dir, "documents")
     ex = _decon_gram_hashes(docs)
-    is_eval = (F.col("doc_id") * F.lit(KNUTH)) % 1000 < DECON_EVAL_PERMILLE
+    is_eval = knuth_col(F.col("doc_id")) % 1000 < DECON_EVAL_PERMILLE
     eval_g = ex.filter(is_eval).select("gh").distinct()
     bitmap = bloom_build(eval_g, "gh")
     return (
@@ -475,7 +476,8 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hits AS ({_DECON_ORACLE}),
         train AS (
             SELECT doc_id, source FROM documents
-            WHERE (doc_id * 2654435761) % 1000 >= {DECON_EVAL_PERMILLE})
+            WHERE ((doc_id % 2147483648) * 2654435761) % 1000
+                  >= {DECON_EVAL_PERMILLE})
         SELECT t.source,
                count(*) AS n_train_docs,
                CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -502,13 +504,13 @@ def corpus_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     additional join keys on doc_id against the flagged set (bounded by
     contamination, typically tiny) and the rollup is |sources| rows."""
     from cdc_export_system_spark.io.sources import load_table as _lt
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     flagged = corpus_decontaminate(spark, sf_dir)
     train = (
         _lt(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .filter((F.col("doc_id") * F.lit(KNUTH)) % 1000 >= DECON_EVAL_PERMILLE)
+        .filter(knuth_col(F.col("doc_id")) % 1000 >= DECON_EVAL_PERMILLE)
     )
     j = train.join(flagged, "doc_id", "left")
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731

@@ -143,7 +143,8 @@ PIPE_SALT = 7717
             FROM filtered GROUP BY md5(clean)),
         kept AS (
             SELECT f.doc_id, f.source, f.n_tok,
-                   CASE WHEN ((f.doc_id + {PIPE_SALT}) * 2654435761) % 1000 < 900
+                   CASE WHEN (((f.doc_id + {PIPE_SALT}) % 2147483648) * 2654435761)
+                             % 1000 < 900
                         THEN 'train' ELSE 'val' END AS split
             FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id)
         SELECT source, split, count(*) AS n_docs,
@@ -164,7 +165,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     their whole recipe on this engine' op: each stage also exists as a
     standalone operator (text_clean_normalize, text_quality_score,
     dedup_exact, sample_split_train_test, corpus_mix_weighted)."""
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     docs = load_table(spark, sf_dir, "documents")
     cleaned = docs.select(
@@ -184,7 +185,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     split = F.when(
-        ((F.col("doc_id") + PIPE_SALT) * F.lit(KNUTH)) % 1000 < 900, "train"
+        knuth_col(F.col("doc_id") + PIPE_SALT) % 1000 < 900, "train"
     ).otherwise("val")
     kept = filtered.join(deduped, "doc_id").select(
         "source", "n_tok", split.alias("split")

@@ -51,12 +51,16 @@ SCHEMA = "seq bigint, op string, user_id bigint, amount double, ts timestamp"
 
 
 def row_at(i: int) -> tuple:
-    """The change record at sequence number i (pure function)."""
-    m = (i * KNUTH) % 100
+    """The change record at sequence number i (pure function). The seq
+    is folded mod 2^31 before the Knuth multiply so the SQL oracle
+    (int64) and this pure-Python form (unbounded ints) stay identical
+    at any feed length (see sampling.py KEY_FOLD)."""
+    k = (i % 2147483648) * KNUTH
+    m = k % 100
     op = "DELETE" if m < 3 else ("INSERT" if m < 53 else "UPDATE")
-    user_id = (i * KNUTH) % N_USERS
-    amount = ((i * KNUTH) % 1_000_000) / 100
-    ts = TS_BASE + dt.timedelta(seconds=(i * KNUTH) % TS_SPREAD_S)
+    user_id = k % N_USERS
+    amount = (k % 1_000_000) / 100
+    ts = TS_BASE + dt.timedelta(seconds=k % TS_SPREAD_S)
     return (i, op, user_id, amount, ts.replace(tzinfo=None))
 
 
@@ -162,13 +166,14 @@ def _oracle_rows(extra_where: str = "") -> str:
     """DuckDB replica of row_at() over range(DEFAULT_ROWS)."""
     return f"""
         SELECT i AS seq,
-               CASE WHEN (i * {KNUTH}) % 100 < 3 THEN 'DELETE'
-                    WHEN (i * {KNUTH}) % 100 < 53 THEN 'INSERT'
+               CASE WHEN ((i % 2147483648) * {KNUTH}) % 100 < 3 THEN 'DELETE'
+                    WHEN ((i % 2147483648) * {KNUTH}) % 100 < 53 THEN 'INSERT'
                     ELSE 'UPDATE' END AS op,
-               (i * {KNUTH}) % {N_USERS} AS user_id,
-               CAST((i * {KNUTH}) % 1000000 AS DOUBLE) / 100 AS amount,
+               ((i % 2147483648) * {KNUTH}) % {N_USERS} AS user_id,
+               CAST(((i % 2147483648) * {KNUTH}) % 1000000 AS DOUBLE) / 100 AS amount,
                TIMESTAMP '2024-01-01 00:00:00'
-                   + to_seconds(CAST((i * {KNUTH}) % {TS_SPREAD_S} AS BIGINT)) AS ts
+                   + to_seconds(CAST(((i % 2147483648) * {KNUTH}) % {TS_SPREAD_S}
+                                 AS BIGINT)) AS ts
         FROM range({DEFAULT_ROWS}) t(i) {extra_where}
     """
 

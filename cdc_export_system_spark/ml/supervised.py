@@ -1820,7 +1820,7 @@ _PSI_BIN_CENTS = 1_000_00  # fixed $1000 bins over o_totalprice
         WITH s AS (
             SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                          // {_PSI_BIN_CENTS}, {_PSI_BINS - 1}) AS bin,
-                   CASE WHEN ((o_orderkey + 7) * 2654435761) % 1000 < 800
+                   CASE WHEN (((o_orderkey + 7) % 2147483648) * 2654435761) % 1000 < 800
                         THEN 1 ELSE 0 END AS is_train
             FROM orders),
         b AS (
@@ -1875,7 +1875,7 @@ def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1).cast("bigint"),
         ).alias("bin"),
         (
-            ((F.col("o_orderkey") + 7) * 2654435761) % 1000 < 800
+            (((F.col("o_orderkey") + 7) % F.lit(2147483648)) * 2654435761) % 1000 < 800
         ).cast("int").alias("is_train"),
     )
     b = s.groupBy("bin").agg(

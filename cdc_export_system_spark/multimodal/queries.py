@@ -225,8 +225,8 @@ BPP = 3  # bytes per pixel for the raw-RGB byte estimate
     oracle=f"""
         WITH dims AS (
             SELECT doc_id,
-                   256 + (doc_id * 2654435761) % 1792 AS w,
-                   256 + ((doc_id + 7) * 2654435761) % 1792 AS h
+                   256 + ((doc_id % 2147483648) * 2654435761) % 1792 AS w,
+                   256 + (((doc_id + 7) % 2147483648) * 2654435761) % 1792 AS h
             FROM documents),
         t AS (
             SELECT doc_id, w, h, tx.i AS tile_x, ty.j AS tile_y
@@ -263,13 +263,13 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles per image here) — no shuffle at all; the plan inherits the
     scan's partitioning, which is exactly what a tile-work generator
     should do before a repartition-by-cost."""
-    from cdc_export_system_spark.operators.sampling import KNUTH
+    from cdc_export_system_spark.operators.sampling import knuth_col
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     dims = docs.select(
         "doc_id",
-        (F.lit(256) + (F.col("doc_id") * KNUTH) % 1792).alias("w"),
-        (F.lit(256) + ((F.col("doc_id") + 7) * KNUTH) % 1792).alias("h"),
+        (F.lit(256) + knuth_col(F.col("doc_id")) % 1792).alias("w"),
+        (F.lit(256) + knuth_col(F.col("doc_id") + 7) % 1792).alias("h"),
     )
     ntx = F.ceil(F.col("w").cast("double") / TILE).cast("bigint")
     nty = F.ceil(F.col("h").cast("double") / TILE).cast("bigint")

@@ -10,18 +10,32 @@ partition layout, cluster size, or execution order, and composable
 Here the hash is Knuth's multiplicative scheme on the integer key
 (exactly expressible in both engines); for string/arbitrary keys the
 production form is `pmod(xxhash64(key), 1000) < rate` — same algebra,
-engine-native hash. Key * 2654435761 stays well inside int64 for any
-realistic key space (< 3.5e9 keys).
+engine-native hash. The key is folded mod 2^31 BEFORE the multiply
+(round-8 int-product lint): a bare key * 2654435761 left int64 at key
+~3.5e9 — ANSI exception territory at 100 TB id spaces — while
+(key % 2^31) * 2654435761 <= 5.7e18 < 2^63 for ANY key, and is the
+identity transform for every key below 2^31 (all current testdata).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from cdc_export_system_spark.io.sources import load_table
 from cdc_export_system_spark.registry import register
 
 KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative hash
+KEY_FOLD = 1 << 31  # pre-reduction keeping key*KNUTH inside int64 for any key
+
+
+def knuth_sql(key_expr: str) -> str:
+    """DuckDB/ANSI form of the overflow-safe Knuth hash (nonneg keys)."""
+    return f"((({key_expr}) % {KEY_FOLD}) * {KNUTH})"
+
+
+def knuth_col(key: Column) -> Column:
+    """Spark form; bit-identical to knuth_sql for nonnegative keys."""
+    return (key % F.lit(KEY_FOLD)) * F.lit(KNUTH)
 
 
 @register(
@@ -29,7 +43,7 @@ KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative hash
     oracle=f"""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE (o_orderkey * {KNUTH}) % 1000 < 50
+        WHERE {knuth_sql('o_orderkey')} % 1000 < 50
     """,
     tags=("sampling",),
 )
@@ -37,7 +51,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~5% sample: partition-layout-independent, reproducible,
     and pushed down to the scan (a plain comparison predicate)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.filter((F.col("o_orderkey") * F.lit(KNUTH)) % 1000 < 50).select(
+    return orders.filter(knuth_col(F.col("o_orderkey")) % 1000 < 50).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 
@@ -47,7 +61,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders
-        WHERE (o_orderkey * {KNUTH}) % 1000 <
+        WHERE {knuth_sql('o_orderkey')} % 1000 <
               CASE o_orderstatus WHEN 'F' THEN 20 WHEN 'O' THEN 50 ELSE 200 END
     """,
     tags=("sampling",),
@@ -63,7 +77,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderstatus") == "O", 50)
         .otherwise(200)
     )
-    return orders.filter((F.col("o_orderkey") * F.lit(KNUTH)) % 1000 < rate).select(
+    return orders.filter(knuth_col(F.col("o_orderkey")) % 1000 < rate).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
 
@@ -75,8 +89,8 @@ SPLIT_SALT = 7  # decorrelates the split hash from any other sampling hash
     "sample_split_train_test",
     oracle=f"""
         SELECT doc_id, source,
-               CASE WHEN ((doc_id + {SPLIT_SALT}) * {KNUTH}) % 1000 < 800 THEN 'train'
-                    WHEN ((doc_id + {SPLIT_SALT}) * {KNUTH}) % 1000 < 900 THEN 'val'
+               CASE WHEN {knuth_sql(f'doc_id + {SPLIT_SALT}')} % 1000 < 800 THEN 'train'
+                    WHEN {knuth_sql(f'doc_id + {SPLIT_SALT}')} % 1000 < 900 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     """,
@@ -90,7 +104,7 @@ def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. The salt decorrelates it from other hash-sampling ops on
     the same key."""
     docs = load_table(spark, sf_dir, "documents")
-    b = ((F.col("doc_id") + SPLIT_SALT) * F.lit(KNUTH)) % 1000
+    b = knuth_col(F.col("doc_id") + SPLIT_SALT) % 1000
     return docs.select(
         "doc_id",
         "source",
@@ -111,7 +125,7 @@ MIX_DEFAULT_RATE = 150
                CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    AS chars_kept
         FROM documents
-        WHERE (doc_id * {KNUTH}) % 1000 <
+        WHERE {knuth_sql('doc_id')} % 1000 <
               CASE source WHEN 'src0' THEN {MIX_RATES['src0']}
                           WHEN 'src1' THEN {MIX_RATES['src1']}
                           WHEN 'src2' THEN {MIX_RATES['src2']}
@@ -136,7 +150,7 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = rate.when(F.col("source") == s, r)
     rate = rate.otherwise(MIX_DEFAULT_RATE)
     return (
-        docs.filter((F.col("doc_id") * F.lit(KNUTH)) % 1000 < rate)
+        docs.filter(knuth_col(F.col("doc_id")) % 1000 < rate)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -442,7 +456,7 @@ DSIR_SALT = 60013  # decorrelates the Gumbel hash from every other sampling op
                    d.s + CAST(d.n_tokens AS DOUBLE)
                          * (ln(CAST(tot.nc + tot.v AS DOUBLE))
                             - ln(CAST(tot.nt + tot.v AS DOUBLE))) AS log_w,
-                   -ln(-ln((((d.doc_id + {DSIR_SALT}) * {KNUTH}) % 10000 + 0.5)
+                   -ln(-ln(({knuth_sql(f'd.doc_id + {DSIR_SALT}')} % 10000 + 0.5)
                            / 10000)) AS g
             FROM d CROSS JOIN tot)
         SELECT doc_id, n_tokens,
@@ -529,7 +543,7 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_w = F.col("s") + F.col("n_tokens").cast("double") * (
         F.log(F.lit(float(nc + v))) - F.log(F.lit(float(nt + v)))
     )
-    u01 = (((F.col("doc_id") + DSIR_SALT) * F.lit(KNUTH)) % 10000 + 0.5) / 10000
+    u01 = (knuth_col(F.col("doc_id") + DSIR_SALT) % 10000 + 0.5) / 10000
     g = -F.log(-F.log(u01))
     keyed = d.select(
         "doc_id",

@@ -763,6 +763,7 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOT_R = 100  # bootstrap replicates
 BOOT_SALT = 1000003  # decorrelates replicate hashes (prime, > any key stride)
 _KNUTH = 2654435761  # Knuth multiplicative hash, same constant as sampling.py
+_KEY_FOLD = 1 << 31  # key fold before the multiply (see sampling.py)
 # Inverse-CDF thresholds for Poisson(1) on a 1e4 grid: P(X<=k) * 1e4 for
 # k = 0..4; a uniform draw u in [0, 1e4) maps to the smallest bucket whose
 # threshold exceeds it (mass beyond 5 is folded into 5; total error 1e-4).
@@ -785,7 +786,8 @@ def _poisson_cnt_sql(u: str) -> str:
             SELECT t.r,
                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                    CASE WHEN t.r = -1 THEN 1 ELSE {_poisson_cnt_sql(
-                       f"((o_orderkey + (t.r + 1) * {BOOT_SALT}) * {_KNUTH}) % 10000"
+                       f"(((o_orderkey + (t.r + 1) * {BOOT_SALT}) % {_KEY_FOLD})"
+                       f" * {_KNUTH}) % 10000"
                    )} END AS cnt
             FROM orders, range(-1, {BOOT_R}) AS t(r)),
         reps AS (
@@ -838,7 +840,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.explode(F.sequence(F.lit(-1), F.lit(R - 1))))
         .withColumn(
             "u",
-            ((F.col("o_orderkey") + (F.col("r") + 1) * BOOT_SALT) * F.lit(_KNUTH))
+            (((F.col("o_orderkey") + (F.col("r") + 1) * BOOT_SALT) % F.lit(_KEY_FOLD)) * F.lit(_KNUTH))
             % 10000,
         )
         .withColumn(
