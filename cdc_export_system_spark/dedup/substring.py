@@ -492,7 +492,8 @@ def _agreement_oracle() -> str:
         SELECT n_jaccard AS n_jaccard_pairs, n_winnow AS n_winnow_pairs,
                n_both,
                CASE WHEN n_jaccard > 0
-                    THEN (n_both * 1000000) // n_jaccard
+                    THEN CAST((CAST(n_both AS HUGEINT) * 1000000) // n_jaccard
+                              AS BIGINT)
                END AS winnow_recall_micro
         FROM c
     """
@@ -543,7 +544,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             F.when(
                 F.col("n_jaccard") > 0,
-                F.expr("(n_both * 1000000) div n_jaccard"),
+                F.expr("(cast(n_both as decimal(38,0)) * 1000000) div n_jaccard"),
             ).alias("winnow_recall_micro"),
         )
     )

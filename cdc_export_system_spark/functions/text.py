@@ -1276,7 +1276,8 @@ def text_char_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(CAST(max(cnt_cum + cnt) AS DOUBLE) / CAST(t AS DOUBLE)
                      * 1000000 + 0.5) / 1000000 AS covered_share
         FROM cum CROSS JOIN tot
-        JOIN tgt ON cnt_cum * 1000 < target_permille * t
+        JOIN tgt ON CAST(cnt_cum AS HUGEINT) * 1000
+                    < CAST(target_permille AS HUGEINT) * t
         GROUP BY target_permille, t
     """,
     tags=("text", "tokenizer", "agg"),
@@ -1312,7 +1313,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = cum.crossJoin(F.broadcast(tot)).join(
         F.broadcast(tgt),
-        F.col("cnt_cum") * 1000 < F.col("target_permille") * F.col("t"),
+        F.col("cnt_cum").cast("decimal(38,0)") * 1000
+        < F.col("target_permille").cast("decimal(38,0)") * F.col("t"),
     )
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     covered = F.max(F.col("cnt_cum") + F.col("cnt"))
@@ -1651,7 +1653,9 @@ _RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM nw GROUP BY w),
         deg AS (SELECT nw.w, CAST(SUM(ph.plen) AS BIGINT) AS d
                 FROM nw JOIN ph USING (doc_id, run) GROUP BY nw.w),
-        ws AS (SELECT freq.w, (deg.d * 1000000) // freq.f AS wsc
+        ws AS (SELECT freq.w,
+                      CAST((CAST(deg.d AS HUGEINT) * 1000000) // freq.f
+                           AS BIGINT) AS wsc
                FROM freq JOIN deg ON freq.w = deg.w),
         scored AS (
             SELECT nw.doc_id, nw.run,
@@ -1713,7 +1717,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("plen").cast("bigint").alias("d"))
     )
     ws = freq.join(deg, "w").select(
-        "w", F.expr("(d * 1000000) div f").alias("wsc")
+        "w", F.expr("(cast(d as decimal(38,0)) * 1000000) div f").alias("wsc")
     )
     scored = (
         nw.join(F.broadcast(ws), "w")
@@ -1992,7 +1996,8 @@ PPLX_MAX_BUCKET = 19  # buckets clamp to [0, 19]
         SELECT b.bucket,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(b.n_tokens) AS BIGINT) AS sum_tokens,
-               CAST(count(*) * 1000000 // max(tot.n_total) AS BIGINT)
+               CAST(CAST(count(*) AS HUGEINT) * 1000000 // max(tot.n_total)
+                    AS BIGINT)
                    AS share_ppm,
                floor(CAST(sum(b.n_tokens) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
@@ -2061,7 +2066,8 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_docs",
             "sum_tokens",
-            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+            F.expr("CAST(cast(n_docs as decimal(38,0)) * 1000000 div n_total"
+                   " AS BIGINT)").alias(
                 "share_ppm"
             ),
             (

@@ -1550,10 +1550,11 @@ def ml_logistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(y) AS BIGINT) AS n_pos
             FROM b GROUP BY pred_micro)
         SELECT pred_micro, n, n_pos,
-               (n_pos * 1000000) // n AS rate_micro,
-               (pred_micro - (n_pos * 1000000) // n)
-                   * (pred_micro - (n_pos * 1000000) // n) * n
-                   AS reliability_term
+               CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT)
+                   AS rate_micro,
+               CAST((pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
+                    * (pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
+                    * n AS DECIMAL(38,0)) AS reliability_term
         FROM g
     """,
     tags=("ml", "stats", "agg"),
@@ -1587,14 +1588,18 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("n_pos"),
         )
     )
-    rate = F.expr("(n_pos * 1000000) div n")
+    rate = F.expr("(cast(n_pos as decimal(38,0)) * 1000000) div n")
     return g.select(
         "pred_micro",
         "n",
         "n_pos",
         rate.alias("rate_micro"),
+        # DECIMAL(38,0) term (oracle mirrors): diff^2 <= 1e12 already,
+        # but * n is volume-scaled — int64 dies at ~9e6 rows per bin
         (
-            (F.col("pred_micro") - rate) * (F.col("pred_micro") - rate) * F.col("n")
+            (F.col("pred_micro") - rate).cast("decimal(38,0)")
+            * (F.col("pred_micro") - rate)
+            * F.col("n")
         ).alias("reliability_term"),
     )
 
@@ -1952,7 +1957,8 @@ def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         j AS (
             SELECT c.score, CAST(c.tp AS BIGINT) AS tp,
                    CAST(c.fp AS BIGINT) AS fp,
-                   CAST(c.tp * t.nneg - c.fp * t.npos AS BIGINT) AS j_scaled,
+                   CAST(c.tp AS HUGEINT) * t.nneg
+                       - CAST(c.fp AS HUGEINT) * t.npos AS j_scaled,
                    t.npos, t.nneg
             FROM c CROSS JOIN t)
         SELECT score AS threshold_cents, tp, fp,
@@ -2005,13 +2011,16 @@ def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cpos_b") + F.col("cpos")).alias("tp"),
         (F.col("cneg_b") + F.col("cneg")).alias("fp"),
     ).crossJoin(F.broadcast(t))
+    # DECIMAL products (oracle: HUGEINT): tp*Nneg is the counts-squared
+    # lint class — overflows int64 near 3e9 rows on each axis
     j = c.select(
         "score",
         "tp",
         "fp",
-        (F.col("tp") * F.col("nneg") - F.col("fp") * F.col("npos")).alias(
-            "j_scaled"
-        ),
+        (
+            F.col("tp").cast("decimal(38,0)") * F.col("nneg")
+            - F.col("fp").cast("decimal(38,0)") * F.col("npos")
+        ).alias("j_scaled"),
         "npos",
         "nneg",
     )
@@ -2055,16 +2064,18 @@ def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
         t AS (
             SELECT CAST(SUM(n) AS BIGINT) AS nt,
                    CAST(SUM(n_pos) AS BIGINT) AS pt,
-                   SUM((pred_micro - (n_pos * 1000000) // n)
-                       * CAST(pred_micro - (n_pos * 1000000) // n AS HUGEINT)
+                   SUM((pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
+                       * CAST(pred_micro - (CAST(n_pos AS HUGEINT) * 1000000)
+                              // n AS HUGEINT)
                        * n) AS rel_sum
             FROM g),
         r AS (
             SELECT t.nt, t.pt, t.rel_sum,
-                   SUM(((g.n_pos * 1000000) // g.n
-                        - (t.pt * 1000000) // t.nt)
-                       * CAST((g.n_pos * 1000000) // g.n
-                              - (t.pt * 1000000) // t.nt AS HUGEINT)
+                   SUM(((CAST(g.n_pos AS HUGEINT) * 1000000) // g.n
+                        - (CAST(t.pt AS HUGEINT) * 1000000) // t.nt)
+                       * CAST((CAST(g.n_pos AS HUGEINT) * 1000000) // g.n
+                              - (CAST(t.pt AS HUGEINT) * 1000000)
+                                // t.nt AS HUGEINT)
                        * g.n) AS res_sum
             FROM g CROSS JOIN t GROUP BY t.nt, t.pt, t.rel_sum)
         SELECT nt AS n, pt AS n_pos,
@@ -2109,7 +2120,7 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    rate = F.expr("(n_pos * 1000000) div n")
+    rate = F.expr("(cast(n_pos as decimal(38,0)) * 1000000) div n")
     t = g.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("n_pos").cast("bigint").alias("pt"),
@@ -2119,7 +2130,7 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n")
         ).alias("rel_sum"),
     )
-    base = F.expr("(pt * 1000000) div nt")
+    base = F.expr("(cast(pt as decimal(38,0)) * 1000000) div nt")
     r = (
         g.crossJoin(F.broadcast(t))
         .select(

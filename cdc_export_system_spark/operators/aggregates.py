@@ -1468,7 +1468,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(t) OVER () AS n
             FROM ax)
         SELECT f.o_orderkey, CAST(f.v AS DOUBLE) / 100 AS totalprice,
-               CAST((r.r2 * 1000000) // (2 * (r.n + 1)) AS BIGINT)
+               CAST((CAST(r.r2 AS HUGEINT) * 1000000) // (2 * (r.n + 1)) AS BIGINT)
                    AS rank_micro
         FROM f JOIN r ON f.v = r.v
     """,
@@ -1506,7 +1506,8 @@ def feat_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(r, "v").select(
         "o_orderkey",
         (F.col("v").cast("double") / 100).alias("totalprice"),
-        F.expr("cast((r2 * 1000000) div (2 * (n + 1)) as bigint)").alias(
+        F.expr("cast((cast(r2 as decimal(38,0)) * 1000000)"
+               " div (2 * (n + 1)) as bigint)").alias(
             "rank_micro"
         ),
     )

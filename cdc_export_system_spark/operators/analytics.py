@@ -2453,7 +2453,8 @@ def anomaly_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type)
         SELECT p.type_a, p.type_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
-               CAST((p.n_both * tot.nu * 1000000) // (ta.n * tb.n)
+               CAST((CAST(p.n_both AS HUGEINT) * tot.nu * 1000000)
+                    // (CAST(ta.n AS HUGEINT) * tb.n)
                     AS BIGINT) AS lift_micro
         FROM pair p
         JOIN tc ta ON ta.event_type = p.type_a
@@ -2505,8 +2506,11 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_a",
             "n_b",
+            # DECIMAL products (oracle: HUGEINT): n_both*nu*1e6 and n_a*n_b
+            # are the counts-squared lint class at user-count scale
             F.expr(
-                "cast((n_both * nu * 1000000) div (n_a * n_b) as bigint)"
+                "cast((cast(n_both as decimal(38,0)) * nu * 1000000)"
+                " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
             ).alias("lift_micro"),
         )
     )
@@ -2531,7 +2535,8 @@ SLA_DAYS = 90  # promise: every line ships within 90 days of the order
         SELECT ship_month, CAST(count(*) AS BIGINT) AS n_lines,
                CAST(SUM(CASE WHEN fulfil_days > {SLA_DAYS} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_late,
-               CAST((SUM(CASE WHEN fulfil_days > {SLA_DAYS} THEN 1 ELSE 0 END)
+               CAST((CAST(SUM(CASE WHEN fulfil_days > {SLA_DAYS} THEN 1 ELSE 0 END)
+                          AS HUGEINT)
                      * 1000000) // count(*) AS BIGINT) AS late_rate_micro,
                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY fulfil_days)
                     AS BIGINT) AS p50_fulfil_days,
@@ -2568,8 +2573,8 @@ def orders_delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(late).cast("bigint").alias("n_late"),
         F.expr(
-            f"cast((sum(case when fulfil_days > {SLA_DAYS} then 1 else 0 end)"
-            " * 1000000) div count(*) as bigint)"
+            f"cast((cast(sum(case when fulfil_days > {SLA_DAYS} then 1 else 0"
+            " end) as decimal(38,0)) * 1000000) div count(*) as bigint)"
         ).alias("late_rate_micro"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY fulfil_days)")
         .cast("bigint")
@@ -2609,7 +2614,7 @@ SCORECARD_TOP = 20
             FROM s JOIN supplier su ON su.s_suppkey = s.l_suppkey)
         SELECT CAST(rk AS INT) AS revenue_rank, l_suppkey, s_name, n_lines,
                CAST(rev_cents AS DOUBLE) / 100 AS revenue,
-               CAST((n_late * 1000000) // n_lines AS BIGINT)
+               CAST((CAST(n_late AS HUGEINT) * 1000000) // n_lines AS BIGINT)
                    AS late_rate_micro
         FROM r WHERE rk <= {SCORECARD_TOP}
     """,
@@ -2662,7 +2667,8 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "n_lines",
         (F.col("rev_cents").cast("double") / 100).alias("revenue"),
-        F.expr("cast((n_late * 1000000) div n_lines as bigint)").alias(
+        F.expr("cast((cast(n_late as decimal(38,0)) * 1000000)"
+               " div n_lines as bigint)").alias(
             "late_rate_micro"
         ),
     )

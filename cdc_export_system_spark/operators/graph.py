@@ -930,8 +930,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY n)
         SELECT deg.node, deg.d AS degree,
                COALESCE(tcnt.n_tri, 0) AS n_triangles,
-               CAST((COALESCE(tcnt.n_tri, 0) * 2000000)
-                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_micro
+               CAST((CAST(COALESCE(tcnt.n_tri, 0) AS HUGEINT) * 2000000)
+                    // (CAST(deg.d AS HUGEINT) * (deg.d - 1))
+                    AS BIGINT) AS cc_micro
         FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
         WHERE deg.d >= 2
     """,
@@ -977,9 +978,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             "degree",
             F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            # DECIMAL products (oracle: HUGEINT): a 3M-degree hub has
+            # n_tri ~ 4.6e12 and d(d-1) ~ 9e12 — the int64 edge
             F.expr(
-                "cast((coalesce(n_tri, 0) * 2000000)"
-                " div (degree * (degree - 1)) as bigint)"
+                "cast((cast(coalesce(n_tri, 0) as decimal(38,0)) * 2000000)"
+                " div (cast(degree as decimal(38,0)) * (degree - 1))"
+                " as bigint)"
             ).alias("cc_micro"),
         )
     )

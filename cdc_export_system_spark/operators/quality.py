@@ -742,8 +742,10 @@ SKEW_TOP_K = 20
                    row_number() OVER (ORDER BY cnt DESC, key) AS rk
             FROM k)
         SELECT top.rk AS rank, top.key, top.cnt,
-               (top.cnt * 1000000) // t.n_rows AS share_micro,
-               (top.cnt * t.n_keys * 1000000) // t.n_rows AS skew_x_micro
+               CAST((CAST(top.cnt AS HUGEINT) * 1000000) // t.n_rows AS BIGINT)
+                   AS share_micro,
+               CAST((CAST(top.cnt AS HUGEINT) * t.n_keys * 1000000) // t.n_rows
+                    AS BIGINT) AS skew_x_micro
         FROM top CROSS JOIN t
         WHERE top.rk <= {SKEW_TOP_K}
     """,
@@ -782,6 +784,11 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "key",
         "cnt",
-        F.expr("(cnt * 1000000) div n_rows").alias("share_micro"),
-        F.expr("(cnt * n_keys * 1000000) div n_rows").alias("skew_x_micro"),
+        F.expr("(cast(cnt as decimal(38,0)) * 1000000) div n_rows").alias(
+            "share_micro"
+        ),
+        # DECIMAL (oracle: HUGEINT): cnt*n_keys*1e6 is rows*keys-scaled
+        F.expr(
+            "(cast(cnt as decimal(38,0)) * n_keys * 1000000) div n_rows"
+        ).alias("skew_x_micro"),
     )

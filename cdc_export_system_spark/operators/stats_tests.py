@@ -1174,7 +1174,7 @@ MCNEMAR_QTY_T = 25  # clf B: predict 'returned' when quantity >= 25
                    CAST(count(*) AS BIGINT) AS n
             FROM p)
         SELECT n, n10 AS a_only_correct, n01 AS b_only_correct,
-               floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+               floor(CAST(CAST(n10 - n01 AS HUGEINT) * (n10 - n01) AS DOUBLE)
                      / (n10 + n01) * 1000000 + 0.5) / 1000000 AS chi2_stat
         FROM cells
     """,
@@ -1204,8 +1204,12 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bc").cast("bigint").alias("n01"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # DECIMAL square (oracle: HUGEINT): (n10-n01)^2 leaves int64 once the
+    # discordant gap passes ~3e9 rows — the counts-squared lint class
     d = F.col("n10") - F.col("n01")
-    stat = (d * d).cast("double") / (F.col("n10") + F.col("n01"))
+    stat = (d.cast("decimal(38,0)") * d).cast("double") / (
+        F.col("n10") + F.col("n01")
+    )
     return cells.select(
         "n",
         F.col("n10").alias("a_only_correct"),
@@ -1809,7 +1813,7 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS n00
             FROM p)
         SELECT n, n11, n10, n01, n00,
-               floor(CAST(n * (n11 + n00)
+               floor(CAST(CAST(n AS HUGEINT) * (n11 + n00)
                           - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
                              + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
                           AS DOUBLE)
@@ -1852,7 +1856,9 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe_num = (F.col("n11") + F.col("n10")) * d38(F.col("n11") + F.col("n01")) + (
         F.col("n01") + F.col("n00")
     ) * d38(F.col("n10") + F.col("n00"))
-    num = (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num).cast("double")
+    num = (d38(F.col("n")) * (F.col("n11") + F.col("n00")) - pe_num).cast(
+        "double"
+    )
     den = (d38(F.col("n")) * F.col("n") - pe_num).cast("double")
     return c.select(
         "n",

@@ -1469,7 +1469,7 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS x
             FROM events GROUP BY 1),
         p AS (
-            SELECT CAST(((b.x - a.x) * 1000000)
+            SELECT CAST((CAST(b.x - a.x AS HUGEINT) * 1000000)
                         // (b.di - a.di) AS BIGINT) AS slope_micro
             FROM d a JOIN d b ON b.di > a.di)
         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1503,8 +1503,11 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("di").alias("di_a"), F.col("x").alias("x_a"))
     b = d.select(F.col("di").alias("di_b"), F.col("x").alias("x_b"))
     p = a.join(b, F.col("di_b") > F.col("di_a")).select(
+        # DECIMAL product (oracle: HUGEINT): x is DAILY-AGGREGATED cents,
+        # so (x_b - x_a) * 1e6 is volume-scaled — the ewma/theil class
         F.expr(
-            "cast(((x_b - x_a) * 1000000) div (di_b - di_a) as bigint)"
+            "cast((cast(x_b - x_a as decimal(38,0)) * 1000000)"
+            " div (di_b - di_a) as bigint)"
         ).alias("slope_micro")
     )
     return p.agg(
