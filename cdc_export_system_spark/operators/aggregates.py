@@ -1199,9 +1199,10 @@ _CROSS_PACK = 10_000_000  # injective (partkey, suppkey) packing base
     "feat_hash_crosses",
     oracle=f"""
         WITH x AS (
-            SELECT (l_partkey * {_CROSS_MULT} + l_suppkey)
+            SELECT ((l_partkey % 2147483648) * {_CROSS_MULT} + l_suppkey)
                        % {HASH_CROSS_BUCKETS} AS bucket,
-                   l_partkey * {_CROSS_PACK} + l_suppkey AS cross_id,
+                   CAST(l_partkey AS HUGEINT) * {_CROSS_PACK} + l_suppkey
+                       AS cross_id,
                    l_extendedprice
             FROM lineitem)
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1229,11 +1230,18 @@ def feat_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at HASH_CROSS_BUCKETS rows regardless of input size."""
     li = load_table(spark, sf_dir, "lineitem")
     x = li.select(
+        # key folded mod 2^31 for the hash; the injective pack runs in
+        # DECIMAL(38,0) (oracle: HUGEINT) — both were int64-bounded at
+        # partkey ~9e11 (round-8 int-product lint)
         (
-            (F.col("l_partkey") * _CROSS_MULT + F.col("l_suppkey"))
+            ((F.col("l_partkey") % F.lit(1 << 31)) * _CROSS_MULT
+             + F.col("l_suppkey"))
             % HASH_CROSS_BUCKETS
         ).alias("bucket"),
-        (F.col("l_partkey") * _CROSS_PACK + F.col("l_suppkey")).alias("cross_id"),
+        (
+            F.col("l_partkey").cast("decimal(38,0)") * _CROSS_PACK
+            + F.col("l_suppkey")
+        ).alias("cross_id"),
         "l_extendedprice",
     )
     return x.groupBy("bucket").agg(
