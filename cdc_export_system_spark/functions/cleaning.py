@@ -67,7 +67,9 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                regexp_replace(regexp_replace(
                    text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@example.com ref ' || CAST(doc_id * 7919 + 123456789 AS VARCHAR),
+                        || '@example.com ref '
+                        || CAST((doc_id % 2147483648) * 7919 + 123456789
+                                AS VARCHAR),
                    '{EMAIL_RE}', '<EMAIL>', 'g'),
                    '{NUM_RE}', '<NUM>', 'g') AS scrubbed
         FROM documents
@@ -84,7 +86,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com ref "),
-        (F.col("doc_id") * 7919 + 123456789).cast("string"),
+        ((F.col("doc_id") % F.lit(1 << 31)) * 7919 + 123456789).cast("string"),
     )
     scrubbed = F.regexp_replace(
         F.regexp_replace(dirty, EMAIL_RE, "<EMAIL>"), NUM_RE, "<NUM>"

@@ -359,10 +359,10 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_max_by",
     oracle=f"""
         SELECT event_type,
-               max_by(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+               max_by(event_id, CAST(floor(value * 100 + 0.5) AS HUGEINT)
                                 * {1 << 40} + event_id) AS top_event,
                max(value) AS top_value,
-               min_by(event_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+               min_by(event_id, CAST(floor(value * 100 + 0.5) AS HUGEINT)
                                 * {1 << 40} + event_id) AS bottom_event,
                any_value(user_id ORDER BY event_id) AS first_user
         FROM events GROUP BY event_type
@@ -373,16 +373,19 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregation (max_by/min_by): the 'row that won'
     pattern, one hash aggregate instead of the self-join-on-max it
     replaces. The ordering value is a COMPOSITE — exact cents packed
-    with the unique event_id into one BIGINT (cents * 2^40 + id; valid
-    while id < 2^40) — not the bare value: bare max_by ties are engine-
+    with the unique event_id into one DECIMAL(38,0) (cents * 2^40 + id;
+    valid while id < 2^40, any cents) — not the bare value: bare max_by ties are engine-
     AND reshard-nondeterministic (2dp values collide within a group by
     sf0.1; the sf0.1 parity sweep caught exactly this), while the packed
     key is a total order, so the winner is unique under any
     partitioning."""
     ev = load_table(spark, sf_dir, "events")
-    tie = F.floor(F.col("value") * 100 + 0.5).cast("long") * F.lit(1 << 40) + F.col(
-        "event_id"
-    )
+    # DECIMAL packing (oracle: HUGEINT): cents * 2^40 left int64 once a
+    # value passed ~$84k (round-8 int-product lint) — same widening as
+    # the as-of join encoding
+    tie = F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)") * F.lit(
+        1 << 40
+    ) + F.col("event_id")
     return ev.groupBy("event_type").agg(
         F.max_by("event_id", tie).alias("top_event"),
         F.max("value").alias("top_value"),
@@ -504,7 +507,7 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                        / 100 / count(*) AS mu,
                    sqrt(
-                     (CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     (CAST(SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
                                * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                         / 10000
                       - CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -532,7 +535,9 @@ def feat_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _cents(F.col("value"))
     n = F.count(F.lit(1))
     s1 = F.sum(c).cast("double") / 100
-    s2 = F.sum(c * c).cast("double") / 10000
+    # DECIMAL sum-of-squares accumulator (oracle: HUGEINT): cents^2 rows
+    # overflow a BIGINT sum at ~9e10 rows per group for 1e4-cent values
+    s2 = F.sum((c * c).cast("decimal(38,0)")).cast("double") / 10000
     stats = ev.groupBy("event_type").agg(
         (s1 / n).alias("mu"),
         F.sqrt((s2 - s1 * s1 / n) / n).alias("sigma"),

@@ -158,16 +158,24 @@ def dsum(col, alias: str):
 
 def dmulsum(alias: str, *factors):
     """Exact sum(product of 2dp factors) — the TPC-H revenue shape
-    sum(price * (1-disc) [* (1+tax)]). Same scaled-integer design as
-    dsum: the product of k exact cent-values is an exact integer at
-    scale 100^k, summed as BIGINT, unscaled once post-agg."""
+    sum(price * (1-disc) [* (1+tax)]). The product of k exact
+    cent-values stays a BIGINT per row (row-bounded: ~1e11 for two
+    factors, ~1e13 for three — whole-stage codegen keeps the hot
+    multiply on longs), but the ACCUMULATOR is DECIMAL(38,0): a
+    BIGINT sum of ~1e10-scale row products crosses 2^63 near a
+    ~2.6e8-row group (sf-250-equivalent on q1's six groups) and ANSI
+    mode kills the query — the round-8 int-product lint caught this;
+    the DuckDB oracle already accumulates in DECIMAL/HUGEINT."""
     from pyspark.sql import functions as F
 
     prod = _cents(factors[0])
     for f in factors[1:]:
         prod = prod * _cents(f)
     return (
-        (F.sum(prod).cast("decimal(38,6)") / F.lit(100 ** len(factors)))
+        (
+            F.sum(prod.cast("decimal(38,0)")).cast("decimal(38,6)")
+            / F.lit(100 ** len(factors))
+        )
         .cast("double")
         .alias(alias)
     )
@@ -184,10 +192,12 @@ def spark_dsum(expr: str, alias: str) -> str:
 
 
 def spark_dmulsum(alias: str, *exprs: str) -> str:
-    """Spark-SQL text form of dmulsum()."""
+    """Spark-SQL text form of dmulsum() (same DECIMAL(38,0)
+    accumulator over the long row product — see dmulsum)."""
     prod = " * ".join(f"FLOOR({e} * 100 + 0.5)" for e in exprs)
     return (
-        f"CAST(CAST(SUM({prod}) AS DECIMAL(38,6)) / {100 ** len(exprs)} AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({prod} AS DECIMAL(38,0))) AS DECIMAL(38,6))"
+        f" / {100 ** len(exprs)} AS DOUBLE)"
         f" AS {alias}"
     )
 

@@ -176,6 +176,12 @@ def infer_type(tree) -> str:
             if t not in ("unknown", "boolean", "null"):
                 return t
         return "unknown"
+    if cls in ("Floor", "Ceil"):
+        # floor/ceil of double is LONG; of decimal stays decimal
+        for t in child_types:
+            if t.startswith("decimal"):
+                return t
+        return "long"
     if cls == "Divide":
         # Spark's `/` on integral inputs is double (analyzer casts);
         # decimal/decimal stays decimal
@@ -214,6 +220,45 @@ def _literal_value(tree):
     return None
 
 
+INT64_MAX = (1 << 63) - 1
+
+
+def abs_bound(tree):
+    """Provable bound on |expr|, or None. Propagates through literals,
+    modulus reductions (x % m and pmod bound the result by |m|-1 no
+    matter what x is), bit masks, casts, and +,-,* — enough to clear
+    the `(key % 2^31) * KNUTH` folded-hash idiom automatically while
+    leaving genuinely data-scaled magnitudes unbounded."""
+    node, children = tree
+    cls = simple_class(node)
+    if cls == "Literal":
+        v = _literal_value(tree)
+        return None if v is None else abs(v)
+    if cls in ("Pmod", "Remainder") and len(children) == 2:
+        m = _literal_value(children[1])
+        if m is not None and m != 0:
+            return abs(m) - 1
+        return None
+    if cls == "BitwiseAnd" and len(children) == 2:
+        m = _literal_value(children[1])
+        if m is not None and m >= 0:
+            return m
+        m = _literal_value(children[0])
+        if m is not None and m >= 0:
+            return m
+        return None
+    if cls in ("Cast", "CheckOverflow", "PromotePrecision", "Alias",
+               "KnownNotNull", "UnaryMinus", "Abs", "UnaryPositive"):
+        return abs_bound(children[0]) if children else None
+    if cls in ("Add", "Subtract") and len(children) == 2:
+        a, b = abs_bound(children[0]), abs_bound(children[1])
+        return None if a is None or b is None else a + b
+    if cls == "Multiply" and len(children) == 2:
+        a, b = abs_bound(children[0]), abs_bound(children[1])
+        return None if a is None or b is None else a * b
+    return None
+
+
 def _has_nonliteral(tree) -> bool:
     node, children = tree
     cls = simple_class(node)
@@ -232,14 +277,18 @@ def scan_tree(tree, flags: list[dict]) -> None:
     if cls == "Multiply":
         t = infer_type(tree)
         if t in _INTEGRAL and len(children) == 2:
+            # a provable product bound under int64 clears the multiply
+            ba, bb = abs_bound(children[0]), abs_bound(children[1])
+            proven = ba is not None and bb is not None and ba * bb <= INT64_MAX
             lv = [_literal_value(c) for c in children]
             nonlit = [_has_nonliteral(c) for c in children]
             big_lit = any(v is not None and abs(v) >= LIT_BOUND for v in lv)
-            if big_lit and any(nonlit):
-                flags.append({"kind": "big-literal", "type": t,
-                              "lits": [v for v in lv if v is not None]})
-            elif all(nonlit):
-                flags.append({"kind": "col-x-col", "type": t})
+            if not proven:
+                if big_lit and any(nonlit):
+                    flags.append({"kind": "big-literal", "type": t,
+                                  "lits": [v for v in lv if v is not None]})
+                elif all(nonlit):
+                    flags.append({"kind": "col-x-col", "type": t})
     elif cls == "ShiftLeft":
         flags.append({"kind": "shiftleft", "type": infer_type(tree)})
     for c in children:
