@@ -16,10 +16,12 @@ cents-sum * 1e6 BIGINT product that only overflowed at sf1 — caught by
 measurement, not review. This lint is the review that would have
 caught it: its pre-fix form (cum cents * 1e6) flags as `big-literal`.
 
-Known blind spot: expressions inside eagerly-materialized
-localCheckpoint segments are executed at build time and do not appear
-in the final optimized plan; the lint sees whatever survives in the
-returned DataFrame's plan.
+Checkpoint transparency: eagerly-materialized localCheckpoint segments
+would hide their expressions from the final optimized plan, so the
+sweep monkeypatches DataFrame.localCheckpoint to the identity during
+the scan — the returned DataFrame keeps FULL lineage and one scan sees
+every expression the query ever evaluates (verified: the transparent
+scan reports no flags beyond the materialized one at HEAD).
 """
 
 from __future__ import annotations
@@ -181,7 +183,13 @@ def test_lint_bound_propagation_clears_folded_knuth(spark):
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_unreviewed_int64_products(spark, name):
+def test_no_unreviewed_int64_products(spark, name, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    # transparent checkpoints: lint the FULL lineage (see module doc)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     flags = scan_df(REGISTRY[name].fn(spark, SF_DIR))
     kinds = {f["kind"] for f in flags}
     if name in _ALLOWED:
