@@ -39,6 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
+    # new this round (fresh oracle deserves a first external row)
+    "multimodal_wav_stats",
     # ROUND-8 LEAD (VERDICT r07 item 1): the never-externally-checked
     # BENCH HEADLINERS — a headliner with no external correctness row
     # is the worst evidence gap left.

@@ -293,6 +293,75 @@ def png_payload_bytes_level0(width: int, height: int) -> int:
     return 57 + 6 + d + 5 * blocks
 
 
+def encode_wav(
+    sample_rate: int, samples: np.ndarray, *, channels: int = 1
+) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE, 16-bit PCM little-endian.
+    ``samples`` is an int16 array (interleaved if multi-channel);
+    encoded size is the closed form 44 + 2 * len(samples)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")  # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE 16-bit PCM: chunk walk (fmt then data; unknown
+    chunks skipped per spec), returns sample_rate, channels, n_samples
+    (frames), duration in exact microseconds, and the samples as an
+    (n_frames, channels) int16 array. Compressed formats keep the
+    injectable NotImplementedError seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV variant not supported (format={audio_format}, bits={bits})"
+        )
+    n_vals = len(data) // 2
+    samples = np.frombuffer(data, dtype="<i2", count=n_vals)
+    n_frames = n_vals // max(channels, 1)
+    return {
+        "codec": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_us": (n_frames * 1_000_000) // sample_rate,
+        "samples": samples[: n_frames * channels].reshape(n_frames, channels),
+    }
+
+
 def sniff_decode(payload: bytes) -> dict:
     """Magic-byte dispatch over the in-tree codecs. Unknown codecs keep
     the documented injectable seam: NotImplementedError, so callers can
@@ -304,6 +373,8 @@ def sniff_decode(payload: bytes) -> dict:
         return decode_bmp(payload)
     if bytes(payload[:8]) == _PNG_SIG:
         return decode_png(payload)
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no in-tree codec for magic {head!r}; inject a decoder"
     )

@@ -479,3 +479,104 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, width int, height int,"
         " payload_bytes bigint, mean_px bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_wav_stats — REAL audio container end to end
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000  # Hz — telephone-band PCM
+
+
+@register(
+    "multimodal_wav_stats",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   100 + (doc_id * 13) % 400 AS n,
+                   1000 + (doc_id % 100) * 10 AS a
+            FROM documents)
+        SELECT doc_id, 'wav' AS codec,
+               CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST((n * 1000000) // {WAV_RATE} AS BIGINT) AS duration_us,
+               CAST(44 + 2 * n AS BIGINT) AS payload_bytes,
+               CAST(a AS BIGINT) AS mean_abs,
+               -- square wave +A/-A toggling every 4 samples: positives
+               -- = 4 per full 8-period plus min(n % 8, 4) in the tail
+               CAST(4 * (n // 8) + least(n % 8, 4) AS BIGINT) AS n_pos
+        FROM g
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: constructs a genuine RIFF/WAVE
+    16-bit PCM payload per document (a +-A square wave toggling every 4
+    samples; frame count and amplitude derive deterministically from
+    doc_id), then parses it back through the in-tree pure-Python WAV
+    codec (multimodal.codecs.decode_wav via sniff_decode — chunk walk,
+    fmt parse, int16 frame extraction) and emits what only a working
+    parser can know: the sample rate and frame count from the header,
+    the exact container byte size (44 + 2n, the canonical-header closed
+    form the oracle mirrors), the decoded duration in integer
+    microseconds, the mean |amplitude| (exactly A for a square wave —
+    one endianness slip or off-by-one in the data chunk breaks the
+    hash), and the positive-sample count (closed-form from the toggle
+    period). Encode and decode run in the SAME mapInPandas stage;
+    payload bytes never shuffle.
+
+    Scale: row-local construction + parse, numpy over |n| int16 frames
+    per row; no shuffle beyond the scan. Completes the codec matrix:
+    PPM/BMP (raw raster), PNG (compressed raster), WAV (audio
+    container) — the injectable NotImplementedError seam now covers
+    only compressed image (JPEG) and compressed audio codecs."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        encode_wav,
+        sniff_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(100) + (F.col("doc_id") * 13) % 400).cast("int").alias("n"),
+        (F.lit(1000) + (F.col("doc_id") % 100) * 10).cast("int").alias("a"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, n, a in zip(pdf["doc_id"], pdf["n"], pdf["a"]):
+                n, a = int(n), int(a)
+                i = np.arange(n)
+                samples = np.where((i // 4) % 2 == 0, a, -a).astype("<i2")
+                payload = encode_wav(WAV_RATE, samples)
+                d = sniff_decode(payload)
+                s = np.asarray(d["samples"]).reshape(-1)
+                out.append(
+                    (
+                        int(doc_id),
+                        d["codec"],
+                        d["sample_rate"],
+                        d["n_frames"],
+                        d["duration_us"],
+                        len(payload),
+                        int(np.abs(s.astype(np.int64)).mean()),
+                        int((s > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "sample_rate", "n_frames",
+                    "duration_us", "payload_bytes", "mean_abs", "n_pos",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, sample_rate bigint, n_frames bigint,"
+        " duration_us bigint, payload_bytes bigint, mean_abs bigint,"
+        " n_pos bigint",
+    )

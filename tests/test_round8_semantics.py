@@ -228,6 +228,55 @@ def test_png_unfilter_all_filter_types(ftype):
     assert np.array_equal(decode_png(payload)["raster"], raster)
 
 
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        decode_wav, encode_wav, sniff_decode,
+    )
+
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-32768, 32767, 777, dtype=np.int16)
+    p = encode_wav(16000, samples)
+    assert len(p) == 44 + 2 * 777
+    d = decode_wav(p)
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (16000, 1, 777)
+    assert d["duration_us"] == 777 * 1_000_000 // 16000
+    assert np.array_equal(d["samples"].reshape(-1), samples)
+    assert sniff_decode(p)["codec"] == "wav"
+
+
+def test_wav_stereo_and_chunk_skip():
+    """Interleaved stereo frames reshape to (n, 2); an unknown chunk
+    (LIST) before data is skipped per the RIFF spec, including the
+    odd-size word-alignment pad."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import decode_wav, encode_wav
+
+    inter = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)  # 3 frames x 2ch
+    p = encode_wav(8000, inter, channels=2)
+    d = decode_wav(p)
+    assert d["channels"] == 2 and d["n_frames"] == 3
+    assert np.array_equal(d["samples"], inter.reshape(3, 2))
+    # splice an odd-sized LIST chunk between fmt and data
+    head, rest = p[:36], p[36:]
+    lst = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    d2 = decode_wav(head + lst + rest)
+    assert np.array_equal(d2["samples"], inter.reshape(3, 2))
+
+
+def test_wav_unsupported_variant_keeps_seam():
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import decode_wav, encode_wav
+
+    p = bytearray(encode_wav(8000, np.zeros(4, dtype=np.int16)))
+    p[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="WAV variant"):
+        decode_wav(bytes(p))
+
+
 def test_png_unsupported_variants_keep_seam():
     from cdc_export_system_spark.multimodal.codecs import (
         _PNG_SIG, _png_chunk, decode_png,
