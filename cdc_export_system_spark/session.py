@@ -78,6 +78,19 @@ def get_spark(
         # allow Python DataSources to absorb filters (io/python_source.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Per-process warehouse: the session catalog is in-memory, so a
+        # fresh JVM rebuilds managed bucketed/index tables anyway — but
+        # two CONCURRENT JVMs sharing ./spark-warehouse race (one
+        # overwrites a table the other holds a cached file listing for;
+        # observed as FAILED_READ_FILE in a parallel full-suite run).
+        # Isolating by PID removes the race class; override to share.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/cdc_spark_warehouse_{os.getpid()}",
+            ),
+        )
     )
     # Driver heap: only resize the JVM we actually run tasks in. With a
     # remote master the driver is a thin coordinator and the executors
