@@ -60,8 +60,12 @@ def row_at(i: int) -> tuple:
     op = "DELETE" if m < 3 else ("INSERT" if m < 53 else "UPDATE")
     user_id = k % N_USERS
     amount = (k % 1_000_000) / 100
+    # yield the timestamp timezone-AWARE (UTC): a naive datetime is
+    # interpreted through the PYTHON WORKER's process time zone during
+    # Arrow conversion, shifting every ts by the host offset on a
+    # non-UTC box (caught by the round-8 hostile-TZ simulation)
     ts = TS_BASE + dt.timedelta(seconds=k % TS_SPREAD_S)
-    return (i, op, user_id, amount, ts.replace(tzinfo=None))
+    return (i, op, user_id, amount, ts)
 
 
 class _RangePartition(InputPartition):

@@ -583,7 +583,10 @@ _FORECAST_ORACLE = f"""
                    AS se
         FROM h CROSS JOIN co)
     SELECT CAST(h AS BIGINT) AS horizon,
-           CAST(to_timestamp(t * 86400) AS TIMESTAMP) AS day,
+           -- naive epoch arithmetic: to_timestamp() returns TIMESTAMPTZ and
+           -- its cast to naive renders in the PROCESS time zone
+           TIMESTAMP '1970-01-01'
+               + to_microseconds(CAST(t AS BIGINT) * 86400000000) AS day,
            floor(yhat * 1000000 + 0.5) / 1000000 AS yhat,
            floor((yhat - {Z95!r} * se) * 1000000 + 0.5) / 1000000 AS lo95,
            floor((yhat + {Z95!r} * se) * 1000000 + 0.5) / 1000000 AS hi95
@@ -654,7 +657,7 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return f.select(
         F.col("h").cast("bigint").alias("horizon"),
-        F.to_timestamp(F.from_unixtime(t * 86400)).alias("day"),
+        F.timestamp_seconds(t * 86400).alias("day"),
         r6(yhat).alias("yhat"),
         r6(yhat - F.lit(Z95) * se).alias("lo95"),
         r6(yhat + F.lit(Z95) * se).alias("hi95"),

@@ -53,6 +53,24 @@ def _local_driver_mem_gb() -> int:
     return max(2, min(16, avail_kb // (2 * 1024 * 1024)))
 
 
+def _pin_jvm_utc(spark: SparkSession) -> None:
+    """Pin the JVM DEFAULT time zone to UTC (runtime-settable via py4j).
+
+    The session time zone covers Catalyst, but Spark's ORC reader/
+    writer adjusts timestamps through the JVM default zone — on a host
+    whose process TZ is not UTC, an ORC round trip shifts every
+    timestamp by the host offset (caught by the round-8 hostile-TZ
+    full-registry simulation). Connect-only sessions without a JVM
+    handle skip silently (their ORC path runs server-side)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — py4j access is the point
+        jvm.java.util.TimeZone.setDefault(
+            jvm.java.util.TimeZone.getTimeZone("UTC")
+        )
+    except AttributeError:
+        pass
+
+
 def get_spark(
     app_name: str = "cdc_export_system_spark",
     master: str | None = None,
@@ -107,6 +125,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _pin_jvm_utc(spark)
     return spark
 
 
@@ -120,6 +139,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set(INFER_NTZ, "false")
+    _pin_jvm_utc(spark)
     # Keep bucketed scans (and their bucket pruning) for point probes: the
     # DisableUnnecessaryBucketedScan rule drops the bucketed layout when no
     # join/aggregate requires the distribution, which also forfeits the

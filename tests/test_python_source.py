@@ -67,7 +67,9 @@ def test_end_to_end_rows_match_closed_form(spark):
     for r in got:
         seq, op, user_id, amount, ts = row_at(r.seq)
         assert (r.op, r.user_id, r.amount) == (op, user_id, amount)
-        assert r.ts == ts
+        # row_at yields aware-UTC (r8 TZ hardening); collect() renders
+        # naive wall time in the UTC session — same instant
+        assert r.ts == ts.replace(tzinfo=None)
 
 
 def test_partitioned_scan_covers_every_row_exactly_once(spark):
