@@ -39,42 +39,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # new this round (fresh oracle deserves a first external row)
-    "multimodal_wav_stats",
-    # ROUND-8 LEAD (VERDICT r07 item 1): the never-externally-checked
-    # BENCH HEADLINERS — a headliner with no external correctness row
-    # is the worst evidence gap left.
-    "agg_quantiles_distributed", "agg_freq_items_mg", "metric_rolling_wau_hll",
-    "dedup_exact_substring", "text_winnowing_fingerprint",
-    # their close siblings in the same never-checked families
-    "dedup_winnowing_overlap", "dedup_substring_scrub",
-    "dedup_edit_distance_verify", "corpus_gopher_filter",
-    # the dq_* suite (verdict-named, 8)
-    "dq_checks", "dq_benford_digits", "dq_fk_orphans", "dq_null_profile",
-    "dq_reconciliation", "dq_outlier_iqr", "dq_key_skew_report",
-    "corpus_drift_psi",
-    # the graph tail (verdict-named, 5)
-    "graph_k_core", "graph_label_propagation", "graph_adamic_adar",
-    "graph_clustering_coefficient", "graph_assortativity",
-    # stats_* / ab_* tail (19)
-    "stats_chi2_independence", "stats_ks_test", "stats_mann_whitney",
-    "stats_anova_oneway", "stats_benjamini_hochberg", "stats_effect_sizes",
-    "stats_bootstrap_ci", "ab_cuped", "ab_proportion_ztest",
-    "stats_spearman_rank", "stats_wilson_ci", "stats_power_analysis",
-    "stats_brown_forsythe", "stats_mcnemar", "stats_wilcoxon_signed_rank",
-    "stats_qq_points", "stats_runs_test", "stats_cohens_kappa",
-    "ab_ratio_delta_method",
-    # ml_* tail (17)
-    "ml_confusion_matrix", "ml_auc_roc", "ml_pr_curve", "ml_gbm_stumps",
-    "ml_calibration_table", "ml_decision_stump", "ml_eval_report",
-    "ml_logistic_regression_gd", "ml_ridge_normal_eq", "ml_uplift_qini",
-    "ml_feature_corr_matrix", "ml_feature_drift_psi", "ml_threshold_youden",
-    "ml_brier_decomposition", "ml_att_stratified", "ml_knn_classifier",
-    "ml_map_at_k",
-    # tail risk-buffer if the driver prefix runs past ~58: remaining
-    # never-checked headliner-adjacent ops
-    "ts_theil_sen", "tpch_q21_like", "join_interval_bucketed",
-    "sessionize_session_window", "agg_weighted_median", "agg_trimmed_mean",
+    # ROUND-9 LEAD (VERDICT r8 #1): the r8 hash-FAIL, now re-emitted
+    # with a driver-stable hi/lo BIGINT final schema — retry first.
+    "ml_calibration_table",
+    # The last never-checked bench headliner (VERDICT r8 #2).
+    "skyline_pareto_front",
+    # TPC-H tails — the reconstructed-partsupp family's first external row
+    "tpch_q2_like", "tpch_q11_like", "tpch_q20_like", "tpch_q21_like",
+    # reshape family (verdict-named)
+    "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
+    "reshape_pivot_dynamic",
+    # sampling family (verdict-named)
+    "sample_hash", "sample_stratified_hash", "sample_split_train_test",
+    "sample_uniform_per_group",
+    # corpus-pipeline tail (12)
+    "corpus_mix_weighted", "corpus_token_budget_sample",
+    "corpus_upsample_weights", "corpus_shard_assignment",
+    "corpus_importance_resample", "corpus_interleave_order",
+    "corpus_temperature_weights", "corpus_decontaminate_report",
+    "corpus_quality_report", "corpus_inverted_index",
+    "corpus_js_divergence", "corpus_bpe_encode",
+    # ml_* tail (9)
+    "ml_uplift_qini", "ml_feature_corr_matrix", "ml_feature_drift_psi",
+    "ml_threshold_youden", "ml_brier_decomposition", "ml_att_stratified",
+    "ml_ridge_normal_eq", "ml_knn_classifier", "ml_map_at_k",
+    # ts_* family (10)
+    "ts_theil_sen", "ts_mann_kendall", "ts_dow_hour_profile",
+    "ts_acf_multi_lag", "ts_percentile_bands", "ts_control_chart_xmr",
+    "ts_burstiness", "ts_peaks", "ts_best_window", "ts_downsample_lttb",
+    # anomaly family (5)
+    "anomaly_zscore", "anomaly_mad", "anomaly_rate_spike",
+    "anomaly_seasonal_residual", "anomaly_seasonal_esd",
+    # sessionization (3)
+    "sessionize_session_window", "sessionize_dynamic_gap",
+    "sessionize_funnel_within",
+    # tail risk-buffer if the driver prefix runs past ~50
+    "agg_weighted_median", "agg_trimmed_mean", "join_interval_bucketed",
+    "dedup_minhash_accuracy", "sim_rrf_fusion", "text_bm25_topk",
 ]
 
 

@@ -1548,14 +1548,19 @@ def ml_logistic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         g AS (
             SELECT pred_micro, CAST(count(*) AS BIGINT) AS n,
                    CAST(SUM(y) AS BIGINT) AS n_pos
-            FROM b GROUP BY pred_micro)
-        SELECT pred_micro, n, n_pos,
-               CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT)
-                   AS rate_micro,
-               CAST((pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
-                    * (pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
-                    * n AS DECIMAL(38,0)) AS reliability_term
-        FROM g
+            FROM b GROUP BY pred_micro),
+        t AS (
+            SELECT pred_micro, n, n_pos,
+                   CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT)
+                       AS rate_micro,
+                   (pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
+                   * (pred_micro - (CAST(n_pos AS HUGEINT) * 1000000) // n)
+                   * CAST(n AS HUGEINT) AS term
+            FROM g)
+        SELECT pred_micro, n, n_pos, rate_micro,
+               CAST(term // 1000000000000000000 AS BIGINT) AS reliability_hi,
+               CAST(term % 1000000000000000000 AS BIGINT) AS reliability_lo
+        FROM t
     """,
     tags=("ml", "stats", "agg"),
 )
@@ -1568,6 +1573,14 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliability component of the Brier decomposition (Murphy 1973).
     Rates and terms are floored micro-int arithmetic — exact integers,
     partition-invariant, no doubles anywhere in the output.
+
+    The volume-scaled term is computed in DECIMAL(38,0) (int64 dies at
+    ~9e6 rows per bin) but emitted as a radix-10^18 hi/lo BIGINT pair
+    (`term = reliability_hi * 10^18 + reliability_lo`): DECIMAL in a
+    driver-visible schema hashes differently across engines (Spark
+    Decimal vs DuckDB HUGEINT canonicalization), so final schemas are
+    integer/double/string only — pinned registry-wide by
+    tests/test_plan_quality.py's no-decimal-final-schema lint.
 
     Scale: ONE map-side-combined aggregate to the |distinct scores|
     axis; everything after is per-bin integer arithmetic. With a
@@ -1589,18 +1602,30 @@ def ml_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rate = F.expr("(cast(n_pos as decimal(38,0)) * 1000000) div n")
-    return g.select(
+    t = g.select(
         "pred_micro",
         "n",
         "n_pos",
         rate.alias("rate_micro"),
         # DECIMAL(38,0) term (oracle mirrors): diff^2 <= 1e12 already,
-        # but * n is volume-scaled — int64 dies at ~9e6 rows per bin
+        # but * n is volume-scaled — int64 dies at ~9e6 rows per bin.
+        # Internal only: the final schema re-emits it as hi/lo BIGINTs.
         (
             (F.col("pred_micro") - rate).cast("decimal(38,0)")
             * (F.col("pred_micro") - rate)
             * F.col("n")
-        ).alias("reliability_term"),
+        ).alias("term"),
+    )
+    return t.select(
+        "pred_micro",
+        "n",
+        "n_pos",
+        "rate_micro",
+        # hi fits bigint up to term ~ 9.2e36; lo < 10^18 by construction
+        F.expr("term div 1000000000000000000").alias("reliability_hi"),
+        F.expr("cast(term % 1000000000000000000 as bigint)").alias(
+            "reliability_lo"
+        ),
     )
 
 

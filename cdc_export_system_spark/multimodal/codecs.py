@@ -168,7 +168,13 @@ def encode_png(
     stored (uncompressed) deflate blocks, which makes the payload size
     a closed-form function of (w, h) — the property the decode-dims
     oracle hash-checks; the default level 6 is a normal compressed
-    stream."""
+    stream.
+
+    The level-0 stream is assembled by ``_zlib_stored`` rather than
+    ``zlib.compress(..., 0)``: maximal 65535-byte stored blocks are a
+    compressor implementation detail, not a DEFLATE-format guarantee,
+    so the layout the closed form (``png_payload_bytes_level0``) and
+    its SQL oracle depend on is emitted by our own code."""
     import zlib as _z
 
     if len(raster) != width * height * 3:
@@ -184,12 +190,36 @@ def encode_png(
     scanlines = b"".join(
         b"\x00" + raster[y * row : (y + 1) * row] for y in range(height)
     )
+    idat = _zlib_stored(scanlines) if level == 0 else _z.compress(scanlines, level)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(scanlines, level))
+        + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A zlib stream of stored (BTYPE=00) deflate blocks, each at the
+    65535-byte LEN maximum — self-owned layout so the closed-form size
+    (6 + D + 5*ceil(D/65535), min one block) never depends on which
+    block segmentation a zlib build happens to choose at level 0.
+    Decodable by any inflate implementation (including our decode_png)."""
+    import zlib as _z
+
+    out = [b"\x78\x01"]  # CMF/FLG: deflate, 32K window, checksum-valid
+    n = len(data)
+    nblocks = max(1, -(-n // 65535))
+    for i in range(nblocks):
+        chunk = data[i * 65535 : (i + 1) * 65535]
+        final = 1 if i == nblocks - 1 else 0
+        ln = len(chunk)
+        out.append(bytes([final]))
+        out.append(ln.to_bytes(2, "little"))
+        out.append((ln ^ 0xFFFF).to_bytes(2, "little"))
+        out.append(chunk)
+    out.append(_z.adler32(data).to_bytes(4, "big"))
+    return b"".join(out)
 
 
 def _png_unfilter(raw: np.ndarray, height: int, row: int, bpp: int) -> np.ndarray:
@@ -334,6 +364,11 @@ def decode_wav(payload: bytes) -> dict:
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # mirror decode_png's strictness: a data chunk claiming more
+            # bytes than remain must error, not yield a silently
+            # shortened sample array / wrong n_frames
+            raise ValueError("truncated WAV chunk")
         if tag == b"fmt ":
             fmt = body
         elif tag == b"data":

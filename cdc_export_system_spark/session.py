@@ -53,6 +53,28 @@ def _local_driver_mem_gb() -> int:
     return max(2, min(16, avail_kb // (2 * 1024 * 1024)))
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _warehouse_dir() -> str:
+    """Per-process warehouse path; the default per-PID /tmp dir is
+    removed at interpreter exit (managed bucketed/index tables are
+    rebuilt by a fresh JVM anyway), so test/bench processes do not
+    accumulate orphaned table data in /tmp. A user-set
+    SPARK_GRAFT_WAREHOUSE is durable state and is never deleted."""
+    user_set = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if user_set:
+        return user_set
+    path = f"/tmp/cdc_spark_warehouse_{os.getpid()}"
+    if path not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(path)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _pin_jvm_utc(spark: SparkSession) -> None:
     """Pin the JVM DEFAULT time zone to UTC (runtime-settable via py4j).
 
@@ -61,13 +83,17 @@ def _pin_jvm_utc(spark: SparkSession) -> None:
     whose process TZ is not UTC, an ORC round trip shifts every
     timestamp by the host offset (caught by the round-8 hostile-TZ
     full-registry simulation). Connect-only sessions without a JVM
-    handle skip silently (their ORC path runs server-side)."""
+    handle skip silently (their ORC path runs server-side). Best-effort
+    by design: the pin must never fail session construction, so any
+    py4j/connect error is swallowed — fresh JVMs built by get_spark
+    also receive -Duser.timezone=UTC at builder time, which covers them
+    even when this runtime pin cannot run."""
     try:
         jvm = spark._jvm  # noqa: SLF001 — py4j access is the point
         jvm.java.util.TimeZone.setDefault(
             jvm.java.util.TimeZone.getTimeZone("UTC")
         )
-    except AttributeError:
+    except Exception:  # noqa: BLE001 — py4j raises more than AttributeError
         pass
 
 
@@ -102,13 +128,12 @@ def get_spark(
         # overwrites a table the other holds a cached file listing for;
         # observed as FAILED_READ_FILE in a parallel full-suite run).
         # Isolating by PID removes the race class; override to share.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                f"/tmp/cdc_spark_warehouse_{os.getpid()}",
-            ),
-        )
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
+        # Fresh JVMs start with the host's default TZ; pin it at launch
+        # so the ORC path is UTC even if the runtime _pin_jvm_utc py4j
+        # call is unavailable (ignored when an existing JVM is reused —
+        # the runtime pin covers that case).
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
     )
     # Driver heap: only resize the JVM we actually run tasks in. With a
     # remote master the driver is a thin coordinator and the executors

@@ -510,6 +510,53 @@ def test_single_partition_exchanges_are_allowlisted(spark, name):
         )
 
 
+def _unstable_hash_types(dt) -> list[str]:
+    """Recursively collect driver-hash-unstable types (decimal/interval)
+    inside a DataType."""
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+    if isinstance(
+        dt,
+        (T.DecimalType, T.DayTimeIntervalType, T.YearMonthIntervalType),
+    ) or type(dt).__name__ == "CalendarIntervalType":
+        bad.append(dt.simpleString())
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            bad += _unstable_hash_types(f.dataType)
+    elif isinstance(dt, T.ArrayType):
+        bad += _unstable_hash_types(dt.elementType)
+    elif isinstance(dt, T.MapType):
+        bad += _unstable_hash_types(dt.keyType)
+        bad += _unstable_hash_types(dt.valueType)
+    return bad
+
+
+def test_no_decimal_or_interval_in_any_final_schema(spark):
+    """Driver-surface type lint (VERDICT r8 #1): DECIMAL arithmetic is
+    fine INTERNALLY (the int-product lint promotes volume-scaled
+    products to DECIMAL(38,0) on purpose), but a decimal or interval
+    column in a registered query's FINAL schema is a correctness-gate
+    hazard — the external driver canonicalizes Spark Decimal vs DuckDB
+    HUGEINT/DECIMAL differently, so bit-identical values still hash-
+    mismatch (ml_calibration_table, CORRECTNESS_r08). Final schemas must
+    re-emit such terms as integer/double/string (e.g. a radix-10^18
+    hi/lo BIGINT pair)."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        bad = []
+        for f in df.schema.fields:
+            for t in _unstable_hash_types(f.dataType):
+                bad.append(f"{f.name}:{t}")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "decimal/interval columns leaked into driver-visible final "
+        f"schemas: {offenders}"
+    )
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE's skew-join handling is the runtime half of the engine's skew
     strategy (join_skew_salted is the static half): with one key owning
