@@ -161,21 +161,31 @@ def dmulsum(alias: str, *factors):
     sum(price * (1-disc) [* (1+tax)]). The product of k exact
     cent-values stays a BIGINT per row (row-bounded: ~1e11 for two
     factors, ~1e13 for three — whole-stage codegen keeps the hot
-    multiply on longs), but the ACCUMULATOR is DECIMAL(38,0): a
-    BIGINT sum of ~1e10-scale row products crosses 2^63 near a
-    ~2.6e8-row group (sf-250-equivalent on q1's six groups) and ANSI
-    mode kills the query — the round-8 int-product lint caught this;
-    the DuckDB oracle already accumulates in DECIMAL/HUGEINT."""
+    multiply on longs). A bare SUM(long) of ~1e13-scale row products
+    crosses 2^63 near a ~9e5-row group (sf-sub-1 on a single group)
+    and ANSI mode kills the query (round-8 int-product lint), but the
+    round-8 DECIMAL(38,0) accumulator cost ~40% on q1's agg stage
+    (measured sf0.1 min-of-5: 0.487 s -> 0.293 s with this form).
+
+    So: a radix-2^22 hi/lo BIGINT PAIR accumulator, merged in DECIMAL
+    only on the post-aggregation row (<= |groups| rows):
+        sum(p) == 2^22 * sum(p >> 22) + sum(p & (2^22-1))   (exact)
+    Bounds (ANSI throws loudly beyond them): p <= ~1e13 (3 factors),
+    so p>>22 <= 2.4e6 and p&mask < 4.2e6 — both BIGINT sums survive to
+    ~2.2e12 rows PER GROUP (~sf 300,000 on q1's six groups; a 100 TB
+    lineitem is ~sf 100,000 total). Both sums are plain long adds
+    inside whole-stage codegen; the DuckDB oracle accumulates in
+    DECIMAL/HUGEINT and stays value-identical."""
     from pyspark.sql import functions as F
 
     prod = _cents(factors[0])
     for f in factors[1:]:
         prod = prod * _cents(f)
+    radix = 1 << 22
+    hi = F.sum(F.shiftright(prod, 22)).cast("decimal(38,0)")
+    lo = F.sum(prod.bitwiseAND(F.lit(radix - 1))).cast("decimal(38,0)")
     return (
-        (
-            F.sum(prod.cast("decimal(38,0)")).cast("decimal(38,6)")
-            / F.lit(100 ** len(factors))
-        )
+        ((hi * F.lit(radix) + lo).cast("decimal(38,6)") / F.lit(100 ** len(factors)))
         .cast("double")
         .alias(alias)
     )
@@ -192,12 +202,14 @@ def spark_dsum(expr: str, alias: str) -> str:
 
 
 def spark_dmulsum(alias: str, *exprs: str) -> str:
-    """Spark-SQL text form of dmulsum() (same DECIMAL(38,0)
-    accumulator over the long row product — see dmulsum)."""
+    """Spark-SQL text form of dmulsum() (same radix-2^22 hi/lo BIGINT
+    pair accumulator with the DECIMAL merge on the final row — see
+    dmulsum for the bound math)."""
     prod = " * ".join(f"FLOOR({e} * 100 + 0.5)" for e in exprs)
     return (
-        f"CAST(CAST(SUM(CAST({prod} AS DECIMAL(38,0))) AS DECIMAL(38,6))"
-        f" / {100 ** len(exprs)} AS DOUBLE)"
+        f"CAST(CAST(CAST(SUM(({prod}) >> 22) AS DECIMAL(38,0)) * 4194304"
+        f" + CAST(SUM(({prod}) & 4194303) AS DECIMAL(38,0))"
+        f" AS DECIMAL(38,6)) / {100 ** len(exprs)} AS DOUBLE)"
         f" AS {alias}"
     )
 

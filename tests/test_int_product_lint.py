@@ -114,9 +114,11 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # --- exact-money row products (registry.dmulsum convention): the
     # per-row FLOOR(x*100)*FLOOR(y*100) multiply is row-value-bounded
     # (~1e11 for price*discount-scale, ~1e13 with tax), far inside
-    # int64; the volume-scaled part — the SUM accumulator — runs in
-    # DECIMAL(38,0) since r8 (oracle: DECIMAL/HUGEINT).
-    "tpch_q1": ({"col-x-col"}, "dmulsum row product; DECIMAL accumulator"),
+    # int64; the volume-scaled part — the SUM accumulator — is a
+    # radix-2^22 hi/lo BIGINT pair since r9 (each sum bounded by
+    # n_group * 4.2e6, safe to ~2.2e12 rows/group), merged in DECIMAL
+    # on the final row (oracle: DECIMAL/HUGEINT).
+    "tpch_q1": ({"col-x-col"}, "dmulsum row product; hi/lo pair accumulator"),
     "tpch_q3": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q5": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q6": ({"col-x-col"}, "dmulsum row product"),
