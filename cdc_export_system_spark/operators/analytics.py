@@ -1668,7 +1668,7 @@ def _markov_oracle(squarings: int = MARKOV_SQUARINGS) -> str:
     for t in range(1, squarings + 1):
         its.append(f"""
         m{t} AS MATERIALIZED (
-            SELECT a.i, b.j, SUM(a.p * b.p) // {MARKOV_S} AS p
+            SELECT a.i, b.j, CAST(SUM(a.p * b.p) // {MARKOV_S} AS BIGINT) AS p
             FROM {prev} a JOIN {prev} b ON a.j = b.i
             GROUP BY a.i, b.j)""")
         prev = f"m{t}"
@@ -1683,7 +1683,9 @@ def _markov_oracle(squarings: int = MARKOV_SQUARINGS) -> str:
             FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
         rowtot AS (SELECT i, SUM(n) AS tot FROM tr GROUP BY i),
         m0 AS MATERIALIZED (
-            SELECT tr.i, tr.j, (tr.n * {MARKOV_S}) // rowtot.tot AS p
+            SELECT tr.i, tr.j,
+                   CAST((CAST(tr.n AS HUGEINT) * {MARKOV_S}) // rowtot.tot
+                        AS BIGINT) AS p
             FROM tr JOIN rowtot USING (i)),
         {", ".join(its)},
         anchor AS (SELECT min(i) AS i0 FROM m0)
@@ -1737,7 +1739,14 @@ def event_markov_stationary_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "i",
             "j",
-            F.expr(f"(n * {MARKOV_S}) div tot").alias("p"),
+            # n is volume-scaled (transition count): promote the *1e6 to
+            # DECIMAL(38,0) so the quantization survives any corpus size;
+            # `div` on decimal operands is exact truncating division and
+            # lands back in BIGINT (p <= 1e6 by construction).
+            F.expr(
+                f"CAST((CAST(n AS DECIMAL(38,0)) * {MARKOV_S}) div tot"
+                " AS BIGINT)"
+            ).alias("p"),
         )
         .localCheckpoint(eager=True)
     )
@@ -2837,10 +2846,12 @@ def _markov_oracle() -> str:
         iters += f""",
         p{k} AS (
             SELECT o.removed, o.s,
-                   CAST((o.cv * 1000000 + COALESCE(e.acc, 0)) // o.ni
+                   CAST((CAST(o.cv AS HUGEINT) * 1000000
+                         + COALESCE(e.acc, 0)) // o.ni
                         AS BIGINT) AS p
             FROM outs o LEFT JOIN (
-                SELECT ie.removed, ie.frm AS s, SUM(ie.n * p.p) AS acc
+                SELECT ie.removed, ie.frm AS s,
+                       SUM(CAST(ie.n AS HUGEINT) * p.p) AS acc
                 FROM ie JOIN p{k - 1} p
                   ON p.removed = ie.removed AND p.s = ie.t_o
                 GROUP BY ie.removed, ie.frm) e

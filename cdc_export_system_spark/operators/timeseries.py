@@ -809,9 +809,14 @@ def _lttb_exact_oracle(nb: int = LTTB_NB) -> str:
     sequential picks become nb chained argmax CTEs; the triangle-area
     comparison is cross-multiplied by the centroid bucket size so no
     division (and no float) ever happens."""
+    # HUGEINT-promoted triangle score: ax is epoch seconds and kc a
+    # volume-scaled per-user bucket count, so the cross-multiplied terms
+    # (k·span(x) × span(y_cents)) leave int64 for hot users (~1e5 events
+    # with wide time/value spans); one HUGEINT operand per product keeps
+    # every intermediate exact at any scale (r9 int-product lint).
     score = (
-        "abs((kp.ax * ct.kc - ct.sx) * (c.y - kp.ay)"
-        " - (kp.ax - c.x) * (ct.sy - kp.ay * ct.kc))"
+        "abs((CAST(kp.ax AS HUGEINT) * ct.kc - ct.sx) * (c.y - kp.ay)"
+        " - (kp.ax - c.x) * (ct.sy - CAST(kp.ay AS HUGEINT) * ct.kc))"
     )
     picks = []
     prev = "k0"
@@ -890,8 +895,11 @@ def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id establishes rn/n; each pick stage
     joins the bucket-b candidates (|data|/NB rows) against two
     model-thin per-user tables (previous pick, centroid) — AQE
-    broadcasts them once users ≪ data. Score magnitudes stay under
-    ~1e15 (k·span(x) × span(y_cents)), 1e3 of bigint headroom.
+    broadcasts them once users ≪ data. The score itself is computed in
+    DECIMAL(38,0) (oracle: HUGEINT): its cross-multiplied terms grow as
+    k·span(x)·span(y_cents) with k the per-user bucket volume, which
+    leaves int64 for hot users (~1e5 events × wide spans) — caught and
+    promoted by the r9 int-product lint.
 
     Reference: Steinarsson 2013 ("Downsampling Time Series for Visual
     Representation"), §4.2."""
@@ -947,10 +955,15 @@ def ts_downsample_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "rn", F.col("x").alias("ax"), F.col("y").alias("ay")
     )
     keeps = [kept_prev.select("user_id", "rn"), lastp.select("user_id", "rn")]
+    d38 = "decimal(38,0)"
     for b in range(LTTB_NB):
+        # DECIMAL(38,0)-promoted score, mirroring the oracle's HUGEINT:
+        # exact integer compare at any per-user volume (see oracle note)
         sc = F.abs(
-            (F.col("ax") * F.col("kc") - F.col("sx")) * (F.col("y") - F.col("ay"))
-            - (F.col("ax") - F.col("x")) * (F.col("sy") - F.col("ay") * F.col("kc"))
+            (F.col("ax").cast(d38) * F.col("kc") - F.col("sx"))
+            * (F.col("y") - F.col("ay"))
+            - (F.col("ax") - F.col("x"))
+            * (F.col("sy") - F.col("ay").cast(d38) * F.col("kc"))
         )
         scored = (
             cand.filter(F.col("b") == b)

@@ -16,12 +16,20 @@ cents-sum * 1e6 BIGINT product that only overflowed at sf1 — caught by
 measurement, not review. This lint is the review that would have
 caught it: its pre-fix form (cum cents * 1e6) flags as `big-literal`.
 
-Checkpoint transparency: eagerly-materialized localCheckpoint segments
-would hide their expressions from the final optimized plan, so the
-sweep monkeypatches DataFrame.localCheckpoint to the identity during
-the scan — the returned DataFrame keeps FULL lineage and one scan sees
-every expression the query ever evaluates (verified: the transparent
-scan reports no flags beyond the materialized one at HEAD).
+Materialization boundaries: eagerly-materialized localCheckpoint
+segments — and intermediates the query collects driver-side — hide
+their expressions from the final optimized plan as LogicalRDD scans,
+so the sweep scans at EVERY boundary: localCheckpoint / collect /
+toPandas are wrapped to lint the segment's optimized plan right before
+materializing it for real. History: r8 tried identity-stubbing the
+checkpoint via pyspark.sql.DataFrame, but that is the abstract base —
+the concrete pyspark.sql.classic.dataframe.DataFrame shadows the
+patch, so the r8 scan silently saw only the post-checkpoint tail. The
+r9 boundary scan (prompted by the oracle-side lint disagreeing with
+this one) surfaced ten queries' hidden segments, including genuinely
+volume-scaled arithmetic: the LTTB pick score (epoch-seconds x
+per-user bucket count x cents) and the Markov micro-probability
+promotions — all now DECIMAL(38,0)/HUGEINT on both engines.
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ import pytest
 
 from cdc_export_system_spark.registry import load_all
 from tests.conftest import SF_DIR
-from tests.lint_int_products import scan_df
+from tests.lint_int_products import scan_df, scan_plan_json
 
 REGISTRY = load_all()
 
@@ -45,11 +53,17 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # digest m*P + m < 2^62 is documented at dedup/minhash.py:157.
     "dedup_minhash_signature": ({"col-x-col"}, "a*h+b < 2^63-2^32, fixed-width"),
     "dedup_minhash_lsh": ({"big-literal", "col-x-col"}, "minhash perm + band digest"),
-    "dedup_minhash_verified": ({"big-literal"}, "minhash perm bound"),
-    "dedup_minhash_accuracy": ({"big-literal"}, "minhash perm bound"),
+    "dedup_minhash_verified": ({"big-literal", "col-x-col"},
+                               "minhash perm + band digest (checkpointed "
+                               "segment, visible since the r9 scan fix)"),
+    "dedup_minhash_accuracy": ({"big-literal", "col-x-col"},
+                               "minhash perm + band digest (checkpointed)"),
     "dedup_minhash_incremental": ({"big-literal", "col-x-col"},
                                   "minhash perm + band digest"),
-    "pipeline_dedup_funnel": ({"big-literal"}, "minhash perm bound"),
+    "pipeline_dedup_funnel": ({"big-literal", "col-x-col"},
+                              "minhash perm + band digest (checkpointed)"),
+    "dedup_cluster_cc": ({"big-literal", "col-x-col"},
+                         "minhash perm + band digest (checkpointed)"),
     # --- rolling-hash / bloom-filter bit arithmetic: shiftleft wraps by
     # JVM definition (no ANSI throw) and the wrap IS the hash mixing;
     # shift amounts are literals < 64.
@@ -129,7 +143,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "tpch_q14": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q15": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q19_like": ({"col-x-col"}, "dmulsum row product"),
-    "join_bloom_prefilter": ({"col-x-col"}, "dmulsum row product"),
+    "join_bloom_prefilter": ({"col-x-col", "shiftleft"},
+                             "dmulsum row product + bloom bit shifts "
+                             "(collected segment, visible since r9)"),
     "agg_weighted_avg": ({"col-x-col"}, "dmulsum row product (price*qty)"),
     "feat_standardize": ({"col-x-col"},
                          "cents^2 row product (value-bounded); sum-of-"
@@ -143,6 +159,31 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "rfm_segmentation": ({"col-x-col"},
                          "(n %% 5) * (n/5 + 1): linear in row count, "
                          "int64-safe to ~1e18 rows"),
+    # --- checkpointed/collected segments made visible by the r9 scan fix
+    "dedup_method_agreement": ({"big-literal"},
+                               "shared fingerprints per PAIR * 1e6; per-doc "
+                               "count guarded (winnowing oversize guard)"),
+    "dedup_threshold_sweep": ({"big-literal"},
+                              "same per-pair shared * 1e6 bound"),
+    "event_markov_stationary_exact": ({"col-x-col"},
+                                      "squaring terms p*p <= 1e12 (p <= 1e6 "
+                                      "micro-probs by construction); the "
+                                      "volume-scaled n*1e6 is DECIMAL(38,0) "
+                                      "since r9"),
+    "ml_brier_decomposition": ({"big-literal"},
+                               "floor(discount*100)*1e4 with discount in "
+                               "[0,1] -> <= 1e6 by domain"),
+    "ml_gbm_stumps": ({"big-literal"},
+                      "floor(value*100+5)*1e4: row-value-bounded "
+                      "(int64-safe to value ~ 9.2e12)"),
+    "ml_logistic_exact": ({"big-literal"},
+                          "weight literals bounded by construction "
+                          "(|w| <= ITERS * 2.3e6 — each step is grad div "
+                          "(n*10) with |residual| <= S/2 and features "
+                          "h <= 23, d <= 7), so z*S <= ~2e14"),
+    "ml_uplift_qini": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),
+    "sim_mmr_rerank_exact": ({"col-x-col"},
+                             "quantized component products (<= 2e6 micro)"),
     "window_global_deciles": ({"col-x-col"},
                               "(n %% 10) * (n/10 + 1): linear in rows"),
     "stats_bootstrap_ci": ({"col-x-col", "big-literal"},
@@ -186,13 +227,48 @@ def test_lint_bound_propagation_clears_folded_knuth(spark):
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_unreviewed_int64_products(spark, name, monkeypatch):
-    from pyspark.sql import DataFrame
+    # Scan at EVERY materialization boundary (see module doc): each
+    # localCheckpoint / collect / toPandas segment is linted right before
+    # it materializes, then materializes for real — identity-stubbing the
+    # checkpoint instead would blow up iterative self-join lineage
+    # exponentially, and patching pyspark.sql.DataFrame (the abstract
+    # base) does nothing at all: the concrete class is
+    # pyspark.sql.classic.dataframe.DataFrame, which defines these
+    # methods itself (the r8 "transparent scan" bug — it silently hid
+    # every checkpointed segment, including the LTTB pick score).
+    import pyspark.sql.classic.dataframe as _cdf
 
-    # transparent checkpoints: lint the FULL lineage (see module doc)
+    segment_flags: list[dict] = []
+
+    def _scan_now(df):
+        try:
+            segment_flags.extend(
+                scan_plan_json(
+                    df._jdf.queryExecution().optimizedPlan().toJSON()
+                )
+            )
+        except Exception as exc:  # inference gaps must fail, not hide
+            segment_flags.append({"kind": f"scan-error:{exc}"[:120]})
+
+    orig_ckpt = _cdf.DataFrame.localCheckpoint
+    orig_collect = _cdf.DataFrame.collect
+    orig_topandas = _cdf.DataFrame.toPandas
     monkeypatch.setattr(
-        DataFrame, "localCheckpoint", lambda self, eager=True: self
+        _cdf.DataFrame,
+        "localCheckpoint",
+        lambda self, eager=True: (_scan_now(self), orig_ckpt(self, eager))[1],
     )
-    flags = scan_df(REGISTRY[name].fn(spark, SF_DIR))
+    monkeypatch.setattr(
+        _cdf.DataFrame,
+        "collect",
+        lambda self: (_scan_now(self), orig_collect(self))[1],
+    )
+    monkeypatch.setattr(
+        _cdf.DataFrame,
+        "toPandas",
+        lambda self: (_scan_now(self), orig_topandas(self))[1],
+    )
+    flags = scan_df(REGISTRY[name].fn(spark, SF_DIR)) + segment_flags
     kinds = {f["kind"] for f in flags}
     if name in _ALLOWED:
         expected, _reason = _ALLOWED[name]
