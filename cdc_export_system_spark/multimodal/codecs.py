@@ -410,6 +410,10 @@ def sniff_decode(payload: bytes) -> dict:
         return decode_png(payload)
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
         return decode_wav(payload)
+    if head == b"\xff\xd8":
+        from cdc_export_system_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no in-tree codec for magic {head!r}; inject a decoder"
     )

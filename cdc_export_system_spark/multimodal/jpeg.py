@@ -1,0 +1,531 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure Python + numpy.
+
+The r7/r8 rounds displaced the injectable decode seam with real BMP,
+PPM, PNG, and WAV codecs; JPEG was the last documented seam for images.
+This module closes it for BASELINE SEQUENTIAL JPEG:
+
+* ``encode_jpeg`` — 8-bit, 3-component YCbCr, 4:4:4 (no subsampling),
+  float DCT-II on 8x8 blocks, a fixed quantization table, and CANONICAL
+  Huffman tables generated in-code and CARRIED IN THE FILE's DHT
+  segments — the JPEG container always embeds its entropy tables, so
+  any compliant decoder reads our files, and tables need not match
+  Annex K.
+* ``decode_jpeg`` — parses SOI/APP/DQT/SOF0/DHT/DRI/SOS, rebuilds the
+  embedded Huffman tables with the T.81 F.2.2.3 mincode/maxcode/valptr
+  construction (so it decodes ANY baseline 4:4:4 file, whatever tables
+  it embeds, not just ours), entropy-decodes the interleaved MCUs with
+  byte-unstuffing, dequantizes, inverse DCTs, and converts YCbCr back
+  to RGB. Progressive (SOF2), arithmetic coding, 12-bit precision,
+  subsampled chroma, and restart intervals keep the injectable
+  ``NotImplementedError`` seam.
+
+Exactness contract: JPEG is lossy, but the LOSS IS DETERMINISTIC — and
+for constant-color inputs every block quantizes to a DC-only spectrum,
+so the decoded value has the closed form
+
+    y'  = clip(round(round(8 * (y - 128) / q00) * q00 / 8) + 128)
+
+per channel, which is expressible in DuckDB SQL. That closed form is
+the oracle behind ``multimodal_jpeg_stats``: the full encode ->
+entropy-code -> parse -> Huffman-decode -> IDCT pipeline must land on
+it bit-exactly for every row.
+
+Scale: like the other codecs, this runs row-locally inside mapInPandas
+batches; the DCT is one (64x64) @ (64xN) numpy matmul per image's
+block set, and payload bytes never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+# quality-75-like luminance table (also used for chroma: 4:4:4 keeps the
+# codec simple and the closed-form oracle single-table)
+QTABLE = np.array(
+    [
+        [8, 6, 5, 8, 12, 20, 26, 31],
+        [6, 6, 7, 10, 13, 29, 30, 28],
+        [7, 7, 8, 12, 20, 29, 35, 28],
+        [7, 9, 11, 15, 26, 44, 40, 31],
+        [9, 11, 19, 28, 34, 55, 52, 39],
+        [12, 18, 28, 32, 41, 52, 57, 46],
+        [25, 32, 39, 44, 52, 61, 60, 51],
+        [36, 46, 48, 49, 56, 50, 52, 50],
+    ],
+    dtype=np.int64,
+)
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II matrix
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _a = np.sqrt(0.5) if _k == 0 else 1.0
+        _C[_k, _n] = 0.5 * _a * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> frequency."""
+    return np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) frequency -> spatial."""
+    return np.einsum("ji,njk,kl->nil", _C, blocks, _C)
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman tables (ours, for encoding; files always carry theirs)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 Annex C canonical order."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _make_table(lengths: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) from symbol -> code length, canonical order.
+    Asserts the Kraft sum leaves the all-ones code unassigned (T.81
+    reserves it)."""
+    bits = [0] * 16
+    values: list[int] = []
+    for sym in sorted(lengths, key=lambda x: (lengths[x], x)):
+        bits[lengths[sym] - 1] += 1
+        values.append(sym)
+    kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(bits))
+    assert kraft < 1.0, "table would assign the reserved all-ones code"
+    return bits, values
+
+
+# DC: categories 0..11
+_DC_LENGTHS = {0: 2, 1: 2, 2: 3, 3: 3, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7,
+               9: 8, 10: 9, 11: 10}
+# AC: (run, size) packed as run*16+size, plus EOB (0x00) and ZRL (0xF0)
+_AC_LENGTHS = {0x00: 3, 0x01: 3, 0x02: 3, 0x03: 4, 0x04: 4, 0x05: 5,
+               0x06: 6, 0xF0: 7}
+for _run in range(16):
+    for _size in range(1, 11):
+        _AC_LENGTHS.setdefault(_run * 16 + _size, 11)
+
+_DC_BITS, _DC_VALS = _make_table(_DC_LENGTHS)
+_AC_BITS, _AC_VALS = _make_table(_AC_LENGTHS)
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(raster: np.ndarray) -> np.ndarray:
+    r = raster[..., 0].astype(np.float64)
+    g = raster[..., 1].astype(np.float64)
+    b = raster[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    # round to integer samples BEFORE the DCT: keeps the constant-color
+    # closed form integer-exact (see module doc)
+    return np.stack(
+        [np.floor(y + 0.5), np.floor(cb + 0.5), np.floor(cr + 0.5)], axis=0
+    ).clip(0, 255)
+
+
+def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks, bh, bw
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dht_body(tclass: int, ident: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([tclass * 16 + ident]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(width: int, height: int, raster: bytes) -> bytes:
+    """Baseline JFIF from an RGB24 raster (h*w*3 bytes, row-major)."""
+    img = np.frombuffer(raster, dtype=np.uint8, count=height * width * 3)
+    img = img.reshape(height, width, 3)
+    planes = _rgb_to_ycbcr(img)
+
+    comp_blocks = []
+    for c in range(3):
+        blocks, bh, bw = _blockify(planes[c])
+        coeffs = _dct2(blocks - 128.0)
+        q = np.floor(coeffs / QTABLE + 0.5).astype(np.int64)
+        comp_blocks.append(q.reshape(bh, bw, 8, 8))
+    bh, bw = comp_blocks[0].shape[:2]
+
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    flat = ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(3):
+                block = comp_blocks[c][by, bx].reshape(64)[flat]
+                dc = int(block[0])
+                size, bits = _magnitude(dc - pred[c])
+                pred[c] = dc
+                code, length = _DC_CODES[size]
+                w.put(code, length)
+                if size:
+                    w.put(bits, size)
+                run = 0
+                last_nz = 0
+                ac = block[1:]
+                nz = np.nonzero(ac)[0]
+                last_nz = nz[-1] + 1 if len(nz) else 0
+                for i in range(last_nz):
+                    v = int(ac[i])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            code, length = _AC_CODES[0xF0]  # ZRL
+                            w.put(code, length)
+                            run = 0
+                        continue
+                    size, bits = _magnitude(v)
+                    code, length = _AC_CODES[run * 16 + size]
+                    w.put(code, length)
+                    w.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = _AC_CODES[0x00]  # EOB
+                    w.put(code, length)
+    entropy = w.flush()
+
+    qz = bytes(int(QTABLE.reshape(64)[ZIGZAG][i]) for i in range(64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
+        + bytes([3]) \
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00]) \
+        + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, bytes([0]) + qz)  # DQT id 0 (all components)
+        + _seg(0xC0, sof)  # SOF0 baseline
+        + _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+        + _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+        + _seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_decode_table(bits: list[int], vals: list[int]):
+    """T.81 F.2.2.3: per-length MINCODE/MAXCODE/VALPTR."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code = reader.bit()
+    length = 1
+    while code > maxcode[length]:
+        code = (code << 1) | reader.bit()
+        length += 1
+        if length > 16:
+            raise ValueError("invalid Huffman code")
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.floor(r + 0.5), np.floor(g + 0.5), np.floor(b + 0.5)], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential 4:4:4 (or grayscale) JPEG -> dict with dims
+    and an (h, w, 3) uint8 RGB raster. Progressive / arithmetic /
+    12-bit / subsampled files keep the injectable seam."""
+    d = bytes(payload)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], tuple] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        body = d[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                b = b[65:]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline SOF0 supported (got SOF marker {marker:#x})"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError("subsampled chroma")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                tclass, ident = b[0] >> 4, b[0] & 15
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17 : 17 + n])
+                htables[(tclass, ident)] = _build_decode_table(bits, vals)
+                b = b[17 + n :]
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+            if restart_interval:
+                # our encoder never emits restarts, so the resync path
+                # would be untested code — keep the injectable seam
+                raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 15))
+            h, w, comps = frame
+            bh, bw = -(-h // 8), -(-w // 8)
+            reader = _BitReader(d, pos + 2 + seglen)
+            pred = [0] * ns
+            out_blocks = [
+                np.zeros((bh * bw, 8, 8), dtype=np.int64) for _ in range(ns)
+            ]
+            n_mcus = bh * bw
+            for mcu in range(n_mcus):
+                for ci in range(ns):
+                    dc_t = htables[(0, scan[ci][1])]
+                    ac_t = htables[(1, scan[ci][2])]
+                    blk = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(reader, dc_t)
+                    diff = _extend(reader.bits(size), size)
+                    pred[ci] += diff
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_t)
+                        run, size = rs >> 4, rs & 15
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[ZIGZAG] = blk
+                    out_blocks[ci][mcu] = zz.reshape(8, 8)
+            planes = []
+            comp_map = dict(comps)
+            for ci in range(ns):
+                if scan[ci][0] not in comp_map:
+                    raise ValueError("scan component not declared in SOF0")
+                tq = comp_map[scan[ci][0]]
+                deq = out_blocks[ci] * qtables[tq]
+                spatial = _idct2(deq.astype(np.float64)) + 128.0
+                plane = (
+                    spatial.reshape(bh, bw, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw * 8)[:h, :w]
+                )
+                planes.append(plane)
+            if ns == 3:
+                raster = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+            elif ns == 1:
+                g = np.floor(planes[0] + 0.5).clip(0, 255).astype(np.uint8)
+                raster = np.stack([g, g, g], axis=-1)
+            else:
+                raise NotImplementedError(f"{ns}-component scan")
+            return {
+                "codec": "jpeg",
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "raster": raster,
+            }
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+def jpeg_constant_roundtrip(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """Closed-form decode(encode(constant-color image)) pixel value —
+    the SQL-oracle mirror (see module doc). Every 8x8 block of a
+    constant image is DC-only: per channel,
+      s   = round(lin(r,g,b)) - 128          (integer source sample)
+      dcq = round(8*s / q00); rec = round(dcq * q00 / 8) + 128
+    then the YCbCr->RGB floor(x+0.5) with clipping."""
+    q00 = int(QTABLE[0, 0])
+
+    def rt(sample: float) -> float:
+        s = np.floor(sample + 0.5) - 128.0
+        dcq = np.floor(8.0 * s / q00 + 0.5)
+        return dcq * q00 / 8.0 + 128.0
+
+    y = rt(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = rt(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+    cr = rt(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+    rr = int(np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255))
+    gg = int(np.clip(np.floor(
+        y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0) + 0.5
+    ), 0, 255))
+    bb = int(np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255))
+    return rr, gg, bb

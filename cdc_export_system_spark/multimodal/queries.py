@@ -580,3 +580,126 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " duration_us bigint, payload_bytes bigint, mean_abs bigint,"
         " n_pos bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_jpeg_stats — REAL lossy image codec end to end
+# ---------------------------------------------------------------------------
+
+# The constant-color closed form (multimodal/jpeg.py module doc): each
+# channel runs sample -> round -> DC quantize (q00=8) -> dequantize ->
+# IDCT -> color-convert; the oracle mirrors the float arithmetic
+# operation-for-operation (same literals, same left-assoc order), so
+# Spark-side numpy and DuckDB doubles land on identical bits.
+_JPEG_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               8 + (doc_id * 7) % 40 AS w,
+               8 + (doc_id * 11) % 32 AS h,
+               CAST(doc_id % 256 AS DOUBLE) AS r,
+               CAST((doc_id * 31) % 256 AS DOUBLE) AS g,
+               CAST((doc_id * 57) % 256 AS DOUBLE) AS b
+        FROM documents),
+    ycc AS (
+        SELECT doc_id, w, h,
+               floor(8.0 * (floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+                            - 128.0) / 8 + 0.5) * 8 / 8.0 + 128.0 AS y,
+               floor(8.0 * (floor(128.0 - 0.168735892 * r - 0.331264108 * g
+                                  + 0.5 * b + 0.5) - 128.0) / 8 + 0.5)
+                   * 8 / 8.0 + 128.0 AS cb,
+               floor(8.0 * (floor(128.0 + 0.5 * r - 0.418687589 * g
+                                  - 0.081312411 * b + 0.5) - 128.0) / 8 + 0.5)
+                   * 8 / 8.0 + 128.0 AS cr
+        FROM g)
+    SELECT doc_id, 'jpeg' AS codec,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(greatest(0, least(255,
+               floor(y + 1.402 * (cr - 128.0) + 0.5))) AS BIGINT) AS red,
+           CAST(greatest(0, least(255,
+               floor(y - 0.344136286 * (cb - 128.0)
+                       - 0.714136286 * (cr - 128.0) + 0.5))) AS BIGINT)
+               AS green,
+           CAST(greatest(0, least(255,
+               floor(y + 1.772 * (cb - 128.0) + 0.5))) AS BIGINT) AS blue,
+           CAST(w * h AS BIGINT) AS n_match
+    FROM ycc
+"""
+
+
+@register("multimodal_jpeg_stats", oracle=_JPEG_ORACLE, tags=("multimodal", "udf"))
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy image codec end to end: builds a constant-color RGB
+    image per document (dims and color derive deterministically from
+    doc_id), compresses it through the in-tree pure-Python baseline
+    JPEG encoder (float DCT, quantization, canonical Huffman tables
+    carried in DHT, byte stuffing), parses it back through the decoder
+    (marker walk, embedded-table Huffman decode, dequantize, IDCT,
+    YCbCr->RGB), and emits what only a working codec can know: the
+    header dims, the decoded pixel at (0,0), and the count of pixels
+    that match the DETERMINISTIC lossy closed form (constant blocks are
+    DC-only, so decode(encode(c)) is pure arithmetic — the oracle
+    mirrors it float-op-for-float-op; see multimodal/jpeg.py). One bit
+    slipped anywhere in the entropy coder flips the hash.
+
+    Completes the codec matrix: PPM/BMP (raw raster), PNG (compressed
+    raster), WAV (audio container), JPEG (lossy compressed image) —
+    the injectable NotImplementedError seam now covers only progressive
+    /subsampled JPEG variants and compressed audio.
+
+    Scale: row-local encode+decode inside one mapInPandas stage; the
+    DCT is one numpy matmul per image's block set; payload bytes never
+    shuffle."""
+    from cdc_export_system_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_constant_roundtrip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + (F.col("doc_id") * 7) % 40).cast("int").alias("w"),
+        (F.lit(8) + (F.col("doc_id") * 11) % 32).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("r"),
+        ((F.col("doc_id") * 31) % 256).cast("int").alias("g"),
+        ((F.col("doc_id") * 57) % 256).cast("int").alias("b"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, w, h, r, g, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                w, h, r, g, b = int(w), int(h), int(r), int(g), int(b)
+                raster = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+                payload = encode_jpeg(w, h, raster.tobytes())
+                d = decode_jpeg(payload)
+                expect = np.array(
+                    jpeg_constant_roundtrip(r, g, b), dtype=np.uint8
+                )
+                n_match = int(
+                    (d["raster"] == expect).all(axis=-1).sum()
+                )
+                px = d["raster"][0, 0]
+                out.append(
+                    (
+                        int(doc_id), d["codec"], d["width"], d["height"],
+                        int(px[0]), int(px[1]), int(px[2]), n_match,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "width", "height",
+                    "red", "green", "blue", "n_match",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, width bigint, height bigint,"
+        " red bigint, green bigint, blue bigint, n_match bigint",
+    )

@@ -83,6 +83,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                                "pixel geometry products, w/h < 2^16 headers"),
     "multimodal_tile_plan": ({"big-literal", "col-x-col"},
                              "tile geometry bounded by w,h <= 2048"),
+    "multimodal_jpeg_stats": ({"col-x-col"},
+                              "n_match = w*h with w <= 47, h <= 39 by "
+                              "the generator's modulus"),
     # --- 0/1 indicator products
     "ab_proportion_ztest": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),
     "ml_uplift_qini": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),

@@ -1,0 +1,186 @@
+"""Round-9 semantic pins.
+
+1. The baseline JPEG codec (the last documented image decode seam,
+   displaced this round): constant-color closed form, gradient
+   closeness, embedded-Huffman-table decode, format edge errors, and
+   the unsupported-variant seams.
+2. The LTTB pick score's DECIMAL(38,0)/HUGEINT promotion: a synthetic
+   hot user whose score terms overflow int64 by ~11 orders of magnitude
+   must neither throw nor diverge from the DuckDB oracle (the r9
+   boundary-scan finding — the score was bare BIGINT on both engines).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from cdc_export_system_spark.multimodal.jpeg import (
+    QTABLE,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_constant_roundtrip,
+)
+from cdc_export_system_spark.registry import load_all
+from tests.parity import compare
+
+# ---------------------------------------------------------------------------
+# JPEG codec
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jpeg_constant_color_closed_form(seed):
+    """decode(encode(constant image)) must hit the DC-only closed form
+    bit-exactly on every pixel — the property the SQL oracle mirrors."""
+    rng = np.random.RandomState(seed)
+    for _ in range(60):
+        r, g, b = (int(x) for x in rng.randint(0, 256, 3))
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        raster = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(w, h, raster.tobytes()))
+        assert (dec["width"], dec["height"]) == (w, h)
+        expect = np.array(jpeg_constant_roundtrip(r, g, b), dtype=np.uint8)
+        assert (dec["raster"] == expect).all(), (
+            (r, g, b),
+            expect,
+            dec["raster"][0, 0],
+        )
+
+
+def test_jpeg_gradient_roundtrip_close_and_deterministic():
+    h, w = 33, 47
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    p1 = encode_jpeg(w, h, img.tobytes())
+    p2 = encode_jpeg(w, h, img.tobytes())
+    assert p1 == p2  # bit-deterministic encoder
+    dec = decode_jpeg(p1)
+    err = np.abs(dec["raster"].astype(int) - img.astype(int))
+    # smooth content through the q<=12 low-frequency table: small loss
+    assert err.max() <= 12 and err.mean() < 2.0
+    assert len(p1) < w * h * 3 // 4  # actually compresses
+
+
+def test_jpeg_decoder_reads_embedded_tables_not_ours():
+    """Re-point one DHT in an encoded file at a DIFFERENT (fixed-length)
+    Huffman table and re-encode the entropy stream accordingly — the
+    decoder must follow the file's tables, proving it is not hardwired
+    to the encoder's."""
+    # 9-bit fixed-length DC table: canonical, valid, nothing like ours
+    from cdc_export_system_spark.multimodal import jpeg as J
+
+    lengths = {cat: 9 for cat in range(12)}
+    bits, vals = J._make_table(lengths)
+    codes = J._canonical_codes(bits, vals)
+    # encode a 1x1 GRAY image by hand with the alternate DC table: for
+    # r=g=b the luma coefficients sum to 1 and the chroma ones to 0, so
+    # the per-component quantized DCs are [dcq_y, 0, 0] and the coded
+    # diffs (per-component prediction) are [dcq_y, 0, 0].
+    val = 200
+    s = val - 128
+    dcq_y = int(np.floor(8.0 * s / int(QTABLE[0, 0]) + 0.5))
+    wtr = J._BitWriter()
+    for diff in (dcq_y, 0, 0):  # Y, Cb, Cr
+        sz, bitsv = J._magnitude(diff)
+        c, l = codes[sz]
+        wtr.put(c, l)
+        if sz:
+            wtr.put(bitsv, sz)
+        ac_code, ac_len = J._AC_CODES[0x00]  # EOB via the normal AC table
+        wtr.put(ac_code, ac_len)
+    entropy = wtr.flush()
+    qz = bytes(int(QTABLE.reshape(64)[J.ZIGZAG][i]) for i in range(64))
+    sof = bytes([8]) + (1).to_bytes(2, "big") + (1).to_bytes(2, "big") \
+        + bytes([3]) + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) \
+        + bytes([3, 0x11, 0])
+    sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) \
+        + bytes([3, 0x00]) + bytes([0, 63, 0])
+    payload = (
+        b"\xff\xd8"
+        + J._seg(0xDB, bytes([0]) + qz)
+        + J._seg(0xC0, sof)
+        + J._seg(0xC4, J._dht_body(0, 0, bits, vals))  # ALTERNATE DC table
+        + J._seg(0xC4, J._dht_body(1, 0, J._AC_BITS, J._AC_VALS))
+        + J._seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg(payload)
+    expect = np.array(jpeg_constant_roundtrip(val, val, val), dtype=np.uint8)
+    assert (dec["raster"][0, 0] == expect).all()
+
+
+def test_jpeg_unsupported_variants_keep_seam():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(8, 8, img.tobytes()))
+    # SOF0 -> SOF2 (progressive)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # subsampled chroma: H/V factors 0x22 on component 1
+    payload = bytearray(encode_jpeg(8, 8, img.tobytes()))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 4 + 7] = 0x22  # comp 1 H/V byte inside SOF body
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_corrupt_payloads_error():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(16, 16, img.tobytes())
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2])  # SOI only
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00" + good[1:])  # bad magic
+
+
+def test_jpeg_dispatches_through_sniff_decode():
+    from cdc_export_system_spark.multimodal.codecs import sniff_decode
+
+    img = np.full((9, 5, 3), 77, dtype=np.uint8)
+    d = sniff_decode(encode_jpeg(5, 9, img.tobytes()))
+    assert d["codec"] == "jpeg" and (d["width"], d["height"]) == (5, 9)
+
+
+# ---------------------------------------------------------------------------
+# LTTB DECIMAL promotion at the old int64 death point
+# ---------------------------------------------------------------------------
+
+
+def test_lttb_exact_survives_hot_user_beyond_int64(spark, tmp_path):
+    """600 events spanning ~9 years with |value| ~ 1e14: the pre-r9
+    BIGINT score terms (k*span_x*span_y ~ 1e9*3e8*1e16) overflow int64
+    by orders of magnitude; the DECIMAL(38,0)/HUGEINT forms must agree
+    across engines bit-exactly."""
+    n = 600
+    rng = np.random.RandomState(42)
+    ts = pd.to_datetime(1_500_000_000 + np.sort(
+        rng.choice(np.arange(0, 280_000_000, 7, dtype=np.int64), n, False)
+    ), unit="s")
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.int64(7),
+        "event_type": "view",
+        "value": rng.uniform(-1e14, 1e14, n),
+        "props": "{}",
+    })
+    # the oracle reads all events columns; keep the full schema
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    reg = load_all()
+    sdf = reg["ts_downsample_lttb_exact"].fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    r = compare(sdf, con, reg["ts_downsample_lttb_exact"].oracle)
+    assert r["match"], r["detail"]
