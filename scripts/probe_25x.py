@@ -50,13 +50,22 @@ def main() -> None:
     fn = reg["sim_pairwise_by_label"].fn
     t0 = time.time()
     df = fn(spark, out_dir)
-    n_pairs = df.count()
+    # aggregate over cos_sim so Catalyst cannot column-prune the dot
+    # products away (a bare count() times only the pair join)
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cos_sim").alias("s")
+    ).head()
+    n_pairs = int(row["n"])
+    checksum = float(row["s"])
     wall = round(time.time() - t0, 2)
     n_vecs = spark.read.parquet(emb_path).count()
     print(json.dumps({
         "probe": "sim_pairwise_by_label@25x",
         "n_vecs": n_vecs,
         "n_pairs": n_pairs,
+        "cos_sum": round(checksum, 3),
         "wall_s": wall,
     }))
 
