@@ -1,0 +1,234 @@
+"""Registered queries over the LogTable transaction-log format.
+
+Each query builds a real LogTable in a process-temp directory from the
+``orders`` parquet, drives genuine commits through it (copy-on-write
+MERGE upserts/deletes/inserts), and reads results back THROUGH the log
+— so the driver hash certifies the whole format: commit atomicity,
+snapshot resolution, file stats, pruning, and time travel. The change
+batches derive deterministically from the key space (dense 0..n-1 in
+the testdata), so every output has a closed-form DuckDB oracle over
+the raw ``orders`` table.
+
+Roots are created per call and swept at interpreter exit (the per-PID
+warehouse-dir precedent from session.py — nothing accumulates across
+runs)."""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.txn_table import LogTable
+from cdc_export_system_spark.registry import register
+
+_ROOTS: list[str] = []
+
+
+@atexit.register
+def _sweep_roots() -> None:
+    for r in _ROOTS:
+        shutil.rmtree(r, ignore_errors=True)
+
+
+def _new_root() -> str:
+    root = tempfile.mkdtemp(prefix="logtable-")
+    _ROOTS.append(root)
+    return root
+
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"]
+
+
+def _build_merged_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[LogTable, int]:
+    """orders -> LogTable v1; v2 = updates(%7)+deletes(%13);
+    v3 = inserts (keys %11 shifted past the old max). Returns (table,
+    max_key). With an empty source the merges are no-ops and only v1
+    exists — the oracles mirror that."""
+    orders = load_table(spark, sf_dir, "orders").select(_COLS)
+    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
+    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    mx = -1 if mx is None else int(mx)
+    key = F.col("o_orderkey")
+    b1 = (
+        orders.filter((key % 7 == 0) | (key % 13 == 0))
+        .withColumn(
+            "o_orderstatus",
+            F.when(key % 7 == 0, F.lit("U")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 7 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn("_deleted", key % 13 == 0)
+    )
+    t.merge(b1)
+    b2 = (
+        orders.filter(key % 11 == 0)
+        .withColumn("o_orderkey", key + F.lit(mx + 1))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    t.merge(b2)
+    return t, mx
+
+
+_MERGED_ORACLE = """
+    WITH mx AS (SELECT COALESCE(max(o_orderkey), -1) AS m FROM orders),
+    survivors AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 13 <> 0),
+    inserts AS (
+        SELECT o_orderkey + mx.m + 1 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders CROSS JOIN mx WHERE o_orderkey % 11 = 0)
+    SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+"""
+
+
+@register(
+    "txn_table_merge_read",
+    oracle=_MERGED_ORACLE,
+    tags=("io", "txn", "cdc"),
+)
+def txn_table_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-then-read through the transaction log: version 1 snapshots
+    ``orders`` into range-bucketed files with min/max key stats; version
+    2 is one copy-on-write MERGE applying updates (keys %7: status 'U',
+    +1000.00) and deletes (keys %13, delete-wins on overlap since the
+    upsert filter keeps %13 rows flagged deleted); version 3 inserts
+    key-shifted copies (%11) past the old max — landing in brand-new
+    bucket files without touching a single survivor byte. The returned
+    DataFrame is the LATEST SNAPSHOT resolved from the log; the oracle
+    recomputes the same end state relationally from raw ``orders``, so
+    the hash certifies the full commit/replay/prune pipeline and not
+    just the merge algebra.
+
+    Scale: the merge rewrites only stat-overlapping files (see
+    txn_table_merge_stats for the measured pruning), commits are O(1)
+    metadata appends, and the snapshot read hands Spark a plain parquet
+    file list — pushdown and column pruning apply unchanged at 100 TB."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    return t.read()
+
+
+@register(
+    "txn_table_time_travel",
+    oracle=f"""
+        WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+                           CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(0 AS BIGINT) AS n_updated,
+                           CAST(0 AS BIGINT) AS n_new
+                    FROM orders),
+        v2 AS (SELECT CAST(2 AS BIGINT),
+                      CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0)
+                           AS BIGINT),
+                      CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0
+                                              AND o_orderkey % 13 <> 0)
+                           AS BIGINT),
+                      CAST(0 AS BIGINT)
+               FROM orders HAVING count(*) > 0),
+        v3 AS (SELECT CAST(3 AS BIGINT),
+                      CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0)
+                           + count(*) FILTER (WHERE o_orderkey % 11 = 0)
+                           AS BIGINT),
+                      CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0
+                                              AND o_orderkey % 13 <> 0)
+                           AS BIGINT),
+                      CAST(count(*) FILTER (WHERE o_orderkey % 11 = 0)
+                           AS BIGINT)
+               FROM orders HAVING count(*) > 0)
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL
+        SELECT * FROM v3
+    """,
+    tags=("io", "txn", "cdc"),
+)
+def txn_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the same three commits: data files are
+    immutable, so reading at version v replays only the log prefix and
+    must reproduce each historical state exactly — v1 the raw
+    snapshot, v2 after update+delete, v3 after the inserts. Emits one
+    row per version with its row count, updated-row count ('U'
+    status), and inserted-row count ('N' status); with an empty source
+    the merges are no-op (no commit), so only v1 exists, and the
+    oracle's HAVING mirrors that."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    rows = []
+    for v in t.history():
+        snap = t.read(version=v)
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_orderstatus") == "U").cast("bigint")).alias("u"),
+            F.sum((F.col("o_orderstatus") == "N").cast("bigint")).alias("i"),
+        ).head()
+        rows.append((v, int(agg["n"]), int(agg["u"] or 0), int(agg["i"] or 0)))
+    return spark.createDataFrame(
+        rows, "version bigint, n_rows bigint, n_updated bigint, n_new bigint"
+    )
+
+
+@register(
+    "txn_table_merge_stats",
+    oracle="""
+        WITH k AS (SELECT max(o_orderkey) // 8 + 1 AS k FROM orders)
+        SELECT CAST(2 AS BIGINT) AS version,
+               CAST(8 AS BIGINT) AS files_total,
+               CAST(1 AS BIGINT) AS files_touched,
+               CAST((SELECT count(*) FROM orders CROSS JOIN k
+                     WHERE o_orderkey < k.k) AS BIGINT) AS rows_rewritten,
+               CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows_after
+        FROM orders CROSS JOIN k
+        GROUP BY k.k HAVING count(*) > 0
+    """,
+    tags=("io", "txn", "plan"),
+)
+def txn_table_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNING EVIDENCE as a hashed query: merge a batch confined
+    to the lowest key-range bucket (keys < max/8 + 1) and emit the
+    stats the merge planner actually used — 8 live files, exactly ONE
+    overlapping the batch's [min, max] key range, and the rewritten
+    row count equal to that one bucket's population. This is the
+    incremental-CDC cost model at 100 TB: a batch touching 1/8 of the
+    key space rewrites 1/8 of the files, never the table."""
+    orders = load_table(spark, sf_dir, "orders").select(_COLS)
+    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
+    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    if mx is None:
+        return spark.createDataFrame(
+            [],
+            "version bigint, files_total bigint, files_touched bigint,"
+            " rows_rewritten bigint, n_rows_after bigint",
+        )
+    k = int(mx) // 8 + 1
+    batch = (
+        orders.filter(F.col("o_orderkey") < k)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    version, stats = t.merge(batch)
+    n_after = t.read().count()
+    return spark.createDataFrame(
+        [(
+            version,
+            stats["files_total"],
+            stats["files_touched"],
+            stats["rows_rewritten"],
+            n_after,
+        )],
+        "version bigint, files_total bigint, files_touched bigint,"
+        " rows_rewritten bigint, n_rows_after bigint",
+    )

@@ -1,0 +1,392 @@
+"""LogTable: a transaction-log parquet table format (Delta-lake-shaped).
+
+The reference system applies CDC batches to a Postgres table and trusts
+the database for atomicity (reference: app/services/export_service.py's
+session.commit()). At 100 TB there is no database — the lakehouse
+answer is a TABLE FORMAT: immutable parquet data files plus an ordered
+commit log that defines, for every version, exactly which files are
+live. This module implements that shape with zero external
+dependencies, mirroring the public Delta Lake / Iceberg design points:
+
+* **Commit log** — ``_txn_log/<20-digit-version>.json``, one JSON-lines
+  file per commit holding ``meta`` / ``add`` / ``remove`` actions.
+  ``add`` carries per-file row counts and PRIMARY-KEY MIN/MAX stats.
+* **Atomic commits, optimistic concurrency** — the version file is
+  created with ``O_CREAT | O_EXCL`` (atomic on a POSIX filesystem; on
+  an object store you would swap in a commit service or conditional
+  PUT, which is exactly what Delta-on-S3 does). A loser re-reads the
+  log, checks for conflicts (any file it read-or-removed that a
+  concurrent commit removed), and retries or raises.
+* **Snapshot isolation & time travel** — a read resolves the log at a
+  version (default: latest), replays add/remove into the live file
+  set, and reads ONLY those parquet files. Data files are immutable,
+  so version v reads identically forever; ``read(version=v)`` is time
+  travel; uncommitted writer files are invisible (crash atomicity).
+* **Copy-on-write MERGE** — ``merge`` upserts/deletes a change batch by
+  primary key: the batch's key range is joined against the log's
+  min/max file stats, ONLY overlapping files are rewritten (plus one
+  new file for inserts), everything else is carried forward untouched.
+  At scale this is the difference between rewriting a 100 TB table and
+  rewriting the handful of files an incremental batch touches.
+* **Log checkpoints** — every ``CHECKPOINT_EVERY`` commits the resolved
+  action state is also written as ``<version>.checkpoint.parquet``;
+  readers start from the newest checkpoint <= the requested version,
+  so log replay is O(commits since checkpoint), not O(all commits) —
+  the Delta ``_last_checkpoint`` discipline.
+* **Vacuum** — deletes data files no LIVE version references (i.e.
+  removed at or before a horizon version); time travel to vacuumed
+  versions then correctly fails fast.
+
+Scale notes. The log itself is tiny (one small JSON per commit, stats
+not data); snapshot reads hand Spark a plain parquet file list, so
+column pruning / predicate pushdown / partition-sized splits all apply
+unchanged. MERGE does one broadcast-range prune over FILE STATS (a
+driver-side list, thousands of entries for a 100 TB table) and one
+shuffle of only the touched files' rows joined against the batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LOG_DIR = "_txn_log"
+CHECKPOINT_EVERY = 10
+
+
+class CommitConflict(Exception):
+    """Optimistic-concurrency loser with a real overlap (same files)."""
+
+
+def _log_path(root: str, version: int) -> str:
+    return os.path.join(root, LOG_DIR, f"{version:020d}.json")
+
+
+def _ckpt_path(root: str, version: int) -> str:
+    return os.path.join(root, LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _list_versions(root: str) -> list[int]:
+    d = os.path.join(root, LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+class Snapshot:
+    def __init__(self, version: int, meta: dict, files: dict[str, dict]):
+        self.version = version
+        self.meta = meta
+        self.files = files  # path -> add-action stats
+
+    @property
+    def paths(self) -> list[str]:
+        return sorted(self.files)
+
+
+class LogTable:
+    """One table root. All state lives on disk; instances are cheap."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------- log --
+
+    def _replay(self, version: int | None = None) -> Snapshot:
+        versions = _list_versions(self.root)
+        if not versions:
+            raise FileNotFoundError(f"no LogTable at {self.root}")
+        target = versions[-1] if version is None else version
+        if target not in versions:
+            raise ValueError(
+                f"version {target} does not exist (have {versions[:3]}..)"
+            )
+        meta: dict = {}
+        files: dict[str, dict] = {}
+        start = 0
+        # newest checkpoint at or below target fast-forwards the replay
+        for v in reversed([v for v in versions if v <= target]):
+            cp = _ckpt_path(self.root, v)
+            if os.path.exists(cp):
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(cp).to_pylist()
+                for row in tbl:
+                    if row["kind"] == "meta":
+                        meta = json.loads(row["body"])
+                    else:
+                        files[row["path"]] = json.loads(row["body"])
+                start = v + 1
+                break
+        for v in [x for x in versions if start <= x <= target]:
+            with open(_log_path(self.root, v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "meta" in action:
+                        meta = action["meta"]
+                    elif "add" in action:
+                        files[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        if action["remove"]["path"] not in files:
+                            raise ValueError(
+                                "vacuumed or unknown file removed at "
+                                f"v{v}: time travel below the vacuum "
+                                "horizon is gone"
+                            )
+                        del files[action["remove"]["path"]]
+        # a vacuumed file may still be referenced when time-traveling
+        # BELOW the vacuum horizon — fail fast, not silently partial
+        for path in files:
+            if not os.path.exists(os.path.join(self.root, path)):
+                raise ValueError(
+                    f"version {target} references vacuumed file {path}"
+                )
+        return Snapshot(target, meta, files)
+
+    def _commit(
+        self,
+        actions: list[dict],
+        read_version: int,
+        touched: set[str],
+        max_retries: int = 20,
+    ) -> int:
+        """Atomically write the next log file. On losing the race:
+        re-validate that no concurrent commit removed a file we read or
+        removed (if one did -> CommitConflict), else retry on top."""
+        payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        attempt = read_version + 1
+        for _ in range(max_retries):
+            try:
+                fd = os.open(
+                    _log_path(self.root, attempt),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                # concurrent winner: check their actions against ours
+                with open(_log_path(self.root, attempt)) as f:
+                    for line in f:
+                        act = json.loads(line)
+                        if "remove" in act and act["remove"]["path"] in touched:
+                            raise CommitConflict(
+                                f"file {act['remove']['path']} was removed "
+                                f"by concurrent commit v{attempt}"
+                            )
+                attempt += 1
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            self._maybe_checkpoint(attempt)
+            return attempt
+        raise CommitConflict(f"lost {max_retries} commit races")
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % CHECKPOINT_EVERY != 0:
+            return
+        snap = self._replay(version)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [{"kind": "meta", "path": "", "body": json.dumps(snap.meta)}]
+        rows += [
+            {"kind": "add", "path": p, "body": json.dumps(a)}
+            for p, a in sorted(snap.files.items())
+        ]
+        tmp = _ckpt_path(self.root, version) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows), tmp)
+        os.replace(tmp, _ckpt_path(self.root, version))
+
+    # ------------------------------------------------------------ data --
+
+    def _write_files(
+        self, df: DataFrame, pk: str, k: int, n_files: int
+    ) -> list[dict]:
+        """Write df as ONE parquet file per non-empty pk-range bucket
+        (bucket = pk div k) and return add-actions with per-file pk
+        min/max stats. Bucket membership is a pure function of the key,
+        so file boundaries — and therefore merge pruning — are
+        deterministic across runs and partitionings. Files land under a
+        staging dir first; a crash before commit leaves only
+        unreferenced garbage (invisible to every reader, swept by
+        vacuum)."""
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        bucketed = df.withColumn(
+            "_b", (F.col(pk) / F.lit(k)).cast("long")
+        ).repartition(max(1, n_files), "_b")
+        bucketed.write.mode("overwrite").partitionBy("_b").parquet(staging)
+        adds = []
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("_b="):
+                continue
+            bpath = os.path.join(staging, bdir)
+            parts = sorted(
+                p for p in os.listdir(bpath) if p.endswith(".parquet")
+            )
+            assert len(parts) == 1, f"bucket {bdir} split across files"
+            src = os.path.join(bpath, parts[0])
+            md = pq.read_metadata(src)
+            if md.num_rows == 0:
+                continue
+            col = pq.read_table(src, columns=[pk]).column(0)
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            adds.append(
+                {
+                    "path": final,
+                    "rows": md.num_rows,
+                    "min_pk": pc.min(col).as_py(),
+                    "max_pk": pc.max(col).as_py(),
+                }
+            )
+            os.replace(src, os.path.join(self.root, final))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    # ------------------------------------------------------------- api --
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame, pk: str,
+        n_files: int = 8,
+    ) -> "LogTable":
+        """Create version 1 from df, bucketing rows into n_files files
+        by pk range (deterministic membership: file i holds pk div K ==
+        i for a fixed K), so file stats and pruning behave identically
+        across runs and partitionings."""
+        os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
+        t = cls(spark, root)
+        hi = df.agg(F.max(pk)).head()[0]
+        k = max(1, (0 if hi is None else int(hi)) // n_files + 1)
+        actions: list[dict] = [
+            {
+                "meta": {
+                    "pk": pk,
+                    "schema": df.schema.json(),
+                    "bucket_k": k,
+                    "n_files": n_files,
+                }
+            }
+        ]
+        for add in t._write_files(df, pk, k, n_files):
+            actions.append({"add": add})
+        t._commit(actions, read_version=0, touched=set())
+        return t
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self._replay(version)
+        paths = [os.path.join(self.root, p) for p in snap.paths]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.meta["schema"]))
+            )
+        return self.spark.read.schema(self._schema(snap)).parquet(*paths)
+
+    def _schema(self, snap: Snapshot):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(snap.meta["schema"]))
+
+    def history(self) -> list[int]:
+        return _list_versions(self.root)
+
+    def merge(
+        self,
+        changes: DataFrame,
+        *,
+        deleted_col: str = "_deleted",
+        max_retries: int = 3,
+    ) -> tuple[int, dict]:
+        """Copy-on-write MERGE by primary key: rows in ``changes`` with
+        ``deleted_col`` true delete their key; others upsert. Returns
+        (new_version, stats) where stats records the file-pruning
+        evidence: how many live files the batch's key range touched.
+
+        Retries the whole read-rewrite-commit cycle on a losing race
+        whose winner touched disjoint files would be safe to stack, but
+        a true overlap raises CommitConflict to the caller."""
+        for _ in range(max_retries):
+            snap = self._replay()
+            pk = snap.meta["pk"]
+            lo_hi = changes.agg(
+                F.min(pk).alias("lo"), F.max(pk).alias("hi")
+            ).head()
+            if lo_hi["lo"] is None:
+                return snap.version, {
+                    "files_total": len(snap.files),
+                    "files_touched": 0,
+                    "rows_rewritten": 0,
+                }
+            lo, hi = lo_hi["lo"], lo_hi["hi"]
+            touched = {
+                p: a
+                for p, a in snap.files.items()
+                if not (a["max_pk"] < lo or a["min_pk"] > hi)
+            }
+            schema = self._schema(snap)
+            if touched:
+                base = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, p) for p in sorted(touched)]
+                )
+            else:
+                base = self.spark.createDataFrame([], schema)
+            upserts = changes.filter(~F.col(deleted_col)).drop(deleted_col)
+            deletes = changes.filter(F.col(deleted_col)).select(pk)
+            survivors = base.join(
+                F.broadcast(changes.select(pk)), pk, "left_anti"
+            )
+            merged = survivors.unionByName(upserts)
+            k = snap.meta.get("bucket_k", 1)
+            n_out = snap.meta.get("n_files", max(1, len(touched)))
+            actions = [{"remove": {"path": p}} for p in sorted(touched)]
+            adds = self._write_files(merged, pk, k, n_out)
+            actions += [{"add": a} for a in adds]
+            try:
+                v = self._commit(
+                    actions, snap.version, touched=set(touched)
+                )
+            except CommitConflict:
+                # winner overlapped us: our staged files are garbage
+                # (unreferenced, vacuum sweeps them); retry on new state
+                for a in adds:
+                    os.remove(os.path.join(self.root, a["path"]))
+                continue
+            return v, {
+                "files_total": len(snap.files),
+                "files_touched": len(touched),
+                "rows_rewritten": sum(a["rows"] for a in touched.values()),
+            }
+        raise CommitConflict(f"merge lost {max_retries} full cycles")
+
+    def vacuum(self) -> list[str]:
+        """Delete data files not referenced by the LATEST version.
+        After vacuum, time travel to versions needing those files
+        fails fast in _replay (documented retention=0 policy; a real
+        deployment keeps a horizon)."""
+        snap = self._replay()
+        live = set(snap.paths)
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if (
+                name.endswith(".parquet")
+                and name.startswith("part-")
+                and name not in live
+            ):
+                os.remove(os.path.join(self.root, name))
+                removed.append(name)
+        return removed

@@ -97,6 +97,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.io.partitioned",
     "cdc_export_system_spark.operators.stats_tests",
     "cdc_export_system_spark.ml.boosting",
+    "cdc_export_system_spark.io.txn_queries",
 ]
 
 

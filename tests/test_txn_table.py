@@ -1,0 +1,186 @@
+"""LogTable (transaction-log table format) semantic pins.
+
+The format's guarantees — atomic commits, snapshot isolation, time
+travel, optimistic concurrency, crash atomicity, checkpointed replay,
+vacuum fail-fast — are exactly the properties a 100 TB lakehouse table
+cannot silently lose, so each one gets a direct pin here; the
+registered txn_table_* queries cover the end-to-end MERGE pipeline
+against DuckDB oracles separately."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_export_system_spark.io.txn_table import (
+    CHECKPOINT_EVERY,
+    CommitConflict,
+    LogTable,
+    _log_path,
+)
+
+
+def _mk(spark, tmp_path, n=64, n_files=4):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    return LogTable.create(
+        spark, str(tmp_path / "t"), df, "k", n_files=n_files
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, _deleted boolean")
+
+
+def test_create_read_roundtrip_and_file_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, i * 10) for i in range(64)}
+    snap = t._replay()
+    assert len(snap.files) == 4
+    # bucket stats: k = 63//4+1 = 16 -> ranges [0,15],[16,31],...
+    ranges = sorted((a["min_pk"], a["max_pk"]) for a in snap.files.values())
+    assert ranges == [(0, 15), (16, 31), (32, 47), (48, 63)]
+
+
+def test_merge_upsert_delete_and_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v, stats = t.merge(
+        _batch(spark, [(3, 999, False), (5, None, True), (12, 555, False)])
+    )
+    assert v == 2
+    # batch range [3, 12] overlaps only bucket [0, 15]
+    assert stats == {
+        "files_total": 4,
+        "files_touched": 1,
+        "rows_rewritten": 16,
+    }
+    got = dict((r["k"], r["v"]) for r in t.read().collect())
+    assert got[3] == 999 and got[12] == 555 and 5 not in got
+    assert len(got) == 63
+
+
+def test_time_travel_reads_are_immutable(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(0, 1, False)]))
+    t.merge(_batch(spark, [(0, 2, False)]))
+    vals = {
+        v: dict((r["k"], r["v"]) for r in t.read(version=v).collect())[0]
+        for v in t.history()
+    }
+    assert vals == {1: 0, 2: 1, 3: 2}
+    with pytest.raises(ValueError):
+        t.read(version=99)
+
+
+def test_insert_outside_ranges_touches_no_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v, stats = t.merge(_batch(spark, [(100, 1, False), (101, 2, False)]))
+    assert stats["files_touched"] == 0 and stats["rows_rewritten"] == 0
+    assert t.read().count() == 66
+    # survivors' files were carried forward, not rewritten
+    snap = t._replay()
+    assert len(snap.files) == 5  # 4 old + 1 new bucket file
+
+
+def test_crash_atomicity_staged_files_invisible(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    root = t.root
+    # simulate a writer that crashed after writing data, before commit:
+    # a data file present on disk but referenced by no log version
+    orphan = os.path.join(root, "part-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not even parquet")
+    assert t.read().count() == 64  # invisible to readers
+    assert "part-deadbeef.parquet" in t.vacuum()  # swept as garbage
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    snap = t._replay()
+    some_file = sorted(snap.files)[0]
+    # a concurrent winner removes a file t's next commit also touches
+    with open(_log_path(t.root, 2), "w") as f:
+        f.write(json.dumps({"remove": {"path": some_file}}) + "\n")
+        f.write(json.dumps({"add": {"path": some_file, "rows": 16,
+                                    "min_pk": 0, "max_pk": 15}}) + "\n")
+    with pytest.raises(CommitConflict):
+        t._commit([{"remove": {"path": some_file}}],
+                  read_version=1, touched={some_file})
+    # disjoint commits stack fine: retry lands at version 3
+    v = t._commit([{"add": {"path": "part-new.parquet", "rows": 1,
+                            "min_pk": 999, "max_pk": 999}}],
+                  read_version=1, touched=set())
+    assert v == 3
+
+
+def test_merge_retries_after_disjoint_concurrent_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # concurrent disjoint winner at v2 (touches nothing we will)
+    real_commit = LogTable._commit
+    fired = {"done": False}
+
+    def racy_commit(self, actions, read_version, touched, max_retries=20):
+        if not fired["done"]:
+            fired["done"] = True
+            with open(_log_path(self.root, 2), "w") as f:
+                f.write("")  # empty disjoint commit wins the race
+        return real_commit(self, actions, read_version, touched, max_retries)
+
+    LogTable._commit = racy_commit
+    try:
+        v, _ = t.merge(_batch(spark, [(3, 7, False)]))
+    finally:
+        LogTable._commit = real_commit
+    assert v == 3
+    assert dict((r["k"], r["v"]) for r in t.read().collect())[3] == 7
+
+
+def test_vacuum_then_time_travel_fails_fast(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(3, 999, False)]))
+    removed = t.vacuum()
+    assert removed  # v1's rewritten bucket file is gone
+    assert t.read().count() == 64  # latest unaffected
+    with pytest.raises(ValueError):
+        t.read(version=1).collect()
+
+
+def test_checkpoint_fast_forward_replay(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=32, n_files=2)
+    for i in range(CHECKPOINT_EVERY + 3):
+        t.merge(_batch(spark, [(i % 32, 1000 + i, False)]))
+    ckpts = [
+        f
+        for f in os.listdir(os.path.join(t.root, "_txn_log"))
+        if f.endswith(".checkpoint.parquet")
+    ]
+    assert ckpts, "no checkpoint written past CHECKPOINT_EVERY commits"
+    # replay THROUGH the checkpoint equals replay of the full log
+    got = dict((r["k"], r["v"]) for r in t.read().collect())
+    assert got[(CHECKPOINT_EVERY + 2) % 32] == 1000 + CHECKPOINT_EVERY + 2
+    assert len(got) == 32
+    # and a pre-checkpoint time travel still resolves
+    assert t.read(version=2).count() == 32
+
+
+def test_partition_count_invariance(spark, tmp_path):
+    """Same table content regardless of source partitioning — the
+    bucket map is a pure key function, not a partitioning artifact."""
+    df1 = spark.range(50).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v")).repartition(13)
+    df2 = spark.range(50).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v")).coalesce(1)
+    t1 = LogTable.create(spark, str(tmp_path / "a"), df1, "k", n_files=4)
+    t2 = LogTable.create(spark, str(tmp_path / "b"), df2, "k", n_files=4)
+    s1 = sorted(
+        (a["rows"], a["min_pk"], a["max_pk"]) for a in t1._replay().files.values()
+    )
+    s2 = sorted(
+        (a["rows"], a["min_pk"], a["max_pk"]) for a in t2._replay().files.values()
+    )
+    assert s1 == s2
