@@ -46,6 +46,11 @@ _PRIORITY = [
     "skyline_pareto_front",
     # TPC-H tails — the reconstructed-partsupp family's first external row
     "tpch_q2_like", "tpch_q11_like", "tpch_q20_like", "tpch_q21_like",
+    # NEW in r9 (each locally parity-green; external row on landing):
+    # the transaction-log table format, the JPEG codec query, and the
+    # state-API-v1 ledger stream
+    "txn_table_merge_read", "txn_table_time_travel", "txn_table_merge_stats",
+    "multimodal_jpeg_stats", "stream_ledger_state_v1",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",
