@@ -50,7 +50,8 @@ _PRIORITY = [
     # the transaction-log table format, the JPEG codec query, and the
     # state-API-v1 ledger stream
     "txn_table_merge_read", "txn_table_time_travel", "txn_table_merge_stats",
-    "multimodal_jpeg_stats", "stream_ledger_state_v1",
+    "stream_cdc_logtable_merge", "multimodal_jpeg_stats",
+    "stream_ledger_state_v1",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",

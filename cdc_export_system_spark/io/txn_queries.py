@@ -232,3 +232,95 @@ def txn_table_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version bigint, files_total bigint, files_touched bigint,"
         " rows_rewritten bigint, n_rows_after bigint",
     )
+
+
+_STREAM_ORACLE = """
+    WITH mx AS (SELECT COALESCE(max(o_orderkey), -1) AS m FROM orders),
+    after_updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'S1'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders),
+    after_deletes AS (
+        SELECT * FROM after_updates WHERE o_orderkey % 9 <> 0),
+    inserts AS (
+        SELECT o_orderkey + mx.m + 1 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders CROSS JOIN mx WHERE o_orderkey % 15 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority FROM after_deletes
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority FROM inserts
+"""
+
+
+@register(
+    "stream_cdc_logtable_merge",
+    oracle=_STREAM_ORACLE,
+    tags=("io", "txn", "streaming", "cdc"),
+)
+def stream_cdc_logtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical lakehouse CDC pipeline: a change FEED consumed by
+    Structured Streaming and applied to a LogTable through
+    ``foreachBatch`` + transactional copy-on-write MERGE — Spark's
+    documented pattern for exactly-once table sinks (each micro-batch
+    becomes one atomic commit; a replayed batch would re-run the same
+    idempotent merge). Three ordered change sets (updates: keys %5 get
+    priority 'S1'; deletes: keys %9; inserts: keys %15 shifted past
+    max) are staged as a parquet changefeed, consumed with an
+    availableNow trigger, and applied IN FEED ORDER inside the batch
+    hook; the returned DataFrame is the final snapshot read back
+    through the log. The oracle recomputes the sequential end state
+    relationally — update-then-delete-then-insert — so the hash
+    certifies ordering, delete-wins overlap (keys hit by %5 and %9 are
+    gone), and the insert landing in fresh bucket files.
+
+    Scale: the stream applies each batch against file stats (only
+    overlapping buckets rewrite); the availableNow trigger is the
+    backfill mode, the same code runs continuously."""
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders").select(_COLS)
+    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
+    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    mx = -1 if mx is None else int(mx)
+    key = F.col("o_orderkey")
+    feed = (
+        orders.filter(key % 5 == 0)
+        .withColumn("o_orderpriority", F.lit("S1"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("bid", F.lit(0))
+        .unionByName(
+            orders.filter(key % 9 == 0)
+            .withColumn("_deleted", F.lit(True))
+            .withColumn("bid", F.lit(1))
+        )
+        .unionByName(
+            orders.filter(key % 15 == 0)
+            .withColumn("o_orderkey", key + F.lit(mx + 1))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("bid", F.lit(2))
+        )
+    )
+    stage = _new_root()
+    feed_dir = _os.path.join(stage, "feed")
+    ckpt_dir = _os.path.join(stage, "ckpt")
+    feed.write.mode("overwrite").parquet(feed_dir)
+    stream = spark.readStream.schema(feed.schema).parquet(feed_dir)
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        for bid in [0, 1, 2]:
+            t.merge(batch_df.filter(F.col("bid") == bid).drop("bid"))
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read()

@@ -350,7 +350,9 @@ class LogTable:
             survivors = base.join(
                 F.broadcast(changes.select(pk)), pk, "left_anti"
             )
-            merged = survivors.unionByName(upserts)
+            # allowMissingColumns: after add-only schema evolution, a
+            # change batch may omit (or a survivor predate) new columns
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
             k = snap.meta.get("bucket_k", 1)
             n_out = snap.meta.get("n_files", max(1, len(touched)))
             actions = [{"remove": {"path": p}} for p in sorted(touched)]
@@ -372,6 +374,63 @@ class LogTable:
                 "rows_rewritten": sum(a["rows"] for a in touched.values()),
             }
         raise CommitConflict(f"merge lost {max_retries} full cycles")
+
+    def optimize(self, target_files: int | None = None) -> tuple[int, dict]:
+        """Compaction as a COMMITTED action: rewrite the live file set
+        into ``target_files`` range buckets (default: the table's
+        configured n_files — re-coalescing the extra bucket files that
+        out-of-range inserts accumulate). Readers never see a partial
+        state: old files stay live until the single commit swaps the
+        whole set, and time travel to pre-optimize versions still works
+        until vacuum."""
+        snap = self._replay()
+        pk = snap.meta["pk"]
+        n_out = target_files or snap.meta.get("n_files", 8)
+        df = self.read(snap.version)
+        hi = df.agg(F.max(pk)).head()[0]
+        k = max(1, (0 if hi is None else int(hi)) // n_out + 1)
+        adds = self._write_files(df, pk, k, n_out)
+        actions: list[dict] = [
+            {
+                "meta": {
+                    **snap.meta,
+                    "bucket_k": k,
+                    "n_files": n_out,
+                }
+            }
+        ]
+        actions += [{"remove": {"path": p}} for p in sorted(snap.files)]
+        actions += [{"add": a} for a in adds]
+        v = self._commit(actions, snap.version, touched=set(snap.files))
+        return v, {
+            "files_before": len(snap.files),
+            "files_after": len(adds),
+        }
+
+    def add_columns(self, new_schema) -> int:
+        """SCHEMA EVOLUTION (add-only): commit a widened schema. Old
+        data files stay as-is; reads reconcile by filling absent
+        columns with nulls (Spark's parquet reader does this given the
+        table-level schema), so no data rewrite happens — the Delta
+        add-column semantics. Dropping or retyping columns is refused:
+        that would silently change the meaning of immutable files."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        snap = self._replay()
+        old = StructType.fromJson(_json.loads(snap.meta["schema"]))
+        for f in old.fields:
+            match = [g for g in new_schema.fields if g.name == f.name]
+            if not match or match[0].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution is add-only: column {f.name!r} "
+                    "missing or retyped in the new schema"
+                )
+        if len(new_schema.fields) == len(old.fields):
+            return snap.version
+        actions = [{"meta": {**snap.meta, "schema": new_schema.json()}}]
+        return self._commit(actions, snap.version, touched=set())
 
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the LATEST version.

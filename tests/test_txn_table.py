@@ -184,3 +184,47 @@ def test_partition_count_invariance(spark, tmp_path):
         (a["rows"], a["min_pk"], a["max_pk"]) for a in t2._replay().files.values()
     )
     assert s1 == s2
+
+
+def test_optimize_compacts_as_one_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # inserts past the range accumulate extra bucket files
+    t.merge(_batch(spark, [(100, 1, False), (200, 2, False)]))
+    before = t._replay()
+    assert len(before.files) == 6  # 4 + 2 new buckets
+    v, stats = t.optimize()
+    # new k = 200//4+1 = 51 -> keys land in buckets {0, 1, 3}: 3 files
+    assert stats["files_before"] == 6 and stats["files_after"] == 3
+    assert t.read().count() == 66
+    # pre-optimize version still time-travels (until vacuum)
+    assert t.read(version=before.version).count() == 66
+    got = dict((r["k"], r["v"]) for r in t.read().collect())
+    assert got[100] == 1 and got[200] == 2 and got[7] == 70
+
+
+def test_schema_evolution_add_only(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    t = _mk(spark, tmp_path)
+    old = t._schema(t._replay())
+    widened = StructType(
+        old.fields + [StructField("w", LongType(), True)]
+    )
+    v = t.add_columns(widened)
+    assert v == 2
+    # old files read back with the new column as nulls — no rewrite
+    row = t.read().filter(F.col("k") == 3).head()
+    assert row["w"] is None and row["v"] == 30
+    # a merge batch carrying the new column persists it
+    t.merge(
+        spark.createDataFrame(
+            [(3, 999, 42, False)], "k long, v long, w long, _deleted boolean"
+        )
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert got[3] == (999, 42) and got[4] == (40, None)
+    # dropping or retyping columns is refused
+    with pytest.raises(ValueError):
+        t.add_columns(StructType(old.fields[:1]))
