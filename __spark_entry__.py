@@ -52,6 +52,13 @@ _PRIORITY = [
     "txn_table_merge_read", "txn_table_time_travel", "txn_table_merge_stats",
     "stream_cdc_logtable_merge", "multimodal_jpeg_stats",
     "stream_ledger_state_v1",
+    # NEW in r9 (late-round): entity resolution / record linkage and
+    # incremental materialized-view maintenance (each locally
+    # parity-green at sf0.001 + sf0.01; external row on landing)
+    "er_blocking_stats", "er_candidate_pairs", "er_match_metrics",
+    "er_one_to_one", "er_entity_clusters", "er_golden_record",
+    "mv_incremental_agg", "mv_delta_join", "mv_topk_monotone",
+    "mv_refcount_distinct",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",

@@ -98,6 +98,8 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.stats_tests",
     "cdc_export_system_spark.ml.boosting",
     "cdc_export_system_spark.io.txn_queries",
+    "cdc_export_system_spark.operators.entity_resolution",
+    "cdc_export_system_spark.operators.matview",
 ]
 
 

@@ -133,6 +133,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # n_group * 4.2e6, safe to ~2.2e12 rows/group), merged in DECIMAL
     # on the final row (oracle: DECIMAL/HUGEINT).
     "tpch_q1": ({"col-x-col"}, "dmulsum row product; hi/lo pair accumulator"),
+    "mv_delta_join": ({"col-x-col"},
+                      "dmulsum row product (open hi/lo partial state "
+                      "merged across the four bilinear delta terms)"),
     "tpch_q3": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q5": ({"col-x-col"}, "dmulsum row product"),
     "tpch_q6": ({"col-x-col"}, "dmulsum row product"),
@@ -190,6 +193,20 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                            "(r+1)*BOOT_SALT with r < BOOT_R=100 (<=1.01e8, "
                            "then folded mod 2^31 for the Knuth mix); "
                            "cnt (Poisson(1) capped at 5) * row cents"),
+    # --- entity-resolution feed derivation: mod-bounded Knuth mix
+    # ((k % 999983) * 2654435761 + salt) % 1000 — product <= 999982 *
+    # 2654435761 ~ 2.66e15 << 2^63 BY CONSTRUCTION (the mod precedes
+    # the multiply), data-size independent at any scale.
+    "er_blocking_stats": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
+    "er_candidate_pairs": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
+    "er_match_metrics": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
+    "er_one_to_one": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
+    "er_entity_clusters": ({"big-literal"},
+                           "mod-999983-bounded Knuth mix <= 2.7e15 "
+                           "(checkpointed CC segments included)"),
+    "er_golden_record": ({"big-literal"},
+                         "mod-999983-bounded Knuth mix <= 2.7e15 "
+                         "(checkpointed CC segments included)"),
 }
 
 

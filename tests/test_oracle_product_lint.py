@@ -60,6 +60,15 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                            "(r+1)*1000003 with r < BOOT_R=100 (<= 1.01e8) "
                            "feeding a %% 2^31 fold; cnt (Poisson cap 5) * "
                            "row cents — both mirrored from the Spark list"),
+    # --- entity-resolution feed derivation: mod-bounded Knuth mix
+    # ((k % 999983) * 2654435761 + salt) % 1000 <= 2.66e15 by
+    # construction (mod precedes the multiply), data-size independent.
+    "er_blocking_stats": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_candidate_pairs": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_match_metrics": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_one_to_one": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_entity_clusters": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_golden_record": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     # --- minhash universal hashing
     "dedup_minhash_signature": ({"big-literal"}, _MINHASH),
     "dedup_minhash_lsh": ({"big-literal"}, _MINHASH),

@@ -387,6 +387,8 @@ _SINGLE_PARTITION_OK = {
     "corpus_js_divergence": "scalar",  # 1-row reference token total
     "dq_benford_digits": "scalar",  # 1-row digit total
     "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
+    "er_blocking_stats": "scalar",  # 2x4 1-row block-health rollups, unioned
+    "er_match_metrics": "scalar",  # 1-row |B| recall denominator
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
     "corpus_upsample_weights": "scalar",  # 1-row corpus token total
     "feat_target_encode": "scalar",  # 1-row global (n, Σy) for the smoothing blend
