@@ -58,7 +58,7 @@ _PRIORITY = [
     "er_blocking_stats", "er_candidate_pairs", "er_match_metrics",
     "er_one_to_one", "er_entity_clusters", "er_golden_record",
     "mv_incremental_agg", "mv_delta_join", "mv_topk_monotone",
-    "mv_refcount_distinct",
+    "mv_refcount_distinct", "stream_mv_maintenance",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",

@@ -389,6 +389,7 @@ def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS is_true
         FROM scored
     """,
+    headline=True,
     tags=("er", "join", "blocking"),
 )
 def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,6 +135,7 @@ def _join_term(orders_part: DataFrame, li_part: DataFrame) -> DataFrame:
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
+    headline=True,
     tags=("mv", "join", "agg"),
 )
 def mv_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:

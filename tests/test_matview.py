@@ -89,6 +89,47 @@ def test_topk_self_maintainability_identity(spark):
     assert new_winners > 0
 
 
+def test_stream_mv_is_batch_order_sensitive(spark):
+    """The streaming MV's oracle picks latest-per-key under the BATCH
+    order ((o_orderkey % 3) DESC, then key DESC) — which must differ
+    from the order-insensitive shortcut (global max key per customer).
+    If the two coincided, the hash could not certify that micro-batches
+    were applied in order."""
+    mv = {
+        r["o_orderpriority"]: (r["n_customers"], r["total_latest"])
+        for r in REGISTRY["stream_mv_maintenance"].fn(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    naive = {
+        r["o_orderpriority"]: (r["n"], r["tot"])
+        for r in (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast(
+                        "decimal(38,6)"
+                    )
+                    / 100
+                )
+                .cast("double")
+                .alias("tot"),
+            )
+            .collect()
+        )
+    }
+    assert mv != naive, (
+        "streaming MV equals the order-insensitive latest — the oracle "
+        "is not exercising batch ordering at this scale"
+    )
+    # sanity: the dimension keys and total membership agree
+    assert set(mv) == set(naive)
+    assert sum(n for n, _ in mv.values()) == sum(n for n, _ in naive.values())
+
+
 def test_refcount_state_invariants(spark):
     rows = REGISTRY["mv_refcount_distinct"].fn(spark, SF_DIR).collect()
     assert len(rows) > 0
