@@ -193,20 +193,12 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                            "(r+1)*BOOT_SALT with r < BOOT_R=100 (<=1.01e8, "
                            "then folded mod 2^31 for the Knuth mix); "
                            "cnt (Poisson(1) capped at 5) * row cents"),
-    # --- entity-resolution feed derivation: mod-bounded Knuth mix
-    # ((k % 999983) * 2654435761 + salt) % 1000 — product <= 999982 *
-    # 2654435761 ~ 2.66e15 << 2^63 BY CONSTRUCTION (the mod precedes
-    # the multiply), data-size independent at any scale.
-    "er_blocking_stats": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
-    "er_candidate_pairs": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
-    "er_match_metrics": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
-    "er_one_to_one": ({"big-literal"}, "mod-999983-bounded Knuth mix <= 2.7e15"),
-    "er_entity_clusters": ({"big-literal"},
-                           "mod-999983-bounded Knuth mix <= 2.7e15 "
-                           "(checkpointed CC segments included)"),
-    "er_golden_record": ({"big-literal"},
-                         "mod-999983-bounded Knuth mix <= 2.7e15 "
-                         "(checkpointed CC segments included)"),
+    # NOTE: the er_* feed derivation's Knuth mix ((k % 999983) *
+    # 2654435761) needs NO entry here — the lint's bound propagation
+    # proves the mod-bounded product <= 2.66e15 and clears it. The
+    # DuckDB-side lint cannot propagate that bound, so the ORACLE
+    # allowlist (tests/test_oracle_product_lint.py) does carry er_*
+    # entries.
 }
 
 

@@ -115,6 +115,8 @@ INTENTIONAL_BROADCAST_NLJ = {
     "window_pareto_share",  # 1-row total broadcast onto the top-100 curve
     "sim_search_lsh",  # 1-row query-vector broadcast (scalar-subquery analogue)
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
+    "er_blocking_stats",  # 4x 1-row block-health scalars combined per pass
+    "er_match_metrics",  # 1-row |B| recall denominator onto 3 class rows
     "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
     "ab_proportion_ztest",  # 1-row median broadcast onto the per-user pool
     "sessionize_funnel_within",  # 1-row session-total broadcast onto 3 step rows
