@@ -59,6 +59,7 @@ _PRIORITY = [
     "er_one_to_one", "er_entity_clusters", "er_golden_record",
     "mv_incremental_agg", "mv_delta_join", "mv_topk_monotone",
     "mv_refcount_distinct", "stream_mv_maintenance",
+    "geo_cell_index", "geo_near_join", "geo_knn", "geo_bbox_by_nation",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",

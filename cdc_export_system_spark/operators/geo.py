@@ -1,0 +1,287 @@
+"""Geo/spatial operators: grid cell indexing, radius (near-) joins via
+cell-neighborhood blocking, k-nearest-neighbor probes, and per-group
+bounding boxes.
+
+North-star extension (no reference counterpart): the spatial join is
+the one classic analytics-engine surface the registry lacked. The
+implementation is the standard distributed-GIS shape (GeoSpark/Sedona,
+ESRI BDT): index points to fixed grid cells, equi-join candidate
+CELLS (a 3x3 neighborhood covers any radius <= cell size), then verify
+with the exact distance predicate — a keyed shuffle + residual filter,
+never a cross join.
+
+Coordinates are synthetic but DETERMINISTIC functions of the customer
+key (two mod-bounded Knuth mixes -> integer MICRO-DEGREES on a 12 µdeg
+lattice inside a 12° x 12° region), so both engines derive the
+identical point set and all geometry stays in exact integer
+arithmetic: squared Euclidean distance in µdeg² — no trig, hence no
+cross-engine libm ulp drift. Real great-circle semantics wrap the same
+cell join with a haversine verify and conservatively sized cells; the
+blocking layer (the part that matters at scale) is identical.
+
+Scale design (100 TB posture):
+* cell size (0.1°) bounds the neighborhood fan-out at 9 cells per
+  point regardless of data volume; candidate count scales with local
+  DENSITY, not corpus size. Urban-hotspot skew is the documented
+  hazard — the remedy is per-cell salting or quadtree refinement of
+  hot cells, the same knob family as LSH band widening.
+* Δ² products are domain-bounded by construction (coords < 1.2e7 µdeg
+  -> Δ² < 1.44e14 << 2^63): coordinate DOMAIN, not data volume.
+* the kNN probe set is bounded and broadcast (the corpus never
+  shuffles), same class as sim_knn_join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.registry import register
+
+CELL = 300_000  # µdeg (0.3°) — must be >= RADIUS for the 3x3 neighborhood
+RADIUS = 270_000  # µdeg
+R2 = RADIUS * RADIUS
+KNN_K = 5
+KNN_PROBE_MOD = 50  # probe stride
+KNN_PROBE_CAP = 64  # pinned probe-set size: ids in [0, MOD*CAP) only —
+# the probe count is FIXED at any data volume (<= 64), so the exact
+# baseline stays linear in the corpus (the sim_knn_join r8 lesson:
+# a volume-scaled probe set turns the baseline quadratic).
+
+
+_Q = 1_000_003  # prime coordinate lattice
+
+
+def _coord(k: F.Column, a: int, b: int, c: int) -> F.Column:
+    """0..Q-1 lattice coordinate: (a·x² + b·x + c) mod Q with
+    x = k mod 999983. QUADRATIC on purpose: any two LINEAR congruential
+    maps of the same key are exactly correlated (both linear in k mod
+    the lattice size), which collapses 2-D points onto a 1-D curve
+    with massive coordinate collisions — the first cut of this module
+    did exactly that (400 occupied cells and 300-way coincident points
+    at sf1, turning the radius join quadratic-in-cell). Distinct
+    leading coefficients give the two axes genuinely different maps.
+    Bound: x < 1e6 so a·x² <= 5e12 << 2^63 by construction."""
+    x = k % 999983
+    return (x * x * F.lit(a) + x * F.lit(b) + F.lit(c)) % _Q
+
+
+def _sql_coord(expr: str, a: int, b: int, c: int) -> str:
+    x = f"({expr} % 999983)"
+    return f"(({x} * {x} * {a} + {x} * {b} + {c}) % {_Q})"
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(point_id, lat_u, lon_u) — integer µdeg inside [0, 12e6)²."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("point_id"),
+        (_coord(k, 3, 7, 11) * 12).alias("lat_u"),
+        (_coord(k, 5, 13, 2) * 12).alias("lon_u"),
+        F.col("c_nationkey"),
+    )
+
+
+_SQL_POINTS = f"""
+    pts AS (
+        SELECT c_custkey AS point_id,
+               {_sql_coord('c_custkey', 3, 7, 11)} * 12 AS lat_u,
+               {_sql_coord('c_custkey', 5, 13, 2)} * 12 AS lon_u,
+               c_nationkey
+        FROM customer)
+"""
+
+
+@register(
+    "geo_cell_index",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT CAST(lat_u // {CELL} AS BIGINT) AS cell_lat,
+               CAST(lon_u // {CELL} AS BIGINT) AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(lat_u) AS BIGINT) AS min_lat,
+               CAST(max(lat_u) AS BIGINT) AS max_lat,
+               CAST(min(lon_u) AS BIGINT) AS min_lon,
+               CAST(max(lon_u) AS BIGINT) AS max_lon
+        FROM pts GROUP BY 1, 2
+    """,
+    tags=("geo", "agg"),
+)
+def geo_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid index/heatmap: one keyed aggregate to (cell -> count +
+    exact bbox). This is both the serving index for the near-join and
+    the density report that tells an operator which cells need salting
+    before a hotspot melts an executor."""
+    p = points(spark, sf_dir)
+    return (
+        p.groupBy(
+            F.floor(F.col("lat_u") / CELL).cast("bigint").alias("cell_lat"),
+            F.floor(F.col("lon_u") / CELL).cast("bigint").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("lat_u").cast("bigint").alias("min_lat"),
+            F.max("lat_u").cast("bigint").alias("max_lat"),
+            F.min("lon_u").cast("bigint").alias("min_lon"),
+            F.max("lon_u").cast("bigint").alias("max_lon"),
+        )
+    )
+
+
+@register(
+    "geo_near_join",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT a.point_id AS id_a, b.point_id AS id_b,
+               CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                  + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT)
+                   AS dist2
+        FROM pts a JOIN pts b
+          ON a.point_id < b.point_id
+         AND abs(a.lat_u - b.lat_u) <= {RADIUS}
+         AND abs(a.lon_u - b.lon_u) <= {RADIUS}
+         AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+    """,
+    headline=False,
+    tags=("geo", "join", "blocking"),
+)
+def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within RADIUS: each left point explodes to its
+    3x3 cell neighborhood, equi-joins the right point's home cell, and
+    the exact d² predicate verifies — every pair is found EXACTLY once
+    (the partner's home cell is unique), so no dedup pass is needed.
+    The oracle is the direct quadratic predicate join; the engine form
+    is the one that survives a 10^10-point table."""
+    p = points(spark, sf_dir)
+    a = p.select(
+        F.col("point_id").alias("id_a"),
+        F.col("lat_u").alias("lat_a"),
+        F.col("lon_u").alias("lon_a"),
+    )
+    b = p.select(
+        F.col("point_id").alias("id_b"),
+        F.col("lat_u").alias("lat_b"),
+        F.col("lon_u").alias("lon_b"),
+        F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+        F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+    )
+    a9 = (
+        a.withColumn("dlat", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.floor(F.col("lat_a") / CELL) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon_a") / CELL) + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    d2 = dlat * dlat + dlon * dlon
+    # Broadcast the COMPACT home-cell side and stream the 9x-exploded
+    # side (left alone, Spark builds its hash on the exploded side —
+    # 9x the rows); cheap |Δ| rejects run before the two multiplies.
+    return (
+        a9.join(F.broadcast(b), ["cell_lat", "cell_lon"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(dlat) <= RADIUS)
+            & (F.abs(dlon) <= RADIUS)
+            & (d2 <= R2)
+        )
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )
+
+
+@register(
+    "geo_knn",
+    oracle=f"""
+        WITH {_SQL_POINTS},
+        probes AS (SELECT * FROM pts
+                   WHERE point_id % {KNN_PROBE_MOD} = 0
+                     AND point_id < {KNN_PROBE_MOD * KNN_PROBE_CAP}),
+        scored AS (
+            SELECT p.point_id AS probe_id, x.point_id AS neighbor_id,
+                   (p.lat_u - x.lat_u) * (p.lat_u - x.lat_u)
+                 + (p.lon_u - x.lon_u) * (p.lon_u - x.lon_u) AS dist2
+            FROM probes p JOIN pts x ON x.point_id <> p.point_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY dist2, neighbor_id) AS rk
+            FROM scored)
+        SELECT probe_id, neighbor_id, dist2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    tags=("geo", "knn", "window"),
+)
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k nearest neighbors for a PINNED probe set (every 50th point id
+    below 3200 — at most 64 probes at any volume), probes broadcast
+    against the corpus (the corpus never shuffles; wall is linear in
+    corpus size — same posture as sim_knn_join after its r8 fix),
+    exact d² ranking with id tie-break.
+    The cell-pruned variant (probe only the expanding cell rings) is
+    the serving path at planet scale; this is the exact baseline it
+    would be verified against."""
+    p = points(spark, sf_dir)
+    probes = p.filter(
+        (F.col("point_id") % KNN_PROBE_MOD == 0)
+        & (F.col("point_id") < KNN_PROBE_MOD * KNN_PROBE_CAP)
+    ).select(
+        F.col("point_id").alias("probe_id"),
+        F.col("lat_u").alias("plat"),
+        F.col("lon_u").alias("plon"),
+    )
+    d2 = (F.col("plat") - F.col("lat_u")) * (F.col("plat") - F.col("lat_u")) + (
+        F.col("plon") - F.col("lon_u")
+    ) * (F.col("plon") - F.col("lon_u"))
+    scored = (
+        p.join(F.broadcast(probes), F.col("point_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("point_id").alias("neighbor_id"),
+            d2.cast("bigint").alias("dist2"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("probe_id", "neighbor_id", "dist2", F.col("rk").cast("bigint"))
+    )
+
+
+@register(
+    "geo_bbox_by_nation",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(lat_u) AS BIGINT) AS min_lat,
+               CAST(max(lat_u) AS BIGINT) AS max_lat,
+               CAST(min(lon_u) AS BIGINT) AS min_lon,
+               CAST(max(lon_u) AS BIGINT) AS max_lon,
+               CAST(max(lat_u) - min(lat_u) AS BIGINT) AS lat_span,
+               CAST(max(lon_u) - min(lon_u) AS BIGINT) AS lon_span
+        FROM pts GROUP BY c_nationkey
+    """,
+    tags=("geo", "agg"),
+)
+def geo_bbox_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bounding box + span: one keyed aggregate of exact
+    integer extrema — the extent metadata a spatial partitioner needs
+    to build balanced region tiles."""
+    p = points(spark, sf_dir)
+    return p.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("lat_u").cast("bigint").alias("min_lat"),
+        F.max("lat_u").cast("bigint").alias("max_lat"),
+        F.min("lon_u").cast("bigint").alias("min_lon"),
+        F.max("lon_u").cast("bigint").alias("max_lon"),
+        (F.max("lat_u") - F.min("lat_u")).cast("bigint").alias("lat_span"),
+        (F.max("lon_u") - F.min("lon_u")).cast("bigint").alias("lon_span"),
+    )

@@ -101,6 +101,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.entity_resolution",
     "cdc_export_system_spark.operators.matview",
     "cdc_export_system_spark.streaming.mv_stream",
+    "cdc_export_system_spark.operators.geo",
 ]
 
 

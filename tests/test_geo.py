@@ -1,0 +1,97 @@
+"""Behavioral pins for the geo/spatial family: the cell-blocked near
+join must equal the brute-force predicate join computed independently
+in Spark, pairs must be found exactly once, and the grid index must
+conserve the point count."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cdc_export_system_spark.operators.geo import (
+    CELL,
+    KNN_K,
+    R2,
+    RADIUS,
+    points,
+)
+from cdc_export_system_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def test_near_join_equals_brute_force(spark):
+    """Cell blocking is an optimization, not a semantics change: the
+    3x3-neighborhood join must return exactly the brute-force radius
+    pairs (computed via a Spark range self-join here, independent of
+    the DuckDB oracle)."""
+    p = points(spark, SF_DIR)
+    a = p.select(F.col("point_id").alias("id_a"), F.col("lat_u").alias("la"),
+                 F.col("lon_u").alias("lo"))
+    b = p.select(F.col("point_id").alias("id_b"), F.col("lat_u").alias("lb"),
+                 F.col("lon_u").alias("lg"))
+    d2 = (F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb")) + (
+        F.col("lo") - F.col("lg")
+    ) * (F.col("lo") - F.col("lg"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= R2)
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )
+    fast = REGISTRY["geo_near_join"].fn(spark, SF_DIR)
+    assert fast.exceptAll(brute).count() == 0
+    assert brute.exceptAll(fast).count() == 0
+    n = fast.count()
+    assert n > 0, "radius join is vacuous at this scale — widen RADIUS"
+    # exactly-once: no duplicate pairs from the neighborhood explode
+    assert fast.select("id_a", "id_b").distinct().count() == n
+
+
+def test_cell_index_conserves_points_and_bounds(spark):
+    p = points(spark, SF_DIR)
+    idx = REGISTRY["geo_cell_index"].fn(spark, SF_DIR)
+    assert idx.agg(F.sum("n_points")).head()[0] == p.count()
+    bad = idx.filter(
+        (F.col("min_lat") < F.col("cell_lat") * CELL)
+        | (F.col("max_lat") >= (F.col("cell_lat") + 1) * CELL)
+        | (F.col("min_lon") < F.col("cell_lon") * CELL)
+        | (F.col("max_lon") >= (F.col("cell_lon") + 1) * CELL)
+    ).count()
+    assert bad == 0  # every point's bbox sits inside its cell
+
+
+def test_knn_ranks_are_true_nearest(spark):
+    """Each probe's k results must be the k smallest distances over the
+    whole corpus (checked per probe against a brute-force min)."""
+    knn = REGISTRY["geo_knn"].fn(spark, SF_DIR).cache()
+    probes = knn.select("probe_id").distinct().count()
+    assert probes > 1
+    per_probe = knn.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("k"), F.max("dist2").alias("worst")
+    )
+    assert per_probe.filter(F.col("k") != KNN_K).count() == 0
+    # no corpus point outside the result set may be closer than the
+    # worst returned neighbor (ties broken by id are the only allowed
+    # equality case)
+    p = points(spark, SF_DIR)
+    pr = points(spark, SF_DIR).select(
+        F.col("point_id").alias("probe_id"),
+        F.col("lat_u").alias("plat"),
+        F.col("lon_u").alias("plon"),
+    )
+    d2 = (F.col("plat") - F.col("lat_u")) * (F.col("plat") - F.col("lat_u")) + (
+        F.col("plon") - F.col("lon_u")
+    ) * (F.col("plon") - F.col("lon_u"))
+    closer = (
+        per_probe.join(pr, "probe_id")
+        .join(p, F.col("point_id") != F.col("probe_id"))
+        .filter(d2 < F.col("worst"))
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_closer"))
+        .filter(F.col("n_closer") > KNN_K)
+    )
+    assert closer.count() == 0
+
+
+def test_radius_fits_neighborhood_invariant():
+    assert RADIUS <= CELL, "3x3 neighborhood only covers radius <= cell"

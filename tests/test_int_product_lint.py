@@ -199,6 +199,13 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # DuckDB-side lint cannot propagate that bound, so the ORACLE
     # allowlist (tests/test_oracle_product_lint.py) does carry er_*
     # entries.
+    # --- geo: squared Euclidean distance in µdeg. Coordinates are
+    # DOMAIN-bounded by construction (lat_u/lon_u = mix2 * 12 <
+    # 1.2e7 µdeg — a 12°x12° region; real-world coords cap at 1.8e8
+    # µdeg), so Δ² < 1.44e14 (3.3e16 at planet scale) << 2^63,
+    # independent of data volume.
+    "geo_near_join": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_knn": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
 }
 
 

@@ -69,6 +69,15 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "er_one_to_one": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     "er_entity_clusters": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     "er_golden_record": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    # --- geo: quadratic coordinate maps (x*x with x = k % 999983 <
+    # 1e6 -> a·x² <= 5e12) and squared distances (coords < 1.2e7 µdeg
+    # -> Δ² < 1.45e14) — all domain-bounded by construction.
+    "geo_cell_index": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
+    "geo_bbox_by_nation": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
+    "geo_near_join": ({"col-x-col"},
+                      "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_knn": ({"col-x-col"},
+                "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
     # --- minhash universal hashing
     "dedup_minhash_signature": ({"big-literal"}, _MINHASH),
     "dedup_minhash_lsh": ({"big-literal"}, _MINHASH),

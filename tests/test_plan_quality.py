@@ -117,6 +117,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "er_blocking_stats",  # 4x 1-row block-health scalars combined per pass
     "er_match_metrics",  # 1-row |B| recall denominator onto 3 class rows
+    "geo_knn",  # bounded probe set broadcast vs corpus (cf. sim_knn_join)
     "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
     "ab_proportion_ztest",  # 1-row median broadcast onto the per-user pool
     "sessionize_funnel_within",  # 1-row session-total broadcast onto 3 step rows
