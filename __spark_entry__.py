@@ -60,6 +60,7 @@ _PRIORITY = [
     "mv_incremental_agg", "mv_delta_join", "mv_topk_monotone",
     "mv_refcount_distinct", "stream_mv_maintenance",
     "geo_cell_index", "geo_near_join", "geo_knn", "geo_bbox_by_nation",
+    "privacy_k_anonymity", "privacy_l_diversity", "privacy_uniqueness_risk",
     # reshape family (verdict-named)
     "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
     "reshape_pivot_dynamic",

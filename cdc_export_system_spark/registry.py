@@ -102,6 +102,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.operators.matview",
     "cdc_export_system_spark.streaming.mv_stream",
     "cdc_export_system_spark.operators.geo",
+    "cdc_export_system_spark.operators.privacy",
 ]
 
 

@@ -78,6 +78,11 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                       "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn": ({"col-x-col"},
                 "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
+    # --- privacy: group_size * n_groups(group_size) == the number of
+    # ROWS living in groups of that size, which is <= count(*) of the
+    # table by identity — bounded by the row count itself.
+    "privacy_k_anonymity": ({"col-x-col"},
+                            "size * groups-of-size == rows-in-size <= n"),
     # --- minhash universal hashing
     "dedup_minhash_signature": ({"big-literal"}, _MINHASH),
     "dedup_minhash_lsh": ({"big-literal"}, _MINHASH),
