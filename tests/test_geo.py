@@ -63,7 +63,7 @@ def test_cell_index_conserves_points_and_bounds(spark):
 def test_knn_ranks_are_true_nearest(spark):
     """Each probe's k results must be the k smallest distances over the
     whole corpus (checked per probe against a brute-force min)."""
-    knn = REGISTRY["geo_knn"].fn(spark, SF_DIR).cache()
+    knn = REGISTRY["geo_knn"].fn(spark, SF_DIR).localCheckpoint()
     probes = knn.select("probe_id").distinct().count()
     assert probes > 1
     per_probe = knn.groupBy("probe_id").agg(

@@ -17,6 +17,15 @@ from tests.conftest import SF_DIR
 REGISTRY = load_all()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _uncached_plans(spark):
+    """Earlier tests' df.cache() would substitute InMemoryRelation into
+    matching plan fragments, hiding exchanges/joins from this sweep —
+    scan the real plans (see the same fixture in
+    tests/test_int_product_lint.py for the incident record)."""
+    spark.catalog.clearCache()
+
+
 def plan_of(spark, name: str) -> str:
     df = REGISTRY[name].fn(spark, SF_DIR)
     buf = io.StringIO()

@@ -100,9 +100,16 @@ def test_ppm_header_comments_and_whitespace():
 def test_sniff_decode_unknown_magic_keeps_seam():
     from cdc_export_system_spark.multimodal.codecs import sniff_decode
 
-    # JPEG magic: PNG gained a real in-tree decoder in round 8, so the
-    # injectable seam is now exercised by a still-unsupported codec
+    # The seam probe migrates as real decoders land: PNG gained one in
+    # round 8, JPEG in round 9 — so the injectable seam is now
+    # exercised by compressed-audio magics, which remain out of tree.
     with pytest.raises(NotImplementedError):
+        sniff_decode(b"OggS ogg garbage")
+    with pytest.raises(NotImplementedError):
+        sniff_decode(b"ID3\x04 mp3 garbage")
+    # and a real-but-corrupt JPEG now reaches the REAL decoder and
+    # fails loudly there, not through the seam
+    with pytest.raises(ValueError):
         sniff_decode(b"\xff\xd8\xff\xe0 jpeg garbage")
 
 
