@@ -159,36 +159,59 @@ class LogTable:
         touched: set[str],
         max_retries: int = 20,
     ) -> int:
-        """Atomically write the next log file. On losing the race:
-        re-validate that no concurrent commit removed a file we read or
-        removed (if one did -> CommitConflict), else retry on top."""
+        """Atomically publish the next log file via link(2) election.
+
+        The payload is written COMPLETELY (and fsynced) to a hidden
+        temp name first, then ``os.link``ed to the versioned name:
+        link fails with EEXIST if a concurrent winner already owns the
+        version (the same exclusive election O_CREAT|O_EXCL gave), and
+        — unlike writing into an O_EXCL-created file — the log entry
+        appears to every reader fully formed or not at all. The
+        earlier write-after-create form lost exactly that property:
+        the multi-writer stress pin caught a replayer listing a
+        version whose payload was not yet flushed, dropping its adds
+        and then failing on the next version's removes
+        (tests/test_txn_table.py::
+        test_concurrent_writers_serialize_without_loss).
+
+        On losing the race: re-validate that the winner removed no
+        file we read or removed (if it did -> CommitConflict), else
+        retry on top."""
         payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
-        attempt = read_version + 1
-        for _ in range(max_retries):
+        tmp = os.path.join(self.root, f"_log-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            attempt = read_version + 1
+            for _ in range(max_retries):
+                try:
+                    os.link(tmp, _log_path(self.root, attempt))
+                except FileExistsError:
+                    # concurrent winner: check their actions against ours
+                    with open(_log_path(self.root, attempt)) as f:
+                        for line in f:
+                            act = json.loads(line)
+                            if (
+                                "remove" in act
+                                and act["remove"]["path"] in touched
+                            ):
+                                raise CommitConflict(
+                                    f"file {act['remove']['path']} was "
+                                    "removed by concurrent commit "
+                                    f"v{attempt}"
+                                )
+                    attempt += 1
+                    continue
+                self._maybe_checkpoint(attempt)
+                return attempt
+            raise CommitConflict(f"lost {max_retries} commit races")
+        finally:
             try:
-                fd = os.open(
-                    _log_path(self.root, attempt),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                # concurrent winner: check their actions against ours
-                with open(_log_path(self.root, attempt)) as f:
-                    for line in f:
-                        act = json.loads(line)
-                        if "remove" in act and act["remove"]["path"] in touched:
-                            raise CommitConflict(
-                                f"file {act['remove']['path']} was removed "
-                                f"by concurrent commit v{attempt}"
-                            )
-                attempt += 1
-                continue
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            self._maybe_checkpoint(attempt)
-            return attempt
-        raise CommitConflict(f"lost {max_retries} commit races")
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version % CHECKPOINT_EVERY != 0:
