@@ -13,11 +13,23 @@ a snapshot-versioned directory with an atomically swapped CURRENT pointer
       versions/<uuid>/part-*.parquet   # immutable full snapshots
       CURRENT                          # text file naming the live version
 
-``os.replace`` of the pointer file is atomic on POSIX, so readers see
-either the old or the new snapshot, never a partial write — the batch
-analogue of the reference's DB transaction (jobs.py:31-60). The state
-table is tiny (one row per consumer), so full-snapshot-per-commit is the
-right trade at any scale; it also gives free time travel for debugging.
+The pointer is a link(2)-elected CAS CHAIN (``CURRENT.<seq>``), not a
+single replaced file: a writer reads the latest sequence, builds the
+merged snapshot, and publishes by hard-linking the fully-written
+pointer to ``CURRENT.<seq+1>`` — losing the election (EEXIST) means a
+concurrent commit advanced the chain, so the writer RE-READS and
+re-merges before retrying. That makes concurrent upserts of DIFFERENT
+consumers serialize without loss, matching the reference's per-row DB
+transactions (jobs.py:31-60; two consumers exporting simultaneously is
+the reference's normal background-task mode). The earlier
+unconditional ``os.replace`` pointer swap was atomic per commit but
+lost the read-merge-write race outright — a 4-thread stress probe
+dropped 3 of 4 consumers' rows (tests/test_cdc_exports.py::
+test_concurrent_consumer_upserts_all_survive pins the fix). Readers
+take the highest sequence; snapshots stay immutable, so a reader on an
+older pointer still sees a consistent table. The state table is tiny
+(one row per consumer), so full-snapshot-per-commit is the right trade
+at any scale; it also gives free time travel for debugging.
 """
 
 from __future__ import annotations
@@ -45,12 +57,33 @@ class WatermarkStore:
 
     # -- read path -------------------------------------------------------
 
-    def _current_version(self) -> str | None:
+    def _chain(self) -> list[tuple[int, str]]:
+        """(seq, pointer-file) entries of the CAS chain, ascending."""
+        out = []
+        for name in os.listdir(self.state_dir):
+            if name.startswith(_CURRENT + ".") and not name.endswith(".tmp"):
+                try:
+                    out.append((int(name.rsplit(".", 1)[1]), name))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _head(self) -> tuple[int, str | None]:
+        """(latest seq, live snapshot version) — (0, None) when empty.
+        Falls back to a legacy single CURRENT file at seq 0."""
+        chain = self._chain()
+        if chain:
+            seq, name = chain[-1]
+            with open(os.path.join(self.state_dir, name)) as f:
+                return seq, f.read().strip() or None
         try:
             with open(os.path.join(self.state_dir, _CURRENT)) as f:
-                return f.read().strip() or None
+                return 0, f.read().strip() or None
         except FileNotFoundError:
-            return None
+            return 0, None
+
+    def _current_version(self) -> str | None:
+        return self._head()[1]
 
     def snapshot(self) -> DataFrame:
         """The live watermark table (empty DataFrame when uninitialized)."""
@@ -74,31 +107,67 @@ class WatermarkStore:
 
     # -- write path ------------------------------------------------------
 
-    def upsert(self, consumer_id: str, last_exported_at: datetime) -> None:
-        """Insert-or-update one consumer row (reference watermark.py:11-26),
-        committed atomically via the CURRENT pointer swap."""
+    def upsert(
+        self,
+        consumer_id: str,
+        last_exported_at: datetime,
+        max_retries: int = 20,
+    ) -> None:
+        """Insert-or-update one consumer row (reference watermark.py:11-26)
+        through the CAS chain: read head -> merge -> publish seq+1 via
+        link election; on losing the election, RE-READ and re-merge so a
+        concurrent commit for another consumer is never overwritten."""
+        import time as _time
+
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         new_row = self.spark.createDataFrame(
             [Row(consumer_id=consumer_id, last_exported_at=last_exported_at, updated_at=now)],
             WATERMARKS_SCHEMA,
         )
-        merged = (
-            self.snapshot().filter(F.col("consumer_id") != consumer_id).unionByName(new_row)
+        for attempt in range(max_retries):
+            seq, _live = self._head()
+            merged = (
+                self.snapshot()
+                .filter(F.col("consumer_id") != consumer_id)
+                .unionByName(new_row)
+            )
+            if self._commit(merged, expected_seq=seq):
+                return
+            _time.sleep(0.01 * (attempt % 5 + 1))
+        raise RuntimeError(
+            f"watermark upsert for {consumer_id!r} lost {max_retries} "
+            "commit elections"
         )
-        self._commit(merged)
 
-    def _commit(self, df: DataFrame) -> None:
+    def _commit(self, df: DataFrame, expected_seq: int) -> bool:
+        """Write an immutable snapshot and try to publish it as
+        CURRENT.<expected_seq+1>. Returns False if a concurrent commit
+        won that sequence (caller re-reads and retries)."""
         version = uuid.uuid4().hex
         path = os.path.join(self.state_dir, _VERSIONS, version)
         df.coalesce(1).write.mode("overwrite").parquet(path)
         tmp_pointer = os.path.join(self.state_dir, f".{_CURRENT}.{version}.tmp")
         with open(tmp_pointer, "w") as f:
             f.write(version)
-        os.replace(tmp_pointer, os.path.join(self.state_dir, _CURRENT))
+            f.flush()
+            os.fsync(f.fileno())
+        target = os.path.join(self.state_dir, f"{_CURRENT}.{expected_seq + 1:020d}")
+        try:
+            os.link(tmp_pointer, target)
+        except FileExistsError:
+            shutil.rmtree(path, ignore_errors=True)  # orphan snapshot
+            return False
+        finally:
+            try:
+                os.unlink(tmp_pointer)
+            except OSError:
+                pass
         self._gc(keep=version)
+        return True
 
     def _gc(self, keep: str, retain: int = 5) -> None:
-        """Drop all but the newest few snapshots (never the live one)."""
+        """Drop all but the newest few snapshots (never the live one)
+        and prune the pointer chain's tail (never its head)."""
         vdir = os.path.join(self.state_dir, _VERSIONS)
         versions = sorted(
             (os.path.join(vdir, v) for v in os.listdir(vdir)),
@@ -108,3 +177,9 @@ class WatermarkStore:
         for stale in versions[retain:]:
             if os.path.basename(stale) != keep:
                 shutil.rmtree(stale, ignore_errors=True)
+        chain = self._chain()
+        for _seq, name in chain[:-max(retain, 1)]:
+            try:
+                os.unlink(os.path.join(self.state_dir, name))
+            except OSError:
+                pass

@@ -236,3 +236,46 @@ def test_forget_users_purge_and_audit_partition_the_table(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_concurrent_consumer_upserts_all_survive(spark, tmp_path):
+    """REAL write-write races on the watermark store: four threads each
+    advance their OWN consumer's watermark five times concurrently.
+    The reference runs exports as concurrent background tasks against
+    per-row DB transactions, so every consumer's final watermark must
+    survive; the store's original read-merge-replace commit lost 3 of
+    4 consumers outright (whole-table last-writer-wins) — the CAS
+    pointer chain (link-elected CURRENT.<seq>, re-read on lost
+    election) pins the fix."""
+    import threading
+    from datetime import datetime, timedelta
+
+    from cdc_export_system_spark.state.watermark import WatermarkStore
+
+    d = str(tmp_path / "wm-race")
+    store = WatermarkStore(spark, d)
+    base = datetime(2024, 1, 1)
+    n_threads, n_upserts = 4, 5
+
+    def writer(tid: int) -> None:
+        s = WatermarkStore(spark, d)
+        for m in range(n_upserts):
+            s.upsert(f"consumer-{tid}", base + timedelta(minutes=10 * tid + m))
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    rows = {
+        r["consumer_id"]: r["last_exported_at"]
+        for r in store.snapshot().collect()
+    }
+    assert len(rows) == n_threads
+    for t in range(n_threads):
+        assert rows[f"consumer-{t}"] == base + timedelta(
+            minutes=10 * t + n_upserts - 1
+        )
