@@ -54,8 +54,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cdc_export_system_spark.io.atomic import link_publish
+
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
+# vacuum() also sweeps crash-orphaned _log-*.tmp / _staging-* artifacts,
+# but only past this age so it can never race a LIVE writer that is
+# between payload-write and link-election (commits take milliseconds;
+# the horizon is hours).
+TMP_SWEEP_HORIZON_S = 3600.0
 
 
 class CommitConflict(Exception):
@@ -186,9 +193,7 @@ class LogTable:
         try:
             attempt = read_version + 1
             for _ in range(max_retries):
-                try:
-                    os.link(tmp, _log_path(self.root, attempt))
-                except FileExistsError:
+                if not link_publish(tmp, _log_path(self.root, attempt)):
                     # concurrent winner: check their actions against ours
                     with open(_log_path(self.root, attempt)) as f:
                         for line in f:
@@ -459,16 +464,56 @@ class LogTable:
         """Delete data files not referenced by the LATEST version.
         After vacuum, time travel to versions needing those files
         fails fast in _replay (documented retention=0 policy; a real
-        deployment keeps a horizon)."""
+        deployment keeps a horizon).
+
+        Also sweeps crash-orphaned writer artifacts — ``_log-*.tmp``
+        commit payloads, ``_staging-*`` write dirs, and checkpoint
+        temp files — that a writer killed between payload-write and
+        link-election leaves behind forever (they are invisible to
+        readers but accumulate; the round-9 advice item). Only
+        artifacts older than TMP_SWEEP_HORIZON_S go, so an in-flight
+        writer's milliseconds-old temp file is never touched."""
+        import shutil
+
         snap = self._replay()
         live = set(snap.paths)
         removed = []
+        cutoff = time.time() - TMP_SWEEP_HORIZON_S
         for name in sorted(os.listdir(self.root)):
+            path = os.path.join(self.root, name)
             if (
                 name.endswith(".parquet")
                 and name.startswith("part-")
                 and name not in live
             ):
-                os.remove(os.path.join(self.root, name))
+                os.remove(path)
                 removed.append(name)
+                continue
+            stale_tmp = (
+                (name.startswith("_log-") and name.endswith(".tmp"))
+                or name.startswith("_staging-")
+                or ".checkpoint.parquet.tmp-" in name
+            )
+            if stale_tmp:
+                try:
+                    if os.path.getmtime(path) >= cutoff:
+                        continue
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        os.remove(path)
+                    removed.append(name)
+                except OSError:
+                    pass  # a live writer finished with it mid-sweep
+        logdir = os.path.join(self.root, LOG_DIR)
+        for name in sorted(os.listdir(logdir)):
+            if ".checkpoint.parquet.tmp-" not in name:
+                continue
+            path = os.path.join(logdir, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    os.remove(path)
+                    removed.append(os.path.join(LOG_DIR, name))
+            except OSError:
+                pass
         return removed

@@ -181,11 +181,15 @@ def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlat = F.col("lat_a") - F.col("lat_b")
     dlon = F.col("lon_a") - F.col("lon_b")
     d2 = dlat * dlat + dlon * dlon
-    # Broadcast the COMPACT home-cell side and stream the 9x-exploded
-    # side (left alone, Spark builds its hash on the exploded side —
-    # 9x the rows); cheap |Δ| rejects run before the two multiplies.
+    # NO broadcast hint: the home-cell side is the FULL point corpus,
+    # so a forced broadcast would OOM at real volume. The (cell_lat,
+    # cell_lon) equi-join shuffles both sides on the cell key — the
+    # shape that survives any corpus size — and AQE's runtime stats
+    # still convert it to a broadcast join automatically whenever the
+    # corpus actually is small (as at test SF). Cheap |Δ| rejects run
+    # before the two multiplies.
     return (
-        a9.join(F.broadcast(b), ["cell_lat", "cell_lon"])
+        a9.join(b, ["cell_lat", "cell_lon"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(dlat) <= RADIUS)

@@ -41,6 +41,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
+from cdc_export_system_spark.io.atomic import link_publish
 from cdc_export_system_spark.schemas import WATERMARKS_SCHEMA
 
 _CURRENT = "CURRENT"
@@ -70,12 +71,31 @@ class WatermarkStore:
 
     def _head(self) -> tuple[int, str | None]:
         """(latest seq, live snapshot version) — (0, None) when empty.
-        Falls back to a legacy single CURRENT file at seq 0."""
-        chain = self._chain()
-        if chain:
+        Falls back to a legacy single CURRENT file at seq 0.
+
+        A pointer listed by _chain() can vanish before open() when a
+        concurrent committer's _gc prunes the chain tail between our
+        listdir and read — that always means a NEWER head exists, so
+        the read retries from a fresh listing instead of surfacing
+        FileNotFoundError to the caller (the 5-writer race the round-9
+        advice flagged)."""
+        saw_chain = False
+        for _ in range(50):
+            chain = self._chain()
+            if not chain:
+                break
+            saw_chain = True
             seq, name = chain[-1]
-            with open(os.path.join(self.state_dir, name)) as f:
-                return seq, f.read().strip() or None
+            try:
+                with open(os.path.join(self.state_dir, name)) as f:
+                    return seq, f.read().strip() or None
+            except FileNotFoundError:
+                continue  # pruned under us: a newer pointer exists
+        if saw_chain:  # unreachable unless _gc's never-prune-head breaks
+            raise RuntimeError(
+                f"watermark pointer chain at {self.state_dir!r} kept "
+                "vanishing across 50 fresh listings"
+            )
         try:
             with open(os.path.join(self.state_dir, _CURRENT)) as f:
                 return 0, f.read().strip() or None
@@ -124,6 +144,7 @@ class WatermarkStore:
             [Row(consumer_id=consumer_id, last_exported_at=last_exported_at, updated_at=now)],
             WATERMARKS_SCHEMA,
         )
+        last_err: Exception | None = None
         for attempt in range(max_retries):
             seq, _live = self._head()
             merged = (
@@ -131,13 +152,23 @@ class WatermarkStore:
                 .filter(F.col("consumer_id") != consumer_id)
                 .unionByName(new_row)
             )
-            if self._commit(merged, expected_seq=seq):
-                return
+            try:
+                if self._commit(merged, expected_seq=seq):
+                    return
+            except Exception as exc:  # noqa: BLE001
+                # The merge source snapshot is read lazily inside
+                # _commit's write job; under heavy concurrency _gc can
+                # vacuum it mid-write (Spark surfaces a missing-file
+                # read error). The snapshot dirs are immutable and the
+                # commit is elect-or-lose, so retrying from a FRESH
+                # head is always safe; genuine errors re-raise after
+                # the retry budget.
+                last_err = exc
             _time.sleep(0.01 * (attempt % 5 + 1))
         raise RuntimeError(
             f"watermark upsert for {consumer_id!r} lost {max_retries} "
             "commit elections"
-        )
+        ) from last_err
 
     def _commit(self, df: DataFrame, expected_seq: int) -> bool:
         """Write an immutable snapshot and try to publish it as
@@ -153,21 +184,30 @@ class WatermarkStore:
             os.fsync(f.fileno())
         target = os.path.join(self.state_dir, f"{_CURRENT}.{expected_seq + 1:020d}")
         try:
-            os.link(tmp_pointer, target)
-        except FileExistsError:
-            shutil.rmtree(path, ignore_errors=True)  # orphan snapshot
-            return False
+            won = link_publish(tmp_pointer, target)
         finally:
             try:
                 os.unlink(tmp_pointer)
             except OSError:
                 pass
+        if not won:
+            shutil.rmtree(path, ignore_errors=True)  # orphan snapshot
+            return False
         self._gc(keep=version)
         return True
 
-    def _gc(self, keep: str, retain: int = 5) -> None:
-        """Drop all but the newest few snapshots (never the live one)
-        and prune the pointer chain's tail (never its head)."""
+    def _gc(self, keep: str, retain: int = 20, min_age_s: float = 60.0) -> None:
+        """Drop stale snapshots (never the live one) and prune the
+        pointer chain's tail (never its head). Two horizons guard the
+        concurrent-reader window the round-9 advice flagged: keep the
+        newest ``retain`` entries AND anything younger than
+        ``min_age_s`` — a snapshot that was head a moment ago (some
+        reader or slow writer may still be mid-Spark-read of it) stays
+        on disk even if many commits just buried it. Entries are a few
+        KiB, so the larger horizon is free."""
+        import time as _time
+
+        cutoff = _time.time() - min_age_s
         vdir = os.path.join(self.state_dir, _VERSIONS)
         versions = sorted(
             (os.path.join(vdir, v) for v in os.listdir(vdir)),
@@ -175,11 +215,17 @@ class WatermarkStore:
             reverse=True,
         )
         for stale in versions[retain:]:
-            if os.path.basename(stale) != keep:
+            try:
+                young = os.path.getmtime(stale) >= cutoff
+            except OSError:
+                continue  # already gone (concurrent _gc)
+            if not young and os.path.basename(stale) != keep:
                 shutil.rmtree(stale, ignore_errors=True)
         chain = self._chain()
         for _seq, name in chain[:-max(retain, 1)]:
+            p = os.path.join(self.state_dir, name)
             try:
-                os.unlink(os.path.join(self.state_dir, name))
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
             except OSError:
                 pass

@@ -279,3 +279,76 @@ def test_concurrent_consumer_upserts_all_survive(spark, tmp_path):
         assert rows[f"consumer-{t}"] == base + timedelta(
             minutes=10 * t + n_upserts - 1
         )
+
+
+def test_head_retries_past_pruned_pointer(store):
+    """A reader can list the pointer chain, then lose the listed head
+    to a concurrent committer's _gc before open() — that always means
+    a NEWER pointer exists, so _head must re-list and retry, never
+    surface FileNotFoundError (round-9 advice pin)."""
+    store.upsert("c1", NOW)
+    real_chain = store._chain()
+
+    calls = {"n": 0}
+    orig = WatermarkStore._chain
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a pruned pointer name that no longer exists on disk
+            return [(999, "CURRENT.00000000000000000999")]
+        return orig(self)
+
+    WatermarkStore._chain = stale_then_real
+    try:
+        seq, version = store._head()
+    finally:
+        WatermarkStore._chain = orig
+    assert calls["n"] >= 2  # retried from a fresh listing
+    assert (seq, version) == (real_chain[-1][0], version)
+    assert version is not None
+    assert store.get("c1") == NOW
+
+
+def test_gc_never_prunes_young_snapshots(store):
+    """The GC horizon is count+age: entries younger than min_age_s
+    survive even when many commits bury them, so a slow concurrent
+    reader/writer still sees its recently-read snapshot on disk."""
+    for i in range(8):
+        store.upsert("c", NOW + timedelta(minutes=i))
+    vdir = os.path.join(store.state_dir, "versions")
+    # all 8 snapshots are seconds old -> none may have been GC'd
+    assert len(os.listdir(vdir)) == 8
+    assert len(store._chain()) == 8
+    # but an OLD buried snapshot does get collected once past the age
+    # horizon (retain still keeps the newest 20; use retain=2 to probe)
+    old = [os.path.join(vdir, v) for v in os.listdir(vdir)]
+    for p in old:
+        os.utime(p, (1, 1))
+    for _seq, name in store._chain():
+        os.utime(os.path.join(store.state_dir, name), (1, 1))
+    live = store._current_version()
+    store._gc(keep=live, retain=2, min_age_s=60.0)
+    # newest 2 by mtime, plus the live version is NEVER deleted even
+    # when an ambiguous mtime sort puts it outside the retain window
+    assert len(os.listdir(vdir)) <= 3
+    assert live in os.listdir(vdir)
+    assert len(store._chain()) == 2
+    # the live head survived
+    assert store.get("c") == NOW + timedelta(minutes=7)
+
+
+def test_watermark_commit_descriptive_error_without_hardlinks(
+    store, monkeypatch
+):
+    import errno as _errno
+
+    from cdc_export_system_spark.io import atomic as atomic_mod
+    from cdc_export_system_spark.io.atomic import HardLinksUnsupported
+
+    def no_link(src, dst, **kw):
+        raise OSError(_errno.ENOTSUP, "Operation not supported")
+
+    monkeypatch.setattr(atomic_mod.os, "link", no_link)
+    with pytest.raises((HardLinksUnsupported, RuntimeError)):
+        store.upsert("c1", NOW, max_retries=1)

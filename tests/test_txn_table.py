@@ -287,3 +287,70 @@ def test_concurrent_writers_serialize_without_loss(spark, tmp_path):
     assert len(rows) == 64
     for k, v in rows.items():
         assert v == 1000 * (k % n_threads) + (n_merges - 1), (k, v)
+
+
+def test_vacuum_sweeps_stale_tmp_artifacts(spark, tmp_path):
+    """A writer killed between payload-write and link-election leaves
+    a _log-*.tmp (and possibly a _staging-* dir) in the table root.
+    vacuum() must sweep those once they age past the horizon — and
+    must NOT touch young ones (a live writer's in-flight temp)."""
+    import time as _time
+
+    from cdc_export_system_spark.io.txn_table import (
+        LOG_DIR,
+        TMP_SWEEP_HORIZON_S,
+    )
+
+    t = _mk(spark, tmp_path)
+    root = t.root
+    old = _time.time() - TMP_SWEEP_HORIZON_S - 10
+    stale_log = os.path.join(root, "_log-deadbeef.tmp")
+    open(stale_log, "w").write('{"add": {"path": "x"}}\n')
+    os.utime(stale_log, (old, old))
+    stale_stage = os.path.join(root, "_staging-deadbeef")
+    os.makedirs(stale_stage)
+    os.utime(stale_stage, (old, old))
+    stale_ckpt = os.path.join(
+        root, LOG_DIR, "00000000000000000010.checkpoint.parquet.tmp-dead"
+    )
+    open(stale_ckpt, "w").write("x")
+    os.utime(stale_ckpt, (old, old))
+    young_log = os.path.join(root, "_log-cafebabe.tmp")
+    open(young_log, "w").write("{}\n")
+
+    removed = t.vacuum()
+    assert not os.path.exists(stale_log)
+    assert not os.path.exists(stale_stage)
+    assert not os.path.exists(stale_ckpt)
+    assert os.path.exists(young_log)  # inside the horizon: untouched
+    assert "_log-deadbeef.tmp" in removed
+    assert "_staging-deadbeef" in removed
+    # sweeping temp junk must not disturb the live table
+    assert t.read().count() == 64
+    os.unlink(young_log)
+
+
+def test_commit_raises_descriptive_error_without_hardlinks(
+    spark, tmp_path, monkeypatch
+):
+    """On a filesystem whose link(2) fails with EPERM/ENOTSUP (some
+    NFS / object-store FUSE mounts), the commit must fail LOUDLY with
+    a descriptive error — not an unhandled OSError, and never a
+    silent non-atomic fallback (which would reintroduce torn reads)."""
+    import errno as _errno
+
+    from cdc_export_system_spark.io import atomic as atomic_mod
+    from cdc_export_system_spark.io.atomic import HardLinksUnsupported
+
+    t = _mk(spark, tmp_path)
+
+    def no_link(src, dst, **kw):
+        raise OSError(_errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(atomic_mod.os, "link", no_link)
+    with pytest.raises(HardLinksUnsupported, match="hard-link support"):
+        t.merge(_batch(spark, [(1, 999, False)]))
+    monkeypatch.undo()
+    # the table is still healthy after the refused commit
+    v, _ = t.merge(_batch(spark, [(1, 999, False)]))
+    assert {r["v"] for r in t.read(v).filter(F.col("k") == 1).collect()} == {999}
