@@ -39,58 +39,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # ROUND-9 LEAD (VERDICT r8 #1): the r8 hash-FAIL, now re-emitted
-    # with a driver-stable hi/lo BIGINT final schema — retry first.
-    "ml_calibration_table",
-    # The last never-checked bench headliner (VERDICT r8 #2).
-    "skyline_pareto_front",
-    # TPC-H tails — the reconstructed-partsupp family's first external row
-    "tpch_q2_like", "tpch_q11_like", "tpch_q20_like", "tpch_q21_like",
-    # NEW in r9 (each locally parity-green; external row on landing):
-    # the transaction-log table format, the JPEG codec query, and the
-    # state-API-v1 ledger stream
-    "txn_table_merge_read", "txn_table_time_travel", "txn_table_merge_stats",
-    "stream_cdc_logtable_merge", "multimodal_jpeg_stats",
-    "stream_ledger_state_v1",
-    # NEW in r9 (late-round): entity resolution / record linkage and
-    # incremental materialized-view maintenance (each locally
-    # parity-green at sf0.001 + sf0.01; external row on landing)
-    "er_blocking_stats", "er_candidate_pairs", "er_match_metrics",
-    "er_one_to_one", "er_entity_clusters", "er_golden_record",
-    "mv_incremental_agg", "mv_delta_join", "mv_topk_monotone",
-    "mv_refcount_distinct", "stream_mv_maintenance",
-    "geo_cell_index", "geo_near_join", "geo_knn", "geo_bbox_by_nation",
-    "privacy_k_anonymity", "privacy_l_diversity", "privacy_uniqueness_risk",
-    # reshape family (verdict-named)
-    "reshape_pivot", "reshape_unpivot", "reshape_date_spine",
-    "reshape_pivot_dynamic",
-    # sampling family (verdict-named)
-    "sample_hash", "sample_stratified_hash", "sample_split_train_test",
-    "sample_uniform_per_group",
-    # corpus-pipeline tail (12)
-    "corpus_mix_weighted", "corpus_token_budget_sample",
-    "corpus_upsample_weights", "corpus_shard_assignment",
-    "corpus_importance_resample", "corpus_interleave_order",
-    "corpus_temperature_weights", "corpus_decontaminate_report",
-    "corpus_quality_report", "corpus_inverted_index",
-    "corpus_js_divergence", "corpus_bpe_encode",
-    # ml_* tail (9)
-    "ml_uplift_qini", "ml_feature_corr_matrix", "ml_feature_drift_psi",
-    "ml_threshold_youden", "ml_brier_decomposition", "ml_att_stratified",
-    "ml_ridge_normal_eq", "ml_knn_classifier", "ml_map_at_k",
-    # ts_* family (10)
+    # ROUND-10 ORDER (VERDICT r9 #1): 81 registered queries have never
+    # had an external driver row; the ~50-entry prefix goes to the
+    # judge-named clusters first, then the remaining tails.
+    # 1. The retrieval trio — a real user's hybrid-search path.
+    "text_bm25_topk", "sim_rrf_fusion", "sim_ndcg_at_k",
+    # 2. The IO/plan family — external proof of the physical layer.
+    "sink_parquet_partitioned", "sort_zorder", "plan_bucketed_join",
+    "plan_dynamic_partition_pruning", "plan_cached_reuse",
+    "plan_compaction_bins",
+    # 3. NEW in r10 (VERDICT #4/#5/#6): hot-cell-salted geo join,
+    # EM-learned Fellegi-Sunter weights, timestamp time travel.
+    "geo_near_join_salted", "er_em_weights", "er_match_metrics_em",
+    "txn_table_asof_ts",
+    # 4. Sessionization + the Arrow-batch UDF surface.
+    "sessionize_session_window", "sessionize_dynamic_gap",
+    "sessionize_funnel_within", "udf_map_in_arrow",
+    # 5. Recsys / association mining.
+    "recsys_item_knn", "basket_association_rules",
+    # 6. Dedup evidence tail (method agreement / threshold sweeps are
+    # the operator-selection tooling a pipeline owner actually runs).
+    "dedup_cross_source_overlap", "pipeline_dedup_funnel",
+    "dedup_minhash_accuracy", "dedup_method_agreement",
+    "dedup_threshold_sweep", "dedup_semantic_semdedup",
+    "sim_hard_negatives", "ml_map_at_k",
+    # 7. Multimodal planning ops.
+    "multimodal_audio_vad_segments", "multimodal_tile_plan",
+    "multimodal_shard_plan",
+    # 8. Streaming tails.
+    "stream_topk_trending", "stream_window_unique_users",
+    # 9. ts_* family (10).
     "ts_theil_sen", "ts_mann_kendall", "ts_dow_hour_profile",
     "ts_acf_multi_lag", "ts_percentile_bands", "ts_control_chart_xmr",
     "ts_burstiness", "ts_peaks", "ts_best_window", "ts_downsample_lttb",
-    # anomaly family (5)
+    # 10. ml_* tail (8).
+    "ml_uplift_qini", "ml_feature_corr_matrix", "ml_feature_drift_psi",
+    "ml_threshold_youden", "ml_brier_decomposition", "ml_att_stratified",
+    "ml_ridge_normal_eq", "ml_knn_classifier",
+    # ~50-slot line is about here; everything below is the risk buffer
+    # / next-round head start, still ordered by usefulness.
+    # 11. feat_* family.
+    "feat_target_encode", "feat_woe_iv", "feat_hash_crosses",
+    "feat_rank_normalize", "feat_user_activity", "feat_pca_project",
+    # 12. anomaly family (5).
     "anomaly_zscore", "anomaly_mad", "anomaly_rate_spike",
     "anomaly_seasonal_residual", "anomaly_seasonal_esd",
-    # sessionization (3)
-    "sessionize_session_window", "sessionize_dynamic_gap",
-    "sessionize_funnel_within",
-    # tail risk-buffer if the driver prefix runs past ~50
-    "agg_weighted_median", "agg_trimmed_mean", "join_interval_bucketed",
-    "dedup_minhash_accuracy", "sim_rrf_fusion", "text_bm25_topk",
+    # 13. agg/join tails.
+    "agg_weighted_median", "agg_trimmed_mean", "agg_value_histogram",
+    "agg_user_type_bitmask", "agg_log2_histogram", "agg_entropy",
+    "agg_by_month", "agg_percentiles", "agg_approx_quantile",
+    "agg_countmin_sketch", "agg_kmv_setops",
+    "join_interval_bucketed", "join_scd2_pointintime",
+    # 14. ops/metrics/events tails.
+    "metric_observe_inline", "metric_open_orders_sweep",
+    "orders_backlog_aging", "event_transition_entropy",
+    "event_type_affinity", "orders_delivery_sla", "supplier_scorecard",
+    "cdc_sequence_gap_audit",
+    # 15. text tails.
+    "text_bpe_train_merges", "text_rake_keywords", "text_sliding_windows",
 ]
 
 

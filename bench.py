@@ -42,6 +42,11 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    try:
+        load1 = round(os.getloadavg()[0], 1)  # ambient load BEFORE we add ours
+    except OSError:
+        load1 = -1.0
+
     spark = get_spark(app_name="cdc-export-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     registry = load_all()
@@ -73,8 +78,15 @@ def main() -> None:
     # min+median+max for 26 queries plus a preamble and outgrew the
     # driver's tail capture (BENCH_r06.json came back parsed:null), so
     # the machine-readable record was lost. The driver needs exactly
-    # total + per-query min; the median/max spread (noise visibility)
-    # goes to a local side file instead.
+    # total + per-query min; the full median/max spread stays in the
+    # local side file. Two SCALAR honesty fields ride along (round-9
+    # lesson: the official window shipped ~25% ambient inflation with
+    # byte-identical plans, and nothing in the line said so):
+    #   noise = sum(per-query median) / sum(per-query min) — ~1.0 on a
+    #     quiet host; >>1 means the window itself was turbulent;
+    #   load1 = 1-min load average when the bench started (a busy host
+    #     self-identifies even if the reps happen to agree).
+    noise = round(sum(medians.values()) / total, 3) if total else 1.0
     print(
         json.dumps(
             {
@@ -83,6 +95,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "noise": noise,
+                "load1": load1,
             },
             separators=(",", ":"),
         ),

@@ -324,3 +324,83 @@ def stream_cdc_logtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.read()
+
+
+_ASOF_BASE = """
+    v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS n_updated,
+                  CAST(0 AS BIGINT) AS n_new
+           FROM orders),
+    v2 AS (SELECT CAST(2 AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0)
+                       AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0
+                                          AND o_orderkey % 13 <> 0)
+                       AS BIGINT),
+                  CAST(0 AS BIGINT)
+           FROM orders HAVING count(*) > 0),
+    v3 AS (SELECT CAST(3 AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0)
+                       + count(*) FILTER (WHERE o_orderkey % 11 = 0)
+                       AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0
+                                          AND o_orderkey % 13 <> 0)
+                       AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderkey % 11 = 0)
+                       AS BIGINT)
+           FROM orders HAVING count(*) > 0),
+    base AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             UNION ALL SELECT * FROM v3)
+"""
+
+
+@register(
+    "txn_table_asof_ts",
+    oracle=f"""
+        WITH {_ASOF_BASE}
+        SELECT 'at_commit' AS probe, version, version AS resolved,
+               n_rows, n_updated, n_new
+        FROM base
+        UNION ALL
+        SELECT 'pre_next', version, version, n_rows, n_updated, n_new
+        FROM base
+    """,
+    tags=("io", "txn", "cdc"),
+)
+def txn_table_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP over the same three commits: the log
+    stamps every commit with a wall time, reads resolve "as of ts" to
+    the largest version whose ADJUSTED (strictly monotonic — the Delta
+    timestamp-adjustment rule) commit time is <= ts. Two probes per
+    version make the resolution rule itself the thing being hashed:
+    'at_commit' reads exactly at version v's stamp, 'pre_next' reads
+    at the last microsecond before v+1's stamp (or past the end for
+    the newest) — BOTH must resolve to v and reproduce v's exact
+    state. Wall clocks are nondeterministic; version CONTENTS are not,
+    which is why the oracle can still hash-check the semantics."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    stamps = t.commit_timestamps()
+    versions = sorted(stamps)
+    rows = []
+    for i, v in enumerate(versions):
+        nxt = (
+            stamps[versions[i + 1]] - 1
+            if i + 1 < len(versions)
+            else stamps[v] + 10_000_000
+        )
+        for probe, ts in (("at_commit", stamps[v]), ("pre_next", nxt)):
+            rv = t.version_asof(ts)
+            agg = t.read(version=rv).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("o_orderstatus") == "U").cast("bigint")).alias("u"),
+                F.sum((F.col("o_orderstatus") == "N").cast("bigint")).alias("i"),
+            ).head()
+            rows.append(
+                (probe, v, rv, int(agg["n"]), int(agg["u"] or 0), int(agg["i"] or 0))
+            )
+    return spark.createDataFrame(
+        rows,
+        "probe string, version bigint, resolved bigint, n_rows bigint,"
+        " n_updated bigint, n_new bigint",
+    )

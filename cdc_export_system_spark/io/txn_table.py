@@ -184,7 +184,11 @@ class LogTable:
         On losing the race: re-validate that the winner removed no
         file we read or removed (if it did -> CommitConflict), else
         retry on top."""
-        payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        stamped = [
+            {"commit": {"ts_us": time.time_ns() // 1_000}},
+            *actions,
+        ]
+        payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in stamped)
         tmp = os.path.join(self.root, f"_log-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(payload)
@@ -332,6 +336,47 @@ class LogTable:
 
     def history(self) -> list[int]:
         return _list_versions(self.root)
+
+    def commit_timestamps(self) -> dict[int, int]:
+        """version -> commit timestamp (µs), ADJUSTED to be strictly
+        monotonic in version order (effective_ts(v) = max(recorded,
+        effective_ts(v-1)+1)) — the Delta Lake timestamp-adjustment
+        rule, which makes "as of ts" well-defined even when a racing
+        loser's clock stamped a later wall time than the next winner.
+        Logs written before commit stamping fall back to file mtime."""
+        out: dict[int, int] = {}
+        prev = -1
+        for v in _list_versions(self.root):
+            ts = None
+            with open(_log_path(self.root, v)) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "commit" in act:
+                        ts = int(act["commit"]["ts_us"])
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(_log_path(self.root, v)) * 1e6)
+            ts = max(ts, prev + 1)
+            out[v] = ts
+            prev = ts
+        return out
+
+    def version_asof(self, ts_us: int) -> int:
+        """Largest version whose adjusted commit time is <= ts_us."""
+        stamps = self.commit_timestamps()
+        live = [v for v, t in stamps.items() if t <= ts_us]
+        if not live:
+            first = min(stamps.values()) if stamps else None
+            raise ValueError(
+                f"no commit at or before ts_us={ts_us}"
+                + (f" (first commit at {first})" if first else "")
+            )
+        return max(live)
+
+    def read_asof(self, ts_us: int) -> DataFrame:
+        """Time travel by TIMESTAMP: resolve the as-of version from the
+        commit stamps, then read that immutable snapshot."""
+        return self.read(version=self.version_asof(ts_us))
 
     def merge(
         self,

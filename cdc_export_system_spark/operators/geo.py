@@ -200,6 +200,106 @@ def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_CELL_T = 8  # cells with >= this many points get salted
+N_SALT = 4  # sub-partitions per hot cell
+
+
+@register(
+    "geo_near_join_salted",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT a.point_id AS id_a, b.point_id AS id_b,
+               CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                  + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT)
+                   AS dist2
+        FROM pts a JOIN pts b
+          ON a.point_id < b.point_id
+         AND abs(a.lat_u - b.lat_u) <= {RADIUS}
+         AND abs(a.lon_u - b.lon_u) <= {RADIUS}
+         AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+    """,
+    headline=False,
+    tags=("geo", "join", "blocking", "skew"),
+)
+def geo_near_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_near_join with the documented urban-hotspot remedy actually
+    IMPLEMENTED: per-cell salting of HOT cells only. The module
+    docstring names density skew as the hazard — one downtown cell
+    holding 10^7 points turns the cell equi-join into a single-task
+    monster. The fix is the join_skew_salted pattern on the spatial
+    key: a first pass aggregates per-cell counts (the grid is
+    domain-bounded at (12e6/CELL)^2 = 1600 cells, so the hot list is
+    always broadcastable regardless of data volume); cells at or above
+    HOT_CELL_T split into N_SALT sub-keys — the home side salts by
+    point_id % N_SALT, the probing side replicates its neighborhood
+    entry for every sub-key of a hot cell (and exactly one sub-key of
+    a cold one). Join key becomes (cell_lat, cell_lon, salt): the hot
+    cell's pairs spread over N_SALT tasks instead of one. Every pair
+    is still found exactly once (the partner's home (cell, salt) is
+    unique), so the result — and the oracle — are IDENTICAL to
+    geo_near_join; tests pin that equality, and docs/SCALING.md
+    carries the measured hot-cell probe."""
+    p = points(spark, sf_dir)
+    cells = p.groupBy(
+        F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+        F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    hot = cells.filter(F.col("n_points") >= HOT_CELL_T).select(
+        "cell_lat", "cell_lon", F.lit(N_SALT).alias("n_salt")
+    )
+    a = p.select(
+        F.col("point_id").alias("id_a"),
+        F.col("lat_u").alias("lat_a"),
+        F.col("lon_u").alias("lon_a"),
+    )
+    b = p.select(
+        F.col("point_id").alias("id_b"),
+        F.col("lat_u").alias("lat_b"),
+        F.col("lon_u").alias("lon_b"),
+        F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+        F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+    )
+    # home side: one row per point, salted within its (hot) cell
+    b_salted = (
+        b.join(F.broadcast(hot), ["cell_lat", "cell_lon"], "left")
+        .withColumn("ns", F.coalesce(F.col("n_salt"), F.lit(1)))
+        .withColumn("salt", (F.col("id_b") % F.col("ns")).cast("int"))
+        .drop("n_salt", "ns")
+    )
+    # probe side: 3x3 neighborhood, then fan out over the target
+    # cell's sub-keys (x N_SALT only where the cell is hot)
+    a9 = (
+        a.withColumn("dlat", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.floor(F.col("lat_a") / CELL) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon_a") / CELL) + F.col("dlon")).alias("cell_lon"),
+        )
+        .join(F.broadcast(hot), ["cell_lat", "cell_lon"], "left")
+        .withColumn("ns", F.coalesce(F.col("n_salt"), F.lit(1)))
+        .withColumn("salt0", F.explode(F.sequence(F.lit(0), F.col("ns") - 1)))
+        .withColumn("salt", F.col("salt0").cast("int"))
+        .drop("n_salt", "ns", "salt0")
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        a9.join(b_salted, ["cell_lat", "cell_lon", "salt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(dlat) <= RADIUS)
+            & (F.abs(dlon) <= RADIUS)
+            & (d2 <= R2)
+        )
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )
+
+
 @register(
     "geo_knn",
     oracle=f"""

@@ -103,6 +103,7 @@ _QUERY_MODULES = [
     "cdc_export_system_spark.streaming.mv_stream",
     "cdc_export_system_spark.operators.geo",
     "cdc_export_system_spark.operators.privacy",
+    "cdc_export_system_spark.operators.er_em",
 ]
 
 

@@ -95,3 +95,16 @@ def test_knn_ranks_are_true_nearest(spark):
 
 def test_radius_fits_neighborhood_invariant():
     assert RADIUS <= CELL, "3x3 neighborhood only covers radius <= cell"
+
+
+def test_salted_near_join_identical_to_unsalted(spark):
+    """Salting is a PHYSICAL remedy only: geo_near_join_salted must
+    return exactly geo_near_join's pairs (every pair found once — the
+    partner's home (cell, salt) sub-key is unique), while the salted
+    plan splits hot cells across N_SALT join keys."""
+    plain = REGISTRY["geo_near_join"].fn(spark, SF_DIR)
+    salted = REGISTRY["geo_near_join_salted"].fn(spark, SF_DIR)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    n = salted.count()
+    assert n == salted.select("id_a", "id_b").distinct().count()

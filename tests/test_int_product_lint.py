@@ -216,6 +216,8 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # µdeg), so Δ² < 1.44e14 (3.3e16 at planet scale) << 2^63,
     # independent of data volume.
     "geo_near_join": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_near_join_salted": ({"col-x-col"},
+                             "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
 }
 

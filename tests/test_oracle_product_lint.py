@@ -69,6 +69,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "er_one_to_one": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     "er_entity_clusters": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     "er_golden_record": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    # er_em: same inherited feed mix; the EM recursion itself is all
+    # explicit HUGEINT (5-factor micro-unit products <= 1e30 < 1.7e38)
+    "er_em_weights": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
+    "er_match_metrics_em": ({"big-literal"}, "mod-999983-bounded Knuth mix"),
     # --- geo: quadratic coordinate maps (x*x with x = k % 999983 <
     # 1e6 -> a·x² <= 5e12) and squared distances (coords < 1.2e7 µdeg
     # -> Δ² < 1.45e14) — all domain-bounded by construction.
@@ -76,6 +80,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_bbox_by_nation": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
     "geo_near_join": ({"col-x-col"},
                       "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_near_join_salted": ({"col-x-col"},
+                             "same oracle as geo_near_join (salting is "
+                             "physical-plan-only)"),
     "geo_knn": ({"col-x-col"},
                 "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
     # --- privacy: group_size * n_groups(group_size) == the number of

@@ -354,3 +354,51 @@ def test_commit_raises_descriptive_error_without_hardlinks(
     # the table is still healthy after the refused commit
     v, _ = t.merge(_batch(spark, [(1, 999, False)]))
     assert {r["v"] for r in t.read(v).filter(F.col("k") == 1).collect()} == {999}
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """read_asof resolves the largest version whose adjusted commit
+    stamp is <= ts; before-first-commit raises; stamps are strictly
+    monotonic even if a clock hiccup recorded equal wall times."""
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(1, 111, False)]))
+    t.merge(_batch(spark, [(1, 222, False)]))
+    stamps = t.commit_timestamps()
+    assert sorted(stamps) == [1, 2, 3]
+    assert stamps[1] < stamps[2] < stamps[3]  # strictly monotonic
+    # at each commit stamp the resolved state equals read(version)
+    for v in (1, 2, 3):
+        asof = {(r["k"], r["v"]) for r in t.read_asof(stamps[v]).collect()}
+        byv = {(r["k"], r["v"]) for r in t.read(version=v).collect()}
+        assert asof == byv
+    # between commits resolves to the earlier version
+    assert t.version_asof(stamps[3] - 1) == 2
+    assert t.version_asof(stamps[3] + 10**9) == 3
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_asof(stamps[1] - 1)
+
+
+def test_commit_stamp_adjustment_on_clock_skew(spark, tmp_path):
+    """A racing loser can stamp a LATER wall time than the next
+    winner's commit; the adjusted view must still be strictly
+    monotonic (the Delta timestamp-adjustment rule)."""
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(1, 111, False)]))
+    # simulate skew: rewrite version 2's stamp to far in the future
+    p = _log_path(t.root, 2)
+    lines = open(p).read().splitlines()
+    out = []
+    future = None
+    for ln in lines:
+        act = json.loads(ln)
+        if "commit" in act:
+            act["commit"]["ts_us"] += 10**12
+            future = act["commit"]["ts_us"]
+        out.append(json.dumps(act, sort_keys=True))
+    os.chmod(p, 0o644)
+    with open(p, "w") as f:
+        f.write("\n".join(out) + "\n")
+    t.merge(_batch(spark, [(1, 222, False)]))
+    stamps = t.commit_timestamps()
+    assert stamps[1] < stamps[2] < stamps[3]
+    assert stamps[2] == future and stamps[3] == future + 1
