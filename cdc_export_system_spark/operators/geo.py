@@ -129,32 +129,11 @@ def geo_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "geo_near_join",
-    oracle=f"""
-        WITH {_SQL_POINTS}
-        SELECT a.point_id AS id_a, b.point_id AS id_b,
-               CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-                  + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT)
-                   AS dist2
-        FROM pts a JOIN pts b
-          ON a.point_id < b.point_id
-         AND abs(a.lat_u - b.lat_u) <= {RADIUS}
-         AND abs(a.lon_u - b.lon_u) <= {RADIUS}
-         AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
-    """,
-    headline=False,
-    tags=("geo", "join", "blocking"),
-)
-def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All point pairs within RADIUS: each left point explodes to its
-    3x3 cell neighborhood, equi-joins the right point's home cell, and
-    the exact d² predicate verifies — every pair is found EXACTLY once
-    (the partner's home cell is unique), so no dedup pass is needed.
-    The oracle is the direct quadratic predicate join; the engine form
-    is the one that survives a 10^10-point table."""
-    p = points(spark, sf_dir)
+def near_join_plan(p: DataFrame) -> DataFrame:
+    """The cell-blocked radius self-join over ANY (point_id, lat_u,
+    lon_u) DataFrame — shared by the registered query and the scale
+    probes (scripts/probe_geo_scale.py), so what the probes measure is
+    exactly the shipped plan."""
     a = p.select(
         F.col("point_id").alias("id_a"),
         F.col("lat_u").alias("lat_a"),
@@ -200,6 +179,34 @@ def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geo_near_join",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT a.point_id AS id_a, b.point_id AS id_b,
+               CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                  + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT)
+                   AS dist2
+        FROM pts a JOIN pts b
+          ON a.point_id < b.point_id
+         AND abs(a.lat_u - b.lat_u) <= {RADIUS}
+         AND abs(a.lon_u - b.lon_u) <= {RADIUS}
+         AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+    """,
+    headline=False,
+    tags=("geo", "join", "blocking"),
+)
+def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within RADIUS: each left point explodes to its
+    3x3 cell neighborhood, equi-joins the right point's home cell, and
+    the exact d² predicate verifies — every pair is found EXACTLY once
+    (the partner's home cell is unique), so no dedup pass is needed.
+    The oracle is the direct quadratic predicate join; the engine form
+    is the one that survives a 10^10-point table."""
+    return near_join_plan(points(spark, sf_dir))
+
+
 HOT_CELL_T = 8  # cells with >= this many points get salted
 N_SALT = 4  # sub-partitions per hot cell
 
@@ -240,13 +247,21 @@ def geo_near_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique), so the result — and the oracle — are IDENTICAL to
     geo_near_join; tests pin that equality, and docs/SCALING.md
     carries the measured hot-cell probe."""
-    p = points(spark, sf_dir)
+    return near_join_salted_plan(points(spark, sf_dir))
+
+
+def near_join_salted_plan(
+    p: DataFrame, hot_t: int = HOT_CELL_T, n_salt: int = N_SALT
+) -> DataFrame:
+    """Salted form of near_join_plan over ANY point DataFrame; hot_t /
+    n_salt are exposed for the skew probes (the registered query pins
+    the defaults)."""
     cells = p.groupBy(
         F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
         F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
     ).agg(F.count(F.lit(1)).alias("n_points"))
-    hot = cells.filter(F.col("n_points") >= HOT_CELL_T).select(
-        "cell_lat", "cell_lon", F.lit(N_SALT).alias("n_salt")
+    hot = cells.filter(F.col("n_points") >= hot_t).select(
+        "cell_lat", "cell_lon", F.lit(n_salt).alias("n_salt")
     )
     a = p.select(
         F.col("point_id").alias("id_a"),
