@@ -126,6 +126,7 @@ INTENTIONAL_BROADCAST_NLJ = {
     "ab_welch_ttest",  # 1-row x 1-row cohort-stats pair
     "er_blocking_stats",  # 4x 1-row block-health scalars combined per pass
     "er_match_metrics",  # 1-row |B| recall denominator onto 3 class rows
+    "er_match_metrics_em",  # same |B| denominator, EM-learned classes
     "geo_knn",  # bounded probe set broadcast vs corpus (cf. sim_knn_join)
     "privacy_uniqueness_risk",  # 1-row total onto the 3-row QI ladder
     "ab_cuped",  # 1-row ts-midpoint onto the scan + 1-row pooled theta onto 2 arms
@@ -402,6 +403,7 @@ _SINGLE_PARTITION_OK = {
     "dq_checks": "scalar",  # per-table 1-row rule rollups, unioned
     "er_blocking_stats": "scalar",  # 2x4 1-row block-health rollups, unioned
     "er_match_metrics": "scalar",  # 1-row |B| recall denominator
+    "er_match_metrics_em": "scalar",  # same |B| denominator (EM classes)
     "privacy_uniqueness_risk": "scalar",  # 3x 1-row uniqueness counts + total
     "feat_quantile_bucketize": "scalar",  # percentile_disc scalar subqueries
     "corpus_upsample_weights": "scalar",  # 1-row corpus token total
