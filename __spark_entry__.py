@@ -78,6 +78,9 @@ _PRIORITY = [
     "ml_ridge_normal_eq", "ml_knn_classifier",
     # ~50-slot line is about here; everything below is the risk buffer
     # / next-round head start, still ordered by usefulness.
+    # 10b. Late-r10 additions (locally parity-green; external row when
+    # the rotation reaches them).
+    "geo_knn_pruned", "txn_table_column_evolution",
     # 11. feat_* family.
     "feat_target_encode", "feat_woe_iv", "feat_hash_crosses",
     "feat_rank_normalize", "feat_user_activity", "feat_pca_project",

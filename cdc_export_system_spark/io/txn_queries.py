@@ -404,3 +404,44 @@ def txn_table_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe string, version bigint, resolved bigint, n_rows bigint,"
         " n_updated bigint, n_new bigint",
     )
+
+
+@register(
+    "txn_table_column_evolution",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS price_usd,
+               o_orderdate
+        FROM orders
+    """,
+    tags=("io", "txn", "schema"),
+)
+def txn_table_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING schema evolution end to end: snapshot ``orders``
+    into a LogTable, RENAME o_totalprice -> price_usd (metadata-only:
+    zero files rewritten — the mapping changes, the immutable parquet
+    keeps its physical column), DROP o_orderpriority (metadata-only),
+    then MERGE a price adjustment batch expressed in the NEW logical
+    schema (keys %7: +1000.00) and read the final logical table back
+    through the log. The driver hash certifies that renames/drops
+    compose with copy-on-write MERGE and snapshot reads — the Delta
+    columnMapping design point, with the anti-resurrection rule
+    (re-added columns get fresh physical names) pinned separately in
+    tests/test_txn_table.py."""
+    orders = load_table(spark, sf_dir, "orders").select(_COLS)
+    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
+    t.rename_column("o_totalprice", "price_usd")
+    t.drop_column("o_orderpriority")
+    key = F.col("o_orderkey")
+    batch = (
+        t.read()
+        .filter(key % 7 == 0)
+        .withColumn("price_usd", F.col("price_usd") + 1000.0)
+        .withColumn("_deleted", F.lit(False))
+    )
+    t.merge(batch)
+    return t.read()

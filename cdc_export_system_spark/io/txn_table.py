@@ -319,20 +319,124 @@ class LogTable:
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Resolve the snapshot (and ITS meta — schema + column mapping
+        are versioned, so time travel reads every version under that
+        version's own logical schema), scan the live files with the
+        PHYSICAL schema, and alias physical -> logical."""
         snap = self._replay(version)
         paths = [os.path.join(self.root, p) for p in snap.paths]
         if not paths:
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(snap.meta["schema"]))
-            )
-        return self.spark.read.schema(self._schema(snap)).parquet(*paths)
+            return self.spark.createDataFrame([], self._schema(snap))
+        phys = self.spark.read.schema(self._physical_schema(snap)).parquet(
+            *paths
+        )
+        mapping = self._mapping(snap)
+        return phys.select(
+            *[
+                F.col(mapping[f.name]).alias(f.name)
+                for f in self._schema(snap).fields
+            ]
+        )
 
     def _schema(self, snap: Snapshot):
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(json.loads(snap.meta["schema"]))
+
+    # -------------------------------------------- column mapping -------
+    # Logical (user-facing) column names map to PHYSICAL parquet column
+    # names — the Delta columnMapping design point. Data files are
+    # immutable, so rename/drop are metadata-only commits: the mapping
+    # changes, the files do not. Legacy logs without a mapping read as
+    # identity. ``all_physical`` records every physical name ever
+    # allocated so a column re-added after a drop NEVER resurrects the
+    # dropped column's old data (it gets a fresh physical name).
+
+    def _mapping(self, snap: Snapshot) -> dict[str, str]:
+        m = snap.meta.get("column_mapping")
+        if m is None:
+            m = {f.name: f.name for f in self._schema(snap).fields}
+        return m
+
+    def _physical_schema(self, snap: Snapshot):
+        from pyspark.sql.types import StructField, StructType
+
+        mapping = self._mapping(snap)
+        return StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in self._schema(snap).fields
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        mapping = self._mapping(snap)
+        return df.select(
+            *[
+                F.col(f.name).alias(mapping[f.name])
+                for f in self._schema(snap).fields
+            ]
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME: the logical schema and mapping change,
+        every immutable data file keeps its physical column untouched.
+        Time travel below this commit still reads the old name."""
+        snap = self._replay()
+        schema = self._schema(snap)
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        mapping = dict(self._mapping(snap))
+        mapping[new] = mapping.pop(old)
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        meta = {
+            **snap.meta,
+            "schema": new_schema.json(),
+            "column_mapping": mapping,
+            "all_physical": sorted(
+                set(snap.meta.get("all_physical", [])) | set(mapping.values())
+            ),
+        }
+        if snap.meta["pk"] == old:
+            meta["pk"] = new
+        return self._commit([{"meta": meta}], snap.version, touched=set())
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP: the column leaves the logical schema and
+        mapping; its physical data stays in the immutable files (and
+        remains readable by time travel below this commit). The primary
+        key cannot be dropped."""
+        snap = self._replay()
+        schema = self._schema(snap)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column {name!r}")
+        if name == snap.meta["pk"]:
+            raise ValueError("cannot drop the primary key column")
+        mapping = dict(self._mapping(snap))
+        retired = mapping.pop(name)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        meta = {
+            **snap.meta,
+            "schema": new_schema.json(),
+            "column_mapping": mapping,
+            "all_physical": sorted(
+                set(snap.meta.get("all_physical", []))
+                | set(mapping.values())
+                | {retired}
+            ),
+        }
+        return self._commit([{"meta": meta}], snap.version, touched=set())
 
     def history(self) -> list[int]:
         return _list_versions(self.root)
@@ -412,9 +516,18 @@ class LogTable:
                 if not (a["max_pk"] < lo or a["min_pk"] > hi)
             }
             schema = self._schema(snap)
+            mapping = self._mapping(snap)
             if touched:
-                base = self.spark.read.schema(schema).parquet(
+                # scan physical names, alias back to the logical schema
+                base = self.spark.read.schema(
+                    self._physical_schema(snap)
+                ).parquet(
                     *[os.path.join(self.root, p) for p in sorted(touched)]
+                ).select(
+                    *[
+                        F.col(mapping[f.name]).alias(f.name)
+                        for f in schema.fields
+                    ]
                 )
             else:
                 base = self.spark.createDataFrame([], schema)
@@ -426,10 +539,19 @@ class LogTable:
             # allowMissingColumns: after add-only schema evolution, a
             # change batch may omit (or a survivor predate) new columns
             merged = survivors.unionByName(upserts, allowMissingColumns=True)
+            # fill columns the batch omitted so the physical projection
+            # resolves, then write under PHYSICAL names
+            for lg in mapping:
+                if lg not in merged.columns:
+                    merged = merged.withColumn(
+                        lg, F.lit(None).cast(schema[lg].dataType)
+                    )
             k = snap.meta.get("bucket_k", 1)
             n_out = snap.meta.get("n_files", max(1, len(touched)))
             actions = [{"remove": {"path": p}} for p in sorted(touched)]
-            adds = self._write_files(merged, pk, k, n_out)
+            adds = self._write_files(
+                self._to_physical(merged, snap), mapping[pk], k, n_out
+            )
             actions += [{"add": a} for a in adds]
             try:
                 v = self._commit(
@@ -462,7 +584,9 @@ class LogTable:
         df = self.read(snap.version)
         hi = df.agg(F.max(pk)).head()[0]
         k = max(1, (0 if hi is None else int(hi)) // n_out + 1)
-        adds = self._write_files(df, pk, k, n_out)
+        adds = self._write_files(
+            self._to_physical(df, snap), self._mapping(snap)[pk], k, n_out
+        )
         actions: list[dict] = [
             {
                 "meta": {
@@ -502,7 +626,31 @@ class LogTable:
                 )
         if len(new_schema.fields) == len(old.fields):
             return snap.version
-        actions = [{"meta": {**snap.meta, "schema": new_schema.json()}}]
+        # new logical columns get physical names that NEVER collide
+        # with any physical name ever allocated — re-adding a dropped
+        # column must not resurrect the dropped column's old data
+        mapping = dict(self._mapping(snap))
+        all_physical = set(snap.meta.get("all_physical", [])) | set(
+            mapping.values()
+        )
+        for f in new_schema.fields:
+            if f.name in mapping:
+                continue
+            phys = f.name
+            if phys in all_physical:
+                phys = f"{f.name}_{uuid.uuid4().hex[:8]}"
+            mapping[f.name] = phys
+            all_physical.add(phys)
+        actions = [
+            {
+                "meta": {
+                    **snap.meta,
+                    "schema": new_schema.json(),
+                    "column_mapping": mapping,
+                    "all_physical": sorted(all_physical),
+                }
+            }
+        ]
         return self._commit(actions, snap.version, touched=set())
 
     def vacuum(self) -> list[str]:

@@ -375,6 +375,158 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_knn_pruned",
+    oracle=f"""
+        WITH {_SQL_POINTS},
+        probes AS (SELECT * FROM pts
+                   WHERE point_id % {KNN_PROBE_MOD} = 0
+                     AND point_id < {KNN_PROBE_MOD * KNN_PROBE_CAP}),
+        scored AS (
+            SELECT p.point_id AS probe_id, x.point_id AS neighbor_id,
+                   (p.lat_u - x.lat_u) * (p.lat_u - x.lat_u)
+                 + (p.lon_u - x.lon_u) * (p.lon_u - x.lon_u) AS dist2
+            FROM probes p JOIN pts x ON x.point_id <> p.point_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY dist2, neighbor_id) AS rk
+            FROM scored)
+        SELECT probe_id, neighbor_id, dist2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    tags=("geo", "knn", "iterative"),
+)
+def geo_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path geo_knn's docstring promised: exact kNN by
+    EXPANDING CELL RINGS instead of a full corpus scan. Ring r is the
+    Chebyshev shell of cells at distance exactly r from the probe's
+    home cell (8r cells, ring 0 = home); any point within Euclidean
+    distance (r-1)·CELL of the probe provably lies inside rings
+    0..r (the probe sits somewhere in its own cell, so one extra ring
+    absorbs the in-cell offset). The loop joins only the NEW shell's
+    cells each round and stops for a probe once its current k-th
+    candidate distance <= ((r-1)·CELL)² — at that point no unseen cell
+    can hold a closer neighbor, so the result is EXACT (same oracle as
+    geo_knn, and pinned equal to it).
+
+    Scale story: the corpus is only ever touched through a
+    (cell_lat, cell_lon) equi-join — partition-prunable when the table
+    is laid out by cell — and the per-round candidate set is bounded
+    by |probes| x shell cells x local density, never the corpus. The
+    driver loop runs O(1) rounds at sane densities (2 rounds here);
+    probes stay a bounded broadcast exactly as in geo_knn. The brute
+    geo_knn is the verification baseline; this is what you would
+    actually deploy at 10^10 points."""
+    p = points(spark, sf_dir).select("point_id", "lat_u", "lon_u")
+    corpus = p.withColumn("cell_lat", F.floor(F.col("lat_u") / CELL)).withColumn(
+        "cell_lon", F.floor(F.col("lon_u") / CELL)
+    )
+    probes = p.filter(
+        (F.col("point_id") % KNN_PROBE_MOD == 0)
+        & (F.col("point_id") < KNN_PROBE_MOD * KNN_PROBE_CAP)
+    ).select(
+        F.col("point_id").alias("probe_id"),
+        F.col("lat_u").alias("plat"),
+        F.col("lon_u").alias("plon"),
+    )
+    # grid is domain-bounded: 12e6/CELL cells per axis
+    max_ring = int(12_000_000 // CELL) + 1
+    d2 = (F.col("plat") - F.col("lat_u")) * (F.col("plat") - F.col("lat_u")) + (
+        F.col("plon") - F.col("lon_u")
+    ) * (F.col("plon") - F.col("lon_u"))
+    unresolved = probes
+    best = None  # accumulated top-K-so-far per probe (<= probes x K rows)
+    done = []
+    for r in range(max_ring + 1):
+        if unresolved.isEmpty():
+            break
+        # the ring-r shell: cells at Chebyshev distance exactly r
+        if r == 0:
+            shell = unresolved.select(
+                "probe_id",
+                "plat",
+                "plon",
+                F.floor(F.col("plat") / CELL).alias("cell_lat"),
+                F.floor(F.col("plon") / CELL).alias("cell_lon"),
+            )
+        else:
+            offs = [
+                (i, j)
+                for i in range(-r, r + 1)
+                for j in range(-r, r + 1)
+                if max(abs(i), abs(j)) == r
+            ]
+            shell = (
+                unresolved.withColumn(
+                    "off",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+                                for i, j in offs
+                            ]
+                        )
+                    ),
+                )
+                .select(
+                    "probe_id",
+                    "plat",
+                    "plon",
+                    (F.floor(F.col("plat") / CELL) + F.col("off.di")).alias(
+                        "cell_lat"
+                    ),
+                    (F.floor(F.col("plon") / CELL) + F.col("off.dj")).alias(
+                        "cell_lon"
+                    ),
+                )
+            )
+        cand = (
+            shell.join(corpus, ["cell_lat", "cell_lon"])
+            .filter(F.col("point_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "plat",
+                "plon",
+                F.col("point_id").alias("neighbor_id"),
+                d2.cast("bigint").alias("dist2"),
+            )
+        )
+        pool = cand if best is None else best.drop("rk").unionByName(cand)
+        w = W.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+        topk = (
+            pool.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNN_K)
+            # materialize the bounded (probes x K) state so the loop's
+            # lineage does not stack ring joins on ring joins
+            .localCheckpoint(eager=True)
+        )
+        # stop rule: k candidates AND k-th distance <= ((r-1)·CELL)²
+        safe = max(0, (r - 1) * CELL)
+        stats = topk.groupBy("probe_id").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("dist2").alias("kth_d2"),
+        )
+        resolved_ids = stats.filter(
+            (F.col("n_cand") >= KNN_K) & (F.col("kth_d2") <= safe * safe)
+        ).select("probe_id")
+        done.append(topk.join(resolved_ids, "probe_id", "semi"))
+        unresolved = unresolved.join(resolved_ids, "probe_id", "anti")
+        best = topk.join(resolved_ids, "probe_id", "anti")
+    if best is not None:
+        done.append(best)  # ran out of rings: grid exhausted, state exact
+    if not done:  # empty corpus -> no probes -> loop never produced state
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, dist2 bigint, rk bigint"
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "probe_id", "neighbor_id", "dist2", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+@register(
     "geo_bbox_by_nation",
     oracle=f"""
         WITH {_SQL_POINTS}

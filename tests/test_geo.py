@@ -108,3 +108,15 @@ def test_salted_near_join_identical_to_unsalted(spark):
     assert plain.exceptAll(salted).count() == 0
     n = salted.count()
     assert n == salted.select("id_a", "id_b").distinct().count()
+
+
+def test_pruned_knn_identical_to_brute_knn(spark):
+    """The expanding-ring serving path must return exactly the brute
+    broadcast scan's top-k (same oracle, same rows — the stop rule
+    ((r-1)*CELL)^2 is conservative, so no true neighbor can hide in an
+    unvisited ring)."""
+    brute = REGISTRY["geo_knn"].fn(spark, SF_DIR)
+    pruned = REGISTRY["geo_knn_pruned"].fn(spark, SF_DIR)
+    assert pruned.exceptAll(brute).count() == 0
+    assert brute.exceptAll(pruned).count() == 0
+    assert pruned.count() > 0

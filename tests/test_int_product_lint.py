@@ -219,6 +219,8 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_near_join_salted": ({"col-x-col"},
                              "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_knn_pruned": ({"col-x-col"},
+                       "Δ² with coords < 1.2e7 µdeg (domain)"),
 }
 
 

@@ -85,6 +85,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                              "physical-plan-only)"),
     "geo_knn": ({"col-x-col"},
                 "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_knn_pruned": ({"col-x-col"},
+                       "same oracle as geo_knn (ring pruning is "
+                       "physical-plan-only)"),
     # --- privacy: group_size * n_groups(group_size) == the number of
     # ROWS living in groups of that size, which is <= count(*) of the
     # table by identity — bounded by the row count itself.

@@ -402,3 +402,70 @@ def test_commit_stamp_adjustment_on_clock_skew(spark, tmp_path):
     stamps = t.commit_timestamps()
     assert stamps[1] < stamps[2] < stamps[3]
     assert stamps[2] == future and stamps[3] == future + 1
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME changes only the log: same data files before and after,
+    the new name reads the old physical data, merges after the rename
+    write/read correctly, and time travel below the rename still sees
+    the old name."""
+    t = _mk(spark, tmp_path)
+    files_before = set(t._replay().paths)
+    v = t.rename_column("v", "val")
+    assert set(t._replay().paths) == files_before  # no data rewrite
+    got = {(r["k"], r["val"]) for r in t.read().collect()}
+    assert got == {(i, i * 10) for i in range(64)}
+    # time travel below the rename keeps the original logical schema
+    assert t.read(version=v - 1).columns == ["k", "v"]
+    # merge in the NEW logical schema
+    batch = spark.createDataFrame(
+        [(1, 999, False)], "k long, val long, _deleted boolean"
+    )
+    t.merge(batch)
+    assert t.read().filter(F.col("k") == 1).head()["val"] == 999
+    # physical files still carry the ORIGINAL column name
+    import pyarrow.parquet as pq
+
+    snap = t._replay()
+    names = set()
+    for p in snap.paths:
+        names |= set(pq.read_schema(os.path.join(t.root, p)).names)
+    assert "v" in names and "val" not in names
+
+
+def test_drop_column_then_readd_never_resurrects_data(spark, tmp_path):
+    """DROP is metadata-only; re-ADDING a column with the same logical
+    name allocates a FRESH physical name, so the old (still on disk)
+    data can never leak back — every row of the re-added column is
+    null until something writes it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = _mk(spark, tmp_path)
+    v_drop = t.drop_column("v")
+    assert t.read().columns == ["k"]
+    # time travel below the drop still reads v
+    assert t.read(version=v_drop - 1).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="primary key"):
+        t.drop_column("k")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t.add_columns(schema)
+    snap = t._replay()
+    assert snap.meta["column_mapping"]["v"] != "v"  # fresh physical name
+    vals = {r["v"] for r in t.read().collect()}
+    assert vals == {None}  # old data NOT resurrected
+    # and a merge can populate it under the new physical name
+    t.merge(_batch(spark, [(2, 77, False)]))
+    assert t.read().filter(F.col("k") == 2).head()["v"] == 77
+    assert t.read().filter(F.col("k") == 3).head()["v"] is None
+
+
+def test_optimize_preserves_mapping(spark, tmp_path):
+    """Compaction rewrites files under the CURRENT mapping's physical
+    names and the logical view is unchanged."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "val")
+    t.optimize()
+    got = {(r["k"], r["val"]) for r in t.read().collect()}
+    assert got == {(i, i * 10) for i in range(64)}
