@@ -39,67 +39,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries in registry order; (3) queries already driver-green in an
 # earlier round, last.
 _PRIORITY = [
-    # ROUND-10 ORDER (VERDICT r9 #1): 81 registered queries have never
-    # had an external driver row; the ~50-entry prefix goes to the
-    # judge-named clusters first, then the remaining tails.
-    # 1. The retrieval trio — a real user's hybrid-search path.
-    "text_bm25_topk", "sim_rrf_fusion", "sim_ndcg_at_k",
-    # 2. The IO/plan family — external proof of the physical layer.
-    "sink_parquet_partitioned", "sort_zorder", "plan_bucketed_join",
-    "plan_dynamic_partition_pruning", "plan_cached_reuse",
-    "plan_compaction_bins",
-    # 3. NEW in r10 (VERDICT #4/#5/#6): hot-cell-salted geo join,
-    # EM-learned Fellegi-Sunter weights, timestamp time travel.
-    "geo_near_join_salted", "er_em_weights", "er_match_metrics_em",
-    "txn_table_asof_ts",
-    # 4. Sessionization + the Arrow-batch UDF surface.
-    "sessionize_session_window", "sessionize_dynamic_gap",
-    "sessionize_funnel_within", "udf_map_in_arrow",
-    # 5. Recsys / association mining.
-    "recsys_item_knn", "basket_association_rules",
-    # 6. Dedup evidence tail (method agreement / threshold sweeps are
-    # the operator-selection tooling a pipeline owner actually runs).
-    "dedup_cross_source_overlap", "pipeline_dedup_funnel",
-    "dedup_minhash_accuracy", "dedup_method_agreement",
-    "dedup_threshold_sweep", "dedup_semantic_semdedup",
-    "sim_hard_negatives", "ml_map_at_k",
-    # 7. Multimodal planning ops.
-    "multimodal_audio_vad_segments", "multimodal_tile_plan",
-    "multimodal_shard_plan",
-    # 8. Streaming tails.
-    "stream_topk_trending", "stream_window_unique_users",
-    # 9. ts_* family (10).
-    "ts_theil_sen", "ts_mann_kendall", "ts_dow_hour_profile",
-    "ts_acf_multi_lag", "ts_percentile_bands", "ts_control_chart_xmr",
-    "ts_burstiness", "ts_peaks", "ts_best_window", "ts_downsample_lttb",
-    # 10. ml_* tail (8).
-    "ml_uplift_qini", "ml_feature_corr_matrix", "ml_feature_drift_psi",
-    "ml_threshold_youden", "ml_brier_decomposition", "ml_att_stratified",
-    "ml_ridge_normal_eq", "ml_knn_classifier",
-    # ~50-slot line is about here; everything below is the risk buffer
-    # / next-round head start, still ordered by usefulness.
-    # 10b. Late-r10 additions (locally parity-green; external row when
-    # the rotation reaches them).
+    # ROUND-11 ORDER (VERDICT r10 #1): exactly 37 registered queries have
+    # never had an external driver row — this round's prefix drains ALL
+    # of them to zero, then new r11 ops, then the stale-green re-check
+    # rotation (the tail is sorted oldest-green-first in _round_order).
+    # 1. Late-r10 additions that only have my own driver-sim rows.
     "geo_knn_pruned", "txn_table_column_evolution",
-    # 11. feat_* family.
-    "feat_target_encode", "feat_woe_iv", "feat_hash_crosses",
-    "feat_rank_normalize", "feat_user_activity", "feat_pca_project",
-    # 12. anomaly family (5).
-    "anomaly_zscore", "anomaly_mad", "anomaly_rate_spike",
-    "anomaly_seasonal_residual", "anomaly_seasonal_esd",
-    # 13. agg/join tails.
+    # 2. agg_* tails (11).
     "agg_weighted_median", "agg_trimmed_mean", "agg_value_histogram",
     "agg_user_type_bitmask", "agg_log2_histogram", "agg_entropy",
     "agg_by_month", "agg_percentiles", "agg_approx_quantile",
     "agg_countmin_sketch", "agg_kmv_setops",
-    "join_interval_bucketed", "join_scd2_pointintime",
-    # 14. ops/metrics/events tails.
+    # 3. feat_* family (6).
+    "feat_target_encode", "feat_woe_iv", "feat_hash_crosses",
+    "feat_rank_normalize", "feat_user_activity", "feat_pca_project",
+    # 4. anomaly family (5).
+    "anomaly_zscore", "anomaly_mad", "anomaly_rate_spike",
+    "anomaly_seasonal_residual", "anomaly_seasonal_esd",
+    # 5. events/orders/metrics tails (8).
     "metric_observe_inline", "metric_open_orders_sweep",
     "orders_backlog_aging", "event_transition_entropy",
     "event_type_affinity", "orders_delivery_sla", "supplier_scorecard",
     "cdc_sequence_gap_audit",
-    # 15. text tails.
+    # 6. text tails (3).
     "text_bpe_train_merges", "text_rake_keywords", "text_sliding_windows",
+    # 7. join tails (2).
+    "join_interval_bucketed", "join_scd2_pointintime",
+    # --- 37 never-checked end here ---
+    # New r11 registrations (txn_table_changes, geo adaptive variants,
+    # …) are never-checked and therefore slot in right after this block
+    # via the `rest` branch of _round_order; remaining slots fall
+    # through to the stale-green re-check tail (oldest external green
+    # first — see _round_order).
 ]
 
 
@@ -109,10 +80,16 @@ def _round_order(registry) -> list[str]:
 
     # every query already driver-GREEN in ANY earlier round goes last, so
     # the ~50-entry verified prefix always lands on fresh (or previously
-    # failed, i.e. since-fixed) queries
-    checked: set[str] = set()
+    # failed, i.e. since-fixed) queries; the green tail is sorted
+    # oldest-green-first (VERDICT r10 #2) so surplus prefix slots
+    # re-certify the stalest external rows every round.
+    checked: dict[str, int] = {}  # name -> latest green round
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            rnd = 0
         try:
             with open(path) as f:
                 for name, row in json.load(f).items():
@@ -120,13 +97,17 @@ def _round_order(registry) -> list[str]:
                         row.get("err") == "no_oracle" and row.get("spark_rows") is not None
                     )
                     if green:
-                        checked.add(name)
+                        checked[name] = max(checked.get(name, 0), rnd)
         except (OSError, ValueError, AttributeError):
             pass
     prio = [n for n in _PRIORITY if n in registry and n not in checked]
     prio_set = set(prio)
     rest = [n for n in registry if n not in prio_set and n not in checked]
-    tail = [n for n in registry if n in checked]
+    reg_idx = {n: i for i, n in enumerate(registry)}
+    tail = sorted(
+        (n for n in registry if n in checked),
+        key=lambda n: (checked[n], reg_idx[n]),
+    )
     return prio + rest + tail
 
 
