@@ -58,10 +58,12 @@ from cdc_export_system_spark.io.atomic import link_publish
 
 LOG_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
-# vacuum() also sweeps crash-orphaned _log-*.tmp / _staging-* artifacts,
-# but only past this age so it can never race a LIVE writer that is
-# between payload-write and link-election (commits take milliseconds;
-# the horizon is hours).
+# vacuum() also sweeps crash-orphaned artifacts — _log-*.tmp /
+# _staging-* AND never-referenced part-*.parquet (a writer's staged
+# data files between _write_files and _commit) — but only past this
+# age so it can never race a LIVE writer that is mid-commit (commits
+# take milliseconds; the horizon is hours). Part files retired by a
+# COMMITTED remove-action are vacuumable at any age.
 TMP_SWEEP_HORIZON_S = 3600.0
 
 
@@ -670,6 +672,22 @@ class LogTable:
 
         snap = self._replay()
         live = set(snap.paths)
+        # every path that ever appeared in a committed add-action: such
+        # a file, once no longer live, was retired by a COMMITTED remove
+        # and is vacuumable at any age. A part file in NO log action may
+        # be a concurrent writer's staged output (between _write_files'
+        # os.replace into root and its _commit) — those only go once
+        # they age past TMP_SWEEP_HORIZON_S (the r10 advice item).
+        ever_referenced: set[str] = set(live)
+        for v in _list_versions(self.root):
+            try:
+                with open(_log_path(self.root, v)) as f:
+                    for line in f:
+                        action = json.loads(line)
+                        if "add" in action:
+                            ever_referenced.add(action["add"]["path"])
+            except OSError:
+                pass
         removed = []
         cutoff = time.time() - TMP_SWEEP_HORIZON_S
         for name in sorted(os.listdir(self.root)):
@@ -679,8 +697,15 @@ class LogTable:
                 and name.startswith("part-")
                 and name not in live
             ):
-                os.remove(path)
-                removed.append(name)
+                try:
+                    if name not in ever_referenced and (
+                        os.path.getmtime(path) >= cutoff
+                    ):
+                        continue  # possibly a live writer's staged file
+                    os.remove(path)
+                    removed.append(name)
+                except OSError:
+                    pass  # a live writer removed/renamed it mid-sweep
                 continue
             stale_tmp = (
                 (name.startswith("_log-") and name.endswith(".tmp"))

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cdc_export_system_spark.operators.entity_resolution import (
     ACC_TOL,
+    BAND,
     _SQL_CAND,
     _a_side,
     _banded,
@@ -75,7 +76,10 @@ def candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure functions of the pair, so this equals dedup-on-pair."""
     a = _a_side(spark, sf_dir)
     b = source_b(spark, sf_dir).withColumn("b_suf", _suffix4(F.col("b_name")))
-    b_banded = b.withColumn("band", F.floor(F.col("b_acctbal") / 256.0))
+    # BAND from entity_resolution, NOT a literal: the A side bands via
+    # _banded (which uses BAND) — a drifted constant would band the two
+    # sides inconsistently and silently drop candidate pairs.
+    b_banded = b.withColumn("band", F.floor(F.col("b_acctbal") / BAND))
     a_banded = _banded(a, "c_acctbal").withColumnRenamed("band", "a_band")
     p1 = a_banded.join(
         b_banded,

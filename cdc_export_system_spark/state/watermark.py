@@ -41,7 +41,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
-from cdc_export_system_spark.io.atomic import link_publish
+from cdc_export_system_spark.io.atomic import HardLinksUnsupported, link_publish
 from cdc_export_system_spark.schemas import WATERMARKS_SCHEMA
 
 _CURRENT = "CURRENT"
@@ -155,6 +155,12 @@ class WatermarkStore:
             try:
                 if self._commit(merged, expected_seq=seq):
                     return
+            except HardLinksUnsupported:
+                # Deterministic environment fault (link(2) unsupported):
+                # retrying cannot succeed and a 'lost N elections'
+                # message would mislead — fail fast, matching
+                # io.atomic's documented intent.
+                raise
             except Exception as exc:  # noqa: BLE001
                 # The merge source snapshot is read lazily inside
                 # _commit's write job; under heavy concurrency _gc can
@@ -193,7 +199,14 @@ class WatermarkStore:
         if not won:
             shutil.rmtree(path, ignore_errors=True)  # orphan snapshot
             return False
-        self._gc(keep=version)
+        # the commit is durably published at this point — GC hiccups
+        # (e.g. a concurrent _gc deleting a dir mid-scan) must never
+        # turn a WON election into an apparent failure that the caller
+        # would redundantly retry
+        try:
+            self._gc(keep=version)
+        except OSError:
+            pass
         return True
 
     def _gc(self, keep: str, retain: int = 20, min_age_s: float = 60.0) -> None:
@@ -209,17 +222,19 @@ class WatermarkStore:
 
         cutoff = _time.time() - min_age_s
         vdir = os.path.join(self.state_dir, _VERSIONS)
-        versions = sorted(
-            (os.path.join(vdir, v) for v in os.listdir(vdir)),
-            key=os.path.getmtime,
-            reverse=True,
-        )
-        for stale in versions[retain:]:
+        # stat everything up front and drop entries a concurrent _gc
+        # deleted between listdir and stat — getmtime as a sort key
+        # would raise FileNotFoundError out of a WON commit otherwise
+        stamped = []
+        for v in os.listdir(vdir):
+            p = os.path.join(vdir, v)
             try:
-                young = os.path.getmtime(stale) >= cutoff
+                stamped.append((os.path.getmtime(p), p))
             except OSError:
-                continue  # already gone (concurrent _gc)
-            if not young and os.path.basename(stale) != keep:
+                continue  # vanished under us (concurrent _gc)
+        stamped.sort(reverse=True)
+        for mtime, stale in stamped[retain:]:
+            if mtime < cutoff and os.path.basename(stale) != keep:
                 shutil.rmtree(stale, ignore_errors=True)
         chain = self._chain()
         for _seq, name in chain[:-max(retain, 1)]:

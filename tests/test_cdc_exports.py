@@ -350,5 +350,8 @@ def test_watermark_commit_descriptive_error_without_hardlinks(
         raise OSError(_errno.ENOTSUP, "Operation not supported")
 
     monkeypatch.setattr(atomic_mod.os, "link", no_link)
-    with pytest.raises((HardLinksUnsupported, RuntimeError)):
-        store.upsert("c1", NOW, max_retries=1)
+    # a deterministic fatal condition must surface IMMEDIATELY as
+    # HardLinksUnsupported — never burn the retry budget and report a
+    # misleading 'lost N commit elections' RuntimeError
+    with pytest.raises(HardLinksUnsupported, match="hard-link support"):
+        store.upsert("c1", NOW, max_retries=20)

@@ -96,6 +96,18 @@ def test_crash_atomicity_staged_files_invisible(spark, tmp_path):
     with open(orphan, "wb") as f:
         f.write(b"not even parquet")
     assert t.read().count() == 64  # invisible to readers
+    # a never-referenced part file inside the horizon may be a LIVE
+    # writer's staged output (between _write_files and _commit) —
+    # vacuum must leave it alone (the r10 advice item) ...
+    assert "part-deadbeef.parquet" not in t.vacuum()
+    assert os.path.exists(orphan)
+    # ... and sweep it only once it ages past TMP_SWEEP_HORIZON_S
+    import time as _time
+
+    from cdc_export_system_spark.io.txn_table import TMP_SWEEP_HORIZON_S
+
+    old = _time.time() - TMP_SWEEP_HORIZON_S - 10
+    os.utime(orphan, (old, old))
     assert "part-deadbeef.parquet" in t.vacuum()  # swept as garbage
 
 
