@@ -42,10 +42,39 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    try:
-        load1 = round(os.getloadavg()[0], 1)  # ambient load BEFORE we add ours
-    except OSError:
-        load1 = -1.0
+    # Quiet-host gate (round-10 verdict #3): two rounds running, the
+    # official window shipped from a loaded host (r9 ~25% inflation; r10
+    # load1 3.3 in its own contract line). Ambient load1 > 1.0 now
+    # BLOCKS the bench — poll until the host quiets, up to
+    # SPARK_GRAFT_BENCH_MAX_WAIT_S (default 900 s). On timeout the bench
+    # still emits its one contract line (a missing BENCH_rN.json is
+    # worse than an annotated noisy one) with load_gate:"timeout" so a
+    # turbulent window can never masquerade as a clean number of record.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "900"))
+    load_gate = "quiet"
+    deadline = time.monotonic() + max_wait
+    while True:
+        try:
+            load1 = round(os.getloadavg()[0], 2)  # ambient, BEFORE ours
+        except OSError:
+            load1 = -1.0
+            break
+        if load1 <= 1.0:
+            break
+        if time.monotonic() >= deadline:
+            load_gate = "timeout"
+            print(
+                f"bench: host still loaded (load1={load1}) after "
+                f"{max_wait:.0f}s wait; recording a TURBULENT window",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"bench: host loaded (load1={load1} > 1.0); waiting for a "
+            "quiet window...",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
 
     spark = get_spark(app_name="cdc-export-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
@@ -97,6 +126,7 @@ def main() -> None:
                 "sf": sf,
                 "noise": noise,
                 "load1": load1,
+                "load_gate": load_gate,
             },
             separators=(",", ":"),
         ),

@@ -103,6 +103,7 @@ _MERGED_ORACLE = """
 @register(
     "txn_table_merge_read",
     oracle=_MERGED_ORACLE,
+    headline=True,
     tags=("io", "txn", "cdc"),
 )
 def txn_table_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,6 +274,7 @@ def _fit_from_spark(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         UNION ALL SELECT 'u_acctbal', CAST(u4 AS BIGINT) FROM w{EM_ITERS}
         UNION ALL SELECT 'n_pairs', CAST(SUM(cnt) AS BIGINT) FROM patterns
     """,
+    headline=True,
     tags=("er", "ml", "iterative"),
 )
 def er_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,7 +194,7 @@ def near_join_plan(p: DataFrame) -> DataFrame:
          AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
            + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
     """,
-    headline=False,
+    headline=True,
     tags=("geo", "join", "blocking"),
 )
 def geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
