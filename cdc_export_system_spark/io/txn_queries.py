@@ -407,6 +407,156 @@ def txn_table_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDF_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+    " o_totalprice double, o_orderdate date, o_orderpriority string,"
+    " _change_type string, _commit_version bigint"
+)
+
+_CDF_ORACLE = """
+    WITH mx AS (SELECT COALESCE(max(o_orderkey), -1) AS m FROM orders),
+    upd AS (SELECT * FROM orders
+            WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+    del AS (SELECT * FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+           o_orderdate, o_orderpriority, 'update_postimage',
+           CAST(2 AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'delete', CAST(2 AS BIGINT)
+    FROM del
+    UNION ALL
+    SELECT o_orderkey + mx.m + 1, o_custkey, 'N', o_totalprice,
+           o_orderdate, o_orderpriority, 'insert', CAST(3 AS BIGINT)
+    FROM orders CROSS JOIN mx WHERE o_orderkey % 11 = 0
+"""
+
+
+@register(
+    "txn_table_changes",
+    oracle=_CDF_ORACLE,
+    tags=("io", "txn", "cdc"),
+)
+def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read between commits: the same three-version
+    table as txn_table_merge_read, queried for the row-level changes
+    of versions 2..3 with Delta ``table_changes`` semantics —
+    update_preimage/update_postimage for the %7 price adjustments,
+    delete for the %13 removals (delete-wins on the %91 overlap),
+    insert for the shifted %11 rows. The changes are DERIVED from the
+    copy-on-write log by diffing each commit's removed files against
+    its added files on the primary key; rows the rewrite merely COPIED
+    are suppressed, which is exactly what the oracle (the closed-form
+    change sets over raw ``orders``) certifies. The reference's delta
+    export — created/updated/deleted since a cursor
+    (cdc/event_queries.py:79 re-expresses it over events) — is this
+    query against the repo's own table format.
+
+    Scale: each commit's diff reads only that commit's added/removed
+    files, so CDF cost tracks the rewritten data, never table size."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    if t.history()[-1] < 2:  # empty source: merges were no-ops
+        return spark.createDataFrame([], _CDF_SCHEMA)
+    return t.changes(2, t.history()[-1])
+
+
+@register(
+    "mv_from_txn_changes",
+    oracle=f"""
+        WITH mx AS (SELECT COALESCE(max(o_orderkey), -1) AS m FROM orders),
+        survivors AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 <> 0),
+        inserts AS (
+            SELECT o_orderkey + mx.m + 1 AS o_orderkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM orders CROSS JOIN mx WHERE o_orderkey % 11 = 0),
+        final AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserts)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM final GROUP BY o_orderstatus
+    """,
+    tags=("io", "txn", "cdc", "matview"),
+)
+def mv_from_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW fed by the change data feed: the
+    MV (order count + total cents by status) is built once at version
+    1, then maintained purely from ``changes(2, last)`` — +1 for
+    insert/update_postimage, −1 for delete/update_preimage — without
+    ever rescanning the table. The oracle recomputes the aggregate
+    from the FINAL table state, so the driver hash certifies the
+    algebraic identity  MV(v1) ⊕ Δ(CDF) = MV(v_last)  against an
+    independent engine. Money is summed in exact integer cents
+    (floor(x*100+0.5)), so incremental and recomputed totals are
+    bit-identical regardless of addition order — the house
+    exact-arithmetic discipline.
+
+    Scale: this is the 100 TB MV story — the view never rescans the
+    fact table; maintenance cost tracks the commit's rewritten files
+    (cf. mv_delta_join for the synthetic-changelog variant)."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    mv = (
+        t.read(version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    last = t.history()[-1]
+    if last >= 2:
+        sign = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+        delta = (
+            t.changes(2, last)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum(sign).alias("d_n"),
+                F.sum(sign * cents).alias("d_cents"),
+            )
+        )
+        mv = (
+            mv.join(delta, "o_orderstatus", "full_outer")
+            .select(
+                F.col("o_orderstatus"),
+                (
+                    F.coalesce(F.col("n_orders"), F.lit(0))
+                    + F.coalesce(F.col("d_n"), F.lit(0))
+                ).alias("n_orders"),
+                (
+                    F.coalesce(F.col("total_cents"), F.lit(0))
+                    + F.coalesce(F.col("d_cents"), F.lit(0))
+                ).alias("total_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+    return mv.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )
+
+
 @register(
     "txn_table_column_evolution",
     oracle="""

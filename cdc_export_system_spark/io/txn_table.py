@@ -484,6 +484,115 @@ class LogTable:
         commit stamps, then read that immutable snapshot."""
         return self.read(version=self.version_asof(ts_us))
 
+    def changes(
+        self, start_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED: row-level changes made by commits
+        ``start_version..end_version`` (inclusive, Delta
+        ``table_changes`` semantics), derived from the copy-on-write
+        log. For each commit the files it REMOVED are the pre-state
+        and the files it ADDED the post-state; a primary-key diff
+        classifies every key as ``insert`` / ``delete`` /
+        ``update_preimage``+``update_postimage``, and rows merely
+        COPIED by the rewrite (same pk, every column null-safe equal)
+        are suppressed — the reader sees logical changes, not physical
+        file churn. Output schema: the END version's logical schema
+        plus ``_change_type`` and ``_commit_version`` (the Delta CDF
+        column contract). Metadata-only commits (rename / drop /
+        add-column) move no data and contribute no rows; all diffs are
+        read under the END version's schema and column mapping, so a
+        rename mid-range never manufactures phantom updates (physical
+        names are stable).
+
+        Scale: each commit's diff touches ONLY the files that commit
+        added/removed — CDF cost is proportional to the rewritten
+        data, never the table. The per-commit join runs on
+        range-bucketed files whose key spans align by construction.
+        This is the query-time equivalent of Delta's _change_data
+        files for a format whose merges rewrite whole key-range
+        buckets. Reference parity: the reference's delta export
+        (app/services/export_service.py — created/updated/deleted
+        since a cursor) is this same change classification computed
+        from table state; cf. cdc/event_queries.py:79 (cdc_delta)."""
+        from functools import reduce
+
+        versions = _list_versions(self.root)
+        if not versions:
+            raise FileNotFoundError(f"no LogTable at {self.root}")
+        end = versions[-1] if end_version is None else end_version
+        if end not in versions or start_version not in versions:
+            raise ValueError(
+                f"version range [{start_version}, {end}] outside the log "
+                f"(have {versions[0]}..{versions[-1]})"
+            )
+        if start_version > end:
+            raise ValueError("start_version must be <= end_version")
+        snap_e = self._replay(end)
+        schema = self._schema(snap_e)
+        pk = snap_e.meta["pk"]
+        phys_schema = self._physical_schema(snap_e)
+        mapping = self._mapping(snap_e)
+        cols = [f.name for f in schema.fields]
+
+        def _read_files(paths: list[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(phys_schema).parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            ).select(*[F.col(mapping[c]).alias(c) for c in cols])
+
+        steps: list[DataFrame] = []
+        prev_files = (
+            set()
+            if start_version == versions[0]
+            else set(self._replay(start_version - 1).files)
+        )
+        for v in [x for x in versions if start_version <= x <= end]:
+            cur_files = set(self._replay(v).files)
+            removed = sorted(prev_files - cur_files)
+            added = sorted(cur_files - prev_files)
+            prev_files = cur_files
+            if not removed and not added:
+                continue  # metadata-only commit: no data moved
+            a = _read_files(removed).alias("a")
+            b = _read_files(added).alias("b")
+            j = a.join(b, F.col(f"a.{pk}") == F.col(f"b.{pk}"), "full_outer")
+            same = reduce(
+                lambda x, y: x & y,
+                [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],
+            )
+            both = F.col(f"a.{pk}").isNotNull() & F.col(f"b.{pk}").isNotNull()
+
+            def _emit(side: str, flt, ctype: str, ver: int = v):
+                return j.filter(flt).select(
+                    *[F.col(f"{side}.{c}").alias(c) for c in cols],
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(ver).cast("long").alias("_commit_version"),
+                )
+
+            steps.append(_emit("b", F.col(f"a.{pk}").isNull(), "insert"))
+            steps.append(_emit("a", F.col(f"b.{pk}").isNull(), "delete"))
+            steps.append(_emit("a", both & ~same, "update_preimage"))
+            steps.append(_emit("b", both & ~same, "update_postimage"))
+        if not steps:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            empty = StructType(
+                [*schema.fields,
+                 StructField("_change_type", StringType(), False),
+                 StructField("_commit_version", LongType(), False)]
+            )
+            return self.spark.createDataFrame([], empty)
+        result = steps[0]
+        for s in steps[1:]:
+            result = result.unionAll(s)
+        return result
+
     def merge(
         self,
         changes: DataFrame,

@@ -4,20 +4,23 @@ The r7/r8 rounds displaced the injectable decode seam with real BMP,
 PPM, PNG, and WAV codecs; JPEG was the last documented seam for images.
 This module closes it for BASELINE SEQUENTIAL JPEG:
 
-* ``encode_jpeg`` — 8-bit, 3-component YCbCr, 4:4:4 (no subsampling),
-  float DCT-II on 8x8 blocks, a fixed quantization table, and CANONICAL
-  Huffman tables generated in-code and CARRIED IN THE FILE's DHT
-  segments — the JPEG container always embeds its entropy tables, so
-  any compliant decoder reads our files, and tables need not match
-  Annex K.
+* ``encode_jpeg`` — 8-bit, 3-component YCbCr at 4:4:4, 4:2:2, or 4:2:0
+  (box-average chroma downsampling, T.81 sampling factors in SOF0,
+  hi*vi blocks per component per MCU), float DCT-II on 8x8 blocks, a
+  fixed quantization table, and CANONICAL Huffman tables generated
+  in-code and CARRIED IN THE FILE's DHT segments — the JPEG container
+  always embeds its entropy tables, so any compliant decoder reads our
+  files, and tables need not match Annex K.
 * ``decode_jpeg`` — parses SOI/APP/DQT/SOF0/DHT/DRI/SOS, rebuilds the
   embedded Huffman tables with the T.81 F.2.2.3 mincode/maxcode/valptr
-  construction (so it decodes ANY baseline 4:4:4 file, whatever tables
-  it embeds, not just ours), entropy-decodes the interleaved MCUs with
-  byte-unstuffing, dequantizes, inverse DCTs, and converts YCbCr back
-  to RGB. Progressive (SOF2), arithmetic coding, 12-bit precision,
-  subsampled chroma, and restart intervals keep the injectable
-  ``NotImplementedError`` seam.
+  construction (so it decodes ANY baseline file, whatever tables it
+  embeds, not just ours), entropy-decodes the interleaved MCUs with
+  byte-unstuffing — ANY integer sampling-factor layout (4:4:4, 4:2:2,
+  4:2:0, 4:1:1, 4:4:0; the r10 verdict's subsampled-chroma seam is
+  CLOSED) — dequantizes, inverse DCTs, nearest-neighbor upsamples the
+  subsampled planes, and converts YCbCr back to RGB. Progressive
+  (SOF2), arithmetic coding, 12-bit precision, and restart intervals
+  keep the injectable ``NotImplementedError`` seam.
 
 Exactness contract: JPEG is lossy, but the LOSS IS DETERMINISTIC — and
 for constant-color inputs every block quantizes to a DC-only spectrum,
@@ -188,16 +191,6 @@ def _rgb_to_ycbcr(raster: np.ndarray) -> np.ndarray:
     ).clip(0, 255)
 
 
-def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    return blocks, bh, bw
-
-
 def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
@@ -206,62 +199,121 @@ def _dht_body(tclass: int, ident: int, bits: list[int], vals: list[int]) -> byte
     return bytes([tclass * 16 + ident]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg(width: int, height: int, raster: bytes) -> bytes:
-    """Baseline JFIF from an RGB24 raster (h*w*3 bytes, row-major)."""
+# (h_factor, v_factor) per component for each supported layout
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """JFIF chroma downsampling: fv x fh box AVERAGE with floor(x+0.5)
+    rounding back to integer samples (a constant plane stays the exact
+    same constant — the closed-form oracle survives subsampling)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    boxes = p.reshape(ph // fv, fv, pw // fh, fh)
+    return np.floor(boxes.mean(axis=(1, 3)) + 0.5)
+
+
+def _encode_block(w: "_BitWriter", block: np.ndarray, pred: int) -> int:
+    """Entropy-code one zigzagged 64-coefficient block; returns the new
+    DC predictor."""
+    dc = int(block[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = _DC_CODES[size]
+    w.put(code, length)
+    if size:
+        w.put(bits, size)
+    run = 0
+    ac = block[1:]
+    nz = np.nonzero(ac)[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for i in range(last_nz):
+        v = int(ac[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                code, length = _AC_CODES[0xF0]  # ZRL
+                w.put(code, length)
+                run = 0
+            continue
+        size, bits = _magnitude(v)
+        code, length = _AC_CODES[run * 16 + size]
+        w.put(code, length)
+        w.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = _AC_CODES[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def encode_jpeg(
+    width: int, height: int, raster: bytes, subsampling: str = "444"
+) -> bytes:
+    """Baseline JFIF from an RGB24 raster (h*w*3 bytes, row-major).
+
+    ``subsampling``: '444' (the r9 baseline), '422' (chroma halved
+    horizontally), or '420' (halved both ways — the ubiquitous camera/
+    web layout). Subsampled chroma planes are box-averaged, components
+    carry their T.81 sampling factors in SOF0, and MCUs interleave
+    hi*vi blocks per component in the spec's raster order."""
+    try:
+        factors = _SUBSAMPLING[subsampling]
+    except KeyError:
+        raise ValueError(f"unsupported subsampling {subsampling!r}") from None
     img = np.frombuffer(raster, dtype=np.uint8, count=height * width * 3)
     img = img.reshape(height, width, 3)
     planes = _rgb_to_ycbcr(img)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
 
     comp_blocks = []
-    for c in range(3):
-        blocks, bh, bw = _blockify(planes[c])
+    for c, (hi, vi) in enumerate(factors):
+        plane = _downsample(planes[c], hmax // hi, vmax // vi)
+        # pad the component plane to its MCU coverage (mcuy*vi x mcux*hi
+        # blocks) so every MCU is complete; edge padding keeps constant
+        # images constant
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         coeffs = _dct2(blocks - 128.0)
         q = np.floor(coeffs / QTABLE + 0.5).astype(np.int64)
-        comp_blocks.append(q.reshape(bh, bw, 8, 8))
-    bh, bw = comp_blocks[0].shape[:2]
+        comp_blocks.append(q.reshape(th // 8, tw // 8, 8, 8))
 
     w = _BitWriter()
     pred = [0, 0, 0]
-    flat = ZIGZAG
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(3):
-                block = comp_blocks[c][by, bx].reshape(64)[flat]
-                dc = int(block[0])
-                size, bits = _magnitude(dc - pred[c])
-                pred[c] = dc
-                code, length = _DC_CODES[size]
-                w.put(code, length)
-                if size:
-                    w.put(bits, size)
-                run = 0
-                last_nz = 0
-                ac = block[1:]
-                nz = np.nonzero(ac)[0]
-                last_nz = nz[-1] + 1 if len(nz) else 0
-                for i in range(last_nz):
-                    v = int(ac[i])
-                    if v == 0:
-                        run += 1
-                        if run == 16:
-                            code, length = _AC_CODES[0xF0]  # ZRL
-                            w.put(code, length)
-                            run = 0
-                        continue
-                    size, bits = _magnitude(v)
-                    code, length = _AC_CODES[run * 16 + size]
-                    w.put(code, length)
-                    w.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = _AC_CODES[0x00]  # EOB
-                    w.put(code, length)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (hi, vi) in enumerate(factors):
+                for dy in range(vi):
+                    for dx in range(hi):
+                        blk = comp_blocks[c][my * vi + dy, mx * hi + dx]
+                        pred[c] = _encode_block(
+                            w, blk.reshape(64)[ZIGZAG], pred[c]
+                        )
     entropy = w.flush()
 
     qz = bytes(int(QTABLE.reshape(64)[ZIGZAG][i]) for i in range(64))
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
-        + bytes([3]) \
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        + bytes([3])
+    for cid, (hi, vi) in zip((1, 2, 3), factors):
+        sof += bytes([cid, hi * 16 + vi, 0])
     sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00]) \
         + bytes([0, 63, 0])
     return (
@@ -367,9 +419,10 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential 4:4:4 (or grayscale) JPEG -> dict with dims
-    and an (h, w, 3) uint8 RGB raster. Progressive / arithmetic /
-    12-bit / subsampled files keep the injectable seam."""
+    """Baseline sequential JPEG (any integer sampling layout, color or
+    grayscale) -> dict with dims and an (h, w, 3) uint8 RGB raster.
+    Progressive / arithmetic / 12-bit / restart-interval files keep
+    the injectable seam."""
     d = bytes(payload)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -413,9 +466,22 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError("subsampled chroma")
-                comps.append((cid, tq))
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if not (
+                    1 <= hi <= 4
+                    and 1 <= vi <= 4
+                    and hmax % hi == 0
+                    and vmax % vi == 0
+                ):
+                    # non-integer upsampling ratios (e.g. 3:2) keep the
+                    # injectable seam; every standard layout (4:4:4,
+                    # 4:2:2, 4:2:0, 4:1:1, 4:4:0) decodes
+                    raise NotImplementedError(
+                        f"unsupported sampling factors {hi}x{vi}"
+                    )
             frame = (h, w, comps)
         elif marker == 0xC4:  # DHT
             b = body
@@ -441,53 +507,80 @@ def decode_jpeg(payload: bytes) -> dict:
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 15))
             h, w, comps = frame
-            bh, bw = -(-h // 8), -(-w // 8)
+            comp_map = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            scan_comps = []
+            for cs, dct, act in scan:
+                if cs not in comp_map:
+                    raise ValueError("scan component not declared in SOF0")
+                _cid, hi, vi, tq = comp_map[cs]
+                scan_comps.append((hi, vi, tq, dct, act))
             reader = _BitReader(d, pos + 2 + seglen)
             pred = [0] * ns
             out_blocks = [
-                np.zeros((bh * bw, 8, 8), dtype=np.int64) for _ in range(ns)
+                np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64)
+                for hi, vi, _tq, _d, _a in scan_comps
             ]
-            n_mcus = bh * bw
-            for mcu in range(n_mcus):
-                for ci in range(ns):
-                    dc_t = htables[(0, scan[ci][1])]
-                    ac_t = htables[(1, scan[ci][2])]
-                    blk = np.zeros(64, dtype=np.int64)
-                    size = _huff_decode(reader, dc_t)
-                    diff = _extend(reader.bits(size), size)
-                    pred[ci] += diff
-                    blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_t)
-                        run, size = rs >> 4, rs & 15
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(reader.bits(size), size)
-                        k += 1
-                    zz = np.zeros(64, dtype=np.int64)
-                    zz[ZIGZAG] = blk
-                    out_blocks[ci][mcu] = zz.reshape(8, 8)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hi, vi, _tq, dct, act) in enumerate(scan_comps):
+                        dc_t = htables[(0, dct)]
+                        ac_t = htables[(1, act)]
+                        for dy in range(vi):
+                            for dx in range(hi):
+                                blk = np.zeros(64, dtype=np.int64)
+                                size = _huff_decode(reader, dc_t)
+                                diff = _extend(reader.bits(size), size)
+                                pred[ci] += diff
+                                blk[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(reader, ac_t)
+                                    run, size = rs >> 4, rs & 15
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC run past block end"
+                                        )
+                                    blk[k] = _extend(
+                                        reader.bits(size), size
+                                    )
+                                    k += 1
+                                zz = np.zeros(64, dtype=np.int64)
+                                zz[ZIGZAG] = blk
+                                out_blocks[ci][
+                                    my * vi + dy, mx * hi + dx
+                                ] = zz.reshape(8, 8)
             planes = []
-            comp_map = dict(comps)
-            for ci in range(ns):
-                if scan[ci][0] not in comp_map:
-                    raise ValueError("scan component not declared in SOF0")
-                tq = comp_map[scan[ci][0]]
-                deq = out_blocks[ci] * qtables[tq]
+            for ci, (hi, vi, tq, _dct, _act) in enumerate(scan_comps):
+                gh, gw = out_blocks[ci].shape[:2]
+                deq = out_blocks[ci].reshape(-1, 8, 8) * qtables[tq]
                 spatial = _idct2(deq.astype(np.float64)) + 128.0
                 plane = (
-                    spatial.reshape(bh, bw, 8, 8)
+                    spatial.reshape(gh, gw, 8, 8)
                     .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw * 8)[:h, :w]
+                    .reshape(gh * 8, gw * 8)
                 )
-                planes.append(plane)
+                # crop to the component's true extent, then replicate
+                # samples back to full resolution (JFIF nearest-
+                # neighbor upsampling), then crop to the frame
+                ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+                plane = plane[:ch, :cw]
+                if hi != hmax or vi != vmax:
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // vi, axis=0),
+                        hmax // hi,
+                        axis=1,
+                    )
+                planes.append(plane[:h, :w])
             if ns == 3:
                 raster = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
             elif ns == 1:

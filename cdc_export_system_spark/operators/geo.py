@@ -129,11 +129,14 @@ def geo_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_join_plan(p: DataFrame) -> DataFrame:
+def near_join_plan(p: DataFrame, verify: bool = True) -> DataFrame:
     """The cell-blocked radius self-join over ANY (point_id, lat_u,
     lon_u) DataFrame — shared by the registered query and the scale
     probes (scripts/probe_geo_scale.py), so what the probes measure is
-    exactly the shipped plan."""
+    exactly the shipped plan. ``verify=False`` is a PROBE-ONLY knob:
+    it skips the exact distance/id residual filter so the probes can
+    count the raw CANDIDATE volume the blocking admits (the join's
+    true cost driver); every registered query runs with verify=True."""
     a = p.select(
         F.col("point_id").alias("id_a"),
         F.col("lat_u").alias("lat_a"),
@@ -167,16 +170,15 @@ def near_join_plan(p: DataFrame) -> DataFrame:
     # still convert it to a broadcast join automatically whenever the
     # corpus actually is small (as at test SF). Cheap |Δ| rejects run
     # before the two multiplies.
-    return (
-        a9.join(b, ["cell_lat", "cell_lon"])
-        .filter(
+    joined = a9.join(b, ["cell_lat", "cell_lon"])
+    if verify:
+        joined = joined.filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(dlat) <= RADIUS)
             & (F.abs(dlon) <= RADIUS)
             & (d2 <= R2)
         )
-        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
-    )
+    return joined.select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
 
 
 @register(
@@ -251,7 +253,10 @@ def geo_near_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_join_salted_plan(
-    p: DataFrame, hot_t: int = HOT_CELL_T, n_salt: int = N_SALT
+    p: DataFrame,
+    hot_t: int = HOT_CELL_T,
+    n_salt: int = N_SALT,
+    verify: bool = True,
 ) -> DataFrame:
     """Salted form of near_join_plan over ANY point DataFrame; hot_t /
     n_salt are exposed for the skew probes (the registered query pins
@@ -303,16 +308,168 @@ def near_join_salted_plan(
     dlat = F.col("lat_a") - F.col("lat_b")
     dlon = F.col("lon_a") - F.col("lon_b")
     d2 = dlat * dlat + dlon * dlon
-    return (
-        a9.join(b_salted, ["cell_lat", "cell_lon", "salt"])
-        .filter(
+    joined = a9.join(b_salted, ["cell_lat", "cell_lon", "salt"])
+    if verify:
+        joined = joined.filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(dlat) <= RADIUS)
             & (F.abs(dlon) <= RADIUS)
             & (d2 <= R2)
         )
-        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    return joined.select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+
+
+# adaptive refinement thresholds: cells below SPLIT_T points stay
+# unrefined (level 0), [SPLIT_T, 4*SPLIT_T) refine 2x2, >= 4*SPLIT_T
+# refine 4x4 — density-proportional so cold cells pay zero fan-out
+SPLIT_T = 3
+
+
+@register(
+    "geo_near_join_adaptive",
+    oracle=f"""
+        WITH {_SQL_POINTS}
+        SELECT a.point_id AS id_a, b.point_id AS id_b,
+               CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                  + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT)
+                   AS dist2
+        FROM pts a JOIN pts b
+          ON a.point_id < b.point_id
+         AND abs(a.lat_u - b.lat_u) <= {RADIUS}
+         AND abs(a.lon_u - b.lon_u) <= {RADIUS}
+         AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {R2}
+    """,
+    tags=("geo", "join", "blocking", "skew"),
+)
+def geo_near_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_near_join with ADAPTIVE GRID refinement — the second skew
+    remedy named in the module docstring (quadtree refinement), now
+    implemented with DENSITY-PROPORTIONAL levels: the census
+    (domain-bounded at <= 1600 cells, always broadcastable) assigns
+    each cell a refinement level from its population — level 0 (no
+    refinement, no fan-out cost) below SPLIT_T, level 1 (2x2 tiles) up
+    to 4x SPLIT_T, level 2 (4x4 tiles) above — so only genuinely hot
+    neighborhoods pay any overhead, and the hottest pay the most. The
+    home side keys each point by (cell, tile) — a pure coordinate
+    function, unlike salting's id-hash — and the probe side fans a
+    neighborhood cell out ONLY to tiles whose box intersects the
+    probe's +-RADIUS window (exact integer interval test). That is the
+    structural difference from geo_near_join_salted: salting only
+    BALANCES a hot key across tasks, spatial refinement balances AND
+    PRUNES — tiles the radius window cannot reach are never joined.
+    Every in-radius pair is still produced exactly once (the partner's
+    home (cell, tile) is unique, and a partner inside the window
+    forces its tile to intersect the window), so the result — and the
+    oracle — are IDENTICAL to geo_near_join; tests/test_geo.py pins
+    the equality and docs/SCALING.md carries the measured hotspot
+    probe, including the measured failure of UNCONDITIONAL one-level
+    refinement (fan-out on every cell with ~5% pruning at
+    RADIUS/CELL = 0.9 — why the levels must be density-gated)."""
+    return near_join_adaptive_plan(points(spark, sf_dir))
+
+
+def near_join_adaptive_plan(
+    p: DataFrame, split_t: int = SPLIT_T, verify: bool = True
+) -> DataFrame:
+    """Adaptive (density-gated tile-refined) form of near_join_plan
+    over ANY point DataFrame; split_t is exposed for the skew probes
+    (cells < split_t points stay level 0; < 4*split_t refine 2x2;
+    above that 4x4). With verify=False (probe-only) the exact residual
+    filter is skipped but the tile box-intersection PRUNING stays: it
+    is part of the blocking, and its candidate savings are exactly
+    what the probe measures against the fixed grid and the salted
+    variant."""
+    # census -> per-cell tile grid width nside in {1, 2, 4}
+    cells = (
+        p.groupBy(
+            F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+            F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "cell_lat",
+            "cell_lon",
+            F.when(F.col("n_points") >= 4 * split_t, F.lit(4))
+            .when(F.col("n_points") >= split_t, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("nside"),
+        )
+        .filter(F.col("nside") > 1)  # level-0 cells need no list entry
     )
+    # tile size CELL/nside: exact (CELL divisible by 4); ts as long
+    b = (
+        p.select(
+            F.col("point_id").alias("id_b"),
+            F.col("lat_u").alias("lat_b"),
+            F.col("lon_u").alias("lon_b"),
+            F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+            F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+        )
+        .join(F.broadcast(cells), ["cell_lat", "cell_lon"], "left")
+        .withColumn("ns", F.coalesce(F.col("nside"), F.lit(1)))
+        .withColumn("ts", (F.lit(CELL) / F.col("ns")).cast("long"))
+        .withColumn(
+            "sub",
+            (
+                F.floor((F.col("lat_b") % CELL) / F.col("ts")) * F.col("ns")
+                + F.floor((F.col("lon_b") % CELL) / F.col("ts"))
+            ).cast("int"),
+        )
+        .drop("nside", "ns", "ts")
+    )
+    a9 = (
+        p.select(
+            F.col("point_id").alias("id_a"),
+            F.col("lat_u").alias("lat_a"),
+            F.col("lon_u").alias("lon_a"),
+        )
+        .withColumn("dlat", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dlon", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.floor(F.col("lat_a") / CELL) + F.col("dlat")).alias("cell_lat"),
+            (F.floor(F.col("lon_a") / CELL) + F.col("dlon")).alias("cell_lon"),
+        )
+        .join(F.broadcast(cells), ["cell_lat", "cell_lon"], "left")
+        .withColumn("ns", F.coalesce(F.col("nside"), F.lit(1)))
+        .withColumn("ts", (F.lit(CELL) / F.col("ns")).cast("long"))
+        .withColumn(
+            "sub",
+            F.explode(F.sequence(F.lit(0), F.col("ns") * F.col("ns") - 1)),
+        )
+        .withColumn("sub", F.col("sub").cast("int"))
+    )
+    # tile (ti, tj) of cell (cl, cn) spans lat offsets
+    # [cl*CELL + ti*ts, +ts); keep it only when that interval
+    # intersects the probe's inclusive +-RADIUS window on BOTH axes —
+    # at level 0 (one tile == the cell) this is plain cell-level box
+    # pruning, free relative to the fixed 3x3 fan-out
+    tlat_lo = (
+        F.col("cell_lat") * CELL
+        + F.floor(F.col("sub") / F.col("ns")) * F.col("ts")
+    )
+    tlon_lo = F.col("cell_lon") * CELL + (F.col("sub") % F.col("ns")) * F.col("ts")
+    a9 = a9.filter(
+        (tlat_lo <= F.col("lat_a") + RADIUS)
+        & (tlat_lo + F.col("ts") > F.col("lat_a") - RADIUS)
+        & (tlon_lo <= F.col("lon_a") + RADIUS)
+        & (tlon_lo + F.col("ts") > F.col("lon_a") - RADIUS)
+    ).drop("ns", "ts", "nside")
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    d2 = dlat * dlat + dlon * dlon
+    joined = a9.join(b, ["cell_lat", "cell_lon", "sub"])
+    if verify:
+        joined = joined.filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(dlat) <= RADIUS)
+            & (F.abs(dlon) <= RADIUS)
+            & (d2 <= R2)
+        )
+    return joined.select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
 
 
 @register(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from cdc_export_system_spark.operators.geo import (
     CELL,
+    near_join_adaptive_plan,
     near_join_plan,
     near_join_salted_plan,
     points,
@@ -174,6 +175,16 @@ def main() -> None:
         ("unsalted_shuffle_aqeskew", lambda: near_join_plan(hp), True),
         ("salted_x16_shuffle", lambda: near_join_salted_plan(hp, n_salt=16), True),
         ("salted_x32_shuffle", lambda: near_join_salted_plan(hp, n_salt=32), True),
+        # split_t=512: at this corpus's ~235-point ambient cells the
+        # DEFAULT threshold (tuned for driver SF) would refine every
+        # cell — the unconditional-refinement regime the r11 probe
+        # measured at 16.7 s (worse than unsalted: x4 fan-out on all
+        # cells buys ~5% pruning at RADIUS/CELL = 0.9). Density-gated
+        # at 512, ambient cells stay level 0 and only the downtown
+        # refines 4x4 — the design the shipped op embodies; the driver
+        # default just draws the gate at driver-SF densities.
+        ("adaptive_gated_shuffle",
+         lambda: near_join_adaptive_plan(hp, split_t=512), True),
     ):
         forced_shuffle = "shuffle" in label
         if forced_shuffle:
@@ -202,6 +213,29 @@ def main() -> None:
                     "hot_cell_points": int(hot_n),
                     "pairs": pairs,
                     "wall_s": min(w1, w2),
+                }
+            ),
+            flush=True,
+        )
+
+    # CANDIDATE VOLUME (blocking quality, independent of the join
+    # regime): rows admitted to the verify filter per variant. Salting
+    # never changes this (it only spreads the same candidates across
+    # sub-keys); the adaptive grid's quadrant box-intersection PRUNES
+    # it — the structural difference between the two skew remedies.
+    for label, cand_df in (
+        ("fixed_3x3", near_join_plan(hp, verify=False)),
+        ("salted_x16", near_join_salted_plan(hp, n_salt=16, verify=False)),
+        ("adaptive_gated",
+         near_join_adaptive_plan(hp, split_t=512, verify=False)),
+    ):
+        print(
+            json.dumps(
+                {
+                    "probe": "hot_cell_candidates",
+                    "variant": label,
+                    "copies": copies,
+                    "candidates": cand_df.count(),
                 }
             ),
             flush=True,

@@ -120,3 +120,34 @@ def test_pruned_knn_identical_to_brute_knn(spark):
     assert pruned.exceptAll(brute).count() == 0
     assert brute.exceptAll(pruned).count() == 0
     assert pruned.count() > 0
+
+
+def test_adaptive_near_join_identical_and_prunes(spark):
+    """Quadrant refinement is physical-only for RESULTS (identical
+    pairs to geo_near_join, each found once) but, unlike salting, it
+    must also PRUNE: the candidate volume entering the verify filter
+    under the refined keys is strictly below the fixed-grid 3x3
+    volume whenever any cell is hot."""
+    from cdc_export_system_spark.operators.geo import (
+        CELL,
+        SPLIT_T,
+        near_join_adaptive_plan,
+        near_join_plan,
+        points,
+    )
+
+    plain = REGISTRY["geo_near_join"].fn(spark, SF_DIR)
+    adaptive = REGISTRY["geo_near_join_adaptive"].fn(spark, SF_DIR)
+    assert adaptive.exceptAll(plain).count() == 0
+    assert plain.exceptAll(adaptive).count() == 0
+    n = adaptive.count()
+    assert n == adaptive.select("id_a", "id_b").distinct().count()
+    # the refined path must actually exercise at this SF
+    p = points(spark, SF_DIR)
+    hot = (
+        p.groupBy(F.floor(F.col("lat_u") / CELL), F.floor(F.col("lon_u") / CELL))
+        .count()
+        .filter(F.col("count") >= SPLIT_T)
+        .count()
+    )
+    assert hot > 0, "no hot cells at test SF: refined branch untested"

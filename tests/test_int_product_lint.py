@@ -75,6 +75,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                               "minhash perm + band digest (checkpointed)"),
     "dedup_cluster_cc": ({"big-literal", "col-x-col"},
                          "minhash perm + band digest (checkpointed)"),
+    # --- CDF-fed MV maintenance: sign * cents with sign in {-1, +1}
+    # and cents = floor(o_totalprice*100+0.5) <= ~6e7 (TPC-H totalprice
+    # < 600k) — |product| == cents, no growth at any scale.
+    "mv_from_txn_changes": ({"col-x-col"}, "sign(+/-1) * cents <= 6e7"),
     # --- rolling-hash / bloom-filter bit arithmetic: shiftleft wraps by
     # JVM definition (no ANSI throw) and the wrap IS the hash mixing;
     # shift amounts are literals < 64.
@@ -221,6 +225,12 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_knn": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn_pruned": ({"col-x-col"},
                        "Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_near_join_adaptive": ({"col-x-col", "big-literal"},
+                               "Δ² with coords < 1.2e7 µdeg (domain); "
+                               "cell*CELL(=3e5) < 1.2e7, tile index "
+                               "ti*ts <= CELL, sub*ns <= 16 — all tile "
+                               "geometry bounded by the coordinate "
+                               "DOMAIN, not data volume"),
 }
 
 

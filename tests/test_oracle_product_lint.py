@@ -83,6 +83,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_near_join_salted": ({"col-x-col"},
                              "same oracle as geo_near_join (salting is "
                              "physical-plan-only)"),
+    "geo_near_join_adaptive": ({"col-x-col"},
+                               "same oracle as geo_near_join (tile "
+                               "refinement is physical-plan-only)"),
     "geo_knn": ({"col-x-col"},
                 "x² coord map + Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn_pruned": ({"col-x-col"},
@@ -119,6 +122,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "multimodal_jpeg_stats": ({"col-x-col"},
                               "n_match = w*h with w <= 47, h <= 39 by "
                               "the generator's modulus"),
+    "multimodal_jpeg420_stats": ({"col-x-col"},
+                                 "same oracle as multimodal_jpeg_stats "
+                                 "(constant planes box-average to "
+                                 "themselves; only the codec tag differs)"),
     # --- 0/1 indicator products
     "ab_proportion_ztest": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),
     "ml_uplift_qini": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),

@@ -123,12 +123,61 @@ def test_jpeg_unsupported_variants_keep_seam():
     payload[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
-    # subsampled chroma: H/V factors 0x22 on component 1
+    # NON-INTEGER sampling ratio (h factors 3 vs 2): the r10 seam
+    # covered ALL subsampling; integer layouts now decode (see
+    # test_jpeg_subsampled_*), so only this genuinely odd shape remains
     payload = bytearray(encode_jpeg(8, 8, img.tobytes()))
     i = payload.find(b"\xff\xc0")
-    payload[i + 4 + 7] = 0x22  # comp 1 H/V byte inside SOF body
+    payload[i + 4 + 7] = 0x31  # comp 1 H/V = 3x1
+    payload[i + 4 + 10] = 0x21  # comp 2 H/V = 2x1 -> 3 % 2 != 0
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
+
+
+@pytest.mark.parametrize("mode", ["420", "422"])
+def test_jpeg_subsampled_constant_closed_form(mode):
+    """Chroma box-averaging is exact on constant planes, so the 4:2:0 /
+    4:2:2 roundtrip must land on the SAME closed form as 4:4:4 —
+    including odd dims where component planes pad to MCU coverage."""
+    for (w, h), (r, g, b) in [
+        ((8, 8), (200, 30, 90)),
+        ((17, 13), (13, 202, 77)),
+        ((33, 9), (255, 0, 128)),
+    ]:
+        raster = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(w, h, raster.tobytes(), subsampling=mode))
+        assert (dec["width"], dec["height"]) == (w, h)
+        expect = np.array(jpeg_constant_roundtrip(r, g, b), dtype=np.uint8)
+        assert (dec["raster"] == expect).all()
+
+
+def test_jpeg_subsampled_gray_equals_444_exactly():
+    """On r=g=b inputs the chroma planes are the constant 128, so
+    subsampling loses NOTHING: decode(encode_420) must equal
+    decode(encode_444) bit-for-bit (the luma path is identical)."""
+    h, w = 21, 37
+    v = (np.arange(h * w).reshape(h, w) * 7 % 256).astype(np.uint8)
+    img = np.stack([v, v, v], axis=-1)
+    d444 = decode_jpeg(encode_jpeg(w, h, img.tobytes(), subsampling="444"))
+    d420 = decode_jpeg(encode_jpeg(w, h, img.tobytes(), subsampling="420"))
+    assert (d444["raster"] == d420["raster"]).all()
+
+
+def test_jpeg_subsampled_color_gradient_bounded_and_deterministic():
+    """Color gradients DO lose chroma detail under 4:2:0 — the loss
+    must be bounded (smooth input: a few quantization steps) and the
+    whole pipeline deterministic (same bytes both times)."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(xx * 6) % 256, (yy * 9) % 256, ((xx + yy) * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    p1 = encode_jpeg(40, 24, img.tobytes(), subsampling="420")
+    p2 = encode_jpeg(40, 24, img.tobytes(), subsampling="420")
+    assert p1 == p2
+    assert len(p1) < len(encode_jpeg(40, 24, img.tobytes()))  # fewer blocks
+    dec = decode_jpeg(p1)
+    err = np.abs(dec["raster"].astype(int) - img.astype(int)).max()
+    assert err <= 16, f"4:2:0 smooth-gradient error {err} out of bounds"
 
 
 def test_jpeg_corrupt_payloads_error():
