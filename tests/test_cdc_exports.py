@@ -355,3 +355,115 @@ def test_watermark_commit_descriptive_error_without_hardlinks(
     # misleading 'lost N commit elections' RuntimeError
     with pytest.raises(HardLinksUnsupported, match="hard-link support"):
         store.upsert("c1", NOW, max_retries=20)
+
+
+def test_cdf_export_matches_reference_classification(spark, tmp_path):
+    """The LogTable change data feed must reproduce the reference's
+    delta-export CSV (operation + users columns, iso timestamps,
+    updated_at order — the byte contract) for the INSERT and UPDATE
+    classes, from the SAME logical change set applied two ways:
+    soft-delete-style rows classified by exports.classify_operation vs
+    real copy-on-write merges classified by CDF change type. DELETE
+    diverges by design — a soft-delete row carries the tombstone's own
+    updated_at, a CDF tombstone carries the last KNOWN row state — so
+    the delete class pins key-set equality and the stamp divergence
+    explicitly."""
+    from cdc_export_system_spark.io.txn_table import LogTable
+    from cdc_export_system_spark.schemas import (
+        DELTA_EXPORT_COLUMNS,
+        USERS_SCHEMA,
+    )
+
+    t0 = NOW
+    # distinct stamps per change: the CSV contract orders by updated_at
+    # only, so equal stamps would make the byte comparison depend on an
+    # unspecified tie order
+    t1 = NOW + timedelta(minutes=5)
+    t2 = NOW + timedelta(minutes=6)
+    t3 = NOW + timedelta(minutes=7)
+    base = spark.createDataFrame(
+        [(i, f"user{i}", f"u{i}@x.com", t0, t0, False) for i in range(1, 9)],
+        USERS_SCHEMA,
+    )
+    t = LogTable.create(spark, str(tmp_path / "users_lt"), base, "id")
+    # one change set: update 2 and 4, delete 3, insert 11
+    from pyspark.sql import types as T
+
+    # StructType.add MUTATES — build the widened schema from a copy so
+    # the shared USERS_SCHEMA is untouched
+    batch_schema = T.StructType(
+        [*USERS_SCHEMA.fields, T.StructField("_deleted", T.BooleanType(), False)]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "user2b", "u2@x.com", t0, t1, False, False),
+            (4, "user4b", "u4@x.com", t0, t2, False, False),
+            (3, "user3", "u3@x.com", t0, t0, False, True),
+            (11, "user11", "u11@x.com", t3, t3, False, False),
+        ],
+        batch_schema,
+    )
+    t.merge(changes)
+
+    cdf = t.changes(2, 2)
+    op = (
+        F.when(F.col("_change_type") == "insert", "INSERT")
+        .when(F.col("_change_type") == "delete", "DELETE")
+        .otherwise("UPDATE")
+    )
+    cdf_export = (
+        cdf.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("operation", op)
+        .withColumn("is_deleted", F.col("_change_type") == "delete")
+        .select(DELTA_EXPORT_COLUMNS)
+    )
+
+    # the reference-style view of the same change set: soft-delete rows
+    ref_rows = spark.createDataFrame(
+        [
+            (2, "user2b", "u2@x.com", t0, t1, False),
+            (4, "user4b", "u4@x.com", t0, t2, False),
+            (3, "user3", "u3@x.com", t0, t0, True),  # same stamp as CDF
+            (11, "user11", "u11@x.com", t3, t3, False),
+        ],
+        USERS_SCHEMA,
+    )
+    ref_export = ref_rows.withColumn("operation", ex.classify_operation()).select(
+        DELTA_EXPORT_COLUMNS
+    )
+
+    from cdc_export_system_spark.io.csv_sink import write_users_csv
+
+    p_cdf = str(tmp_path / "cdf.csv")
+    p_ref = str(tmp_path / "ref.csv")
+    assert write_users_csv(cdf_export, p_cdf, DELTA_EXPORT_COLUMNS) == 4
+    assert write_users_csv(ref_export, p_ref, DELTA_EXPORT_COLUMNS) == 4
+    with open(p_cdf, "rb") as f:
+        cdf_bytes = f.read()
+    with open(p_ref, "rb") as f:
+        ref_bytes = f.read()
+    # classify_operation says INSERT iff created_at == updated_at — on
+    # a same-batch re-update that heuristic MISLABELS (id 11 would be
+    # INSERT forever); the CDF label is structural. On this change set
+    # both agree, and the bytes must too.
+    assert cdf_bytes == ref_bytes
+
+    # divergence pin: bump the tombstone's stamp in the reference view
+    # (the reference's soft delete bumps updated_at so the delta query
+    # even SEES it) — keys still agree, bytes no longer do
+    ref2 = ref_rows.withColumn(
+        "updated_at",
+        F.when(F.col("is_deleted"), F.lit(t3 + timedelta(minutes=1))).otherwise(F.col("updated_at")),
+    ).withColumn("operation", ex.classify_operation()).select(DELTA_EXPORT_COLUMNS)
+    p_ref2 = str(tmp_path / "ref2.csv")
+    assert write_users_csv(ref2, p_ref2, DELTA_EXPORT_COLUMNS) == 4
+    with open(p_ref2, "rb") as f:
+        ref2_bytes = f.read()
+    assert ref2_bytes != cdf_bytes
+    del_keys_cdf = {
+        r["id"] for r in cdf_export.filter(F.col("operation") == "DELETE").collect()
+    }
+    del_keys_ref = {
+        r["id"] for r in ref2.filter(F.col("operation") == "DELETE").collect()
+    }
+    assert del_keys_cdf == del_keys_ref == {3}
