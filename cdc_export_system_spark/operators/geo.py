@@ -575,9 +575,6 @@ def geo_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo_knn is the verification baseline; this is what you would
     actually deploy at 10^10 points."""
     p = points(spark, sf_dir).select("point_id", "lat_u", "lon_u")
-    corpus = p.withColumn("cell_lat", F.floor(F.col("lat_u") / CELL)).withColumn(
-        "cell_lon", F.floor(F.col("lon_u") / CELL)
-    )
     probes = p.filter(
         (F.col("point_id") % KNN_PROBE_MOD == 0)
         & (F.col("point_id") < KNN_PROBE_MOD * KNN_PROBE_CAP)
@@ -585,6 +582,25 @@ def geo_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("point_id").alias("probe_id"),
         F.col("lat_u").alias("plat"),
         F.col("lon_u").alias("plon"),
+    )
+    return knn_ring_plan(spark, p, probes)
+
+
+def knn_ring_plan(
+    spark: SparkSession,
+    p: DataFrame,
+    probes: DataFrame,
+    counters: list | None = None,
+) -> DataFrame:
+    """The fixed-grid expanding-ring exact-kNN loop over ANY point /
+    probe DataFrames — shared by the registered query and the hotspot
+    probes (scripts/probe_knn_hotspot.py), so what the probes measure
+    is exactly the shipped plan. ``counters`` is PROBE-ONLY: when a
+    list is passed, each ring appends its admitted candidate-row count
+    (one extra count() action per ring); registered queries pass
+    None."""
+    corpus = p.withColumn("cell_lat", F.floor(F.col("lat_u") / CELL)).withColumn(
+        "cell_lon", F.floor(F.col("lon_u") / CELL)
     )
     # grid is domain-bounded: 12e6/CELL cells per axis
     max_ring = int(12_000_000 // CELL) + 1
@@ -648,6 +664,8 @@ def geo_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d2.cast("bigint").alias("dist2"),
             )
         )
+        if counters is not None:
+            counters.append(cand.count())
         pool = cand if best is None else best.drop("rk").unionByName(cand)
         w = W.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
         topk = (
@@ -672,6 +690,240 @@ def geo_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if best is not None:
         done.append(best)  # ran out of rings: grid exhausted, state exact
     if not done:  # empty corpus -> no probes -> loop never produced state
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, dist2 bigint, rk bigint"
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "probe_id", "neighbor_id", "dist2", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+@register(
+    "geo_knn_adaptive",
+    oracle=f"""
+        WITH {_SQL_POINTS},
+        probes AS (SELECT * FROM pts
+                   WHERE point_id % {KNN_PROBE_MOD} = 0
+                     AND point_id < {KNN_PROBE_MOD * KNN_PROBE_CAP}),
+        scored AS (
+            SELECT p.point_id AS probe_id, x.point_id AS neighbor_id,
+                   (p.lat_u - x.lat_u) * (p.lat_u - x.lat_u)
+                 + (p.lon_u - x.lon_u) * (p.lon_u - x.lon_u) AS dist2
+            FROM probes p JOIN pts x ON x.point_id <> p.point_id),
+        ranked AS (
+            SELECT probe_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY dist2, neighbor_id) AS rk
+            FROM scored)
+        SELECT probe_id, neighbor_id, dist2, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {KNN_K}
+    """,
+    tags=("geo", "knn", "iterative", "skew"),
+)
+def geo_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_knn_pruned over the ADAPTIVE grid — the hotspot bound the
+    adaptive refinement was built for: in a dense cell the fixed-grid
+    ring loop must score EVERY in-cell point as a candidate, so one
+    downtown cell inflates each nearby probe's candidate set by the
+    whole cell population. Here the corpus is keyed by (cell, tile)
+    with the same density-gated nside census as geo_near_join_adaptive,
+    the ring's cells explode to their tiles, and — once a probe holds k
+    candidates — tiles whose MINIMUM distance to the probe exceeds the
+    probe's current k-th distance are pruned BEFORE the join (exact
+    integer interval arithmetic; a tile with mindist² strictly above
+    kth_d2 cannot contribute a top-k row even on ties, since integer d²
+    in that tile is >= mindist² > kth_d2). The ring enumeration and the
+    ((r-1)·CELL)² stop rule are unchanged, so the result is EXACT —
+    same oracle as geo_knn, pinned equal to both siblings in
+    tests/test_geo.py.
+
+    Scale story: per ring, a probe's candidate volume is bounded by the
+    tiles its CURRENT k-th distance can reach — in a hotspot that is
+    the k-nearest neighborhood's own density, not the cell's. Measured
+    (docs/SCALING.md round 11, scripts/probe_knn_hotspot.py): probes
+    adjacent to an 18,788-point downtown score 55.6x FEWER candidates
+    than the fixed ring (611,728 -> 11,007). The loop pays an extra
+    stats+bound-join action per ring — constant, while the candidate
+    term grows with hotspot density — so the operating guidance is:
+    geo_knn_pruned is the default serving path; switch to this loop
+    when geo_cell_index shows hotspot cells. Corpus access remains a
+    partition-prunable (cell, tile) equi-join; probes and their
+    k-candidate state stay a bounded broadcast-sized frame exactly as
+    in geo_knn_pruned."""
+    p = points(spark, sf_dir).select("point_id", "lat_u", "lon_u")
+    probes = p.filter(
+        (F.col("point_id") % KNN_PROBE_MOD == 0)
+        & (F.col("point_id") < KNN_PROBE_MOD * KNN_PROBE_CAP)
+    ).select(
+        F.col("point_id").alias("probe_id"),
+        F.col("lat_u").alias("plat"),
+        F.col("lon_u").alias("plon"),
+    )
+    return knn_adaptive_plan(spark, p, probes)
+
+
+def knn_adaptive_plan(
+    spark: SparkSession,
+    p: DataFrame,
+    probes: DataFrame,
+    split_t: int = SPLIT_T,
+    counters: list | None = None,
+) -> DataFrame:
+    """The adaptive-tile expanding-ring exact-kNN loop over ANY point /
+    probe DataFrames; split_t gates which cells refine (the hotspot
+    probes pass a census-derived threshold, exactly as an operator
+    would from geo_cell_index)."""
+    census = (
+        p.groupBy(
+            F.floor(F.col("lat_u") / CELL).alias("cell_lat"),
+            F.floor(F.col("lon_u") / CELL).alias("cell_lon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "cell_lat",
+            "cell_lon",
+            F.when(F.col("n_points") >= 4 * split_t, F.lit(4))
+            .when(F.col("n_points") >= split_t, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("nside"),
+        )
+        .filter(F.col("nside") > 1)
+    )
+    corpus = (
+        p.withColumn("cell_lat", F.floor(F.col("lat_u") / CELL))
+        .withColumn("cell_lon", F.floor(F.col("lon_u") / CELL))
+        .join(F.broadcast(census), ["cell_lat", "cell_lon"], "left")
+        .withColumn("ns", F.coalesce(F.col("nside"), F.lit(1)))
+        .withColumn("ts", (F.lit(CELL) / F.col("ns")).cast("long"))
+        .withColumn(
+            "sub",
+            (
+                F.floor((F.col("lat_u") % CELL) / F.col("ts")) * F.col("ns")
+                + F.floor((F.col("lon_u") % CELL) / F.col("ts"))
+            ).cast("int"),
+        )
+        .drop("nside", "ns", "ts")
+    )
+    max_ring = int(12_000_000 // CELL) + 1
+    d2 = (F.col("plat") - F.col("lat_u")) * (F.col("plat") - F.col("lat_u")) + (
+        F.col("plon") - F.col("lon_u")
+    ) * (F.col("plon") - F.col("lon_u"))
+    unresolved = probes
+    best = None
+    done = []
+    for r in range(max_ring + 1):
+        if unresolved.isEmpty():
+            break
+        offs = (
+            [(0, 0)]
+            if r == 0
+            else [
+                (i, j)
+                for i in range(-r, r + 1)
+                for j in range(-r, r + 1)
+                if max(abs(i), abs(j)) == r
+            ]
+        )
+        # probes carry their current k-th-distance bound into the ring
+        if best is None:
+            bounded = unresolved.withColumn("bound", F.lit(None).cast("long"))
+        else:
+            stats0 = best.groupBy("probe_id").agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.max("dist2").alias("kth_d2"),
+            )
+            bounded = unresolved.join(stats0, "probe_id", "left").select(
+                "probe_id",
+                "plat",
+                "plon",
+                F.when(F.col("n_cand") >= KNN_K, F.col("kth_d2"))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("bound"),
+            )
+        shell_cells = bounded.withColumn(
+            "off",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+                        for i, j in offs
+                    ]
+                )
+            ),
+        ).select(
+            "probe_id",
+            "plat",
+            "plon",
+            "bound",
+            (F.floor(F.col("plat") / CELL) + F.col("off.di")).alias("cell_lat"),
+            (F.floor(F.col("plon") / CELL) + F.col("off.dj")).alias("cell_lon"),
+        )
+        shell = (
+            shell_cells.join(F.broadcast(census), ["cell_lat", "cell_lon"], "left")
+            .withColumn("ns", F.coalesce(F.col("nside"), F.lit(1)))
+            .withColumn("ts", (F.lit(CELL) / F.col("ns")).cast("long"))
+            .withColumn(
+                "sub",
+                F.explode(F.sequence(F.lit(0), F.col("ns") * F.col("ns") - 1)),
+            )
+            .withColumn("sub", F.col("sub").cast("int"))
+        )
+        # per-tile minimum distance to the probe: componentwise clamp
+        # to the tile's [lo, lo+ts-1] integer extent
+        tlat_lo = (
+            F.col("cell_lat") * CELL
+            + F.floor(F.col("sub") / F.col("ns")) * F.col("ts")
+        )
+        tlon_lo = (
+            F.col("cell_lon") * CELL + (F.col("sub") % F.col("ns")) * F.col("ts")
+        )
+        dx = F.greatest(
+            F.lit(0), tlat_lo - F.col("plat"), F.col("plat") - (tlat_lo + F.col("ts") - 1)
+        )
+        dy = F.greatest(
+            F.lit(0), tlon_lo - F.col("plon"), F.col("plon") - (tlon_lo + F.col("ts") - 1)
+        )
+        shell = shell.filter(
+            F.col("bound").isNull() | (dx * dx + dy * dy <= F.col("bound"))
+        ).select("probe_id", "plat", "plon", "cell_lat", "cell_lon", "sub")
+        cand = (
+            shell.join(corpus, ["cell_lat", "cell_lon", "sub"])
+            .filter(F.col("point_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "plat",
+                "plon",
+                F.col("point_id").alias("neighbor_id"),
+                d2.cast("bigint").alias("dist2"),
+            )
+        )
+        if counters is not None:
+            counters.append(cand.count())
+        pool = cand if best is None else best.drop("rk").unionByName(cand)
+        w = W.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+        topk = (
+            pool.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KNN_K)
+            .localCheckpoint(eager=True)
+        )
+        safe = max(0, (r - 1) * CELL)
+        stats = topk.groupBy("probe_id").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("dist2").alias("kth_d2"),
+        )
+        resolved_ids = stats.filter(
+            (F.col("n_cand") >= KNN_K) & (F.col("kth_d2") <= safe * safe)
+        ).select("probe_id")
+        done.append(topk.join(resolved_ids, "probe_id", "semi"))
+        unresolved = unresolved.join(resolved_ids, "probe_id", "anti")
+        best = topk.join(resolved_ids, "probe_id", "anti")
+    if best is not None:
+        done.append(best)
+    if not done:
         return spark.createDataFrame(
             [], "probe_id bigint, neighbor_id bigint, dist2 bigint, rk bigint"
         )

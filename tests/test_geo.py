@@ -151,3 +151,16 @@ def test_adaptive_near_join_identical_and_prunes(spark):
         .count()
     )
     assert hot > 0, "no hot cells at test SF: refined branch untested"
+
+
+def test_adaptive_knn_identical_to_brute_knn(spark):
+    """The adaptive-tile ring loop must return exactly the brute scan's
+    top-k: ring enumeration and stop rule are unchanged from
+    geo_knn_pruned, and tile pruning only drops tiles whose integer
+    mindist² strictly exceeds the probe's current k-th distance — which
+    cannot contain a displacing point even on d² ties."""
+    brute = REGISTRY["geo_knn"].fn(spark, SF_DIR)
+    adaptive = REGISTRY["geo_knn_adaptive"].fn(spark, SF_DIR)
+    assert adaptive.exceptAll(brute).count() == 0
+    assert brute.exceptAll(adaptive).count() == 0
+    assert adaptive.count() > 0

@@ -225,6 +225,11 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_knn": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_knn_pruned": ({"col-x-col"},
                        "Δ² with coords < 1.2e7 µdeg (domain)"),
+    "geo_knn_adaptive": ({"col-x-col", "big-literal"},
+                         "Δ² and tile-mindist dx²+dy² with coords "
+                         "< 1.2e7 µdeg (domain); cell*CELL(=3e5) "
+                         "< 1.2e7, ti*ts <= CELL, sub*ns <= 16 — tile "
+                         "geometry bounded by the coordinate DOMAIN"),
     "geo_near_join_adaptive": ({"col-x-col", "big-literal"},
                                "Δ² with coords < 1.2e7 µdeg (domain); "
                                "cell*CELL(=3e5) < 1.2e7, tile index "

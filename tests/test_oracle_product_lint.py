@@ -91,6 +91,9 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     "geo_knn_pruned": ({"col-x-col"},
                        "same oracle as geo_knn (ring pruning is "
                        "physical-plan-only)"),
+    "geo_knn_adaptive": ({"col-x-col"},
+                         "same oracle as geo_knn (adaptive-tile "
+                         "pruning is physical-plan-only)"),
     # --- privacy: group_size * n_groups(group_size) == the number of
     # ROWS living in groups of that size, which is <= count(*) of the
     # table by identity — bounded by the row count itself.
