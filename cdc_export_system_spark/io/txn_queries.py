@@ -622,6 +622,46 @@ def cdc_export_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_table_replicate",
+    oracle=_MERGED_ORACLE,
+    tags=("io", "txn", "cdc"),
+)
+def txn_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE REPLICATION through the change data feed — the classic
+    CDF consumer: a replica LogTable is seeded from the source's
+    version 1 and then maintained ONLY from ``changes(v, v)`` applied
+    commit-by-commit as copy-on-write MERGEs (insert/update_postimage
+    rows upsert, delete rows tombstone; preimages drop). The returned
+    DataFrame is the REPLICA's final snapshot; the oracle recomputes
+    the SOURCE's end state from raw ``orders``, so the hash certifies
+    the full replication identity  seed ∘ apply(Δ2) ∘ apply(Δ3) =
+    source  across two different physical tables — the lakehouse
+    equivalent of the reference's consumer-side apply of its delta
+    export (app/services/exports.py:138-171). Per-version equality
+    along the way is pinned in tests/test_txn_table.py.
+
+    Scale: each replica merge rewrites only the stat-overlapping
+    buckets for that commit's key range, and each CDF read touches
+    only that commit's files — replication cost tracks change volume
+    on BOTH sides, never table size."""
+    t, _ = _build_merged_table(spark, sf_dir)
+    replica = LogTable.create(
+        spark, _new_root(), t.read(version=1), "o_orderkey", n_files=8
+    )
+    for v in t.history():
+        if v < 2:
+            continue
+        cdf = t.changes(v, v)
+        batch = (
+            cdf.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("_deleted", F.col("_change_type") == "delete")
+            .select(*_COLS, "_deleted")
+        )
+        replica.merge(batch)
+    return replica.read()
+
+
+@register(
     "txn_table_column_evolution",
     oracle="""
         SELECT o_orderkey,

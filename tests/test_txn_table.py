@@ -593,3 +593,31 @@ def test_changes_feed_mv_equals_recompute(spark, tmp_path):
     assert sorted(map(tuple, fed.collect())) == sorted(
         map(tuple, recomputed.collect())
     )
+
+
+def test_changes_replication_tracks_every_version(spark, tmp_path):
+    """CDF compositionality: seeding a replica from v1 and applying
+    changes(v, v) per commit must reproduce the SOURCE's snapshot at
+    EVERY version, not just the end state — the invariant a streaming
+    consumer (one micro-batch per commit) depends on."""
+    src = _mk(spark, tmp_path)
+    src.merge(_batch(spark, [(3, 999, False), (5, None, True)]))
+    src.merge(_batch(spark, [(70, 7, False), (3, 1000, False)]))
+    src.merge(_batch(spark, [(70, None, True), (0, 42, False)]))
+    seed = src.read(version=1)
+    replica = LogTable.create(
+        spark, str(tmp_path / "replica"), seed, "k", n_files=4
+    )
+    for v in src.history():
+        if v < 2:
+            continue
+        cdf = src.changes(v, v)
+        batch = (
+            cdf.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("_deleted", F.col("_change_type") == "delete")
+            .select("k", "v", "_deleted")
+        )
+        rv, _ = replica.merge(batch)
+        got = {(r["k"], r["v"]) for r in replica.read(version=rv).collect()}
+        want = {(r["k"], r["v"]) for r in src.read(version=v).collect()}
+        assert got == want, f"replica diverged at source v{v}"
