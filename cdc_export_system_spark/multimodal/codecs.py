@@ -349,6 +349,138 @@ def encode_wav(
     )
 
 
+# ---------------------------------------------------------------------------
+# G.711 companding (μ-law / A-law) — the classic telephony codecs, and the
+# repo's COMPRESSED-audio leg of the codec matrix. Semantics follow the
+# canonical public-domain Sun Microsystems g711.c (the implementation inside
+# ffmpeg/sox/asterisk): 16-bit linear <-> 8-bit logarithmic, segment +
+# 4-bit mantissa. The roundtrip decode(encode(x)) is closed-form integer
+# arithmetic (see g711_roundtrip_*), which is what the SQL oracle mirrors.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def g711_mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> μ-law bytes (vectorized Sun g711.c linear2ulaw)."""
+    x = np.asarray(samples, dtype=np.int32)
+    neg = x < 0
+    m = np.where(neg, -x, x)
+    m = np.minimum(m, _ULAW_CLIP) + _ULAW_BIAS
+    # segment = bit_length(m) - 8, m in [132, 32767] -> seg in 0..7
+    seg = (
+        (m > 0xFF).astype(np.int32)
+        + (m > 0x1FF)
+        + (m > 0x3FF)
+        + (m > 0x7FF)
+        + (m > 0xFFF)
+        + (m > 0x1FFF)
+        + (m > 0x3FFF)
+    )
+    uval = (seg << 4) | ((m >> (seg + 3)) & 0xF)
+    mask = np.where(neg, 0x7F, 0xFF)
+    return (uval ^ mask).astype(np.uint8)
+
+
+def g711_mulaw_decode(data: np.ndarray) -> np.ndarray:
+    """μ-law bytes -> int16 linear (Sun g711.c ulaw2linear)."""
+    u = ~np.asarray(data, dtype=np.uint8)
+    t = ((u.astype(np.int32) & 0x0F) << 3) + _ULAW_BIAS
+    t <<= (u >> 4) & 0x07
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def g711_alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> A-law bytes (vectorized Sun g711.c linear2alaw:
+    13-bit domain, seg boundaries 0x1F..0xFFF, mantissa xor 0x55)."""
+    p13 = np.asarray(samples, dtype=np.int32) >> 3
+    neg = p13 < 0
+    m = np.where(neg, -p13 - 1, p13)
+    seg = (
+        (m > 0x1F).astype(np.int32)
+        + (m > 0x3F)
+        + (m > 0x7F)
+        + (m > 0xFF)
+        + (m > 0x1FF)
+        + (m > 0x3FF)
+        + (m > 0x7FF)
+    )
+    aval = (seg << 4) | ((m >> np.maximum(seg, 1)) & 0xF)
+    mask = np.where(neg, 0x55, 0xD5)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def g711_alaw_decode(data: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 linear (Sun g711.c alaw2linear)."""
+    a = np.asarray(data, dtype=np.uint8) ^ 0x55
+    q = (a.astype(np.int32) & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0, q + 8, (q + 0x108) << np.maximum(seg.astype(np.int32) - 1, 0)
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def g711_roundtrip_mulaw(m: int) -> int:
+    """Closed-form |decode(encode(±m))| for a magnitude 0 <= m <= 32635
+    (symmetric in sign) — the SQL-oracle mirror: v = m + 132, seg =
+    bit_length(v) - 8 (>= 0), back out the quantized magnitude."""
+    v = min(m, _ULAW_CLIP) + _ULAW_BIAS
+    seg = max(v.bit_length() - 8, 0)
+    return (((((v >> (seg + 3)) & 0xF) << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+
+
+def g711_roundtrip_alaw(x: int) -> int:
+    """Closed-form decode(encode(x)) for a SIGNED 16-bit x — A-law is
+    NOT sign-symmetric (the negative path offsets by -1 in the 13-bit
+    domain), so the mirror takes the signed value."""
+    p13 = x >> 3
+    m = -p13 - 1 if p13 < 0 else p13
+    seg = max(m.bit_length() - 5, 0)
+    q = (m >> max(seg, 1)) & 0xF
+    t = q * 16 + 8 if seg == 0 else (q * 16 + 0x108) << (seg - 1)
+    return -t if p13 < 0 else t
+
+
+_WAV_G711_TAGS = {"mulaw": 7, "alaw": 6}
+
+
+def encode_wav_g711(
+    sample_rate: int, samples: np.ndarray, *, law: str = "mulaw"
+) -> bytes:
+    """RIFF/WAVE with G.711-compressed samples: format tag 7 (μ-law) or
+    6 (A-law), 8 bits/sample, the spec-required 18-byte fmt chunk
+    (cbSize=0) and a fact chunk carrying the frame count — so the
+    closed-form container size is 58 + n bytes for n mono frames."""
+    try:
+        tag = _WAV_G711_TAGS[law]
+    except KeyError:
+        raise ValueError(f"unsupported companding law {law!r}") from None
+    enc = g711_mulaw_encode if law == "mulaw" else g711_alaw_encode
+    data = enc(np.asarray(samples, dtype=np.int16)).tobytes()
+    n = len(data)
+    return (
+        b"RIFF"
+        + (50 + n).to_bytes(4, "little")  # 4 (WAVE) + 26 (fmt) + 12 (fact) + 8 + n
+        + b"WAVEfmt "
+        + (18).to_bytes(4, "little")
+        + tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate: 1 byte/frame
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits/sample
+        + (0).to_bytes(2, "little")  # cbSize
+        + b"fact"
+        + (4).to_bytes(4, "little")
+        + n.to_bytes(4, "little")
+        + b"data"
+        + n.to_bytes(4, "little")
+        + data
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse RIFF/WAVE 16-bit PCM: chunk walk (fmt then data; unknown
     chunks skipped per spec), returns sample_rate, channels, n_samples
@@ -380,15 +512,25 @@ def decode_wav(payload: bytes) -> dict:
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        encoding = "pcm16"
+        n_vals = len(data) // 2
+        samples = np.frombuffer(data, dtype="<i2", count=n_vals)
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711: A-law (6) / μ-law (7) — expand to 16-bit linear
+        encoding = "alaw" if audio_format == 6 else "mulaw"
+        raw = np.frombuffer(data, dtype=np.uint8)
+        dec = g711_alaw_decode if audio_format == 6 else g711_mulaw_decode
+        samples = dec(raw)
+        n_vals = len(samples)
+    else:
         raise NotImplementedError(
             f"WAV variant not supported (format={audio_format}, bits={bits})"
         )
-    n_vals = len(data) // 2
-    samples = np.frombuffer(data, dtype="<i2", count=n_vals)
     n_frames = n_vals // max(channels, 1)
     return {
         "codec": "wav",
+        "encoding": encoding,
         "sample_rate": sample_rate,
         "channels": channels,
         "n_frames": n_frames,

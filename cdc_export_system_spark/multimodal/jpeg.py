@@ -18,9 +18,15 @@ This module closes it for BASELINE SEQUENTIAL JPEG:
   byte-unstuffing — ANY integer sampling-factor layout (4:4:4, 4:2:2,
   4:2:0, 4:1:1, 4:4:0; the r10 verdict's subsampled-chroma seam is
   CLOSED) — dequantizes, inverse DCTs, nearest-neighbor upsamples the
-  subsampled planes, and converts YCbCr back to RGB. Progressive
-  (SOF2), arithmetic coding, 12-bit precision, and restart intervals
-  keep the injectable ``NotImplementedError`` seam.
+  subsampled planes, and converts YCbCr back to RGB. Restart
+  intervals (DRI/RSTn) are supported on BOTH sides: the encoder can
+  emit `restart_interval=N` files (DC predictors reset, bit stream
+  padded to a byte boundary, RST0..RST7 cycling per T.81 E.1.4), and
+  the decoder resynchronizes at every marker whatever the interval —
+  the mechanism hardware encoders use so a corrupted MCU only damages
+  one restart interval, and the unit of INTRA-IMAGE PARALLEL decode.
+  Progressive (SOF2), arithmetic coding, and 12-bit precision keep
+  the injectable ``NotImplementedError`` seam.
 
 Exactness contract: JPEG is lossy, but the LOSS IS DETERMINISTIC — and
 for constant-color inputs every block quantizes to a DC-only spectrum,
@@ -156,10 +162,20 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """1-pad to the next byte boundary (T.81 F.1.2.3; stuffing
+        still applies if the padded byte lands on 0xFF)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.put((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (caller must be byte-aligned)."""
+        assert self.nbits == 0, "raw bytes require byte alignment"
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -254,7 +270,11 @@ def _encode_block(w: "_BitWriter", block: np.ndarray, pred: int) -> int:
 
 
 def encode_jpeg(
-    width: int, height: int, raster: bytes, subsampling: str = "444"
+    width: int,
+    height: int,
+    raster: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF from an RGB24 raster (h*w*3 bytes, row-major).
 
@@ -262,7 +282,12 @@ def encode_jpeg(
     horizontally), or '420' (halved both ways — the ubiquitous camera/
     web layout). Subsampled chroma planes are box-averaged, components
     carry their T.81 sampling factors in SOF0, and MCUs interleave
-    hi*vi blocks per component in the spec's raster order."""
+    hi*vi blocks per component in the spec's raster order.
+
+    ``restart_interval``: when > 0, a DRI segment declares the interval
+    and an RSTn marker (n cycling 0..7) is written after every N MCUs
+    except the last — the bit stream 1-pads to a byte boundary and the
+    DC predictors reset, exactly the T.81 E.1.4 semantics."""
     try:
         factors = _SUBSAMPLING[subsampling]
     except KeyError:
@@ -298,8 +323,14 @@ def encode_jpeg(
 
     w = _BitWriter()
     pred = [0, 0, 0]
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                w.pad_to_byte()
+                rst = (mcu_idx // restart_interval - 1) % 8
+                w.raw(bytes([0xFF, 0xD0 + rst]))
+                pred = [0, 0, 0]
             for c, (hi, vi) in enumerate(factors):
                 for dy in range(vi):
                     for dx in range(hi):
@@ -307,6 +338,7 @@ def encode_jpeg(
                         pred[c] = _encode_block(
                             w, blk.reshape(64)[ZIGZAG], pred[c]
                         )
+            mcu_idx += 1
     entropy = w.flush()
 
     qz = bytes(int(QTABLE.reshape(64)[ZIGZAG][i]) for i in range(64))
@@ -316,6 +348,11 @@ def encode_jpeg(
         sof += bytes([cid, hi * 16 + vi, 0])
     sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00]) \
         + bytes([0, 63, 0])
+    dri = (
+        _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -323,6 +360,7 @@ def encode_jpeg(
         + _seg(0xC0, sof)  # SOF0 baseline
         + _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
         + _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+        + dri  # DRI (restart interval), when requested
         + _seg(0xDA, sos)
         + entropy
         + b"\xff\xd9"  # EOI
@@ -365,6 +403,21 @@ class _BitReader:
             self._fill()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align (discarding the encoder's 1-padding bits) and
+        consume the expected RSTn marker — T.81 E.2.4 resync. The
+        padded byte, if any, was already (partially) consumed by bit
+        fills, so dropping the accumulator realigns exactly."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 2 > len(d) or d[self.pos] != 0xFF or d[
+            self.pos + 1
+        ] != 0xD0 + n:
+            got = d[self.pos : self.pos + 2].hex() if self.pos + 2 <= len(d) else "EOF"
+            raise ValueError(f"expected restart marker RST{n}, got {got}")
+        self.pos += 2
 
     def bits(self, n: int) -> int:
         v = 0
@@ -420,9 +473,9 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline sequential JPEG (any integer sampling layout, color or
-    grayscale) -> dict with dims and an (h, w, 3) uint8 RGB raster.
-    Progressive / arithmetic / 12-bit / restart-interval files keep
-    the injectable seam."""
+    grayscale, with or without restart intervals) -> dict with dims and
+    an (h, w, 3) uint8 RGB raster. Progressive / arithmetic / 12-bit
+    files keep the injectable seam."""
     d = bytes(payload)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -494,10 +547,6 @@ def decode_jpeg(payload: bytes) -> dict:
                 b = b[17 + n :]
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
-            if restart_interval:
-                # our encoder never emits restarts, so the resync path
-                # would be untested code — keep the injectable seam
-                raise NotImplementedError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -524,8 +573,19 @@ def decode_jpeg(payload: bytes) -> dict:
                 np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64)
                 for hi, vi, _tq, _d, _a in scan_comps
             ]
+            mcu_idx = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_idx
+                        and mcu_idx % restart_interval == 0
+                    ):
+                        reader.sync_restart(
+                            (mcu_idx // restart_interval - 1) % 8
+                        )
+                        pred = [0] * ns
+                    mcu_idx += 1
                     for ci, (hi, vi, _tq, dct, act) in enumerate(scan_comps):
                         dc_t = htables[(0, dct)]
                         ac_t = htables[(1, act)]

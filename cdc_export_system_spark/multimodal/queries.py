@@ -583,6 +583,164 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_g711_stats — REAL compressed-audio codec end to end
+# ---------------------------------------------------------------------------
+
+# The SQL mirrors of codecs.g711_roundtrip_{mulaw,alaw}: segment via CASE
+# ranges (bit_length in disguise), mantissa via shift/mask, dequantize.
+_G711_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               100 + (doc_id * 13) % 400 AS n,
+               500 + (doc_id * 37) % 31800 AS a,
+               CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law
+        FROM documents),
+    mu AS (
+        SELECT doc_id, a + 132 AS v FROM g),
+    mu2 AS (
+        SELECT doc_id, v,
+               CASE WHEN v <= 255 THEN 0 WHEN v <= 511 THEN 1
+                    WHEN v <= 1023 THEN 2 WHEN v <= 2047 THEN 3
+                    WHEN v <= 4095 THEN 4 WHEN v <= 8191 THEN 5
+                    WHEN v <= 16383 THEN 6 ELSE 7 END AS useg
+        FROM mu),
+    murt AS (
+        SELECT doc_id,
+               ((((v >> (useg + 3)) & 15) * 8 + 132) * (1 << useg)) - 132
+                   AS rt
+        FROM mu2),
+    alp AS (  -- A-law positive path: m = a // 8
+        SELECT doc_id, a // 8 AS m FROM g),
+    aln AS (  -- A-law negative path: m = (a + 7) // 8 - 1
+        SELECT doc_id, (a + 7) // 8 - 1 AS m FROM g),
+    alrt_p AS (
+        SELECT doc_id,
+               CASE WHEN seg = 0 THEN q * 16 + 8
+                    ELSE (q * 16 + 264) * (1 << (seg - 1)) END AS rt
+        FROM (
+            SELECT doc_id, seg, (m >> greatest(seg, 1)) & 15 AS q
+            FROM (
+                SELECT doc_id, m,
+                       CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+                            WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+                            WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+                            WHEN m <= 2047 THEN 6 ELSE 7 END AS seg
+                FROM alp))),
+    alrt_n AS (
+        SELECT doc_id,
+               CASE WHEN seg = 0 THEN q * 16 + 8
+                    ELSE (q * 16 + 264) * (1 << (seg - 1)) END AS rt
+        FROM (
+            SELECT doc_id, seg, (m >> greatest(seg, 1)) & 15 AS q
+            FROM (
+                SELECT doc_id, m,
+                       CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+                            WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+                            WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+                            WHEN m <= 2047 THEN 6 ELSE 7 END AS seg
+                FROM aln)))
+    SELECT g.doc_id, g.law, 'wav' AS codec,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(g.n AS BIGINT) AS n_frames,
+           CAST(58 + g.n AS BIGINT) AS payload_bytes,
+           CAST(4 * (g.n // 8) + least(g.n % 8, 4) AS BIGINT) AS n_pos,
+           CAST(CASE WHEN g.law = 'mulaw'
+                THEN g.n * murt.rt  -- sign-symmetric: |rt| everywhere
+                ELSE (4 * (g.n // 8) + least(g.n % 8, 4)) * alrt_p.rt
+                     + (g.n - 4 * (g.n // 8) - least(g.n % 8, 4)) * alrt_n.rt
+                END AS BIGINT) AS sum_abs
+    FROM g
+    JOIN murt ON murt.doc_id = g.doc_id
+    JOIN alrt_p ON alrt_p.doc_id = g.doc_id
+    JOIN alrt_n ON alrt_n.doc_id = g.doc_id
+"""
+
+
+@register(
+    "multimodal_audio_g711_stats",
+    oracle=_G711_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio codec end to end — the COMPRESSED-AUDIO leg
+    of the codec seam, closed: each document synthesizes a ±A square
+    wave (frame count and amplitude derive deterministically from
+    doc_id), compresses it through the in-tree vectorized G.711
+    companders (μ-law for even doc_ids, A-law for odd — Sun g711.c
+    semantics: segment + 4-bit mantissa, the telephony codec every
+    speech corpus crawls over), wraps it in a spec-shaped WAV container
+    (format tag 7/6, 18-byte fmt + fact chunk, 8 bits/sample), parses
+    it back through decode_wav (chunk walk, tag dispatch, G.711
+    expansion to 16-bit linear), and emits what only a working codec
+    can know: header fields, the exact container size (58 + n), the
+    positive-sample count, and the sum of |decoded| values. G.711 is
+    LOSSY but the loss is closed-form integer arithmetic — the oracle
+    mirrors decode(encode(x)) segment-by-segment in SQL (CASE-range
+    bit_length, shift/mask mantissa, dequantize), separately for the
+    sign-symmetric μ-law path and the asymmetric A-law negative path
+    (-x-1 in the 13-bit domain). One mis-set segment boundary or xor
+    mask flips sum_abs for that document. Exhaustive int16-domain
+    equality against the closed forms is pinned in
+    tests/test_multimodal.py.
+
+    Scale: row-local encode+decode inside one mapInPandas stage; the
+    companders are numpy elementwise ops; payload bytes never shuffle."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        encode_wav_g711,
+        sniff_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(100) + (F.col("doc_id") * 13) % 400).cast("int").alias("n"),
+        (F.lit(500) + (F.col("doc_id") * 37) % 31800).cast("int").alias("a"),
+        F.when(F.col("doc_id") % 2 == 0, "mulaw").otherwise("alaw").alias("law"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, n, a, law in zip(
+                pdf["doc_id"], pdf["n"], pdf["a"], pdf["law"]
+            ):
+                n, a = int(n), int(a)
+                i = np.arange(n)
+                samples = np.where((i // 4) % 2 == 0, a, -a).astype(np.int16)
+                payload = encode_wav_g711(8000, samples, law=str(law))
+                d = sniff_decode(payload)
+                s = np.asarray(d["samples"]).reshape(-1).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        str(law),
+                        d["codec"],
+                        d["sample_rate"],
+                        d["n_frames"],
+                        len(payload),
+                        int((s > 0).sum()),
+                        int(np.abs(s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "law", "codec", "sample_rate", "n_frames",
+                    "payload_bytes", "n_pos", "sum_abs",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, law string, codec string, sample_rate bigint,"
+        " n_frames bigint, payload_bytes bigint, n_pos bigint,"
+        " sum_abs bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_jpeg_stats — REAL lossy image codec end to end
 # ---------------------------------------------------------------------------
 
@@ -627,6 +785,35 @@ _JPEG_ORACLE = """
 
 
 _JPEG420_ORACLE = _JPEG_ORACLE.replace("'jpeg' AS codec", "'jpeg420' AS codec")
+
+_JPEG_RST_ORACLE = _JPEG_ORACLE.replace("'jpeg' AS codec", "'jpeg_rst' AS codec")
+
+
+@register(
+    "multimodal_jpeg_rst_stats",
+    oracle=_JPEG_RST_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_jpeg_rst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_jpeg_stats through the RESTART-INTERVAL path — the
+    DRI/RSTn leg of the r10 codec seam, closed: the encoder writes a
+    DRI segment and an RST0..RST7 marker after every 2 MCUs (bit stream
+    1-padded to the byte boundary, DC predictors reset, marker number
+    cycling per T.81 E.1.4), and the decoder byte-aligns and resyncs at
+    every marker, resetting its predictors to match. Restart markers
+    are how hardware encoders bound error propagation and the unit of
+    INTRA-IMAGE parallel decode — a 100 TB image corpus with DRI files
+    is the COMMON case (cameras emit them), so the decoder must not
+    seam on it. The closed-form oracle is IDENTICAL to the 4:4:4 one:
+    restarts change the entropy framing, never the coefficients — and
+    with a 2-MCU interval every image wider/taller than one MCU crosses
+    multiple restart segments, so one missed predictor reset or
+    misaligned resync flips n_match for that document. Interval
+    correctness across MANY markers (cycling past RST7) is pinned in
+    tests/test_round9_semantics.py."""
+    return _jpeg_stats_impl(
+        spark, sf_dir, subsampling="444", codec="jpeg_rst", restart_interval=2
+    )
 
 
 @register(
@@ -680,7 +867,11 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jpeg_stats_impl(
-    spark: SparkSession, sf_dir: str, subsampling: str, codec: str
+    spark: SparkSession,
+    sf_dir: str,
+    subsampling: str,
+    codec: str,
+    restart_interval: int = 0,
 ) -> DataFrame:
     from cdc_export_system_spark.multimodal.jpeg import (
         decode_jpeg,
@@ -709,7 +900,11 @@ def _jpeg_stats_impl(
                 w, h, r, g, b = int(w), int(h), int(r), int(g), int(b)
                 raster = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
                 payload = encode_jpeg(
-                    w, h, raster.tobytes(), subsampling=subsampling
+                    w,
+                    h,
+                    raster.tobytes(),
+                    subsampling=subsampling,
+                    restart_interval=restart_interval,
                 )
                 d = decode_jpeg(payload)
                 expect = np.array(

@@ -90,3 +90,92 @@ def test_frame_sample_fanout_matches_python(spark):
             expected[(doc_id, i)] = (len(frame), hashlib.md5(frame).hexdigest())
     got = {(r["doc_id"], r["frame_idx"]): (r["frame_bytes"], r["frame_md5"]) for r in rows}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (the compressed-audio codec leg, closed in r11)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_roundtrip_matches_closed_form_exhaustively():
+    """decode(encode(x)) must equal the closed-form mirrors over the
+    ENTIRE int16 domain for both laws — the property the SQL oracle of
+    multimodal_audio_g711_stats replicates segment-by-segment."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        g711_alaw_decode,
+        g711_alaw_encode,
+        g711_mulaw_decode,
+        g711_mulaw_encode,
+        g711_roundtrip_alaw,
+        g711_roundtrip_mulaw,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    mu = g711_mulaw_decode(g711_mulaw_encode(x)).astype(np.int64)
+    al = g711_alaw_decode(g711_alaw_encode(x)).astype(np.int64)
+    exp_mu = np.array(
+        [g711_roundtrip_mulaw(abs(int(v))) * (1 if v >= 0 else -1) for v in x]
+    )
+    exp_al = np.array([g711_roundtrip_alaw(int(v)) for v in x])
+    assert np.array_equal(mu, exp_mu)
+    assert np.array_equal(al, exp_al)
+    # companders are idempotent on their own output (quantizer fixed points)
+    assert np.array_equal(g711_mulaw_decode(g711_mulaw_encode(mu.astype(np.int16))), mu)
+    assert np.array_equal(g711_alaw_decode(g711_alaw_encode(al.astype(np.int16))), al)
+
+
+def test_g711_known_anchor_bytes():
+    """Spot anchors every conformant G.711 implementation shares:
+    mu-law encodes 0 -> 0xFF and decodes 0xFF -> 0; A-law's smallest
+    positive cell decodes to +8; max-magnitude cells decode to 32124
+    (mu) / 32256 (A)."""
+    import numpy as np
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        g711_alaw_decode,
+        g711_mulaw_decode,
+        g711_mulaw_encode,
+    )
+
+    assert int(g711_mulaw_encode(np.array([0], dtype=np.int16))[0]) == 0xFF
+    assert int(g711_mulaw_decode(np.array([0xFF], dtype=np.uint8))[0]) == 0
+    # mu byte 0x80 = max positive cell; A byte 0xAA (0xFF^0x55) likewise
+    assert int(g711_mulaw_decode(np.array([0x80], dtype=np.uint8))[0]) == 32124
+    assert int(g711_alaw_decode(np.array([0xAA], dtype=np.uint8))[0]) == 32256
+    # A-law: aval 0x80 (sign|seg0|q0) ^ 0x55 = 0xD5 decodes to +8
+    assert int(g711_alaw_decode(np.array([0xD5], dtype=np.uint8))[0]) == 8
+
+
+def test_g711_wav_container_roundtrip_and_unknown_tag_seam():
+    """The WAV chunk walk must dispatch tags 6/7 to the expanders (58+n
+    closed-form size) and keep the NotImplementedError seam for tags it
+    has no decoder for (e.g. IMA ADPCM 0x11)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_export_system_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_g711,
+        g711_alaw_decode,
+        g711_alaw_encode,
+        g711_mulaw_decode,
+        g711_mulaw_encode,
+    )
+
+    s = np.array([700, -700, 12345, -12345, 0, 31000], dtype=np.int16)
+    for law, enc, dec in (
+        ("mulaw", g711_mulaw_encode, g711_mulaw_decode),
+        ("alaw", g711_alaw_encode, g711_alaw_decode),
+    ):
+        p = encode_wav_g711(8000, s, law=law)
+        assert len(p) == 58 + len(s)
+        d = decode_wav(p)
+        assert d["encoding"] == law and d["n_frames"] == len(s)
+        assert np.array_equal(d["samples"].reshape(-1), dec(enc(s)))
+    # unknown compressed tag keeps the injectable seam
+    p = bytearray(encode_wav_g711(8000, s, law="mulaw"))
+    p[20] = 0x11  # fmt tag -> IMA ADPCM
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(p))

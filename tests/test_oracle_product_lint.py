@@ -129,6 +129,15 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                                  "same oracle as multimodal_jpeg_stats "
                                  "(constant planes box-average to "
                                  "themselves; only the codec tag differs)"),
+    "multimodal_jpeg_rst_stats": ({"col-x-col"},
+                                  "same oracle as multimodal_jpeg_stats "
+                                  "(restart markers change entropy "
+                                  "framing, never coefficients)"),
+    "multimodal_audio_g711_stats": ({"col-x-col", "shiftleft"},
+                                    "n <= 499 frames * |rt| <= 32124 "
+                                    "(G.711 dequantized max) < 1.7e7; "
+                                    "1 << seg bounded by seg <= 7 (CASE "
+                                    "range construction)"),
     # --- 0/1 indicator products
     "ab_proportion_ztest": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),
     "ml_uplift_qini": ({"col-x-col"}, "0/1 treatment * 0/1 outcome"),

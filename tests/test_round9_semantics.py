@@ -180,6 +180,51 @@ def test_jpeg_subsampled_color_gradient_bounded_and_deterministic():
     assert err <= 16, f"4:2:0 smooth-gradient error {err} out of bounds"
 
 
+def test_jpeg_restart_interval_roundtrip_and_cycling():
+    """DRI/RSTn (the r10 seam's restart leg, closed in r11): a
+    restart-interval file must decode IDENTICALLY to its no-restart
+    sibling — markers change the entropy framing, never the
+    coefficients — including with enough intervals to cycle the marker
+    number past RST7, and the DC predictor must genuinely reset (a
+    gradient image makes every predictor nonzero, so a missed reset
+    shifts whole intervals)."""
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(47, 33, img.tobytes()))
+    for ri, sub in [(1, "444"), (2, "444"), (7, "444"), (2, "420")]:
+        p = encode_jpeg(
+            47, 33, img.tobytes(), subsampling=sub, restart_interval=ri
+        )
+        assert b"\xff\xdd" in p  # DRI present
+        n_rst = sum(
+            p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7
+            for i in range(len(p) - 1)
+        )
+        if sub == "444":
+            # 6x5 = 30 MCUs at 8x8: floor(29/ri) markers (ri=1 -> 29,
+            # cycling past RST7 three times)
+            assert n_rst == 29 // ri, (ri, n_rst)
+            d = decode_jpeg(p)
+            assert (d["raster"] == base["raster"]).all(), (ri, sub)
+        else:
+            assert n_rst >= 1
+            decode_jpeg(p)  # 420 sibling: decodes without error
+
+
+def test_jpeg_restart_marker_out_of_sequence_errors():
+    """A wrong RSTn number is stream corruption: the decoder must
+    refuse to resync rather than silently mis-place MCUs."""
+    img = np.full((24, 8, 3), 100, dtype=np.uint8)
+    p = bytearray(encode_jpeg(8, 24, img.tobytes(), restart_interval=1))
+    i = p.find(b"\xff\xd0")  # first RST0 -> RST5
+    assert i > 0
+    p[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(p))
+
+
 def test_jpeg_corrupt_payloads_error():
     img = np.zeros((16, 16, 3), dtype=np.uint8)
     good = encode_jpeg(16, 16, img.tobytes())
