@@ -25,8 +25,10 @@ This module closes it for BASELINE SEQUENTIAL JPEG:
   the decoder resynchronizes at every marker whatever the interval —
   the mechanism hardware encoders use so a corrupted MCU only damages
   one restart interval, and the unit of INTRA-IMAGE PARALLEL decode.
-  Progressive (SOF2), arithmetic coding, and 12-bit precision keep
-  the injectable ``NotImplementedError`` seam.
+  Progressive (SOF2) files delegate to ``jpeg_progressive``; 12-bit
+  extended sequential (SOF1, Pq=1 DQT — see ``jpeg12``) decodes here
+  with a uint16 raster. Arithmetic coding, lossless (SOF3), and
+  hierarchical modes keep the injectable ``NotImplementedError`` seam.
 
 Exactness contract: JPEG is lossy, but the LOSS IS DETERMINISTIC — and
 for constant-color inputs every block quantizes to a DC-only spectrum,
@@ -269,6 +271,43 @@ def _encode_block(w: "_BitWriter", block: np.ndarray, pred: int) -> int:
     return dc
 
 
+def _quantized_blocks(
+    width: int, height: int, raster: bytes, factors
+) -> tuple[list[np.ndarray], int, int]:
+    """RGB raster -> per-component quantized coefficient block grids
+    ((rows, cols, 8, 8) int64 per component, padded to MCU coverage)
+    plus the MCU grid dims — shared by the sequential and progressive
+    encoders, so both emit IDENTICAL coefficients by construction."""
+    img = np.frombuffer(raster, dtype=np.uint8, count=height * width * 3)
+    img = img.reshape(height, width, 3)
+    planes = _rgb_to_ycbcr(img)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []
+    for c, (hi, vi) in enumerate(factors):
+        plane = _downsample(planes[c], hmax // hi, vmax // vi)
+        # pad the component plane to its MCU coverage (mcuy*vi x mcux*hi
+        # blocks) so every MCU is complete; edge padding keeps constant
+        # images constant
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coeffs = _dct2(blocks - 128.0)
+        q = np.floor(coeffs / QTABLE + 0.5).astype(np.int64)
+        comp_blocks.append(q.reshape(th // 8, tw // 8, 8, 8))
+    return comp_blocks, mcux, mcuy
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -292,34 +331,7 @@ def encode_jpeg(
         factors = _SUBSAMPLING[subsampling]
     except KeyError:
         raise ValueError(f"unsupported subsampling {subsampling!r}") from None
-    img = np.frombuffer(raster, dtype=np.uint8, count=height * width * 3)
-    img = img.reshape(height, width, 3)
-    planes = _rgb_to_ycbcr(img)
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-
-    comp_blocks = []
-    for c, (hi, vi) in enumerate(factors):
-        plane = _downsample(planes[c], hmax // hi, vmax // vi)
-        # pad the component plane to its MCU coverage (mcuy*vi x mcux*hi
-        # blocks) so every MCU is complete; edge padding keeps constant
-        # images constant
-        th, tw = mcuy * vi * 8, mcux * hi * 8
-        p = np.pad(
-            plane,
-            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
-            mode="edge",
-        )
-        blocks = (
-            p.reshape(th // 8, 8, tw // 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        )
-        coeffs = _dct2(blocks - 128.0)
-        q = np.floor(coeffs / QTABLE + 0.5).astype(np.int64)
-        comp_blocks.append(q.reshape(th // 8, tw // 8, 8, 8))
+    comp_blocks, mcux, mcuy = _quantized_blocks(width, height, raster, factors)
 
     w = _BitWriter()
     pred = [0, 0, 0]
@@ -462,13 +474,20 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+def _ycbcr_to_rgb(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    center: float = 128.0,
+    maxv: int = 255,
+) -> np.ndarray:
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136286 * (cb - center) - 0.714136286 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    dtype = np.uint8 if maxv <= 255 else np.uint16
     return np.stack(
         [np.floor(r + 0.5), np.floor(g + 0.5), np.floor(b + 0.5)], axis=-1
-    ).clip(0, 255).astype(np.uint8)
+    ).clip(0, maxv).astype(dtype)
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -484,6 +503,7 @@ def decode_jpeg(payload: bytes) -> dict:
     htables: dict[tuple[int, int], tuple] = {}
     frame = None
     restart_interval = 0
+    frame_prec = 8
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -498,21 +518,35 @@ def decode_jpeg(payload: bytes) -> dict:
             b = body
             while b:
                 pq, tq = b[0] >> 4, b[0] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
-                qtables[tq] = tbl.reshape(8, 8)
-                b = b[65:]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                if pq == 1:  # 16-bit entries (the 12-bit-precision DQT)
+                    tbl[ZIGZAG] = np.frombuffer(b[1:129], dtype=">u2")
+                    qtables[tq] = tbl.reshape(8, 8)
+                    b = b[129:]
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(b[1:65], dtype=np.uint8)
+                    qtables[tq] = tbl.reshape(8, 8)
+                    b = b[65:]
+        elif marker == 0xC2:  # SOF2: delegate to the progressive decoder
+            from cdc_export_system_spark.multimodal.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(d)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline SOF0 supported (got SOF marker {marker:#x})"
+                f"only sequential SOF0/SOF1 and progressive SOF2 supported "
+                f"(got SOF marker {marker:#x})"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
             prec = body[0]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8- or 12-bit precision (got {prec})"
+                )
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit precision requires SOF1, not SOF0")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -536,6 +570,7 @@ def decode_jpeg(payload: bytes) -> dict:
                         f"unsupported sampling factors {hi}x{vi}"
                     )
             frame = (h, w, comps)
+            frame_prec = prec
         elif marker == 0xC4:  # DHT
             b = body
             while b:
@@ -557,6 +592,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 scan.append((cs, tables >> 4, tables & 15))
             h, w, comps = frame
             comp_map = {c[0]: c for c in comps}
+            level = float(1 << (frame_prec - 1))
+            maxv = (1 << frame_prec) - 1
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -623,7 +660,7 @@ def decode_jpeg(payload: bytes) -> dict:
             for ci, (hi, vi, tq, _dct, _act) in enumerate(scan_comps):
                 gh, gw = out_blocks[ci].shape[:2]
                 deq = out_blocks[ci].reshape(-1, 8, 8) * qtables[tq]
-                spatial = _idct2(deq.astype(np.float64)) + 128.0
+                spatial = _idct2(deq.astype(np.float64)) + level
                 plane = (
                     spatial.reshape(gh, gw, 8, 8)
                     .transpose(0, 2, 1, 3)
@@ -642,14 +679,19 @@ def decode_jpeg(payload: bytes) -> dict:
                     )
                 planes.append(plane[:h, :w])
             if ns == 3:
-                raster = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+                raster = _ycbcr_to_rgb(
+                    planes[0], planes[1], planes[2],
+                    center=level, maxv=maxv,
+                )
             elif ns == 1:
-                g = np.floor(planes[0] + 0.5).clip(0, 255).astype(np.uint8)
+                g = np.floor(planes[0] + 0.5).clip(0, maxv).astype(
+                    np.uint8 if maxv <= 255 else np.uint16
+                )
                 raster = np.stack([g, g, g], axis=-1)
             else:
                 raise NotImplementedError(f"{ns}-component scan")
             return {
-                "codec": "jpeg",
+                "codec": "jpeg12" if frame_prec == 12 else "jpeg",
                 "width": w,
                 "height": h,
                 "channels": 3,

@@ -788,6 +788,162 @@ _JPEG420_ORACLE = _JPEG_ORACLE.replace("'jpeg' AS codec", "'jpeg420' AS codec")
 
 _JPEG_RST_ORACLE = _JPEG_ORACLE.replace("'jpeg' AS codec", "'jpeg_rst' AS codec")
 
+_JPEG_PROG_ORACLE = _JPEG_ORACLE.replace(
+    "'jpeg' AS codec", "'jpeg_prog' AS codec"
+)
+
+# 12-bit closed form (multimodal/jpeg12.py): center 2048, q00 = 128 —
+# mirrored float-op-for-float-op against jpeg12_constant_roundtrip
+_JPEG12_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               8 + (doc_id * 7) % 40 AS w,
+               8 + (doc_id * 11) % 32 AS h,
+               CAST(doc_id % 4096 AS DOUBLE) AS r,
+               CAST((doc_id * 31) % 4096 AS DOUBLE) AS g,
+               CAST((doc_id * 57) % 4096 AS DOUBLE) AS b
+        FROM documents),
+    ycc AS (
+        SELECT doc_id, w, h,
+               floor(8.0 * (floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+                            - 2048.0) / 128 + 0.5) * 128 / 8.0 + 2048.0 AS y,
+               floor(8.0 * (floor(2048.0 - 0.168735892 * r - 0.331264108 * g
+                                  + 0.5 * b + 0.5) - 2048.0) / 128 + 0.5)
+                   * 128 / 8.0 + 2048.0 AS cb,
+               floor(8.0 * (floor(2048.0 + 0.5 * r - 0.418687589 * g
+                                  - 0.081312411 * b + 0.5) - 2048.0) / 128
+                     + 0.5) * 128 / 8.0 + 2048.0 AS cr
+        FROM g)
+    SELECT doc_id, 'jpeg12' AS codec,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(greatest(0, least(4095,
+               floor(y + 1.402 * (cr - 2048.0) + 0.5))) AS BIGINT) AS red,
+           CAST(greatest(0, least(4095,
+               floor(y - 0.344136286 * (cb - 2048.0)
+                       - 0.714136286 * (cr - 2048.0) + 0.5))) AS BIGINT)
+               AS green,
+           CAST(greatest(0, least(4095,
+               floor(y + 1.772 * (cb - 2048.0) + 0.5))) AS BIGINT) AS blue,
+           CAST(w * h AS BIGINT) AS n_match
+    FROM ycc
+"""
+
+
+@register(
+    "multimodal_jpeg12_stats",
+    oracle=_JPEG12_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT extended sequential JPEG (SOF1) end to end — the
+    precision leg of the codec seam, closed: constant 12-bit images
+    (channels derive from doc_id mod 4096) go through
+    multimodal/jpeg12.py's encoder (level shift 2048, x16 quant table
+    carried as Pq=1 16-bit DQT — the structural difference that breaks
+    byte-precision parsers — DC categories to 15 / AC sizes to 14 in
+    the embedded tables, SOF1) and back through decode_jpeg (which
+    sniffs the frame precision and emits a uint16 raster). 12-bit JPEG
+    is DICOM's lossy transfer syntax, so medical-imaging corpora in a
+    100 TB crawl hinge on this path. The oracle mirrors the 12-bit
+    DC-only closed form y' = clip(round(round(8(y-2048)/128)*128/8)
+    + 2048) float-op-for-float-op; the encoder computes the DC via the
+    exact sum/8 path (see jpeg12.py) so the s % 16 == 8 floor
+    boundary, which the einsum DCT's epsilon would flip, lands
+    deterministically on BOTH engines. One wrong bit in the 16-bit
+    DQT parse, the wide Huffman tables, or the level shift flips every
+    row's hash.
+
+    Scale: row-local encode+decode inside one mapInPandas stage;
+    payload bytes never shuffle."""
+    from cdc_export_system_spark.multimodal.jpeg import decode_jpeg
+    from cdc_export_system_spark.multimodal.jpeg12 import (
+        encode_jpeg12,
+        jpeg12_constant_roundtrip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + (F.col("doc_id") * 7) % 40).cast("int").alias("w"),
+        (F.lit(8) + (F.col("doc_id") * 11) % 32).cast("int").alias("h"),
+        (F.col("doc_id") % 4096).cast("int").alias("r"),
+        ((F.col("doc_id") * 31) % 4096).cast("int").alias("g"),
+        ((F.col("doc_id") * 57) % 4096).cast("int").alias("b"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, w, h, r, g, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                w, h, r, g, b = int(w), int(h), int(r), int(g), int(b)
+                raster = np.full((h, w, 3), (r, g, b), dtype="<u2")
+                d = decode_jpeg(encode_jpeg12(w, h, raster.tobytes()))
+                expect = np.array(
+                    jpeg12_constant_roundtrip(r, g, b), dtype=np.uint16
+                )
+                n_match = int((d["raster"] == expect).all(axis=-1).sum())
+                px = d["raster"][0, 0]
+                out.append(
+                    (
+                        int(doc_id), d["codec"], d["width"], d["height"],
+                        int(px[0]), int(px[1]), int(px[2]), n_match,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "width", "height",
+                    "red", "green", "blue", "n_match",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, width bigint, height bigint,"
+        " red bigint, green bigint, blue bigint, n_match bigint",
+    )
+
+
+@register(
+    "multimodal_jpeg_progressive_stats",
+    oracle=_JPEG_PROG_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """multimodal_jpeg_stats through the PROGRESSIVE (SOF2) path — the
+    codec seam's largest remaining leg, closed: the encoder runs an
+    8-scan ladder exercising BOTH T.81 progressive mechanisms
+    (spectral selection and successive approximation — interleaved DC
+    first scan at Al=1 plus a DC refinement bit-scan; per-component AC
+    first scans with EOBn run coding plus AC refinement correction-bit
+    scans), and the decoder accumulates coefficients across an
+    ARBITRARY scan script before one dequantize+IDCT at EOI
+    (multimodal/jpeg_progressive.py; sniffed via SOF2 in decode_jpeg).
+    Progressive files dominate web corpora — every libjpeg
+    ``-progressive`` output, most CDN-optimized images — so a 100 TB
+    multimodal crawl cannot seam on them. The closed-form oracle is
+    IDENTICAL to the 4:4:4 sequential one by construction: both
+    encoders share _quantized_blocks, so a progressive file carries
+    bit-identical coefficients to its sequential sibling and
+    decode(progressive) == decode(sequential) exactly (the equality is
+    pinned across scan-script variants — band splits, deeper SA
+    ladders — in tests/test_round9_semantics.py). One bit slipped in
+    the EOBRUN carry, a refinement correction bit on the wrong side of
+    a ZRL, or a missed DC bit-scan flips n_match for that document.
+
+    Scale: row-local encode+decode inside one mapInPandas stage, like
+    every codec query; scan state is one image's coefficient grids,
+    never shuffled."""
+    return _jpeg_stats_impl(
+        spark, sf_dir, subsampling="444", codec="jpeg_prog", progressive=True
+    )
+
 
 @register(
     "multimodal_jpeg_rst_stats",
@@ -872,11 +1028,15 @@ def _jpeg_stats_impl(
     subsampling: str,
     codec: str,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> DataFrame:
     from cdc_export_system_spark.multimodal.jpeg import (
         decode_jpeg,
         encode_jpeg,
         jpeg_constant_roundtrip,
+    )
+    from cdc_export_system_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -899,13 +1059,16 @@ def _jpeg_stats_impl(
             ):
                 w, h, r, g, b = int(w), int(h), int(r), int(g), int(b)
                 raster = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
-                payload = encode_jpeg(
-                    w,
-                    h,
-                    raster.tobytes(),
-                    subsampling=subsampling,
-                    restart_interval=restart_interval,
-                )
+                if progressive:
+                    payload = encode_jpeg_progressive(w, h, raster.tobytes())
+                else:
+                    payload = encode_jpeg(
+                        w,
+                        h,
+                        raster.tobytes(),
+                        subsampling=subsampling,
+                        restart_interval=restart_interval,
+                    )
                 d = decode_jpeg(payload)
                 expect = np.array(
                     jpeg_constant_roundtrip(r, g, b), dtype=np.uint8

@@ -133,6 +133,15 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                                   "same oracle as multimodal_jpeg_stats "
                                   "(restart markers change entropy "
                                   "framing, never coefficients)"),
+    "multimodal_jpeg_progressive_stats": (
+        {"col-x-col"},
+        "same oracle as multimodal_jpeg_stats (both encoders share "
+        "_quantized_blocks, so progressive carries bit-identical "
+        "coefficients; only the codec tag differs)"),
+    "multimodal_jpeg12_stats": (
+        {"col-x-col"},
+        "n_match = w*h with w <= 47, h <= 39 by the generator's "
+        "modulus (12-bit closed form, center 2048 / q00 128)"),
     "multimodal_audio_g711_stats": ({"col-x-col", "shiftleft"},
                                     "n <= 499 frames * |rt| <= 32124 "
                                     "(G.711 dequantized max) < 1.7e7; "

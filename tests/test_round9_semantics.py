@@ -118,9 +118,11 @@ def test_jpeg_decoder_reads_embedded_tables_not_ours():
 def test_jpeg_unsupported_variants_keep_seam():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg(8, 8, img.tobytes()))
-    # SOF0 -> SOF2 (progressive)
+    # SOF0 -> SOF9 (arithmetic-coded sequential; progressive SOF2 now
+    # DECODES — see the progressive pins below — so the SOF seam is
+    # arithmetic / lossless / hierarchical variants only)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
+    payload[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     # NON-INTEGER sampling ratio (h factors 3 vs 2): the r10 seam
@@ -242,6 +244,183 @@ def test_jpeg_dispatches_through_sniff_decode():
     img = np.full((9, 5, 3), 77, dtype=np.uint8)
     d = sniff_decode(encode_jpeg(5, 9, img.tobytes()))
     assert d["codec"] == "jpeg" and (d["width"], d["height"]) == (5, 9)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — the codec seam's largest leg, closed in r11
+# ---------------------------------------------------------------------------
+
+
+def _test_images(rng, n):
+    for trial in range(n):
+        w, h = int(rng.randint(1, 60)), int(rng.randint(1, 60))
+        kind = trial % 3
+        if kind == 0:
+            img = np.full((h, w, 3), rng.randint(0, 256, 3), dtype=np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(xx * 5) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=-1
+            ).astype(np.uint8)
+        else:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        yield w, h, img
+
+
+def test_jpeg_progressive_equals_sequential_exactly():
+    """THE equality pin: both encoders share _quantized_blocks, so a
+    progressive file carries bit-identical coefficients to its
+    sequential sibling and the decoded rasters must match exactly —
+    constant, gradient, and full-noise content, dims crossing MCU
+    boundaries. Noise images make every AC band dense (exercising ZRL
+    + refinement correction-bit interleave); constant images make
+    every AC band empty (exercising maximal EOBRUN carry)."""
+    from cdc_export_system_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(0)
+    for w, h, img in _test_images(rng, 45):
+        seq = decode_jpeg(encode_jpeg(w, h, img.tobytes()))
+        p = encode_jpeg_progressive(w, h, img.tobytes())
+        assert p[:4] == b"\xff\xd8\xff\xe0" and b"\xff\xc2" in p  # SOF2
+        prog = decode_jpeg(p)  # sniffed + delegated via the SOF2 marker
+        assert (prog["width"], prog["height"]) == (w, h)
+        assert (prog["raster"] == seq["raster"]).all(), (w, h)
+
+
+def test_jpeg_progressive_general_scan_scripts():
+    """The decoder must handle ARBITRARY legal scan scripts, not just
+    our encoder's default ladder: spectral-band splits (libjpeg's
+    default script shape) and a deeper 3-level successive-approximation
+    ladder (Al=2 first scans, two refinement passes per band)."""
+    from cdc_export_system_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    ladder = [
+        (None, 0, 0, 0, 2),
+        (0, 1, 5, 0, 2), (1, 1, 5, 0, 2), (2, 1, 5, 0, 2),
+        (0, 6, 63, 0, 2), (1, 6, 63, 0, 2), (2, 6, 63, 0, 2),
+        (None, 0, 0, 1, 1),
+        (0, 1, 5, 2, 1), (1, 1, 5, 2, 1), (2, 1, 5, 2, 1),
+        (0, 6, 63, 2, 1), (1, 6, 63, 2, 1), (2, 6, 63, 2, 1),
+        (None, 0, 0, 1, 0),
+        (0, 1, 5, 1, 0), (1, 1, 5, 1, 0), (2, 1, 5, 1, 0),
+        (0, 6, 63, 1, 0), (1, 6, 63, 1, 0), (2, 6, 63, 1, 0),
+    ]
+    split = [
+        (None, 0, 0, 0, 0),
+        (0, 1, 2, 0, 0), (0, 3, 63, 0, 0),
+        (1, 1, 63, 0, 0), (2, 1, 10, 0, 0), (2, 11, 63, 0, 0),
+    ]
+    rng = np.random.RandomState(7)
+    for script in (ladder, split):
+        for w, h, img in _test_images(rng, 12):
+            seq = decode_jpeg(encode_jpeg(w, h, img.tobytes()))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(w, h, img.tobytes(), scan_script=script)
+            )
+            assert (prog["raster"] == seq["raster"]).all(), (w, h, len(script))
+
+
+def test_jpeg_progressive_deterministic_and_sniffed():
+    from cdc_export_system_spark.multimodal.codecs import sniff_decode
+    from cdc_export_system_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((9, 5, 3), 77, dtype=np.uint8)
+    p1 = encode_jpeg_progressive(5, 9, img.tobytes())
+    p2 = encode_jpeg_progressive(5, 9, img.tobytes())
+    assert p1 == p2  # bit-deterministic encoder
+    d = sniff_decode(p1)
+    assert d["codec"] == "jpeg_progressive"
+    assert (d["width"], d["height"]) == (5, 9)
+
+
+def test_jpeg12_constant_closed_form():
+    """12-bit extended sequential (SOF1): decode(encode(constant)) must
+    hit the center-2048 / q00-128 closed form bit-exactly — including
+    the s % 16 == 8 floor-boundary colors the einsum DCT's epsilon
+    would flip without the exact-DC path (jpeg12.py)."""
+    from cdc_export_system_spark.multimodal.jpeg12 import (
+        encode_jpeg12,
+        jpeg12_constant_roundtrip,
+    )
+
+    rng = np.random.RandomState(3)
+    cases = [
+        (int(rng.randint(1, 40)), int(rng.randint(1, 40)),
+         *(int(x) for x in rng.randint(0, 4096, 3)))
+        for _ in range(40)
+    ]
+    # force floor-boundary luma samples (s % 16 == 8 -> 8s/128 ends .5)
+    cases += [(9, 9, v, v, v) for v in (8, 24, 2040, 2056, 4088)]
+    for w, h, r, g, b in cases:
+        img = np.full((h, w, 3), (r, g, b), dtype="<u2")
+        p = encode_jpeg12(w, h, img.tobytes())
+        assert b"\xff\xc1" in p  # SOF1
+        d = decode_jpeg(p)
+        assert d["codec"] == "jpeg12" and d["raster"].dtype == np.uint16
+        assert (d["width"], d["height"]) == (w, h)
+        exp = np.array(jpeg12_constant_roundtrip(r, g, b), dtype=np.uint16)
+        assert (d["raster"] == exp).all(), ((r, g, b), exp, d["raster"][0, 0])
+
+
+def test_jpeg12_gradient_roundtrip_and_errors():
+    """Smooth 12-bit content roundtrips with loss bounded by the x16
+    quant table (same relative scale as the 8-bit bound), the encoder
+    is bit-deterministic, and out-of-range samples / SOF0-with-12-bit
+    are rejected."""
+    from cdc_export_system_spark.multimodal.jpeg12 import encode_jpeg12
+
+    h, w = 33, 47
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 80) % 4096, (yy * 48) % 4096, ((xx + yy) * 16) % 4096],
+        axis=-1,
+    ).astype("<u2")
+    p1 = encode_jpeg12(w, h, img.tobytes())
+    assert p1 == encode_jpeg12(w, h, img.tobytes())
+    d = decode_jpeg(p1)
+    err = np.abs(d["raster"].astype(int) - img.astype(int))
+    assert err.max() <= 12 * 16 and err.mean() < 32.0
+    assert len(p1) < w * h * 6 // 4  # compresses 16-bit samples
+    with pytest.raises(ValueError, match="0..4095"):
+        bad = np.full((8, 8, 3), 4096, dtype="<u2")
+        encode_jpeg12(8, 8, bad.tobytes())
+    # 12-bit precision inside a baseline SOF0 is malformed
+    i = p1.find(b"\xff\xc1")
+    mut = bytearray(p1)
+    mut[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF1"):
+        decode_jpeg(bytes(mut))
+    # precision other than 8/12 keeps the seam
+    mut = bytearray(p1)
+    mut[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(mut))
+
+
+def test_jpeg_progressive_restart_seam_and_corruption():
+    """Restart intervals INSIDE progressive scans keep an injectable
+    NotImplementedError seam (our encoder never emits them); truncated
+    progressive payloads must error, not return a partial raster."""
+    from cdc_export_system_spark.multimodal import jpeg as J
+    from cdc_export_system_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((16, 16, 3), 50, dtype=np.uint8)
+    p = encode_jpeg_progressive(16, 16, img.tobytes())
+    # splice a DRI segment in front of the first SOS
+    i = p.find(b"\xff\xda")
+    dri = J._seg(0xDD, (2).to_bytes(2, "big"))
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(p[:i] + dri + p[i:])
+    with pytest.raises(ValueError):
+        decode_jpeg(p[: len(p) // 3])  # truncated mid-scan
 
 
 # ---------------------------------------------------------------------------
