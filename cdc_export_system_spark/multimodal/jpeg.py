@@ -533,11 +533,17 @@ def decode_jpeg(payload: bytes) -> dict:
             )
 
             return decode_jpeg_progressive(d)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # SOF3: delegate to the lossless decoder
+            from cdc_export_system_spark.multimodal.jpeg_lossless import (
+                decode_jpeg_lossless,
+            )
+
+            return decode_jpeg_lossless(d)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only sequential SOF0/SOF1 and progressive SOF2 supported "
-                f"(got SOF marker {marker:#x})"
+                f"only sequential SOF0/SOF1, progressive SOF2, and "
+                f"lossless SOF3 supported (got SOF marker {marker:#x})"
             )
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
             prec = body[0]

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_export_system_spark.io.sources import load_table
+from cdc_export_system_spark.io.sources import load_table, load_table_fanned
 from cdc_export_system_spark.registry import register
 
 
@@ -791,6 +791,121 @@ _JPEG_RST_ORACLE = _JPEG_ORACLE.replace("'jpeg' AS codec", "'jpeg_rst' AS codec"
 _JPEG_PROG_ORACLE = _JPEG_ORACLE.replace(
     "'jpeg' AS codec", "'jpeg_prog' AS codec"
 )
+
+# Lossless (SOF3) oracle: decode(encode(x)) == x exactly, so every
+# aggregate of the decoded raster has an INTEGER closed form from the
+# linear-gradient generator — pixelR = r0+x, pixelG = g0+y,
+# pixelB = b0+x+y with r0/g0/b0 < 100 and x+y <= 84 (all < 256).
+_JPEG_LOSSLESS_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               8 + (doc_id * 7) % 40 AS w,
+               8 + (doc_id * 11) % 32 AS h,
+               doc_id % 100 AS r0,
+               (doc_id * 7) % 100 AS g0,
+               (doc_id * 13) % 100 AS b0
+        FROM documents)
+    SELECT doc_id, 'jpeg_lossless' AS codec,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS precision,
+           CAST(w * h * r0 + h * (w * (w - 1)) / 2 AS BIGINT) AS sum_r,
+           CAST(w * h * g0 + w * (h * (h - 1)) / 2 AS BIGINT) AS sum_g,
+           CAST(w * h * b0 + h * (w * (w - 1)) / 2
+                + w * (h * (h - 1)) / 2 AS BIGINT) AS sum_b,
+           CAST(r0 + w - 1 AS BIGINT) AS last_r,
+           CAST(g0 + h - 1 AS BIGINT) AS last_g,
+           CAST(b0 + w + h - 2 AS BIGINT) AS last_b,
+           CAST(w * h AS BIGINT) AS n_match
+    FROM g
+"""
+
+
+@register(
+    "multimodal_jpeg_lossless_stats",
+    oracle=_JPEG_LOSSLESS_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) end to end — the predictive
+    leg of the codec seam, closed: per-document linear-gradient RGB
+    images (channels r0+x / g0+y / b0+x+y from doc_id) go through
+    multimodal/jpeg_lossless.py's encoder — three per-component scans
+    whose PREDICTORS ROTATE with doc_id (1 + (doc_id+{0,2,4}) % 7), so
+    the corpus exercises all seven T.81 H.1.2.1 predictors — and back
+    through decode_jpeg (SOF3 sniff). Lossless JPEG is the compression
+    inside DNG raw files and DICOM Process-14, the formats a raw-photo
+    or medical corpus seams on. Because reconstruction is EXACT, the
+    decoded channel sums and corner pixels have integer closed forms
+    the SQL oracle states directly — any predictor slip, wrong
+    first-row/column rule, or mod-2^16 error shifts a sum and flips
+    that row's hash. n_match counts decoded==source pixels (= w*h).
+
+    Scale: the single-file documents scan fans out to cluster
+    parallelism first (io.sources.fan_out) because per-row codec CPU
+    dominates; encode+decode stay row-local, payloads never shuffle."""
+    from cdc_export_system_spark.multimodal.jpeg import decode_jpeg
+    from cdc_export_system_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    docs = load_table_fanned(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + (F.col("doc_id") * 7) % 40).cast("int").alias("w"),
+        (F.lit(8) + (F.col("doc_id") * 11) % 32).cast("int").alias("h"),
+        (F.col("doc_id") % 100).cast("int").alias("r0"),
+        ((F.col("doc_id") * 7) % 100).cast("int").alias("g0"),
+        ((F.col("doc_id") * 13) % 100).cast("int").alias("b0"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, w, h, r0, g0, b0 in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"],
+                pdf["r0"], pdf["g0"], pdf["b0"],
+            ):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                r0, g0, b0 = int(r0), int(g0), int(b0)
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [r0 + xx, g0 + yy, b0 + xx + yy], axis=-1
+                ).astype(np.uint8)
+                preds = tuple(1 + (doc_id + k) % 7 for k in (0, 2, 4))
+                payload = encode_jpeg_lossless(
+                    w, h, img.tobytes(), predictors=preds
+                )
+                d = decode_jpeg(payload)
+                rast = d["raster"].astype(np.int64)
+                out.append(
+                    (
+                        doc_id, d["codec"], d["width"], d["height"],
+                        d["precision"],
+                        int(rast[:, :, 0].sum()), int(rast[:, :, 1].sum()),
+                        int(rast[:, :, 2].sum()),
+                        int(rast[-1, -1, 0]), int(rast[-1, -1, 1]),
+                        int(rast[-1, -1, 2]),
+                        int((rast == img).all(axis=-1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "width", "height", "precision",
+                    "sum_r", "sum_g", "sum_b",
+                    "last_r", "last_g", "last_b", "n_match",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, width bigint, height bigint,"
+        " precision bigint, sum_r bigint, sum_g bigint, sum_b bigint,"
+        " last_r bigint, last_g bigint, last_b bigint, n_match bigint",
+    )
+
 
 # 12-bit closed form (multimodal/jpeg12.py): center 2048, q00 = 128 —
 # mirrored float-op-for-float-op against jpeg12_constant_roundtrip

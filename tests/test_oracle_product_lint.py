@@ -142,6 +142,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
         {"col-x-col"},
         "n_match = w*h with w <= 47, h <= 39 by the generator's "
         "modulus (12-bit closed form, center 2048 / q00 128)"),
+    "multimodal_jpeg_lossless_stats": (
+        {"col-x-col"},
+        "gradient-sum closed forms: w <= 47, h <= 39, channel offsets "
+        "< 100 -> every sum < 47*39*183 < 3.4e5"),
     "multimodal_audio_g711_stats": ({"col-x-col", "shiftleft"},
                                     "n <= 499 frames * |rt| <= 32124 "
                                     "(G.711 dequantized max) < 1.7e7; "

@@ -403,6 +403,80 @@ def test_jpeg12_gradient_roundtrip_and_errors():
         decode_jpeg(bytes(mut))
 
 
+def test_jpeg_lossless_roundtrip_all_predictors_and_precisions():
+    """SOF3 lossless: decode(encode(x)) == x bit-for-bit for every
+    predictor 1..7, precisions 8/12/16, color + grayscale, including
+    1-pixel-wide/tall edge shapes (first-row/first-column predictor
+    rules dominate there)."""
+    from cdc_export_system_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(21):
+        w, h = int(rng.randint(1, 48)), int(rng.randint(1, 40))
+        if trial % 7 == 5:
+            w = 1
+        if trial % 7 == 6:
+            h = 1
+        prec = [8, 12, 16][trial % 3]
+        dtype = np.uint8 if prec <= 8 else "<u2"
+        img = rng.randint(0, 1 << prec, (h, w, 3)).astype(dtype)
+        preds = tuple(1 + (trial + k) % 7 for k in range(3))
+        p = encode_jpeg_lossless(
+            w, h, img.tobytes(), precision=prec, predictors=preds
+        )
+        assert b"\xff\xc3" in p  # SOF3
+        d = decode_jpeg(p)  # sniffed + delegated
+        assert d["codec"] == "jpeg_lossless" and d["precision"] == prec
+        assert (d["raster"] == img).all(), (trial, w, h, prec, preds)
+    gray = rng.randint(0, 4096, (20, 30, 1)).astype("<u2")
+    d = decode_jpeg(
+        encode_jpeg_lossless(
+            30, 20, gray.tobytes(), precision=12, components=1,
+            predictors=(4,),
+        )
+    )
+    assert (d["raster"][:, :, 0] == gray[:, :, 0]).all()
+    assert (d["raster"][:, :, 2] == gray[:, :, 0]).all()
+
+
+def test_jpeg_lossless_seams_and_validation():
+    from cdc_export_system_spark.multimodal import jpeg as J
+    from cdc_export_system_spark.multimodal.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    p = encode_jpeg_lossless(8, 8, img.tobytes())
+    # point transform (Al != 0) keeps the seam
+    i = p.find(b"\xff\xda")
+    mut = bytearray(p)
+    # FF DA len2 ns cid tables Ss Se AhAl -> AhAl is at offset 9
+    assert mut[i + 9] == 0
+    mut[i + 9] = 1
+    with pytest.raises(NotImplementedError, match="point transform"):
+        decode_jpeg(bytes(mut))
+    # restart intervals keep the seam
+    dri = J._seg(0xDD, (2).to_bytes(2, "big"))
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(p[:i] + dri + p[i:])
+    # subsampled lossless components keep the seam
+    j = p.find(b"\xff\xc3")
+    mut = bytearray(p)
+    mut[j + 4 + 7] = 0x21  # comp 1 H/V = 2x1
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(mut))
+    # out-of-range samples / bad predictor are rejected at encode
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg_lossless(8, 8, img.tobytes(), precision=6)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(8, 8, img.tobytes(), predictors=(8, 1, 1))
+    # truncated payload errors
+    with pytest.raises(ValueError):
+        decode_jpeg(p[: len(p) // 2])
+
+
 def test_jpeg_progressive_restart_seam_and_corruption():
     """Restart intervals INSIDE progressive scans keep an injectable
     NotImplementedError seam (our encoder never emits them); truncated
