@@ -481,6 +481,153 @@ def encode_wav_g711(
     )
 
 
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4-bit predictive codec
+# (telephony, game audio, DVI). Unlike G.711's memoryless companding, ADPCM
+# is a STATE MACHINE: a predictor plus an 89-entry step-size ladder evolve
+# per sample, and each block restarts from a 4-byte header carrying the
+# exact first sample and the running step index. decode(encode(x)) is
+# deterministic integer arithmetic, so the SQL oracle can replay the whole
+# state machine as a recursive CTE (see multimodal_audio_adpcm_stats).
+# ---------------------------------------------------------------------------
+
+ADPCM_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_ADPCM_INDEX_DELTA = (-1, -1, -1, -1, 2, 4, 6, 8)  # by nibble magnitude
+
+
+def _adpcm_step(pred: int, index: int, sample: int) -> tuple[int, int, int]:
+    """Encode one sample against (pred, index): returns (nibble,
+    new_pred, new_index). The reconstruction inside mirrors the decoder
+    exactly (same vpdiff), which is what keeps encoder and decoder
+    state locked together."""
+    step = int(ADPCM_STEPS[index])
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    vpdiff = step >> 3
+    if diff >= step:
+        nib |= 4
+        diff -= step
+        vpdiff += step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+        vpdiff += step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_DELTA[nib & 7]))
+    return nib, pred, index
+
+
+def _adpcm_decode_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
+    step = int(ADPCM_STEPS[index])
+    vpdiff = step >> 3
+    if nib & 4:
+        vpdiff += step
+    if nib & 2:
+        vpdiff += step >> 1
+    if nib & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_DELTA[nib & 7]))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    sample_rate: int, samples: np.ndarray, *, block_align: int = 256
+) -> bytes:
+    """RIFF/WAVE with IMA ADPCM samples: format tag 0x11, 4 bits per
+    sample, mono. Each ``block_align``-byte block carries a 4-byte
+    header (exact first sample int16 LE, running step index, reserved
+    0) plus (block_align-4)*2 nibble-coded samples, LOW nibble first;
+    the fmt chunk's cbSize=2 extension declares samplesPerBlock and a
+    fact chunk carries the true frame count (the final block 0-pads)."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    s = np.asarray(samples, dtype=np.int16).astype(int)
+    spb = (block_align - 4) * 2 + 1
+    n = len(s)
+    index = 0
+    data = bytearray()
+    for b0 in range(0, max(n, 1), spb):
+        block = s[b0 : b0 + spb]
+        pred = int(block[0]) if len(block) else 0
+        data += int(pred).to_bytes(2, "little", signed=True)
+        data += bytes([index, 0])
+        nibs = []
+        for v in block[1:]:
+            nib, pred, index = _adpcm_step(pred, index, int(v))
+            nibs.append(nib)
+        while len(nibs) < (block_align - 4) * 2:  # 0-pad the last block
+            pred, index = _adpcm_decode_nibble(pred, index, 0)
+            nibs.append(0)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            data.append(lo | (hi << 4))
+    nblocks = len(data) // block_align
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    return (
+        b"RIFF"
+        + (52 + len(data)).to_bytes(4, "little")  # WAVE + fmt(28) + fact(12) + data hdr
+        + b"WAVEfmt "
+        + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little")  # IMA/DVI ADPCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # bits/sample
+        + (2).to_bytes(2, "little")  # cbSize
+        + spb.to_bytes(2, "little")  # samplesPerBlock
+        + b"fact"
+        + (4).to_bytes(4, "little")
+        + n.to_bytes(4, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def _adpcm_decode_blocks(
+    data: bytes, block_align: int, spb: int, n_frames: int
+) -> np.ndarray:
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < block_align:
+            raise ValueError("truncated ADPCM block")
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = block[2]
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, index = _adpcm_decode_nibble(pred, index, nib)
+                out.append(pred)
+    if len(out) < n_frames:
+        raise ValueError("ADPCM data shorter than fact frame count")
+    return np.array(out[:n_frames], dtype=np.int16)
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse RIFF/WAVE 16-bit PCM: chunk walk (fmt then data; unknown
     chunks skipped per spec), returns sample_rate, channels, n_samples
@@ -492,6 +639,7 @@ def decode_wav(payload: bytes) -> dict:
     pos = 12
     fmt = None
     data = None
+    fact = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -505,6 +653,8 @@ def decode_wav(payload: bytes) -> dict:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact":
+            fact = int.from_bytes(body[:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
@@ -522,6 +672,22 @@ def decode_wav(payload: bytes) -> dict:
         raw = np.frombuffer(data, dtype=np.uint8)
         dec = g711_alaw_decode if audio_format == 6 else g711_mulaw_decode
         samples = dec(raw)
+        n_vals = len(samples)
+    elif audio_format == 0x11 and bits == 4:
+        # IMA/DVI ADPCM — mono, block-structured, fact-counted
+        encoding = "ima_adpcm"
+        if channels != 1:
+            raise NotImplementedError("multi-channel ADPCM")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if len(fmt) >= 20:
+            spb = int.from_bytes(fmt[18:20], "little")
+        else:
+            spb = (block_align - 4) * 2 + 1
+        if spb != (block_align - 4) * 2 + 1:
+            raise ValueError("inconsistent ADPCM samplesPerBlock")
+        max_frames = (len(data) // block_align) * spb
+        n_frames = fact if fact is not None else max_frames
+        samples = _adpcm_decode_blocks(data, block_align, spb, n_frames)
         n_vals = len(samples)
     else:
         raise NotImplementedError(

@@ -741,6 +741,186 @@ def multimodal_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_adpcm_stats — stateful compressed audio, CTE-replayed
+# ---------------------------------------------------------------------------
+
+# IMA ADPCM is a per-sample STATE MACHINE (predictor + step-index ladder),
+# so its oracle cannot be a closed form — instead the recursive CTE below
+# REPLAYS the exact encoder/decoder state evolution in SQL: the 89-entry
+# step table joins into the recursive term, each iteration encodes one
+# nibble (sign/4/2/1 thresholds as layered subqueries), reconstructs the
+# decoder's predictor with the same vpdiff, clamps, and advances the index;
+# block boundaries (every 17th sample, block_align=12) reset the predictor
+# to the exact header sample while the index carries across.
+_ADPCM_STEP_VALUES = ",".join(
+    f"({i},{v})"
+    for i, v in enumerate(
+        [
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+            19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+            50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+            130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+            337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+            876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+            2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+            5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+            15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+        ]
+    )
+)
+
+_ADPCM_ORACLE = f"""
+    WITH RECURSIVE p AS (
+        SELECT doc_id,
+               33 + doc_id % 64 AS n,
+               200 + (doc_id * 37) % 20000 AS a
+        FROM documents),
+    steps(s_idx, step) AS (VALUES {_ADPCM_STEP_VALUES}),
+    walk(doc_id, n, a, i, dec, pred, cidx) AS (
+        SELECT doc_id, n, a, 0 AS i, a AS dec, a AS pred, 0 AS cidx FROM p
+        UNION ALL
+        SELECT doc_id, n, a, i,
+               CASE WHEN i % 17 = 0 THEN s ELSE predn END,
+               CASE WHEN i % 17 = 0 THEN s ELSE predn END,
+               CASE WHEN i % 17 = 0 THEN cidx ELSE
+                   greatest(0, least(88, cidx + CASE nibmag
+                       WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                       WHEN 7 THEN 8 ELSE -1 END)) END
+        FROM (
+            SELECT *,
+                   greatest(-32768, least(32767,
+                       pred + CASE WHEN s < pred THEN -vpdiff
+                                   ELSE vpdiff END)) AS predn,
+                   b4 * 4 + b2 * 2 + b1 AS nibmag
+            FROM (
+                SELECT *,
+                       step // 8 + b4 * step + b2 * (step // 2)
+                           + b1 * (step // 4) AS vpdiff
+                FROM (
+                    SELECT *,
+                           CASE WHEN d2 >= step // 4 THEN 1 ELSE 0 END AS b1
+                    FROM (
+                        SELECT *, d4 - b2 * (step // 2) AS d2
+                        FROM (
+                            SELECT *,
+                                   CASE WHEN d4 >= step // 2 THEN 1
+                                        ELSE 0 END AS b2
+                            FROM (
+                                SELECT *, d - b4 * step AS d4
+                                FROM (
+                                    SELECT *,
+                                           CASE WHEN d >= step THEN 1
+                                                ELSE 0 END AS b4
+                                    FROM (
+                                        SELECT w.doc_id, w.n, w.a,
+                                               w.i + 1 AS i, w.pred, w.cidx,
+                                               st.step,
+                                               CASE WHEN ((w.i + 1) // 4) % 2
+                                                         = 0
+                                                    THEN w.a ELSE -w.a
+                                               END AS s,
+                                               abs(CASE WHEN ((w.i + 1) // 4)
+                                                             % 2 = 0
+                                                        THEN w.a ELSE -w.a
+                                                   END - w.pred) AS d
+                                        FROM walk w
+                                        JOIN steps st ON st.s_idx = w.cidx
+                                        WHERE w.i + 1 < w.n)))))))))
+    SELECT doc_id, 'wav' AS codec, 'ima_adpcm' AS encoding,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(60 + ((n + 16) // 17) * 12 AS BIGINT) AS payload_bytes,
+           CAST(SUM(CASE WHEN dec > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(abs(dec)) AS BIGINT) AS sum_abs,
+           CAST(MAX(CASE WHEN i = 0 THEN dec END) AS BIGINT) AS first_dec,
+           CAST(MAX(CASE WHEN i = n - 1 THEN dec END) AS BIGINT) AS last_dec
+    FROM walk
+    GROUP BY doc_id, n
+"""
+
+
+@register(
+    "multimodal_audio_adpcm_stats",
+    oracle=_ADPCM_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def multimodal_audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL compressed audio end to end — IMA/DVI ADPCM (WAV format
+    tag 0x11), the 4-bit predictive codec of telephony and game audio:
+    each document synthesizes a ±A square wave, compresses it through
+    the in-tree block-structured ADPCM encoder (4-byte block headers
+    carrying the exact first sample + running step index, nibble
+    thresholds against the 89-entry step ladder, low-nibble-first
+    packing, fact-chunk frame count), parses it back through decode_wav
+    and emits header fields, the closed-form container size
+    (60 + ceil(n/17)*12 at block_align=12), the positive-sample count,
+    sum of |decoded| values, and the first/last decoded samples.
+
+    Unlike every other codec oracle here, ADPCM has NO closed form —
+    the decoder output depends on the full predictor/step-index state
+    history. The oracle therefore REPLAYS the state machine as a
+    recursive CTE: the step table joins into the recursive term, each
+    iteration re-derives the encoder's nibble (sign + 4/2/1 threshold
+    cascade as layered subqueries), applies the decoder's vpdiff
+    reconstruction with int16 clamping, and advances the clamped step
+    index; every 17th sample crosses a block boundary (predictor reset
+    to the exact header sample, index carried). One wrong threshold,
+    clamp, index delta, or block-header rule desynchronizes the replay
+    and flips that document's hash. Python-side state lockstep and the
+    0-pad tail rule are pinned in tests/test_round9_semantics.py.
+
+    Scale: row-local encode+decode inside one mapInPandas stage; the
+    per-sample state is one document's scalar pair, never shuffled."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        encode_wav_adpcm,
+        sniff_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(33) + F.col("doc_id") % 64).cast("int").alias("n"),
+        (F.lit(200) + (F.col("doc_id") * 37) % 20000).cast("int").alias("a"),
+    )
+
+    def _encode_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, n, a in zip(pdf["doc_id"], pdf["n"], pdf["a"]):
+                n, a = int(n), int(a)
+                i = np.arange(n)
+                samples = np.where((i // 4) % 2 == 0, a, -a).astype(np.int16)
+                payload = encode_wav_adpcm(8000, samples, block_align=12)
+                d = sniff_decode(payload)
+                s = np.asarray(d["samples"]).reshape(-1).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id), d["codec"], d["encoding"],
+                        d["sample_rate"], d["n_frames"], len(payload),
+                        int((s > 0).sum()), int(np.abs(s).sum()),
+                        int(s[0]), int(s[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "encoding", "sample_rate", "n_frames",
+                    "payload_bytes", "n_pos", "sum_abs",
+                    "first_dec", "last_dec",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _encode_decode,
+        "doc_id long, codec string, encoding string, sample_rate bigint,"
+        " n_frames bigint, payload_bytes bigint, n_pos bigint,"
+        " sum_abs bigint, first_dec bigint, last_dec bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_jpeg_stats — REAL lossy image codec end to end
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,11 @@ _ALLOWED: dict[str, tuple[set, str]] = {
         {"col-x-col"},
         "gradient-sum closed forms: w <= 47, h <= 39, channel offsets "
         "< 100 -> every sum < 47*39*183 < 3.4e5"),
+    "multimodal_audio_adpcm_stats": (
+        {"col-x-col"},
+        "ADPCM state replay: 0/1 threshold indicators (b4/b2/b1) * "
+        "step <= 32767 (89-entry ladder max); vpdiff <= 2*step+7 < "
+        "65542; everything else mod-bounded by the generator"),
     "multimodal_audio_g711_stats": ({"col-x-col", "shiftleft"},
                                     "n <= 499 frames * |rt| <= 32124 "
                                     "(G.711 dequantized max) < 1.7e7; "

@@ -477,6 +477,70 @@ def test_jpeg_lossless_seams_and_validation():
         decode_jpeg(p[: len(p) // 2])
 
 
+def test_adpcm_state_lockstep_and_blocks():
+    """IMA ADPCM: the decoder must land exactly on the encoder's
+    reconstructed predictor at every sample (state lockstep), block
+    first-samples must be EXACT (they ride in the 4-byte header), the
+    0-padded tail of the final block must advance state without
+    emitting frames, and the index must carry across block headers."""
+    from cdc_export_system_spark.multimodal.codecs import (
+        _adpcm_decode_nibble,
+        _adpcm_step,
+        decode_wav,
+        encode_wav_adpcm,
+        sniff_decode,
+    )
+
+    rng = np.random.RandomState(9)
+    for trial in range(18):
+        n = int(rng.randint(1, 300))
+        s = rng.randint(-32768, 32768, n).astype(np.int16)
+        ba = [8, 12, 256][trial % 3]
+        d = decode_wav(encode_wav_adpcm(8000, s, block_align=ba))
+        assert d["encoding"] == "ima_adpcm" and d["n_frames"] == n
+        dec = d["samples"].reshape(-1)
+        spb = (ba - 4) * 2 + 1
+        assert (dec[::spb] == s[::spb]).all()  # header samples exact
+        exp, index = [], 0
+        for b0 in range(0, n, spb):
+            pred = int(s[b0])
+            exp.append(pred)
+            for v in s[b0 + 1 : b0 + spb]:
+                _nib, pred, index = _adpcm_step(pred, index, int(v))
+                exp.append(pred)
+            for _ in range(len(s[b0 + 1 : b0 + spb]), (ba - 4) * 2):
+                pred, index = _adpcm_decode_nibble(pred, index, 0)
+        assert (dec == np.array(exp[:n], dtype=np.int16)).all(), trial
+    # smooth content tracks closely (the codec is actually predictive)
+    t = np.arange(500)
+    s = (3000 * np.sin(t / 20)).astype(np.int16)
+    d = decode_wav(encode_wav_adpcm(8000, s))
+    err = np.abs(d["samples"].reshape(-1).astype(int) - s.astype(int))
+    assert err.mean() < 100
+    assert sniff_decode(encode_wav_adpcm(8000, s))["encoding"] == "ima_adpcm"
+
+
+def test_adpcm_validation_errors():
+    from cdc_export_system_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    s = np.arange(-50, 50, dtype=np.int16)
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_adpcm(8000, s, block_align=10)
+    p = encode_wav_adpcm(8000, s, block_align=12)
+    # corrupt step index in the first block header
+    i = p.find(b"data") + 8
+    mut = bytearray(p)
+    mut[i + 2] = 89
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(mut))
+    # truncated final block
+    with pytest.raises(ValueError):
+        decode_wav(p[:-3])
+
+
 def test_jpeg_progressive_restart_seam_and_corruption():
     """Restart intervals INSIDE progressive scans keep an injectable
     NotImplementedError seam (our encoder never emits them); truncated
