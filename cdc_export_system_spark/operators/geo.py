@@ -965,3 +965,170 @@ def geo_bbox_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("lat_u") - F.min("lat_u")).cast("bigint").alias("lat_span"),
         (F.max("lon_u") - F.min("lon_u")).cast("bigint").alias("lon_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon: exact integer ray casting against per-nation star
+# polygons — the containment half of the spatial-join surface (the
+# radius join above is the proximity half). Real engines (Sedona, BDT)
+# run exactly this shape: tiny polygon set broadcast, point stream
+# tested edge-by-edge, crossing parity decides containment.
+# ---------------------------------------------------------------------------
+
+# 12 integer compass directions (a rational "unit circle"): angularly
+# ordered, so center + r_v * dir_v is star-shaped => simple polygon for
+# ANY positive per-vertex radii. No trig anywhere — both engines derive
+# identical vertices in exact integer arithmetic (the module's no-libm
+# rule; cos/sin ulps differ across engines).
+_PIP_DIRS = [
+    (10, 0), (9, 5), (5, 9), (0, 10), (-5, 9), (-9, 5),
+    (-10, 0), (-9, -5), (-5, -9), (0, -10), (5, -9), (9, -5),
+]
+_PIP_SCALE = 30_000  # µdeg per radius unit: radii ~1.8e6..4.6e6 — sized
+# so containment DISCRIMINATES (~18% of points inside at sf0.01,
+# per-nation 11..33%); at 60k the polygons swallowed the whole region
+
+
+def _pip_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nationkey, x1, y1, x2, y2) — the 12 directed edges of each
+    nation's star polygon. Center from the shared quadratic lattice
+    maps; per-vertex radius r_v = SCALE*(6 + (nk*7 + v*13) % 10)."""
+    n = load_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    dirs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("v"), F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+            )
+            for v, (dx, dy) in enumerate(_PIP_DIRS)
+        ]
+    )
+    verts = (
+        n.select(
+            nk.alias("nationkey"),
+            (_coord(nk, 7, 17, 5) * 12).alias("cx"),
+            (_coord(nk, 11, 19, 3) * 12).alias("cy"),
+            F.explode(dirs).alias("d"),
+        )
+        .withColumn(
+            "r",
+            F.lit(_PIP_SCALE)
+            * (6 + (F.col("nationkey") * 7 + F.col("d.v") * 13) % 10),
+        )
+        .select(
+            "nationkey",
+            F.col("d.v").alias("v"),
+            (F.col("cx") + F.col("d.dx") * F.col("r")).alias("x"),
+            (F.col("cy") + F.col("d.dy") * F.col("r")).alias("y"),
+        )
+    )
+    w = W.partitionBy("nationkey").orderBy("v")
+    wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return verts.select(
+        "nationkey",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.coalesce(F.lead("x").over(w), F.first("x").over(wall)).alias("x2"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(wall)).alias("y2"),
+    )
+
+
+_SQL_PIP_EDGES = f"""
+    dirs(v, dx, dy) AS (VALUES {", ".join(f"({v}, {dx}, {dy})" for v, (dx, dy) in enumerate(_PIP_DIRS))}),
+    verts AS (
+        SELECT n_nationkey AS nationkey, v,
+               {_sql_coord('n_nationkey', 7, 17, 5)} * 12
+                   + dx * ({_PIP_SCALE} * (6 + (n_nationkey * 7 + v * 13) % 10)) AS x,
+               {_sql_coord('n_nationkey', 11, 19, 3)} * 12
+                   + dy * ({_PIP_SCALE} * (6 + (n_nationkey * 7 + v * 13) % 10)) AS y
+        FROM nation, dirs),
+    edges AS (
+        SELECT nationkey, x AS x1, y AS y1,
+               coalesce(lead(x) OVER (PARTITION BY nationkey ORDER BY v),
+                        first_value(x) OVER (PARTITION BY nationkey ORDER BY v)) AS x2,
+               coalesce(lead(y) OVER (PARTITION BY nationkey ORDER BY v),
+                        first_value(y) OVER (PARTITION BY nationkey ORDER BY v)) AS y2
+        FROM verts)
+"""
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+        WITH {_SQL_POINTS},
+        {_SQL_PIP_EDGES},
+        crossings AS (
+            SELECT p.point_id, p.c_nationkey, p.lat_u, p.lon_u,
+                   CASE WHEN (e.y1 > p.lat_u) != (e.y2 > p.lat_u)
+                             AND (CASE WHEN e.y2 > e.y1
+                                  THEN (p.lon_u - e.x1) * (e.y2 - e.y1)
+                                       - (p.lat_u - e.y1) * (e.x2 - e.x1) < 0
+                                  ELSE (p.lon_u - e.x1) * (e.y2 - e.y1)
+                                       - (p.lat_u - e.y1) * (e.x2 - e.x1) > 0
+                                  END)
+                        THEN 1 ELSE 0 END AS crossed
+            FROM pts p JOIN edges e ON e.nationkey = p.c_nationkey),
+        per_point AS (
+            SELECT point_id, c_nationkey, lat_u, lon_u,
+                   SUM(crossed) % 2 AS inside
+            FROM crossings
+            GROUP BY point_id, c_nationkey, lat_u, lon_u)
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(SUM(inside) AS BIGINT) AS n_inside,
+               CAST(SUM(inside * lat_u) AS BIGINT) AS sum_inside_lat,
+               CAST(SUM(inside * lon_u) AS BIGINT) AS sum_inside_lon
+        FROM per_point GROUP BY c_nationkey
+    """,
+    tags=("geo", "join", "agg"),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by EXACT INTEGER ray casting — the
+    classic GIS predicate (geofencing, region rollups) in the shape a
+    1000-executor cluster wants: the polygon set is model-sized (one
+    12-vertex star polygon per nation) and BROADCAST, each point joins
+    only its nation's 12 edges (bounded 12x fan-out, volume-independent),
+    a horizontal ray's crossing test per edge is two integer products
+    compared by sign — no division, no floats, no trig, so both engines
+    agree bit-for-bit (PNPOLY restated as cross-product signs: for an
+    edge straddling the ray's latitude, the ray crosses iff the point
+    sits strictly left of the directed edge, orientation-corrected) —
+    and crossing PARITY aggregates per point with map-side partial sums
+    (sum is associative; %2 applies at the end). A second rollup emits
+    per-nation containment counts and the inside-point coordinate sums
+    (any single point misclassified flips them). Scale: edges are 25x12
+    rows at any volume; the only data-sized shuffle is the per-point
+    parity aggregate, keyed by point_id — no skew (every point carries
+    exactly 12 edge rows).
+
+    Polygon construction note: per-vertex radii vary (6..15 x 60k µdeg)
+    on an angularly-ordered integer direction fan, so polygons are
+    irregular (concave stars) but guaranteed simple; containment is
+    decided by parity, not convexity."""
+    p = points(spark, sf_dir)
+    e = _pip_edges(spark, sf_dir)
+    t = (F.col("lon_u") - F.col("x1")) * (F.col("y2") - F.col("y1")) - (
+        F.col("lat_u") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    crossed = (
+        ((F.col("y1") > F.col("lat_u")) != (F.col("y2") > F.col("lat_u")))
+        & F.when(F.col("y2") > F.col("y1"), t < 0).otherwise(t > 0)
+    ).cast("int")
+    per_point = (
+        p.join(F.broadcast(e), e["nationkey"] == p["c_nationkey"])
+        .select("point_id", "c_nationkey", "lat_u", "lon_u",
+                crossed.alias("crossed"))
+        .groupBy("point_id", "c_nationkey", "lat_u", "lon_u")
+        .agg((F.sum("crossed") % 2).alias("inside"))
+    )
+    return per_point.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("inside").cast("bigint").alias("n_inside"),
+        F.sum(F.col("inside") * F.col("lat_u")).cast("bigint").alias(
+            "sum_inside_lat"
+        ),
+        F.sum(F.col("inside") * F.col("lon_u")).cast("bigint").alias(
+            "sum_inside_lon"
+        ),
+    )

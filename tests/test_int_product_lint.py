@@ -219,6 +219,12 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # 1.2e7 µdeg — a 12°x12° region; real-world coords cap at 1.8e8
     # µdeg), so Δ² < 1.44e14 (3.3e16 at planet scale) << 2^63,
     # independent of data volume.
+    "geo_point_in_polygon": ({"col-x-col", "big-literal"},
+                             "ray-cast cross products: |Δcoord| < "
+                             "3.4e7 µdeg (point/vertex domain; vertices "
+                             "= center + dir*radius <= 1.2e7 + 10*4.6e5"
+                             "*10) -> |t| < 1.2e15 << 2^63; dir*radius "
+                             "and 0/1 inside * coord are domain-bounded"),
     "geo_near_join": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_near_join_salted": ({"col-x-col"},
                              "Δ² with coords < 1.2e7 µdeg (domain)"),

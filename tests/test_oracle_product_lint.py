@@ -76,6 +76,11 @@ _ALLOWED: dict[str, tuple[set, str]] = {
     # --- geo: quadratic coordinate maps (x*x with x = k % 999983 <
     # 1e6 -> a·x² <= 5e12) and squared distances (coords < 1.2e7 µdeg
     # -> Δ² < 1.45e14) — all domain-bounded by construction.
+    "geo_point_in_polygon": (
+        {"col-x-col", "big-literal"},
+        "x² coord map (x < 1e6 domain); radius literal 30000*(6..15) "
+        "<= 4.6e5; ray-cast cross products with |Δcoord| < 3.4e7 µdeg "
+        "-> |t| < 1.2e15; dir*radius <= 10*4.6e5; 0/1 inside * coord"),
     "geo_cell_index": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
     "geo_bbox_by_nation": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
     "geo_near_join": ({"col-x-col"},
