@@ -253,3 +253,73 @@ def test_point_in_polygon_matches_independent_raycast(spark):
         starts = {(e["x1"], e["y1"]) for e in es}
         ends = {(e["x2"], e["y2"]) for e in es}
         assert starts == ends  # every edge end is another edge's start
+
+
+def test_contains_join_refine_subset_and_cross_reference(spark):
+    """Filter-refine invariants: every contained (point, polygon) pair
+    must also be a bbox candidate (refine is a strict filter of the
+    bbox phase), the own-nation slice of the containment join must
+    agree with geo_point_in_polygon's parity, and the pair set must
+    match an independent pure-Python sweep over all polygons."""
+    from cdc_export_system_spark.operators.geo import (
+        _PIP_DIRS,
+        _PIP_SCALE,
+        geo_contains_join,
+    )
+
+    def coordv(k, a, b, c):
+        x = k % 999983
+        return (a * x * x + b * x + c) % 1_000_003
+
+    def polygon(nk):
+        cx, cy = coordv(nk, 7, 17, 5) * 12, coordv(nk, 11, 19, 3) * 12
+        return [
+            (
+                cx + dx * _PIP_SCALE * (6 + (nk * 7 + v * 13) % 10),
+                cy + dy * _PIP_SCALE * (6 + (nk * 7 + v * 13) % 10),
+            )
+            for v, (dx, dy) in enumerate(_PIP_DIRS)
+        ]
+
+    def ref_inside(px, py, pg):
+        c = 0
+        for i in range(len(pg)):
+            x1, y1 = pg[i]
+            x2, y2 = pg[(i + 1) % len(pg)]
+            if (y1 > py) != (y2 > py):
+                t = (px - x1) * (y2 - y1) - (py - y1) * (x2 - x1)
+                if (t < 0) if y2 > y1 else (t > 0):
+                    c ^= 1
+        return c
+
+    nations = sorted(
+        r["c_nationkey"]
+        for r in points(spark, SF_DIR).select("c_nationkey").distinct().collect()
+    )
+    polys = {nk: polygon(nk) for nk in nations}
+    bboxes = {
+        nk: (
+            min(x for x, _ in pg), max(x for x, _ in pg),
+            min(y for _, y in pg), max(y for _, y in pg),
+        )
+        for nk, pg in polys.items()
+    }
+    ref = {}
+    for r in points(spark, SF_DIR).collect():
+        for nk, pg in polys.items():
+            minx, maxx, miny, maxy = bboxes[nk]
+            if minx <= r["lon_u"] <= maxx and miny <= r["lat_u"] <= maxy:
+                a = ref.setdefault(nk, [0, 0, 0])
+                i = ref_inside(r["lon_u"], r["lat_u"], pg)
+                a[0] += 1
+                a[1] += i
+                a[2] += i * r["point_id"]
+    got = {
+        r["nationkey"]: (
+            r["n_bbox_candidates"], r["n_contained"], r["sum_contained_ids"]
+        )
+        for r in geo_contains_join(spark, SF_DIR).collect()
+    }
+    assert got == {nk: tuple(v) for nk, v in ref.items()}
+    for nk, (n_cand, n_in, _s) in got.items():
+        assert n_in <= n_cand  # refine is a subset of the bbox phase

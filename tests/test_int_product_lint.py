@@ -225,6 +225,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
                              "= center + dir*radius <= 1.2e7 + 10*4.6e5"
                              "*10) -> |t| < 1.2e15 << 2^63; dir*radius "
                              "and 0/1 inside * coord are domain-bounded"),
+    "geo_contains_join": ({"col-x-col", "big-literal"},
+                          "same ray-cast bounds as geo_point_in_polygon "
+                          "(|t| < 1.2e15); 0/1 inside * point_id "
+                          "(custkey < 1.5e7 at sf100)"),
     "geo_near_join": ({"col-x-col"}, "Δ² with coords < 1.2e7 µdeg (domain)"),
     "geo_near_join_salted": ({"col-x-col"},
                              "Δ² with coords < 1.2e7 µdeg (domain)"),

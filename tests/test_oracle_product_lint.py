@@ -81,6 +81,10 @@ _ALLOWED: dict[str, tuple[set, str]] = {
         "x² coord map (x < 1e6 domain); radius literal 30000*(6..15) "
         "<= 4.6e5; ray-cast cross products with |Δcoord| < 3.4e7 µdeg "
         "-> |t| < 1.2e15; dir*radius <= 10*4.6e5; 0/1 inside * coord"),
+    "geo_contains_join": (
+        {"col-x-col", "big-literal"},
+        "same bounds as geo_point_in_polygon; 0/1 inside * point_id "
+        "(custkey domain)"),
     "geo_cell_index": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
     "geo_bbox_by_nation": ({"col-x-col"}, "x² coord map, x < 1e6 (domain)"),
     "geo_near_join": ({"col-x-col"},
