@@ -52,9 +52,13 @@ def _build_merged_table(
     max_key). With an empty source the merges are no-ops and only v1
     exists — the oracles mirror that."""
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
+    # one max-scan serves both the insert key shift AND create's bucket
+    # sizing (max_pk_hint) — previously two full-pass actions
     mx = orders.agg(F.max("o_orderkey")).head()[0]
     mx = -1 if mx is None else int(mx)
+    t = LogTable.create(
+        spark, _new_root(), orders, "o_orderkey", n_files=8, max_pk_hint=mx
+    )
     key = F.col("o_orderkey")
     b1 = (
         orders.filter((key % 7 == 0) | (key % 13 == 0))
@@ -206,8 +210,11 @@ def txn_table_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-CDC cost model at 100 TB: a batch touching 1/8 of the
     key space rewrites 1/8 of the files, never the table."""
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
     mx = orders.agg(F.max("o_orderkey")).head()[0]
+    t = LogTable.create(
+        spark, _new_root(), orders, "o_orderkey", n_files=8,
+        max_pk_hint=-1 if mx is None else int(mx),
+    )
     if mx is None:
         return spark.createDataFrame(
             [],
@@ -285,9 +292,11 @@ def stream_cdc_logtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    t = LogTable.create(spark, _new_root(), orders, "o_orderkey", n_files=8)
     mx = orders.agg(F.max("o_orderkey")).head()[0]
     mx = -1 if mx is None else int(mx)
+    t = LogTable.create(
+        spark, _new_root(), orders, "o_orderkey", n_files=8, max_pk_hint=mx
+    )
     key = F.col("o_orderkey")
     feed = (
         orders.filter(key % 5 == 0)
@@ -644,9 +653,12 @@ def txn_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets for that commit's key range, and each CDF read touches
     only that commit's files — replication cost tracks change volume
     on BOTH sides, never table size."""
-    t, _ = _build_merged_table(spark, sf_dir)
+    t, mx = _build_merged_table(spark, sf_dir)
+    # v1 == the original orders snapshot, so its max key is the mx the
+    # builder already computed — same bucket K, no second max-scan
     replica = LogTable.create(
-        spark, _new_root(), t.read(version=1), "o_orderkey", n_files=8
+        spark, _new_root(), t.read(version=1), "o_orderkey", n_files=8,
+        max_pk_hint=mx,
     )
     for v in t.history():
         if v < 2:

@@ -79,6 +79,42 @@ def _ckpt_path(root: str, version: int) -> str:
     return os.path.join(root, LOG_DIR, f"{version:020d}.checkpoint.parquet")
 
 
+_EXACT_STAT_TYPES = {"INT32", "INT64"}  # footer min/max exact, never truncated
+
+
+def _pk_stats(md, pk: str, src: str) -> tuple:
+    """(min_pk, max_pk) for a freshly staged file — from the parquet
+    FOOTER statistics when the pk is an integer column (Spark always
+    writes them, and integer stats are exact by spec), falling back to
+    a data-page read of the pk column otherwise (string stats may be
+    truncated, and a foreign writer could omit stats). The footer path
+    reads zero data pages: stats collection used to be a full pk-column
+    re-read per staged file — measurable at bench scale, pure waste at
+    100 TB where it re-reads the whole key space once per merge."""
+    idx = None
+    for i in range(len(md.schema)):
+        c = md.schema.column(i)
+        if c.name == pk and c.physical_type in _EXACT_STAT_TYPES:
+            idx = i
+            break
+    if idx is not None:
+        mn = mx = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mn = None
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is not None:
+            return mn, mx
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(src, columns=[pk]).column(0)
+    return pc.min(col).as_py(), pc.max(col).as_py()
+
+
 def _list_versions(root: str) -> list[int]:
     d = os.path.join(root, LOG_DIR)
     if not os.path.isdir(d):
@@ -259,7 +295,6 @@ class LogTable:
         ).repartition(max(1, n_files), "_b")
         bucketed.write.mode("overwrite").partitionBy("_b").parquet(staging)
         adds = []
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         for bdir in sorted(os.listdir(staging)):
@@ -274,14 +309,14 @@ class LogTable:
             md = pq.read_metadata(src)
             if md.num_rows == 0:
                 continue
-            col = pq.read_table(src, columns=[pk]).column(0)
+            mn, mx = _pk_stats(md, pk, src)
             final = f"part-{uuid.uuid4().hex}.parquet"
             adds.append(
                 {
                     "path": final,
                     "rows": md.num_rows,
-                    "min_pk": pc.min(col).as_py(),
-                    "max_pk": pc.max(col).as_py(),
+                    "min_pk": mn,
+                    "max_pk": mx,
                 }
             )
             os.replace(src, os.path.join(self.root, final))
@@ -295,15 +330,23 @@ class LogTable:
     @classmethod
     def create(
         cls, spark: SparkSession, root: str, df: DataFrame, pk: str,
-        n_files: int = 8,
+        n_files: int = 8, max_pk_hint: int | None = None,
     ) -> "LogTable":
         """Create version 1 from df, bucketing rows into n_files files
         by pk range (deterministic membership: file i holds pk div K ==
         i for a fixed K), so file stats and pruning behave identically
-        across runs and partitionings."""
+        across runs and partitionings. ``max_pk_hint``: callers that
+        already know max(pk) (or any upper bound >= it) pass it to
+        skip the dedicated max-scan action — one full pass over df
+        saved; bucket K only needs AN upper bound, membership stays a
+        pure function of the key."""
         os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
         t = cls(spark, root)
-        hi = df.agg(F.max(pk)).head()[0]
+        hi = (
+            max_pk_hint
+            if max_pk_hint is not None
+            else df.agg(F.max(pk)).head()[0]
+        )
         k = max(1, (0 if hi is None else int(hi)) // n_files + 1)
         actions: list[dict] = [
             {
@@ -608,6 +651,15 @@ class LogTable:
         Retries the whole read-rewrite-commit cycle on a losing race
         whose winner touched disjoint files would be safe to stack, but
         a true overlap raises CommitConflict to the caller."""
+        # Materialize the change batch ONCE. The merge consumes it three
+        # times (key-range stats, the anti-join build side, the upsert
+        # leg of the rewrite) and nothing below ties those evaluations
+        # together, so an un-materialized batch recomputes its whole
+        # upstream subtree per use — 3x the batch's cost per merge, at
+        # any scale. The batch is the DELTA (bounded relative to the
+        # table), so a localCheckpoint of it is the cheap side of that
+        # trade; it also freezes non-deterministic sources for free.
+        changes = changes.localCheckpoint(eager=True)
         for _ in range(max_retries):
             snap = self._replay()
             pk = snap.meta["pk"]
