@@ -224,9 +224,18 @@ def _banded(df: DataFrame, bal_col: str) -> DataFrame:
 
 
 def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked, deduped, scored candidate pairs (both passes)."""
-    a = _a_side(spark, sf_dir)
-    b = source_b(spark, sf_dir).withColumn("b_suf", _suffix4(F.col("b_name")))
+    """Blocked, deduped, scored candidate pairs (both passes).
+
+    Both sides are MATERIALIZED once (localCheckpoint): the two
+    blocking passes below each consume a and b, and without
+    materialization each pass re-runs the scan + regex-suffix +
+    dup-union subtree — 2x per side per call, at any volume."""
+    a = _a_side(spark, sf_dir).localCheckpoint(eager=True)
+    b = (
+        source_b(spark, sf_dir)
+        .withColumn("b_suf", _suffix4(F.col("b_name")))
+        .localCheckpoint(eager=True)
+    )
     b_banded = b.withColumn("band", F.floor(F.col("b_acctbal") / BAND))
 
     tol_ok = F.abs(F.col("b_acctbal") - F.col("c_acctbal")) <= TOL
@@ -326,8 +335,15 @@ def er_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_block in the millions means the pass degenerates to a
     quadratic join and the key must be widened (more digits / narrower
     bands), exactly like widening LSH bands."""
-    a = _a_side(spark, sf_dir)
-    b = source_b(spark, sf_dir).withColumn("b_suf", _suffix4(F.col("b_name")))
+    # materialized once: the per-pass stats below consume each side
+    # four times (block count, two max-block aggregates, candidate
+    # count) x two passes — 8 re-evaluations without the checkpoint
+    a = _a_side(spark, sf_dir).localCheckpoint(eager=True)
+    b = (
+        source_b(spark, sf_dir)
+        .withColumn("b_suf", _suffix4(F.col("b_name")))
+        .localCheckpoint(eager=True)
+    )
     bx = b.withColumn("band", F.floor(F.col("b_acctbal") / BAND))
     ab = _banded(a, "c_acctbal")
     tol_ok = F.abs(F.col("b_acctbal") - F.col("c_acctbal")) <= TOL

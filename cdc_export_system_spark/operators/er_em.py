@@ -68,14 +68,45 @@ def _tol_ok() -> F.Column:
     return F.abs(F.col("b_acctbal") - F.col("c_acctbal")) <= TOL
 
 
-def candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sources(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (A, B-with-suffix) linkage inputs, MATERIALIZED once. The
+    EM pipeline consumes each side several times in one action (p1 +
+    p2 blocking passes, the shifted negative join, and for the metrics
+    query a second classification pass); un-materialized, every
+    consumer re-runs the scan + regex-suffix + dup-union subtree —
+    up to 3x per side per fit. Both sides are narrow projections of
+    the record feed, so one localCheckpoint each is the cheap side of
+    the reuse trade at any volume."""
+    a = _a_side(spark, sf_dir).localCheckpoint(eager=True)
+    b = (
+        source_b(spark, sf_dir)
+        .withColumn("b_suf", _suffix4(F.col("b_name")))
+        .localCheckpoint(eager=True)
+    )
+    return a, b
+
+
+def candidate_features(
+    spark: SparkSession,
+    sf_dir: str,
+    a: DataFrame | None = None,
+    b: DataFrame | None = None,
+) -> DataFrame:
     """Distinct candidate pairs with their binary agreement pattern
     (g1..g4) and the ground-truth bit (metrics only; EM never sees it).
     Same two blocking passes as candidate_pairs; the union dedups on
     the narrow (pair, pattern, truth) projection — pattern bits are
-    pure functions of the pair, so this equals dedup-on-pair."""
-    a = _a_side(spark, sf_dir)
-    b = source_b(spark, sf_dir).withColumn("b_suf", _suffix4(F.col("b_name")))
+    pure functions of the pair, so this equals dedup-on-pair.
+    ``a``/``b``: pre-materialized sources from :func:`_sources` (built
+    fresh when omitted)."""
+    if a is None:
+        a = _a_side(spark, sf_dir)
+    if b is None:
+        b = source_b(spark, sf_dir).withColumn(
+            "b_suf", _suffix4(F.col("b_name"))
+        )
     # BAND from entity_resolution, NOT a literal: the A side bands via
     # _banded (which uses BAND) — a drifted constant would band the two
     # sides inconsistently and silently drop candidate pairs.
@@ -97,7 +128,12 @@ def candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.select(*cols).unionAll(p2.select(*cols)).distinct()
 
 
-def negative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def negative_features(
+    spark: SparkSession,
+    sf_dir: str,
+    a: DataFrame | None = None,
+    b: DataFrame | None = None,
+) -> DataFrame:
     """Deterministic NON-match pairs for the u-side of the fit: pair
     each A record with the B record(s) of the NEXT customer key — a
     keyed 1:1 equi-join (linear at any volume, no sampling RNG), and a
@@ -106,9 +142,14 @@ def negative_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates that are mostly TRUE matches (here ~93%), which starves
     EM of unmatch evidence and collapses the model (the first cut of
     this op learned p̂ = 0.96 and an empty 'match' class); anchoring u
-    with explicit shifted pairs is the standard remedy."""
-    a = _a_side(spark, sf_dir)
-    b = source_b(spark, sf_dir).withColumn("b_suf", _suffix4(F.col("b_name")))
+    with explicit shifted pairs is the standard remedy. ``a``/``b``
+    as in :func:`candidate_features`."""
+    if a is None:
+        a = _a_side(spark, sf_dir)
+    if b is None:
+        b = source_b(spark, sf_dir).withColumn(
+            "b_suf", _suffix4(F.col("b_name"))
+        )
     return a.join(b, F.col("b_truth") == F.col("c_custkey") + 1).select(
         F.col("c_custkey"), F.col("b_id"), F.col("b_truth"), *_feat_cols()
     )
@@ -243,9 +284,16 @@ def _em_fit(patterns: list[tuple[int, int, int, int, int]]) -> dict[str, int]:
     }
 
 
-def _fit_from_spark(spark: SparkSession, sf_dir: str) -> dict[str, int]:
-    train = candidate_features(spark, sf_dir).unionAll(
-        negative_features(spark, sf_dir)
+def _fit_from_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    a: DataFrame | None = None,
+    b: DataFrame | None = None,
+) -> dict[str, int]:
+    if a is None or b is None:
+        a, b = _sources(spark, sf_dir)
+    train = candidate_features(spark, sf_dir, a, b).unionAll(
+        negative_features(spark, sf_dir, a, b)
     )
     rows = (
         train.groupBy("g1", "g2", "g3", "g4")
@@ -330,7 +378,8 @@ def er_match_metrics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair classifier compiles to a 16-way CASE on the pattern bits
     with DRIVER-PRECOMPUTED exact classes: zero wide arithmetic in the
     scan, one keyed aggregate for the report."""
-    fit = _fit_from_spark(spark, sf_dir)
+    a, b = _sources(spark, sf_dir)
+    fit = _fit_from_spark(spark, sf_dir, a, b)
     S = EM_S
     m, u = fit["m"], fit["u"]
 
@@ -345,7 +394,7 @@ def er_match_metrics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             return "possible"
         return "nonmatch"
 
-    feats = candidate_features(spark, sf_dir)
+    feats = candidate_features(spark, sf_dir, a, b)
     cls_expr = None
     for i in range(16):
         bits = (i >> 3 & 1, i >> 2 & 1, i >> 1 & 1, i & 1)
@@ -365,7 +414,8 @@ def er_match_metrics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("is_true").cast("bigint").alias("n_true_pairs"),
     )
-    total_b = source_b(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_b"))
+    # count over the materialized b (suffix col never changes the count)
+    total_b = b.agg(F.count(F.lit(1)).alias("n_b"))
     return per_cls.crossJoin(F.broadcast(total_b)).select(
         "cls",
         "n_pairs",
