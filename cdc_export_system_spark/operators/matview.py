@@ -148,9 +148,22 @@ def mv_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one final decimal merge. The oracle joins and aggregates the
     FULL inputs in one shot — the hash proves the expansion + state
     merge are exact, bit-for-bit, under the dmulsum discipline."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # Materialize each projected input ONCE: the four bilinear terms
+    # stay separate keyed joins (the IVM shape this op demonstrates),
+    # but the harness derives old/delta splits from the same table, so
+    # without materialization each side's parquet is re-scanned four
+    # times. At deployment scale the terms read genuinely separate
+    # inputs once each — one checkpoint per side reproduces that cost
+    # model here.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .localCheckpoint(eager=True)
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .localCheckpoint(eager=True)
     )
     o_old = o.filter(F.col("o_orderkey") % 4 != 0)
     d_o = o.filter(F.col("o_orderkey") % 4 == 0)
