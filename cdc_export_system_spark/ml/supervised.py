@@ -909,7 +909,8 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("y")).cast("bigint").alias("cneg"),
     ).withColumn("t", F.col("cpos") + F.col("cneg"))
     v = v.localCheckpoint(eager=True)  # one lineitem scan
-    w = with_prefix_sum(v, [F.asc("score")], ["t"], suffix="_before", materialize=False)
+    w = with_prefix_sum(v, [F.asc("score")], ["t"], suffix="_before",
+                        materialize=False)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = w.agg(
         F.sum("cpos").cast(D38).alias("npos"),
@@ -2025,7 +2026,8 @@ def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     w = with_prefix_sum(
-        v, [F.desc("score")], ["cpos", "cneg"], suffix="_b", materialize=False
+        v, [F.desc("score")], ["cpos", "cneg"], suffix="_b",
+        materialize=False,
     )
     t = v.agg(
         F.sum("cpos").cast("bigint").alias("npos"),

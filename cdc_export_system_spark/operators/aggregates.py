@@ -1315,6 +1315,10 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the totals row (materialize=False below) — without it the
     # lineitem scan + groupBy would run twice
     g = g.localCheckpoint(eager=True)
+    # window impl, not arrow_impl: measured at sf0.1/local the in-memory
+    # axis re-exchange beats the Arrow boundary (see ranks.with_prefix_sum
+    # and OPTIMIZATION_r11.md); flip on clusters where the axis shuffle
+    # crosses a network
     r = with_prefix_sum(
         g, [F.asc("v")], ["cnt"], suffix="_before", materialize=False
     ).withColumn("cum", F.col("cnt_before") + F.col("cnt"))

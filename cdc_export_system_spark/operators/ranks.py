@@ -158,6 +158,61 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     return F.when(rn <= cut, first).otherwise(rest).cast("int")
 
 
+def _arrow_cumsum_gen(values: list[str], out_names: list[str], kinds: list[str]):
+    """mapInArrow generator: EXCLUSIVE per-partition running sums of
+    ``values`` appended as ``out_names`` (int64 for integral inputs,
+    float64 for floating — matching Spark's sum() result types), with
+    the carry threaded across batches so one pass covers the whole
+    partition. Sequential left-to-right accumulation, i.e. exactly the
+    order the ROWS-frame window sum uses."""
+
+    def gen(it):
+        import numpy as np
+        import pyarrow as pa
+
+        carry = [0] * len(values)
+        for b in it:
+            cols = list(b.columns)
+            names = list(b.schema.names)
+            for j, v in enumerate(values):
+                x = b.column(names.index(v))
+                if x.null_count:
+                    raise ValueError(
+                        f"with_prefix_sum(arrow_impl): null in {v} — the "
+                        "window impl skips nulls; pass non-null columns here"
+                    )
+                if kinds[j] == "i":
+                    arr = x.to_numpy(zero_copy_only=False).astype(
+                        np.int64, copy=False
+                    )
+                    cs = np.cumsum(arr, dtype=np.int64)
+                    excl = np.empty_like(cs)
+                    excl[0] = 0
+                    excl[1:] = cs[:-1]
+                    excl += carry[j]
+                    nxt = carry[j] + (int(cs[-1]) if len(cs) else 0)
+                    cols.append(pa.array(excl, type=pa.int64()))
+                else:
+                    arr = x.to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=False
+                    )
+                    cs = np.cumsum(arr, dtype=np.float64)
+                    excl = np.empty_like(cs)
+                    excl[0] = 0.0
+                    excl[1:] = cs[:-1]
+                    excl += carry[j]
+                    nxt = carry[j] + (float(cs[-1]) if len(cs) else 0.0)
+                    cols.append(pa.array(excl, type=pa.float64()))
+                carry[j] = nxt
+            yield pa.RecordBatch.from_arrays(cols, names=names + out_names)
+
+    return gen
+
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+
+
 def with_prefix_sum(
     df: DataFrame,
     order_cols: list[Column],
@@ -165,6 +220,7 @@ def with_prefix_sum(
     suffix: str = "_cum",
     num_partitions: int | None = None,
     materialize: bool = True,
+    arrow_impl: bool = False,
 ) -> DataFrame:
     """Add the EXCLUSIVE running sum of each column in ``values`` over
     the total order given by ``order_cols`` (0 for the global first
@@ -176,7 +232,21 @@ def with_prefix_sum(
     table (|ranges| rows × |values| sums). Sums are computed with
     ``sum`` as-is — callers needing exactness pass integer columns
     (the engine's cents/micro-units discipline). ``materialize`` as in
-    :func:`with_global_row_number`."""
+    :func:`with_global_row_number`.
+
+    ``arrow_impl``: the within-range running sum as a partition-local
+    Arrow pass (sortWithinPartitions + mapInArrow cumsum) instead of a
+    window PARTITIONED BY the range id. The window form needs a second
+    FULL-AXIS hash exchange purely because Catalyst cannot see that
+    range partitions already cluster spark_partition_id(); the Arrow
+    form deletes that exchange — the axis is shuffled ONCE — at the
+    price of one columnar boundary crossing. Opt-in per caller: it
+    requires NON-NULL int/float value columns (int64 accumulation
+    wraps exactly like the window sum's bigint; float accumulates in
+    the identical left-to-right order) and a narrow frame (every
+    column rides through the Arrow pass). Offsets branch unchanged —
+    same partial-agg + tiny-window + broadcast join, off the same
+    reused range exchange."""
     if materialize:
         df = df.localCheckpoint(eager=True)
     parted = (
@@ -184,18 +254,46 @@ def with_prefix_sum(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
 
-    w_in = (
-        W.partitionBy(_RANGE_ID)
-        .orderBy(*order_cols)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    within = parted
-    for v in values:
-        within = within.withColumn(
-            f"__within_{v}", F.coalesce(F.sum(v).over(w_in), F.lit(0))
+    if arrow_impl:
+        types = dict(df.dtypes)
+        kinds = []
+        for v in values:
+            if types[v] in _INT_TYPES:
+                kinds.append("i")
+            elif types[v] in _FLOAT_TYPES:
+                kinds.append("f")
+            else:
+                raise ValueError(
+                    f"arrow_impl supports int/float values, got {v}: {types[v]}"
+                )
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        out_names = [f"__within_{v}" for v in values]
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField(n, LongType() if k == "i" else DoubleType(), True)
+                for n, k in zip(out_names, kinds)
+            ]
         )
+        within = parted.sortWithinPartitions(*order_cols).mapInArrow(
+            _arrow_cumsum_gen(values, out_names, kinds), schema=out_schema
+        )
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        within = within.withColumn(_RANGE_ID, F.spark_partition_id())
+    else:
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        w_in = (
+            W.partitionBy(_RANGE_ID)
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        within = parted
+        for v in values:
+            within = within.withColumn(
+                f"__within_{v}", F.coalesce(F.sum(v).over(w_in), F.lit(0))
+            )
 
     rsum = parted.groupBy(_RANGE_ID).agg(
         *[F.sum(v).alias(f"__rsum_{v}") for v in values]

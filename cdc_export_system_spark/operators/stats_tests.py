@@ -187,7 +187,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("decimal(38,0)").alias("na"),
         F.sum("cb").cast("decimal(38,0)").alias("nb"),
     )
-    c = with_prefix_sum(v, [F.asc("value")], ["ca", "cb"], suffix="_x", materialize=False)
+    # window impl, not arrow_impl (see ranks.with_prefix_sum): at
+    # sf0.1/local the axis re-exchange is cheaper than the Arrow pass
+    c = with_prefix_sum(
+        v, [F.asc("value")], ["ca", "cb"], suffix="_x", materialize=False
+    )
     c = c.select(
         (F.col("ca_x") + F.col("ca")).alias("cuma"),
         (F.col("cb_x") + F.col("cb")).alias("cumb"),

@@ -120,3 +120,49 @@ def test_prefix_sum_empty_input(spark):
 
     df = spark.createDataFrame([], "k int, a int")
     assert with_prefix_sum(df, [F.asc("k")], ["a"]).count() == 0
+
+
+def test_prefix_sum_arrow_impl_matches_window_impl(spark):
+    """The Arrow cumsum path (one axis shuffle + mapInArrow) must be
+    row-identical to the window path it replaces — multi-column, int
+    AND float values, desc order, across partition boundaries."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [
+            ((i * 13) % 37, (i * 5) % 11 + 1, float((i * 7) % 13) / 4, i)
+            for i in range(300)
+        ],
+        "k int, a bigint, x double, id int",
+    ).repartition(7)
+    order = [F.desc("k"), F.asc("id")]
+    win = with_prefix_sum(df, order, ["a", "x"], suffix="_c")
+    arw = with_prefix_sum(df, order, ["a", "x"], suffix="_c", arrow_impl=True)
+    rows = (
+        win.withColumnRenamed("a_c", "a_w")
+        .withColumnRenamed("x_c", "x_w")
+        .join(arw, ["k", "a", "x", "id"])
+        .select("a_w", "a_c", "x_w", "x_c")
+        .collect()
+    )
+    assert len(rows) == 300
+    assert all(r.a_w == r.a_c and r.x_w == r.x_c for r in rows)
+
+
+def test_prefix_sum_arrow_impl_empty_and_guards(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_sum
+    import pytest
+
+    empty = spark.createDataFrame([], "k int, a bigint")
+    assert with_prefix_sum(empty, [F.asc("k")], ["a"], arrow_impl=True).count() == 0
+
+    # non-numeric value column: loud build-time error, not wrong sums
+    s = spark.createDataFrame([(1, "x")], "k int, a string")
+    with pytest.raises(ValueError, match="arrow_impl supports"):
+        with_prefix_sum(s, [F.asc("k")], ["a"], arrow_impl=True)
+
+    # nulls: loud runtime error (the window impl would skip them)
+    n = spark.createDataFrame([(1, 1), (2, None)], "k int, a int")
+    bad = with_prefix_sum(n, [F.asc("k")], ["a"], arrow_impl=True)
+    with pytest.raises(Exception, match="null in a"):
+        bad.collect()
