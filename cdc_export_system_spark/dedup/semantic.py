@@ -40,7 +40,14 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kept corpus after SemDeDup: vec_id, label, cluster_id."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(emb.select("vec_id", "embedding"))
-    tagged = emb.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+    # materialized once: both triangle sides AND the final anti-join
+    # consume the assigned corpus; un-materialized, each re-ran the
+    # embeddings scan + assignment fold (6 scans per call, r11 plan
+    # sweep). Materializing the assignment is what the SemDeDup paper
+    # pipeline does between its stages anyway.
+    tagged = emb.join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    ).localCheckpoint(eager=True)
 
     # triangle sub-blocking inside each cluster (see triangle_sides):
     # joining on the cluster alone caps parallelism at k reduce tasks

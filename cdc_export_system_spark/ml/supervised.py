@@ -1808,8 +1808,12 @@ def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _CORR_FEATS[i:]
     ]
     s = li.agg(*aggs)
-    outs = []
+    # ONE select + explode, not a union of per-pair selects: each union
+    # leg replicates the whole aggregate subtree, so the "scanned once"
+    # promise above was actually 6 lineitem scans (r11 plan sweep). The
+    # C(k,2) fan-out is an array over the single suffstat row.
     n = F.col("n")
+    pair_structs = []
     for i, a in enumerate(_CORR_FEATS):
         for b in _CORR_FEATS[i + 1:]:
             num = (n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
@@ -1822,8 +1826,8 @@ def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "double"
             )
             r = num / F.sqrt(da * db)
-            outs.append(
-                s.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(a).alias("feat_a"),
                     F.lit(b).alias("feat_b"),
                     (F.floor(r * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
@@ -1831,10 +1835,9 @@ def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return s.select(F.explode(F.array(*pair_structs)).alias("p")).select(
+        "p.feat_a", "p.feat_b", "p.pearson_r"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -898,20 +898,25 @@ def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile could put a boundary BETWEEN two floats and flip rows by
     ulps). The three scalar subqueries evaluate once and broadcast into
     the scan's CASE — the Bucketizer pattern without collecting the
-    column. Identical statement runs on both engines."""
+    column. The three thresholds ride ONE aggregate pass (a 1-row
+    broadcast attached to the scan): the original three scalar
+    subqueries each re-scanned the price column and ran their own
+    percentile job (4 orders scans per call, r11 plan sweep); this is
+    the 2-scan minimum (threshold pass + bucketize pass)."""
     from cdc_export_system_spark.io.sources import star_view
 
     orders = star_view(spark, sf_dir, "orders")
     return spark.sql(f"""
         SELECT o_orderkey, o_totalprice,
-               CASE WHEN o_totalprice <= (SELECT percentile_disc(0.25)
-                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 1
-                    WHEN o_totalprice <= (SELECT percentile_disc(0.5)
-                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 2
-                    WHEN o_totalprice <= (SELECT percentile_disc(0.75)
-                        WITHIN GROUP (ORDER BY o_totalprice) FROM {orders}) THEN 3
+               CASE WHEN o_totalprice <= q.q1 THEN 1
+                    WHEN o_totalprice <= q.q2 THEN 2
+                    WHEN o_totalprice <= q.q3 THEN 3
                     ELSE 4 END AS bucket
-        FROM {orders}
+        FROM {orders}, (
+            SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+                   percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS q2,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+            FROM {orders}) q
     """)
 
 

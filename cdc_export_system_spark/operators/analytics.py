@@ -903,9 +903,17 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomaly_zscore pattern); membership compares exact doubles, no
     float-ordered LIMIT."""
     ev = load_table(spark, sf_dir, "events")
+    # both stats tables are |users|-sized — materialize each once. The
+    # un-materialized form re-derived med inside every dev consumer and
+    # dev inside mad (4 events scans + 2 redundant percentile passes,
+    # r11 plan sweep); with the stats pinned, the plan is the 3-scan
+    # minimum this algorithm admits (med needs a pass, mad needs med,
+    # the filter needs mad). The DATA-sized dev table is deliberately
+    # NOT checkpointed: re-scanning parquet with pruning beats
+    # materializing the full deviation stream at warehouse scale.
     med = ev.groupBy("user_id").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med), "user_id").select(
         "user_id",
         "event_id",
@@ -916,7 +924,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("user_id").agg(
         F.min("med").alias("med"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"),
-    )
+    ).localCheckpoint(eager=True)
     return (
         dev.drop("med")
         .join(F.broadcast(mad), "user_id")
@@ -1840,6 +1848,12 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("hr") - F.lit(1)).alias("dow"),
         F.hour("hr").alias("hod"),
     )
+    # the |hours|-sized series is consumed by the baseline grid, the
+    # deviation join and the final join — materialize it once, or each
+    # consumer re-runs the events scan + count shuffle (4 scans in the
+    # r11 plan sweep; "never rejoined" was true of the plan shape, not
+    # the recomputation)
+    h = h.localCheckpoint(eager=True)
     g = h.groupBy("event_type", "dow", "hod").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").alias("med")
     )

@@ -759,9 +759,12 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. No broadcast of data-sized sides; products ride DECIMAL(38)/
     HUGEINT so a billion-basket corpus cannot overflow."""
     li = load_table(spark, sf_dir, "lineitem")
+    # materialized once: occurrence counts AND baskets both consume the
+    # deduped incidence list — un-materialized, each re-ran the scan +
+    # distinct shuffle (r11 plan sweep: 4 lineitem scans per call)
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     occ = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     baskets = (
         op.groupBy("o")
@@ -784,6 +787,9 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .filter(F.col("c") >= MIN_SUPPORT)
+        # pinned: the symmetrization union consumes it twice, and the
+        # basket pair expansion is the expensive leg of this op
+        .localCheckpoint(eager=True)
     )
     nbr = pair.select(
         F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "c"

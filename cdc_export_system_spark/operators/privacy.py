@@ -131,7 +131,10 @@ def privacy_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversary's QI knowledge widens. The share column is the canonical
     re-identification risk estimate per QI set — the number that
     decides whether an export needs further coarsening."""
-    qi = _qi(spark, sf_dir)
+    # the narrow QI projection feeds the total and all three ladder
+    # rungs — materialized once instead of four customer scans (r11
+    # plan sweep)
+    qi = _qi(spark, sf_dir).localCheckpoint(eager=True)
     total = qi.agg(F.count(F.lit(1)).alias("total"))
 
     def uniq(label, keys):

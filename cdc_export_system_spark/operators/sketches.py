@@ -250,23 +250,26 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DENOM) / F.col(kth).cast("double"))
 
     est_u = est("mu", "ku")
-    rows = [
-        one.select(
+    # one explode over the single combined stats row, not a 4-leg union:
+    # each union leg replicated the whole five-frame pipeline — including
+    # the exact-count events aggregate — four times (r11 plan sweep)
+    segs = [
+        F.struct(
             F.lit("click").alias("segment"),
             r6(est("ma", "ka")).alias("est_distinct"),
             F.col("ea").cast("bigint").alias("exact_distinct"),
         ),
-        one.select(
+        F.struct(
             F.lit("purchase").alias("segment"),
             r6(est("mb", "kb")).alias("est_distinct"),
             F.col("eb").cast("bigint").alias("exact_distinct"),
         ),
-        one.select(
+        F.struct(
             F.lit("union").alias("segment"),
             r6(est_u).alias("est_distinct"),
             F.col("eu").cast("bigint").alias("exact_distinct"),
         ),
-        one.select(
+        F.struct(
             F.lit("intersection").alias("segment"),
             r6(
                 F.when(F.col("mu") == 0, F.lit(0.0)).otherwise(
@@ -278,7 +281,6 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return one.select(F.explode(F.array(*segs)).alias("s")).select(
+        "s.segment", "s.est_distinct", "s.exact_distinct"
+    )

@@ -1004,6 +1004,12 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * x).alias("sxx"),
         F.sum(yd * y).alias("syy"),
     )
+    # the 2-row arm-suffstat table feeds BOTH the pooled aggregate and
+    # the final select; un-materialized, each consumer re-ran the whole
+    # events -> per-user -> arm pipeline (4 events scans, r11 plan
+    # sweep). One checkpoint pins it; the plan is now the 2-scan
+    # minimum (midpoint pass + suffstat pass).
+    s = s.localCheckpoint(eager=True)
     p = s.agg(
         F.sum("n").cast("double").alias("p_nd"),
         F.sum("sx").cast("double").alias("p_sx"),
@@ -1576,22 +1582,36 @@ def stats_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # percentile_disc's fraction must be a foldable literal (in BOTH
     # engines), so the decile spine is unrolled into nine
-    # literal-probability aggregates and unioned.
+    # literal-probability aggregates — but as nine AGGREGATES OF ONE
+    # agg call, not nine unioned single-agg plans: the union form
+    # re-ran the events scan + filter once per decile (18 scans per
+    # call, flagged by the r11 plan sweep). One pass per arm; the
+    # decile spine is an explode over the 1-row result. Memory note:
+    # the nine percentile buffers hold the same arm column — at
+    # extreme scale use the rank construction (docstring above).
     def arm_unrolled(pred: str, out: str) -> DataFrame:
         base = ev.filter(F.col("event_type") == pred).select(cents.alias("c"))
-        parts = []
-        for d in range(1, 10):
-            parts.append(
-                base.agg(
-                    F.expr(
-                        f"percentile_disc({d} / 10.0) WITHIN GROUP (ORDER BY c)"
-                    ).alias(out)
-                ).select(F.lit(d).cast("int").alias("decile"), out)
-            )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionAll(p)
-        return u
+        qs = base.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({d} / 10.0) WITHIN GROUP (ORDER BY c)"
+                ).alias(f"q{d}")
+                for d in range(1, 10)
+            ]
+        )
+        return qs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("decile"),
+                            F.col(f"q{d}").alias(out),
+                        )
+                        for d in range(1, 10)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.decile", f"s.{out}")
 
     a = arm_unrolled(ARM_A, "qa")
     b = arm_unrolled(ARM_B, "qb")

@@ -188,6 +188,10 @@ INTENTIONAL_BROADCAST_NLJ = {
     "metric_concentration_shares",  # 1-row grand total + 3-row pct spine onto the rank axis
     "corpus_perplexity_buckets",  # 1-row doc-total broadcast onto the <=20 bucket rows
     "ab_sequential_sprt",  # 1-row guarded control-rate scalar onto the day axis
+    "geo_contains_join",  # 25-row broadcast bbox table, non-equi range filter
+    # (phase 1 of filter-refine); the refine phase is an equi BHJ on
+    # nationkey — fan-out bounded by regions-overlapping-a-point
+    "feat_quantile_bucketize",  # 1-row quartile-thresholds broadcast onto the scan
 }
 
 
