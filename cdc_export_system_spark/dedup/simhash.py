@@ -111,7 +111,12 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_sides,
     )
 
-    fp = simhash(load_table(spark, sf_dir, "documents"))
+    # 2-col |docs| fingerprint table, pinned once: both triangle sides
+    # of the band self-join consume it, and un-materialized each re-ran
+    # the full tokenize + hash + bit-vote pipeline (r11 plan sweep)
+    fp = simhash(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     bands = fp.select(
         "doc_id",
         "fingerprint",

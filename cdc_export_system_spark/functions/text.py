@@ -435,8 +435,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    total = tok.count()  # driver scalar: exact int, same in the oracle
+    # |vocab|-sized, pinned once; the corpus token total is the SUM of
+    # its term frequencies — the old tok.count() action re-ran the
+    # whole tokenize pass a third time (r11 plan sweep)
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    total = vocab.agg(F.sum("tf")).head()[0] or 0
     lp = tok.join(F.broadcast(vocab), "token").select(
         "doc_id",
         "pos",
@@ -2024,8 +2029,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    total = tok.count()  # driver scalar: exact int, same in the oracle
+    # |vocab|-sized, pinned once; the corpus token total is the SUM of
+    # its term frequencies — the old tok.count() action re-ran the
+    # whole tokenize pass a third time (r11 plan sweep)
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    total = vocab.agg(F.sum("tf")).head()[0] or 0
     lp = tok.join(F.broadcast(vocab), "token").select(
         "doc_id",
         "pos",
@@ -2054,6 +2064,9 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "n_tokens",
     )
+    # 2-col |docs|-sized bucket table, consumed by the total AND the
+    # rollup — pinned once so the logprob pipeline runs once, not twice
+    b = b.localCheckpoint(eager=True)
     tot = b.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         b.groupBy("bucket")

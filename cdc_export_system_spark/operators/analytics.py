@@ -2322,13 +2322,17 @@ def growth_accounting(um: DataFrame) -> DataFrame:
     exercises 'new')."""
     from pyspark.sql import Window as W
 
-    mx = um.agg(F.max("mi").alias("max_mi"))
     w_u = W.partitionBy("user_id").orderBy("mi")
     w = um.select(
         "mi",
         F.lag("mi").over(w_u).alias("prev_mi"),
         F.lead("mi").over(w_u).alias("next_mi"),
     )
+    # the lagged frame feeds the status split AND the churn leg, and
+    # max(mi) reads off it too — pinned once, the (user, month) distinct
+    # + window runs once instead of three times (r11 plan sweep)
+    w = w.localCheckpoint(eager=True)
+    mx = w.agg(F.max("mi").alias("max_mi"))
     act = w.select(
         "mi",
         F.when(F.col("prev_mi").isNull(), "new")
@@ -3181,7 +3185,12 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    coh = o.groupBy("c").agg(F.min("m").alias("cohort"))
+    # |customers|-sized cohort map, pinned once: the cell join AND the
+    # cohort-size rollup both consume it (3 orders scans otherwise,
+    # r11 plan sweep; 2 is this algorithm's floor)
+    coh = o.groupBy("c").agg(F.min("m").alias("cohort")).localCheckpoint(
+        eager=True
+    )
     cell = (
         o.join(coh, "c")
         .groupBy(

@@ -110,6 +110,10 @@ def kmeans_fit(
     model ever reaches the driver.
     """
     spark = emb.sparkSession
+    # the training working set is consumed twice per Lloyd iteration
+    # (assignment + update join) plus the seed slice — pin it once
+    # instead of re-running the upstream scan 2*n_iter + 1 times
+    emb = emb.localCheckpoint(eager=True)
     centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
     )
@@ -236,6 +240,12 @@ def km_exact_fit(spark: SparkSession, sf_dir: str):
     centroids, assign closure). The consumers are cluster_kmeans_exact
     (cluster readout) and sim_search_ivf_exact (coarse quantizer)."""
     emb = load_table_fanned(spark, sf_dir, "embeddings")
+    # quantized corpus pinned ONCE: every Lloyd iteration consumes it
+    # twice (assignment cross-fold + update join), plus the seed slice
+    # and each caller's serving reads — un-materialized that was
+    # 2*iters + 2 scan/quantize passes per trained model (r11 plan
+    # sweep). One materialization is the "cache the working set across
+    # iterations" posture every iterative trainer uses.
     q = emb.select(
         "vec_id",
         F.transform(
@@ -244,7 +254,7 @@ def km_exact_fit(spark: SparkSession, sf_dir: str):
                 F.floor(x.cast("double") * KM_Q + F.lit(0.5)) + KM_OFF
             ).cast("bigint"),
         ).alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     centroids = q.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("c")
     )
