@@ -646,7 +646,15 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inherits ml_naive_bayes's shape; the confusion rollup adds
     two |classes|-row aggregates and one broadcast join."""
-    nb = ml_naive_bayes(spark, sf_dir)
+    # pinned once: per_actual and per_pred both consume the prediction
+    # frame, and un-materialized each re-ran the whole NB train+predict
+    # pipeline (4 docs scans, r11 plan sweep)
+    nb = ml_naive_bayes(spark, sf_dir).localCheckpoint(eager=True)
+    return _confusion_from(nb)
+
+
+def _confusion_from(nb: DataFrame) -> DataFrame:
+    """Confusion rollup over a (pre-materialized) prediction frame."""
     per_actual = nb.groupBy(F.col("lang_actual").alias("lang")).agg(
         F.count(F.lit(1)).cast("bigint").alias("support"),
         # coalesce: if every prediction for a class is NULL (all held-out
@@ -1055,8 +1063,11 @@ def ml_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a training pipeline logs per run. Each leg inherits its
     component's exactness discipline; the composition adds only 1-row
     aggregates and a 3-row union."""
-    nb = ml_naive_bayes(spark, sf_dir)
-    cm = ml_confusion_matrix(spark, sf_dir)
+    # ONE NB train+predict serves both the accuracy leg and the
+    # confusion leg (each invoked the full pipeline separately before —
+    # 6 docs scans per report, r11 plan sweep)
+    nb = ml_naive_bayes(spark, sf_dir).localCheckpoint(eager=True)
+    cm = _confusion_from(nb)
     auc = ml_auc_roc(spark, sf_dir)
     r6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     acc = nb.agg(

@@ -72,15 +72,21 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
 
-    o_stats = o.agg(
+    # orphan detection rides the SAME orders pass as the column rules:
+    # a left join against the unique customer key adds no rows, and a
+    # null match IS an orphan — one scan instead of the separate
+    # anti-join pass (r11 plan sweep: 3 orders scans -> 2)
+    oc = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left",
+    )
+    o_stats = oc.agg(
         F.count_if(F.col("o_custkey").isNull()).alias("null_cust"),
         F.count_if(F.col("o_totalprice") <= 0).alias("nonpos_price"),
         F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
-    )
-    orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+        F.count_if(F.col("c_custkey").isNull()).alias("orphan_orders"),
     )
     li_stats = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -112,9 +118,9 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("nonpos_price", "orders.o_totalprice_positive"),
                 ("bad_status", "orders.o_orderstatus_accepted_values"),
                 ("dup_orderkey", "orders.o_orderkey_unique"),
+                ("orphan_orders", "orders.o_custkey_refs_customer"),
             ],
         )
-        .unionAll(unpivot(orphans, [("orphan_orders", "orders.o_custkey_refs_customer")]))
         .unionAll(
             unpivot(
                 li_stats,
