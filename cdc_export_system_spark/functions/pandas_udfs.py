@@ -255,7 +255,15 @@ def mg_heavy_hitters(items: DataFrame, capacity: int, support: float) -> DataFra
         ).astype({"item": "string", "cnt": "int64"})
 
     partials = items.mapInPandas(mg_partials, schema="item string, cnt bigint")
-    agg = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
+    # the merged counter table is <= capacity+1 rows — pin it once: the
+    # total and the report both read it, and un-materialized each re-ran
+    # the whole scan + MG fold + merge shuffle (2 MapInPandas passes per
+    # call, r11 plan sweep)
+    agg = (
+        partials.groupBy("item")
+        .agg(F.sum("cnt").alias("est_count"))
+        .localCheckpoint(eager=True)
+    )
     total = agg.where(F.col("item").isNull()).select(F.col("est_count").alias("n"))
     merged = agg.where(F.col("item").isNotNull())
     return (
