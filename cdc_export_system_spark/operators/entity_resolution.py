@@ -223,19 +223,40 @@ def _banded(df: DataFrame, bal_col: str) -> DataFrame:
     )
 
 
-def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked, deduped, scored candidate pairs (both passes).
-
-    Both sides are MATERIALIZED once (localCheckpoint): the two
-    blocking passes below each consume a and b, and without
-    materialization each pass re-runs the scan + regex-suffix +
-    dup-union subtree — 2x per side per call, at any volume."""
+def pinned_sources(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (A, B-with-suffix) linkage inputs, MATERIALIZED once. Every
+    multi-consumer er_* query pins these narrow projections instead of
+    re-running the scan + regex-suffix + dup-union subtree per
+    consumer (2x per blocking pass, plus the survivorship record feed
+    in er_golden_record)."""
     a = _a_side(spark, sf_dir).localCheckpoint(eager=True)
     b = (
         source_b(spark, sf_dir)
         .withColumn("b_suf", _suffix4(F.col("b_name")))
         .localCheckpoint(eager=True)
     )
+    return a, b
+
+
+def candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    a: DataFrame | None = None,
+    b: DataFrame | None = None,
+) -> DataFrame:
+    """Blocked, deduped, scored candidate pairs (both passes).
+
+    Both sides are MATERIALIZED once (localCheckpoint): the two
+    blocking passes below each consume a and b, and without
+    materialization each pass re-runs the scan + regex-suffix +
+    dup-union subtree — 2x per side per call, at any volume.
+    ``a``/``b``: pre-materialized frames from :func:`pinned_sources`
+    (built fresh when omitted) — callers that also consume the record
+    feeds themselves pass them in so one pin serves every consumer."""
+    if a is None or b is None:
+        a, b = pinned_sources(spark, sf_dir)
     b_banded = b.withColumn("band", F.floor(F.col("b_acctbal") / BAND))
 
     tol_ok = F.abs(F.col("b_acctbal") - F.col("c_acctbal")) <= TOL
@@ -607,23 +628,29 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most-recently-credited wins in this feed: the B dup copy carries
     the +1 adjustment), segment = lexicographic-min non-UNKNOWN. The
     MDM 'merge' step, expressed as one grouped aggregate over the
-    cluster labels (no per-entity loop)."""
+    cluster labels (no per-entity loop).
+
+    One :func:`pinned_sources` materialization serves BOTH the pair
+    generation and the survivorship record feed — previously the
+    record union re-read customer + rebuilt the B feed on top of
+    candidate_pairs' own pins (r11 verdict #5: 3 customer-projection
+    scans -> 1 materialization per side)."""
+    a, b = pinned_sources(spark, sf_dir)
     edges = (
-        candidate_pairs(spark, sf_dir)
+        candidate_pairs(spark, sf_dir, a=a, b=b)
         .filter(F.col("score") >= T_MATCH)
         .select(F.col("c_custkey").alias("doc_a"), F.col("b_id").alias("doc_b"))
     )
     labels = connected_components(edges).select(
         "node", F.col("label").alias("entity_id")
     )
-    c = load_table(spark, sf_dir, "customer")
-    recs = c.select(
+    recs = a.select(
         F.col("c_custkey").alias("node"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("acctbal"),
     ).unionAll(
-        source_b(spark, sf_dir).select(
+        b.select(
             F.col("b_id").alias("node"),
             F.col("b_name").alias("name"),
             F.col("b_segment").alias("segment"),

@@ -78,14 +78,14 @@ def _sources(
     consumer re-runs the scan + regex-suffix + dup-union subtree —
     up to 3x per side per fit. Both sides are narrow projections of
     the record feed, so one localCheckpoint each is the cheap side of
-    the reuse trade at any volume."""
-    a = _a_side(spark, sf_dir).localCheckpoint(eager=True)
-    b = (
-        source_b(spark, sf_dir)
-        .withColumn("b_suf", _suffix4(F.col("b_name")))
-        .localCheckpoint(eager=True)
+    the reuse trade at any volume. Delegates to
+    entity_resolution.pinned_sources — one definition of the pinned
+    feeds for the whole er_* family."""
+    from cdc_export_system_spark.operators.entity_resolution import (
+        pinned_sources,
     )
-    return a, b
+
+    return pinned_sources(spark, sf_dir)
 
 
 def candidate_features(
