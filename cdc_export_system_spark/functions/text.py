@@ -2064,16 +2064,24 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "n_tokens",
     )
-    # 2-col |docs|-sized bucket table, consumed by the total AND the
-    # rollup — pinned once so the logprob pipeline runs once, not twice
-    b = b.localCheckpoint(eager=True)
-    tot = b.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
+    # Pin the GROUPED rollup (<= PPLX_MAX_BUCKET+1 rows), not the
+    # per-doc bucket table: the doc total is the sum of the per-bucket
+    # doc counts, so the tiny grouped frame serves both consumers and
+    # the logprob pipeline still runs exactly once. (r11 pinned the
+    # |docs|-sized table here — the one data-proportional checkpoint
+    # in the registry, r11 verdict item 3; this keeps the single-pass
+    # property with a strictly bounded pin.)
+    grouped = (
         b.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         )
+        .localCheckpoint(eager=True)
+    )
+    tot = grouped.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    return (
+        grouped
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
