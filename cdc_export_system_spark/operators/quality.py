@@ -73,11 +73,15 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     # orphan detection rides the SAME orders pass as the column rules:
-    # a left join against the unique customer key adds no rows, and a
+    # a left join against the distinct customer key adds no rows, and a
     # null match IS an orphan — one scan instead of the separate
-    # anti-join pass (r11 plan sweep: 3 orders scans -> 2)
+    # anti-join pass (r11 plan sweep: 3 orders scans -> 2). The
+    # distinct() makes the join provably non-expanding even if the
+    # customer feed itself carried duplicate keys — this op is the
+    # data-quality checker, so it must not assume the inputs pass the
+    # checks (r11 advice); one extra dedup on the broadcast side.
     oc = o.join(
-        F.broadcast(c.select("c_custkey")),
+        F.broadcast(c.select("c_custkey").distinct()),
         o.o_custkey == F.col("c_custkey"),
         "left",
     )

@@ -181,15 +181,20 @@ def _arrow_cumsum_gen(values: list[str], out_names: list[str], kinds: list[str])
                         f"with_prefix_sum(arrow_impl): null in {v} — the "
                         "window impl skips nulls; pass non-null columns here"
                     )
+                # Arrow may legally deliver 0-row batches (upstream
+                # filtering / batch slicing): pass them through with
+                # the carry unchanged — excl[0] on an empty cumsum
+                # would IndexError.
                 if kinds[j] == "i":
                     arr = x.to_numpy(zero_copy_only=False).astype(
                         np.int64, copy=False
                     )
                     cs = np.cumsum(arr, dtype=np.int64)
                     excl = np.empty_like(cs)
-                    excl[0] = 0
-                    excl[1:] = cs[:-1]
-                    excl += carry[j]
+                    if len(cs):
+                        excl[0] = 0
+                        excl[1:] = cs[:-1]
+                        excl += carry[j]
                     nxt = carry[j] + (int(cs[-1]) if len(cs) else 0)
                     cols.append(pa.array(excl, type=pa.int64()))
                 else:
@@ -198,9 +203,10 @@ def _arrow_cumsum_gen(values: list[str], out_names: list[str], kinds: list[str])
                     )
                     cs = np.cumsum(arr, dtype=np.float64)
                     excl = np.empty_like(cs)
-                    excl[0] = 0.0
-                    excl[1:] = cs[:-1]
-                    excl += carry[j]
+                    if len(cs):
+                        excl[0] = 0.0
+                        excl[1:] = cs[:-1]
+                        excl += carry[j]
                     nxt = carry[j] + (float(cs[-1]) if len(cs) else 0.0)
                     cols.append(pa.array(excl, type=pa.float64()))
                 carry[j] = nxt

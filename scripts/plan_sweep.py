@@ -36,12 +36,8 @@ _PY_NODES = (
 
 def metrics_for(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    tables: dict[str, int] = {}
-    for m in re.finditer(r"file:[^\]\s,]*?/(\w+)\.parquet", plan):
-        t = m.group(1)
-        tables[t] = tables.get(t, 0) + 1
-    # each FileScan prints its location twice (Location + ReadSchema
-    # lines share one node? no — count FileScan nodes per table instead)
+    # count FileScan NODES per table (a bare file-path regex would also
+    # match Location/ReadSchema detail lines and overcount)
     scans: dict[str, int] = {}
     for m in re.finditer(
         r"FileScan parquet[^\n]*?\[file:[^\]]*?/(\w+)\.parquet", plan

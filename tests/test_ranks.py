@@ -166,3 +166,28 @@ def test_prefix_sum_arrow_impl_empty_and_guards(spark):
     bad = with_prefix_sum(n, [F.asc("k")], ["a"], arrow_impl=True)
     with pytest.raises(Exception, match="null in a"):
         bad.collect()
+
+
+def test_arrow_cumsum_gen_zero_row_batch_passthrough():
+    """Arrow can legally deliver 0-row record batches mid-stream
+    (upstream filtering / batch slicing); the cumsum generator must
+    pass them through with the carry unchanged, not IndexError on
+    excl[0]. Driven directly at the generator so the empty batch is
+    guaranteed to occur (Spark rarely produces one)."""
+    import pyarrow as pa
+
+    from cdc_export_system_spark.operators.ranks import _arrow_cumsum_gen
+
+    gen = _arrow_cumsum_gen(["a", "x"], ["a_c", "x_c"], ["i", "f"])
+    schema = pa.schema([("a", pa.int64()), ("x", pa.float64())])
+    batches = [
+        pa.RecordBatch.from_pydict({"a": [1, 2], "x": [0.5, 1.0]}, schema=schema),
+        pa.RecordBatch.from_pydict({"a": [], "x": []}, schema=schema),
+        pa.RecordBatch.from_pydict({"a": [3], "x": [2.0]}, schema=schema),
+    ]
+    out = list(gen(iter(batches)))
+    assert [b.num_rows for b in out] == [2, 0, 1]
+    assert out[0].column(out[0].schema.names.index("a_c")).to_pylist() == [0, 1]
+    # the carry crosses the empty batch intact: 1 + 2 = 3
+    assert out[2].column(out[2].schema.names.index("a_c")).to_pylist() == [3]
+    assert out[2].column(out[2].schema.names.index("x_c")).to_pylist() == [1.5]
