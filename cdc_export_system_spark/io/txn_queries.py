@@ -16,6 +16,7 @@ runs)."""
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -43,6 +44,50 @@ def _new_root() -> str:
 _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority"]
 
+_EXACT_STAT_TYPES = {"INT32", "INT64"}  # footer min/max exact by spec
+
+
+def _source_max_int(sf_dir: str, table: str, col: str) -> int | None:
+    """Exact max of an INTEGER column straight from the source parquet
+    FOOTER statistics — zero data pages, no Spark job (the same
+    exact-by-spec argument as txn_table._pk_stats). Returns None (and
+    the caller falls back to a Spark max-scan) when the source is not
+    the single-file layout, the column is not integer-typed, or any
+    row group lacks stats. None is also the correct answer for an
+    empty table: zero row groups yield no max."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.isfile(path):
+        return None
+    try:
+        md = pq.read_metadata(path)
+    except OSError:
+        return None
+    idx = None
+    for i in range(len(md.schema)):
+        c = md.schema.column(i)
+        if c.name == col and c.physical_type in _EXACT_STAT_TYPES:
+            idx = i
+            break
+    if idx is None:
+        return None
+    mx = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def _orders_max_key(spark: SparkSession, sf_dir: str, orders: DataFrame):
+    """max(o_orderkey) — footer fast path, Spark-scan fallback."""
+    mx = _source_max_int(sf_dir, "orders", "o_orderkey")
+    if mx is None:
+        mx = orders.agg(F.max("o_orderkey")).head()[0]
+    return mx
+
 
 def _build_merged_table(
     spark: SparkSession, sf_dir: str
@@ -52,9 +97,11 @@ def _build_merged_table(
     max_key). With an empty source the merges are no-ops and only v1
     exists — the oracles mirror that."""
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    # one max-scan serves both the insert key shift AND create's bucket
-    # sizing (max_pk_hint) — previously two full-pass actions
-    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    # one max serves both the insert key shift AND create's bucket
+    # sizing (max_pk_hint) — read from the source parquet footer when
+    # the stats are exact (zero data pages, no Spark job), Spark
+    # max-scan otherwise
+    mx = _orders_max_key(spark, sf_dir, orders)
     mx = -1 if mx is None else int(mx)
     t = LogTable.create(
         spark, _new_root(), orders, "o_orderkey", n_files=8, max_pk_hint=mx
@@ -210,7 +257,7 @@ def txn_table_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-CDC cost model at 100 TB: a batch touching 1/8 of the
     key space rewrites 1/8 of the files, never the table."""
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    mx = _orders_max_key(spark, sf_dir, orders)
     t = LogTable.create(
         spark, _new_root(), orders, "o_orderkey", n_files=8,
         max_pk_hint=-1 if mx is None else int(mx),
@@ -292,7 +339,7 @@ def stream_cdc_logtable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     orders = load_table(spark, sf_dir, "orders").select(_COLS)
-    mx = orders.agg(F.max("o_orderkey")).head()[0]
+    mx = _orders_max_key(spark, sf_dir, orders)
     mx = -1 if mx is None else int(mx)
     t = LogTable.create(
         spark, _new_root(), orders, "o_orderkey", n_files=8, max_pk_hint=mx

@@ -659,7 +659,21 @@ class LogTable:
         # any scale. The batch is the DELTA (bounded relative to the
         # table), so a localCheckpoint of it is the cheap side of that
         # trade; it also freezes non-deterministic sources for free.
+        # (A persist()+agg single-job variant was A/B'd in r12 and
+        # measured SLOWER — cache encode plus InMemoryTableScan reads
+        # cost more than the dedicated checkpoint job.)
         changes = changes.localCheckpoint(eager=True)
+        return self._merge_pinned(
+            changes, deleted_col=deleted_col, max_retries=max_retries
+        )
+
+    def _merge_pinned(
+        self,
+        changes: DataFrame,
+        *,
+        deleted_col: str,
+        max_retries: int,
+    ) -> tuple[int, dict]:
         for _ in range(max_retries):
             snap = self._replay()
             pk = snap.meta["pk"]
