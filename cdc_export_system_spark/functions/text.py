@@ -1311,12 +1311,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
     cnt = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = with_prefix_sum(cnt, [F.col("cnt").desc(), F.col("w").asc()], ["cnt"])
-    tot = cnt.agg(F.sum("cnt").alias("t"))
+    # total_suffix: the corpus token total rides the prefix machinery's
+    # offsets broadcast off its INTERNAL pin — the old separate
+    # cnt.agg(sum) consumed the caller's UNPINNED frame and re-ran the
+    # whole tokenize + groupBy pipeline (r12)
+    cum = with_prefix_sum(
+        cnt, [F.col("cnt").desc(), F.col("w").asc()], ["cnt"],
+        total_suffix="__t",
+    ).withColumn("t", F.col("cnt__t"))
     tgt = spark.createDataFrame(
         [(500,), (900,), (950,), (990,)], "target_permille long"
     )
-    j = cum.crossJoin(F.broadcast(tot)).join(
+    j = cum.join(
         F.broadcast(tgt),
         F.col("cnt_cum").cast("decimal(38,0)") * 1000
         < F.col("target_permille").cast("decimal(38,0)") * F.col("t"),

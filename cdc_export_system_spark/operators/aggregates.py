@@ -1317,18 +1317,23 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     # one checkpoint of the axis serves BOTH the prefix-sum construction
-    # and the totals row (materialize=False below) — without it the
-    # lineitem scan + groupBy would run twice
+    # and the totals (total_suffix below) — without it the lineitem
+    # scan + groupBy would run twice
     g = g.localCheckpoint(eager=True)
     # window impl, not arrow_impl: measured at sf0.1/local the in-memory
     # axis re-exchange beats the Arrow boundary (see ranks.with_prefix_sum
     # and OPTIMIZATION_r11.md); flip on clusters where the axis shuffle
-    # crosses a network
-    r = with_prefix_sum(
-        g, [F.asc("v")], ["cnt"], suffix="_before", materialize=False
-    ).withColumn("cum", F.col("cnt_before") + F.col("cnt"))
-    t = g.agg(F.sum("cnt").cast("bigint").alias("n"))
-    sel = r.crossJoin(F.broadcast(t))
+    # crosses a network. total_suffix rides the grand total on the
+    # offsets broadcast — no separate 1-row aggregate + crossJoin job
+    # (r12 A/B: fused form faster at sf0.1).
+    sel = (
+        with_prefix_sum(
+            g, [F.asc("v")], ["cnt"], suffix="_before",
+            materialize=False, total_suffix="__t",
+        )
+        .withColumn("cum", F.col("cnt_before") + F.col("cnt"))
+        .withColumn("n", F.col("cnt__t").cast("bigint"))
+    )
     at = lambda k: F.min(F.when(F.col("cum") >= F.expr(k), F.col("v")))  # noqa: E731
     # global agg, NOT groupBy(n): n is constant after the broadcast, and
     # grouping by a constant hashes the whole axis onto one reducer; the
@@ -1456,11 +1461,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("q").cast("bigint").alias("w"))
         .localCheckpoint(eager=True)
     )
-    r = with_prefix_sum(
-        v, [F.asc("p")], ["w"], suffix="_before", materialize=False
-    ).withColumn("cum", F.col("w_before") + F.col("w"))
-    t = v.agg(F.sum("w").cast("bigint").alias("tw"))
-    sel = r.crossJoin(F.broadcast(t))
+    sel = (
+        with_prefix_sum(
+            v, [F.asc("p")], ["w"], suffix="_before",
+            materialize=False, total_suffix="__t",
+        )
+        .withColumn("cum", F.col("w_before") + F.col("w"))
+        .withColumn("tw", F.col("w__t").cast("bigint"))
+    )
     pick = lambda cond: F.min(F.when(F.expr(cond), F.col("p")))  # noqa: E731
     return sel.agg(
         F.max("tw").alias("total_weight"),
@@ -1519,12 +1527,12 @@ def feat_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ax = f.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     ax = ax.localCheckpoint(eager=True)
     w = with_prefix_sum(ax, [F.asc("v")], ["t"], suffix="_before",
-                        materialize=False)
-    tot = ax.agg(F.sum("t").cast("bigint").alias("n"))
+                        materialize=False, total_suffix="__t")
     r = w.select(
         "v",
         (F.lit(2) * F.col("t_before") + F.col("t") + F.lit(1)).alias("r2"),
-    ).crossJoin(F.broadcast(tot))
+        F.col("t__t").cast("bigint").alias("n"),
+    )
     return f.join(r, "v").select(
         "o_orderkey",
         (F.col("v").cast("double") / 100).alias("totalprice"),
@@ -1598,10 +1606,10 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     r = with_prefix_sum(
-        ax, [F.asc("v")], ["cnt"], suffix="_b", materialize=False
-    )
-    t = ax.agg(F.sum("cnt").cast("bigint").alias("n"))
-    kf = r.crossJoin(F.broadcast(t)).select(
+        ax, [F.asc("v")], ["cnt"], suffix="_b",
+        materialize=False, total_suffix="__t",
+    ).withColumn("n", F.col("cnt__t").cast("bigint"))
+    kf = r.select(
         "v",
         "cnt",
         "n",

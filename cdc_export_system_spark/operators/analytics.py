@@ -2023,16 +2023,19 @@ def metric_concentration_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order_cols = [F.desc("cents"), F.asc("o_custkey")]
     r = with_global_row_number(spend, order_cols, out="rn", total_out="c")
+    # total_suffix: the cents grand total rides the prefix machinery's
+    # offsets broadcast — the old separate r.agg(sum) consumed the
+    # WHOLE ranked frame a second time (r12)
     r = with_prefix_sum(r, order_cols, ["cents"], suffix="_before",
-                        materialize=False)
+                        materialize=False, total_suffix="__t")
     r = r.withColumn("cum", F.col("cents_before") + F.col("cents"))
-    tot = r.agg(F.sum("cents").alias("s"))
+    r = r.withColumn("s", F.col("cents__t"))
     pcts = F.explode(
         F.array(*[F.lit(p) for p in CONCENTRATION_PCTS])
     ).alias("pct")
     spine = r.sparkSession.range(1).select(pcts)
     return (
-        r.crossJoin(F.broadcast(tot))
+        r
         .join(
             F.broadcast(spine),
             F.col("rn") == F.expr("(pct * c + 99) div 100"),

@@ -183,20 +183,21 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one events scan: totals + prefix branches read the materialized axis
     v = v.localCheckpoint(eager=True)
-    tot = v.agg(
-        F.sum("ca").cast("decimal(38,0)").alias("na"),
-        F.sum("cb").cast("decimal(38,0)").alias("nb"),
-    )
     # window impl, not arrow_impl (see ranks.with_prefix_sum): at
-    # sf0.1/local the axis re-exchange is cheaper than the Arrow pass
+    # sf0.1/local the axis re-exchange is cheaper than the Arrow pass.
+    # total_suffix: the arm totals ride the offsets broadcast — no
+    # separate 1-row aggregate + crossJoin job (r12).
     c = with_prefix_sum(
-        v, [F.asc("value")], ["ca", "cb"], suffix="_x", materialize=False
+        v, [F.asc("value")], ["ca", "cb"], suffix="_x",
+        materialize=False, total_suffix="__t",
     )
     c = c.select(
         (F.col("ca_x") + F.col("ca")).alias("cuma"),
         (F.col("cb_x") + F.col("cb")).alias("cumb"),
+        F.col("ca__t").cast("decimal(38,0)").alias("na"),
+        F.col("cb__t").cast("decimal(38,0)").alias("nb"),
     )
-    d = c.crossJoin(F.broadcast(tot)).agg(
+    d = c.agg(
         F.max(
             F.abs(
                 F.col("cuma").cast("decimal(38,0)") * F.col("nb")
