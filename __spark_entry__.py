@@ -73,6 +73,41 @@ _PRIORITY = [
     # first — see _round_order).
 ]
 
+# ROUND-12 RECHECK BLOCK (VERDICT r11 #7): queries whose internals the
+# two optimization rounds REWROTE but whose newest external driver row
+# predates the rewrite (the r11 rotation sampled elsewhere). They are
+# already green in some earlier round, so the plain oldest-green-first
+# tail would take several rounds to reach them; this block jumps them
+# to the front of the re-check tail — after every never-checked query,
+# so the entry-contract invariant (unchecked strictly first) holds.
+# Order: r12-touched first (er sources, txn footer-max, prefix-total
+# fusion, pin reverts), then r11-touched-but-unsampled.
+_RECHECK = [
+    # r12-touched
+    "mv_delta_join", "agg_freq_items_mg",
+    "er_golden_record", "er_candidate_pairs", "er_em_weights",
+    "er_match_metrics_em", "er_blocking_stats", "er_match_metrics",
+    "er_one_to_one", "er_entity_clusters",
+    "corpus_perplexity_buckets", "text_unigram_logprob", "dq_checks",
+    "txn_table_merge_read", "txn_table_merge_stats",
+    "txn_table_time_travel", "txn_table_changes", "txn_table_replicate",
+    "txn_table_column_evolution", "txn_table_asof_ts",
+    "stream_cdc_logtable_merge", "cdc_export_from_cdf",
+    "mv_from_txn_changes",
+    "agg_quantiles_distributed", "agg_weighted_median",
+    "feat_rank_normalize", "agg_trimmed_mean", "stats_ks_test",
+    "metric_concentration_shares", "text_vocab_coverage",
+    # r11-touched, no r11 row
+    "stats_qq_points", "ml_confusion_matrix", "ml_eval_report",
+    "ab_cuped", "recsys_item_knn", "privacy_uniqueness_risk",
+    "cluster_kmeans_exact", "cluster_kmeans_iterate",
+    "sim_search_ivf_exact", "sim_search_pq_exact",
+    "dedup_semantic_exact", "dedup_semantic_semdedup",
+    "dedup_simhash_banded_pairs", "dedup_edit_distance_verify",
+    "event_growth_accounting", "orders_cohort_ltv",
+    "feat_quantile_bucketize", "ml_feature_corr_matrix",
+]
+
 
 def _round_order(registry) -> list[str]:
     import glob
@@ -103,12 +138,16 @@ def _round_order(registry) -> list[str]:
     prio = [n for n in _PRIORITY if n in registry and n not in checked]
     prio_set = set(prio)
     rest = [n for n in registry if n not in prio_set and n not in checked]
+    # touched-by-optimization re-checks lead the green tail (they are
+    # checked, so they stay behind every never-checked query)
+    recheck = [n for n in _RECHECK if n in registry and n in checked]
+    recheck_set = set(recheck)
     reg_idx = {n: i for i, n in enumerate(registry)}
     tail = sorted(
-        (n for n in registry if n in checked),
+        (n for n in registry if n in checked and n not in recheck_set),
         key=lambda n: (checked[n], reg_idx[n]),
     )
-    return prio + rest + tail
+    return prio + rest + recheck + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

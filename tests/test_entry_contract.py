@@ -26,16 +26,36 @@ REGISTRY = load_all()
 def test_priority_names_all_registered():
     unknown = [n for n in entry._PRIORITY if n not in REGISTRY]
     assert not unknown, f"_PRIORITY names not in the registry: {unknown}"
+    unknown = [n for n in entry._RECHECK if n not in REGISTRY]
+    assert not unknown, f"_RECHECK names not in the registry: {unknown}"
 
 
 def test_priority_has_no_duplicates():
-    seen: set[str] = set()
-    dupes = []
-    for n in entry._PRIORITY:
-        if n in seen:
-            dupes.append(n)
-        seen.add(n)
-    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    for lst, label in ((entry._PRIORITY, "_PRIORITY"),
+                       (entry._RECHECK, "_RECHECK")):
+        seen: set[str] = set()
+        dupes = []
+        for n in lst:
+            if n in seen:
+                dupes.append(n)
+            seen.add(n)
+        assert not dupes, f"duplicate {label} entries: {dupes}"
+
+
+def test_recheck_block_leads_green_tail():
+    """The driver's ~50-slot prefix must reach every optimization-
+    touched query this round: after the never-checked block, the next
+    entries are exactly the registered _RECHECK names, in order."""
+    checked = _driver_green() & set(REGISTRY)
+    order = list(entry.queries())
+    expected = [n for n in entry._RECHECK if n in checked]
+    first_checked = min(
+        (i for i, n in enumerate(order) if n in checked), default=None
+    )
+    if first_checked is None or not expected:
+        return
+    got = order[first_checked:first_checked + len(expected)]
+    assert got == expected
 
 
 def test_queries_and_oracles_align():
