@@ -80,6 +80,17 @@ def main() -> None:
                       shuffle_partitions=cpus)
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline}
+    # Opt-in subset filter for scaling runs (r11 verdict #2): the
+    # 25x c8-vs-c32 sweeps time a handful of data-heavy headliners so
+    # low/high core counts separate. UNSET in every driver run — the
+    # default query set, methodology, and contract line are unchanged.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = {n.strip() for n in subset.split(",") if n.strip()}
+        unknown = names - set(headline)
+        if unknown:
+            raise SystemExit(f"unknown headline queries: {sorted(unknown)}")
+        headline = {n: s for n, s in headline.items() if n in names}
 
     # warm-up pass: JVM, parquet footer reads, codegen/JIT — unmeasured
     for name in sorted(headline):

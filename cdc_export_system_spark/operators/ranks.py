@@ -39,6 +39,28 @@ _RN_IN = "__rn_in_range"
 _OFFSET = "__range_offset"
 
 
+def _arrow_rownum_gen(out_name: str):
+    """mapInArrow generator: 1-based per-partition row number appended
+    as ``out_name`` (int64), carry threaded across batches — the Arrow
+    sibling of row_number() OVER (PARTITION BY range id)."""
+
+    def gen(it):
+        import numpy as np
+        import pyarrow as pa
+
+        carry = 0
+        for b in it:
+            n = b.num_rows
+            rn = np.arange(carry + 1, carry + n + 1, dtype=np.int64)
+            carry += n
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(rn, type=pa.int64())],
+                names=list(b.schema.names) + [out_name],
+            )
+
+    return gen
+
+
 def with_global_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -46,6 +68,7 @@ def with_global_row_number(
     total_out: str | None = None,
     num_partitions: int | None = None,
     materialize: bool = True,
+    arrow_impl: bool = False,
 ) -> DataFrame:
     """Add a 1-based global row number ``out`` over the total order given
     by ``order_cols`` (use F.asc/F.desc columns; include a unique
@@ -58,7 +81,16 @@ def with_global_row_number(
     whole upstream subtree evaluates twice — and chained constructions
     (rfm_segmentation's three ranks) compound exponentially (16 source
     scans at the round-3 audit). Callers passing an already-materialized
-    frame set it False."""
+    frame set it False.
+
+    ``arrow_impl``: number rows with a partition-local Arrow pass
+    (sortWithinPartitions + mapInArrow counter) instead of the window —
+    deletes the second full-axis hash exchange the window pays because
+    Catalyst cannot see that range partitions already cluster
+    spark_partition_id(). Same opt-in contract and measured local-mode
+    verdict as with_prefix_sum's arrow_impl (r12 A/B: window form wins
+    at sf0.1 AND at 25x on local[32] — the axis re-exchange is
+    memory-speed; flip only where it crosses a network)."""
     if materialize:
         df = df.localCheckpoint(eager=True)
     parted = (
@@ -66,10 +98,22 @@ def with_global_row_number(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
 
-    w_in = W.partitionBy(_RANGE_ID).orderBy(*order_cols)
-    numbered = parted.withColumn(_RN_IN, F.row_number().over(w_in))
+    if arrow_impl:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(_RN_IN, LongType(), False)]
+        )
+        numbered = parted.sortWithinPartitions(*order_cols).mapInArrow(
+            _arrow_rownum_gen(_RN_IN), schema=out_schema
+        )
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        numbered = numbered.withColumn(_RANGE_ID, F.spark_partition_id())
+    else:
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        w_in = W.partitionBy(_RANGE_ID).orderBy(*order_cols)
+        numbered = parted.withColumn(_RN_IN, F.row_number().over(w_in))
 
     counts = parted.groupBy(_RANGE_ID).agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = W.orderBy(_RANGE_ID).rowsBetween(W.unboundedPreceding, -1)
@@ -86,6 +130,56 @@ def with_global_row_number(
     return result.drop(_RANGE_ID, _RN_IN, _OFFSET, "__total")
 
 
+def _arrow_cummax_gen(value: str, out_name: str, kind: str):
+    """mapInArrow generator: EXCLUSIVE per-partition running max of
+    ``value`` appended as ``out_name`` (same numeric family as the
+    input — the window F.max keeps the value's type), carry threaded
+    across batches; the partition's first row gets null, matching the
+    ROWS UNBOUNDED PRECEDING..-1 frame. Non-null inputs only (the
+    window impl skips nulls; this one raises loudly, same contract as
+    the cumsum generator)."""
+
+    def gen(it):
+        import numpy as np
+        import pyarrow as pa
+
+        np_t = np.int64 if kind == "i" else np.float64
+        pa_t = pa.int64() if kind == "i" else pa.float64()
+        carry = None  # running max BEFORE the current batch
+        for b in it:
+            cols = list(b.columns)
+            names = list(b.schema.names)
+            x = b.column(names.index(value))
+            if x.null_count:
+                raise ValueError(
+                    f"with_prefix_max(arrow_impl): null in {value} — the "
+                    "window impl skips nulls; pass non-null columns here"
+                )
+            arr = x.to_numpy(zero_copy_only=False).astype(np_t, copy=False)
+            n = len(arr)
+            if n == 0:
+                cols.append(pa.array([], type=pa_t))
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=names + [out_name]
+                )
+                continue
+            cm = np.maximum.accumulate(arr)
+            excl = np.empty(n, dtype=np_t)
+            excl[1:] = cm[:-1]
+            mask = np.zeros(n, dtype=bool)
+            if carry is None:
+                mask[0] = True  # global/partition first row: NULL
+                excl[0] = arr[0]  # placeholder under the mask
+            else:
+                excl[0] = carry
+                np.maximum(excl, carry, out=excl)
+            carry = cm[-1] if carry is None else max(carry, cm[-1])
+            cols.append(pa.array(excl, type=pa_t, mask=mask))
+            yield pa.RecordBatch.from_arrays(cols, names=names + [out_name])
+
+    return gen
+
+
 def with_prefix_max(
     df: DataFrame,
     order_cols: list[Column],
@@ -93,6 +187,7 @@ def with_prefix_max(
     out: str = "prefix_max",
     num_partitions: int | None = None,
     materialize: bool = True,
+    arrow_impl: bool = False,
 ) -> DataFrame:
     """Add the EXCLUSIVE running max of ``value`` over the total order
     given by ``order_cols`` (NULL for the global first row) — the
@@ -111,6 +206,15 @@ def with_prefix_max(
     ordering of equal keys yields the same running maximum once the
     value column is part of the key set. ``materialize`` as in
     :func:`with_global_row_number` — one upstream evaluation, not two.
+
+    ``arrow_impl``: the within-range running max as a partition-local
+    Arrow pass instead of the range-id window — same opt-in contract,
+    null discipline and measured local-mode verdict as
+    with_prefix_sum's arrow_impl (window form wins on local[32] at
+    sf0.1 and 25x; see OPTIMIZATION_r12.md). Requires a non-null
+    int/float value column; the running max is emitted as int64/float64
+    (the window form keeps the exact input type — callers flipping
+    this on narrower types get a widened column).
     """
     if materialize:
         df = df.localCheckpoint(eager=True)
@@ -119,14 +223,38 @@ def with_prefix_max(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
 
-    w_in = (
-        W.partitionBy(_RANGE_ID)
-        .orderBy(*order_cols)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    within = parted.withColumn("__within_excl", F.max(value).over(w_in))
+    if arrow_impl:
+        types = dict(df.dtypes)
+        if types[value] in _INT_TYPES:
+            kind = "i"
+        elif types[value] in _FLOAT_TYPES:
+            kind = "f"
+        else:
+            raise ValueError(
+                f"arrow_impl supports int/float values, got {value}: "
+                f"{types[value]}"
+            )
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [StructField("__within_excl",
+                           LongType() if kind == "i" else DoubleType(), True)]
+        )
+        within = parted.sortWithinPartitions(*order_cols).mapInArrow(
+            _arrow_cummax_gen(value, "__within_excl", kind), schema=out_schema
+        )
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        within = within.withColumn(_RANGE_ID, F.spark_partition_id())
+    else:
+        parted = parted.withColumn(_RANGE_ID, F.spark_partition_id())
+        w_in = (
+            W.partitionBy(_RANGE_ID)
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        within = parted.withColumn("__within_excl", F.max(value).over(w_in))
 
     rmax = parted.groupBy(_RANGE_ID).agg(F.max(value).alias("__rmax"))
     w_off = W.orderBy(_RANGE_ID).rowsBetween(W.unboundedPreceding, -1)

@@ -168,6 +168,70 @@ def test_prefix_sum_arrow_impl_empty_and_guards(spark):
         bad.collect()
 
 
+def test_row_number_arrow_impl_matches_window_impl(spark):
+    """The Arrow row-number path must be rank-identical to the window
+    path — desc order, unique tie-break, across partition boundaries,
+    total_out included."""
+    from cdc_export_system_spark.operators.ranks import with_global_row_number
+
+    df = spark.createDataFrame(
+        [((i * 13) % 37, i) for i in range(300)], "k int, id int"
+    ).repartition(7)
+    order = [F.desc("k"), F.asc("id")]
+    win = with_global_row_number(df, order, out="rn", total_out="n")
+    arw = with_global_row_number(df, order, out="rn_a", total_out="n_a",
+                                 arrow_impl=True)
+    rows = win.join(arw, ["k", "id"]).select("rn", "rn_a", "n", "n_a").collect()
+    assert len(rows) == 300
+    assert all(r.rn == r.rn_a and r.n == r.n_a == 300 for r in rows)
+
+
+def test_prefix_max_arrow_impl_matches_window_impl(spark):
+    """The Arrow cummax path must be value-identical to the window path
+    (cast to the Arrow path's widened type), including the global-first
+    NULL, int and float, across partition boundaries."""
+    from cdc_export_system_spark.operators.ranks import with_prefix_max
+
+    df = spark.createDataFrame(
+        [((i * 13) % 37, (i * 7) % 23, i) for i in range(300)],
+        "k int, x bigint, id int",
+    ).repartition(7)
+    order = [F.asc("k"), F.asc("id")]
+    win = with_prefix_max(df, order, "x", out="pm")
+    arw = with_prefix_max(df, order, "x", out="pm_a", arrow_impl=True)
+    rows = win.join(arw, ["k", "x", "id"]).select("pm", "pm_a").collect()
+    assert len(rows) == 300
+    assert all(
+        (r.pm is None and r.pm_a is None) or int(r.pm) == int(r.pm_a)
+        for r in rows
+    )
+
+    fdf = spark.createDataFrame(
+        [((i * 13) % 37, float((i * 7) % 23) / 4, i) for i in range(100)],
+        "k int, x double, id int",
+    ).repartition(5)
+    win = with_prefix_max(fdf, order, "x", out="pm")
+    arw = with_prefix_max(fdf, order, "x", out="pm_a", arrow_impl=True)
+    rows = win.join(arw, ["k", "x", "id"]).select("pm", "pm_a").collect()
+    assert all(
+        (r.pm is None and r.pm_a is None) or r.pm == r.pm_a for r in rows
+    )
+
+
+def test_prefix_max_arrow_impl_guards(spark):
+    from cdc_export_system_spark.operators.ranks import with_prefix_max
+    import pytest
+
+    s = spark.createDataFrame([(1, "x")], "k int, a string")
+    with pytest.raises(ValueError, match="arrow_impl supports"):
+        with_prefix_max(s, [F.asc("k")], "a", arrow_impl=True)
+
+    n = spark.createDataFrame([(1, 1), (2, None)], "k int, a int")
+    bad = with_prefix_max(n, [F.asc("k")], "a", arrow_impl=True)
+    with pytest.raises(Exception, match="null in a"):
+        bad.collect()
+
+
 def test_arrow_cumsum_gen_zero_row_batch_passthrough():
     """Arrow can legally deliver 0-row record batches mid-stream
     (upstream filtering / batch slicing); the cumsum generator must
