@@ -761,7 +761,10 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # materialized once: occurrence counts AND baskets both consume the
     # deduped incidence list — un-materialized, each re-ran the scan +
-    # distinct shuffle (r11 plan sweep: 4 lineitem scans per call)
+    # distinct shuffle (r11 plan sweep: 4 lineitem scans per call).
+    # MEMORY TRADE (explicit): the incidence list is DATA-sized (2
+    # narrow ints per basket line); kept because the distinct shuffle
+    # it saves is a full-data exchange, strictly more bytes than the pin
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct().localCheckpoint(eager=True)
@@ -788,7 +791,11 @@ def recsys_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .filter(F.col("c") >= MIN_SUPPORT)
         # pinned: the symmetrization union consumes it twice, and the
-        # basket pair expansion is the expensive leg of this op
+        # basket pair expansion is the expensive leg of this op.
+        # MEMORY TRADE (explicit): the pair table is OUTPUT-sized
+        # (co-occurring item pairs above MIN_SUPPORT) — bounded by the
+        # support threshold, not by |data|, but it grows with catalog
+        # density; re-expanding baskets twice is always worse
         .localCheckpoint(eager=True)
     )
     nbr = pair.select(

@@ -112,7 +112,12 @@ def kmeans_fit(
     spark = emb.sparkSession
     # the training working set is consumed twice per Lloyd iteration
     # (assignment + update join) plus the seed slice — pin it once
-    # instead of re-running the upstream scan 2*n_iter + 1 times
+    # instead of re-running the upstream scan 2*n_iter + 1 times.
+    # MEMORY TRADE (explicit): this pin is DATA-sized (|corpus| x dim).
+    # It is kept because iterative refits dominate — 2*n_iter+1
+    # re-derivations always cost more than one materialization — but on
+    # a memory-constrained cluster the storage pressure is |corpus|
+    # vectors; callers can pre-narrow emb before fitting.
     emb = emb.localCheckpoint(eager=True)
     centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
